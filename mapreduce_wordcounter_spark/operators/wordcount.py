@@ -1,0 +1,244 @@
+"""The flagship word-count operator family.
+
+Semantics (normative spec, SURVEY.md Appendix A; reference
+main.go:115-171): a token is a maximal run of Unicode letters
+(reference ``strings.FieldsFunc(chunk, !unicode.IsLetter)``,
+main.go:141-144), lowercased (main.go:148), empty tokens dropped
+(main.go:149); the result relation is (word, cnt) and the program's
+scalar output is the distinct vocabulary size (main.go:73).
+
+Spark-first mapping (SURVEY.md §2.3): ``explode(split(lower(text),
+'[^\\p{L}]+'))`` → ``filter(word <> '')`` → ``groupBy(word).count()``.
+The map-side partial aggregate / shuffle / final merge the reference
+hand-builds (main.go:84-111) are Catalyst's partial+final
+HashAggregateExec — free, lock-free, and hash-partitioned (strictly
+better than the reference's single mutex-guarded map, main.go:191-193).
+
+Scale posture (100 TB): the whole family is scan → generate → partial
+agg → exchange on `word` → final agg. Vocabulary is sublinear in corpus
+size (Heaps' law), so the shuffle carries only the per-partition
+partial (word, cnt) pairs, not the token stream; the only skew risk is
+Zipfian hot words, which the partial aggregate absorbs before the
+exchange. For vocabulary cardinality at scale prefer
+``approx_count_distinct`` (registered as wc_vocab_approx, rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_wordcounter_spark.registry import query
+from mapreduce_wordcounter_spark.tables import load_table
+
+# Separator = any non-letter, exactly `!unicode.IsLetter` (main.go:143).
+# Java regex and DuckDB's RE2 both implement the Unicode L* class.
+TOKEN_SEP = r"[^\p{L}]+"
+
+# DuckDB-side tokenizer fragment for the oracles (same regex dialect).
+_ORACLE_TOKENS = (
+    "SELECT doc_id, lang, source, "
+    "unnest(regexp_split_to_array(lower(text), '[^\\p{L}]+')) AS word "
+    "FROM documents"
+)
+
+
+def tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → one row per token: (doc_id, lang, source, word).
+
+    The shared front half of every query in this family; Catalyst prunes
+    unused columns per consumer.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), TOKEN_SEP)).alias("word"),
+        )
+        .filter(F.col("word") != "")
+    )
+
+
+@query(
+    "wc_counts",
+    oracle=f"""
+    SELECT word, COUNT(*) AS cnt
+    FROM ({_ORACLE_TOKENS}) t
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def wc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's materialized intermediate: word → count
+    (main.go:84-111, O4-O9)."""
+    return tokens(spark, sf_dir).groupBy("word").agg(F.count("*").alias("cnt"))
+
+
+@query(
+    "wc_vocab",
+    oracle=f"""
+    SELECT COUNT(DISTINCT word) AS vocab_size
+    FROM ({_ORACLE_TOKENS}) t
+    WHERE word <> ''
+    """,
+)
+def wc_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's actual printed output: distinct vocabulary size
+    (len(finalResult), main.go:73, O11)."""
+    return tokens(spark, sf_dir).agg(F.countDistinct("word").alias("vocab_size"))
+
+
+@query(
+    "wc_summary",
+    oracle=f"""
+    SELECT COUNT(*) AS total_tokens, COUNT(DISTINCT word) AS vocab_size
+    FROM ({_ORACLE_TOKENS}) t
+    WHERE word <> ''
+    """,
+)
+def wc_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total token count + distinct vocabulary in one pass."""
+    return tokens(spark, sf_dir).agg(
+        F.count("*").alias("total_tokens"),
+        F.countDistinct("word").alias("vocab_size"),
+    )
+
+
+@query(
+    "wc_top100",
+    oracle=f"""
+    SELECT word, COUNT(*) AS cnt
+    FROM ({_ORACLE_TOKENS}) t
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY cnt DESC, word ASC
+    LIMIT 100
+    """,
+)
+def wc_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k words. Sort/limit the reference lacks (SURVEY.md §2.2);
+    tie-broken on word so the LIMIT frontier is deterministic across
+    engines. Physically a TakeOrderedAndProject — no global sort."""
+    return (
+        tokens(spark, sf_dir)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(100)
+    )
+
+
+@query(
+    "wc_per_source",
+    oracle=f"""
+    SELECT source, word, COUNT(*) AS cnt
+    FROM ({_ORACLE_TOKENS}) t
+    WHERE word <> ''
+    GROUP BY source, word
+    """,
+)
+def wc_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source counts — the reference's per-file partial maps
+    (main.go:126) promoted to a first-class grouping column."""
+    return (
+        tokens(spark, sf_dir)
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "wc_doc_frequency",
+    oracle=f"""
+    SELECT word, COUNT(DISTINCT doc_id) AS df
+    FROM ({_ORACLE_TOKENS}) t
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def wc_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document frequency: in how many documents does each word occur."""
+    return (
+        tokens(spark, sf_dir)
+        .groupBy("word")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+
+
+@query(
+    "wc_vocab_per_lang",
+    oracle=f"""
+    SELECT lang, COUNT(DISTINCT word) AS vocab_size
+    FROM ({_ORACLE_TOKENS}) t
+    WHERE word <> ''
+    GROUP BY lang
+    """,
+)
+def wc_vocab_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct vocabulary per language."""
+    return (
+        tokens(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.countDistinct("word").alias("vocab_size"))
+    )
+
+
+@query(
+    "wc_rdd_twin",
+    oracle=f"""
+    SELECT word, COUNT(*) AS cnt
+    FROM ({_ORACLE_TOKENS}) t
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def wc_rdd_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDD flatMap/reduceByKey twin of wc_counts — the *literal*
+    semantic mirror of the reference's map (main.go:115-171, partial
+    combine main.go:126,150) / shuffle (main.go:86) / reduce
+    (main.go:185-197) structure, kept as a cross-check (SURVEY.md §1.3).
+    reduceByKey does map-side combining exactly like the reference's
+    per-file maps, then hash-partitions — no global mutex needed.
+
+    Python `re` has no \\p{{L}}, so the flatMap splits on the
+    Unicode-aware `str.isalpha` boundary to match `unicode.IsLetter`.
+    """
+    import operator
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+
+    def tokenize(row):
+        word_chars: list[str] = []
+        for ch in row.text:
+            if ch.isalpha():
+                word_chars.append(ch.lower())
+            elif word_chars:
+                yield ("".join(word_chars), 1)
+                word_chars = []
+        if word_chars:
+            yield ("".join(word_chars), 1)
+
+    counts = docs.rdd.flatMap(tokenize).reduceByKey(operator.add)
+    return spark.createDataFrame(counts, schema="word string, cnt long")
+
+
+def wc_vocab_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate vocabulary (HyperLogLog++) — the 100 TB-scale form of
+    wc_vocab. Not oracle-checked (estimator differs per engine); pytest
+    asserts relative error vs the exact count instead."""
+    return tokens(spark, sf_dir).agg(
+        F.approx_count_distinct("word", 0.01).alias("vocab_size_approx")
+    )
+
+
+# Registered rows-only: no SQL oracle for an engine-specific estimator.
+query("wc_vocab_approx")(wc_vocab_approx)
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """entry() body: the full (word, cnt) relation, ordered for
+    deterministic display (Appendix B.2 — the reference's output is
+    unordered only because Go map iteration is)."""
+    return wc_counts(spark, sf_dir).orderBy(F.desc("cnt"), F.asc("word"))

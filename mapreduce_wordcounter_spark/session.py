@@ -1,0 +1,50 @@
+"""SparkSession factory tuned for the local[N] test harness.
+
+The settings mirror what we would set on a real cluster for the 100 TB
+target (AQE on, skew-join handling, sane shuffle parallelism); locally
+the shuffle-partition count is pinned to the core count instead of the
+200 default (SURVEY.md §7 phase 0 / phase 7).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "mapreduce-wordcounter-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or all local cores. At cluster
+    scale the same conf applies, minus ``master``/``driver.memory`` which
+    the cluster manager owns.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_utc(spark: SparkSession) -> SparkSession:
+    """Pin the session timezone to UTC.
+
+    Called at the top of every query that formats or buckets timestamps,
+    because the driver's harness may hand us a session it built itself;
+    DuckDB timestamps are naive-UTC so parity requires this.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

@@ -1,0 +1,40 @@
+"""Table access helpers for the driver-generated parquet corpus.
+
+Tables (TESTDATA.md): TPC-H-ish ``region nation customer supplier part
+orders lineitem`` plus ``events`` (stream-shaped), ``documents`` (the
+word-count corpus analog of the reference's text files,
+reference main.go:61-66) and ``embeddings``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan for one table. Column pruning + predicate pushdown
+    happen automatically once callers ``select``/``filter`` (Catalyst)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so SQL-form queries can run."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
