@@ -1,0 +1,956 @@
+"""Relational operator breadth over the TPC-H-ish tables (SURVEY.md §7
+phase 3).
+
+The reference has NO joins, sorts, windows, set ops, or scalar-function
+surface (SURVEY.md §2.2) — this module is the deliberate extension
+surface, every operator declared with an exact DuckDB oracle.
+
+Oracle-parity conventions used throughout (see tests/test_oracle_parity.py):
+- double aggregates go through ``dsum``/``davg`` (exact decimal
+  intermediate → order-independent, engine-independent);
+- timestamps are emitted as formatted strings after pinning the session
+  to UTC (the driver's session isn't UTC-pinned);
+- every LIMIT has a total-order ``ORDER BY`` so the cut line is
+  deterministic;
+- irrational per-row math (sqrt/ln/exp) is rounded to 6 decimals (libm
+  vs JVM may differ in the last ulp).
+
+Scale posture (100 TB): every query below is expressed declaratively so
+Catalyst chooses the physical join/agg strategy; explicitly small dims
+(region, nation, literal band tables) are broadcast-hinted, big-big
+joins are left to sort-merge + AQE (skew-join splitting enabled in the
+session factory). Filters/projections sit directly on the parquet scan
+so pushdown & column pruning apply — asserted in tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from mapreduce_wordcounter_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from mapreduce_wordcounter_spark.registry import query
+from mapreduce_wordcounter_spark.session import ensure_utc
+from mapreduce_wordcounter_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Scans, filters, projections (pushdown-friendly by construction)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate < TIMESTAMP '1998-02-01'
+      AND l_quantity > 45
+    """,
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective scan: both predicates and the 4-column projection reach
+    the parquet reader (PushedFilters/ReadSchema — tests/test_plans.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1998-01-01")
+        & (F.col("l_shipdate") < "1998-02-01")
+        & (F.col("l_quantity") > 45)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           {sql_dsum('l_extendedprice', 'sum_base_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           {sql_davg('l_quantity', 'avg_qty')},
+           {sql_davg('l_extendedprice', 'avg_price')},
+           {sql_davg('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide multi-aggregate after a pushed-down range
+    filter. One shuffle on the (tiny) grouping key; partial aggregation
+    absorbs everything map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "2000-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg(F.col("l_quantity"), "avg_qty"),
+            davg(F.col("l_extendedprice"), "avg_price"),
+            davg(F.col("l_discount"), "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, {sql_dsum('l_quantity', 'sum_qty')}
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (flag → flag+status → grand total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum(F.col("l_quantity"), "sum_qty")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n, {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over status × priority."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), dsum(F.col("o_totalprice"), "sum_price")
+    )
+
+
+@query(
+    "agg_stats",
+    oracle=f"""
+    SELECT l_returnflag,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           {sql_davg('l_extendedprice', 'avg_price')},
+           ROUND(STDDEV_SAMP(l_extendedprice), 4) AS std_price,
+           ROUND(VAR_SAMP(l_extendedprice), 4) AS var_price,
+           COUNT(DISTINCT l_suppkey) AS n_supp
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (min/max/avg/stddev/variance/distinct).
+    stddev/variance rounded: both engines use numerically-stable
+    one-pass algorithms but may differ at ~1e-10 relative."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        davg(F.col("l_extendedprice"), "avg_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.round(F.var_samp("l_extendedprice"), 4).alias("var_price"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+
+
+@query(
+    "agg_median",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles. At 100 TB prefer
+    percentile_approx (t-digest) — registered as agg_p90_approx."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
+    )
+
+
+def agg_p90_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile — the scale path (no cross-engine oracle:
+    sketch algorithms differ; pytest bounds the error vs exact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.9, 10000).alias("p90_qty_approx")
+    )
+
+
+query("agg_p90_approx")(agg_p90_approx)
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 12
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@query(
+    "agg_conditional",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS n_big,
+           {sql_dsum("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END", 'urgent_revenue')}
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN inside aggregates (conditional aggregation)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("o_totalprice") > 150000, 1).otherwise(0)).alias("n_big"),
+        dsum(
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")).otherwise(0.0),
+            "urgent_revenue",
+        ),
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 'qty_f')},
+           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 'qty_o')}
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT linestatus into columns (oracle: equivalent conditional
+    aggregation — DuckDB's PIVOT generates the same plan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    from mapreduce_wordcounter_spark.functions.numeric import SCALE, quantize
+
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg((F.sum(quantize(F.col("l_quantity"))).cast("double") / SCALE))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("F").alias("qty_f"),
+        F.col("O").alias("qty_o"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT n_nationkey, n_name, r_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension join with an explicit broadcast hint: at any scale
+    region/nation fit in memory, so no shuffle of the fact side ever
+    happens (BroadcastHashJoin asserted in tests/test_plans.py)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+
+
+@query(
+    "join_fact_revenue",
+    oracle=f"""
+    SELECT o_orderstatus, {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+           COUNT(*) AS n_items
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def join_fact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big equi-join (orders ⋈ lineitem). Left to Catalyst: at
+    sf0.1 AQE may choose broadcast; at 100 TB it is a sort-merge join
+    on the shared l_orderkey/o_orderkey key — co-partitionable via
+    bucketing (see sources/bucketed.py)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → 3-way join → agg → top-k.
+    Total order (revenue DESC, l_orderkey) makes the LIMIT frontier
+    deterministic."""
+    ensure_utc(spark)
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_regional_revenue",
+    oracle=f"""
+    SELECT n_name, {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join mixing broadcastable dims with
+    big-big fact joins, plus the c_nationkey = s_nationkey theta leg."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_totalprice > 200000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with at least one big order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders at all."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (count = 0)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT ck.k AS nationkey, c.n AS n_customers, s.n AS n_suppliers
+    FROM (SELECT DISTINCT c_nationkey AS k FROM customer
+          UNION SELECT DISTINCT s_nationkey FROM supplier) ck
+    LEFT JOIN (SELECT c_nationkey, COUNT(*) AS n FROM customer GROUP BY 1) c
+           ON ck.k = c.c_nationkey
+    LEFT JOIN (SELECT s_nationkey, COUNT(*) AS n FROM supplier GROUP BY 1) s
+           ON ck.k = s.s_nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of per-nation customer vs supplier counts (the
+    oracle spells it as union+left-joins, same relation)."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full_outer").select(
+        F.coalesce(c.c_nationkey, s.s_nationkey).alias("nationkey"),
+        "n_customers",
+        "n_suppliers",
+    )
+
+
+@query(
+    "join_range_bands",
+    oracle="""
+    SELECT b.band, COUNT(*) AS n_parts
+    FROM part p
+    JOIN (VALUES ('budget', 0.0, 500.0),
+                 ('mid', 500.0, 1200.0),
+                 ('premium', 1200.0, 100000.0)) AS b(band, lo, hi)
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join against a literal band table — broadcast
+    nested-loop physically; the band side is always tiny so this stays
+    O(rows × bands) with no shuffle at any scale."""
+    p = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 500.0), ("mid", 500.0, 1200.0), ("premium", 1200.0, 100000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+@query(
+    "join_in_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (
+        SELECT c_custkey FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10)
+    """,
+)
+def join_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (subquery): orders of the 10 richest customers (total-ordered
+    LIMIT)."""
+    c = _t(spark, sf_dir, "customer")
+    top = c.orderBy(F.desc("c_acctbal"), F.asc("c_custkey")).limit(10).select("c_custkey")
+    o = _t(spark, sf_dir, "orders")
+    return o.join(
+        F.broadcast(top), o.o_custkey == top.c_custkey, "left_semi"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query(
+    "scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 2 * (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*)
+        FROM orders)
+    """,
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above 2× the mean price. Spark plans the
+    subquery as a broadcast scalar; no per-row recomputation."""
+    o = _t(spark, sf_dir, "orders")
+    mean = o.agg(davg(F.col("o_totalprice"), "m"))
+    return (
+        o.join(F.broadcast(mean))
+        .filter(F.col("o_totalprice") > 2 * F.col("m"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — row_number with a total order
+    (price DESC, key) so ties resolve identically everywhere."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "window_rank_ties",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice,
+           RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_rank,
+           DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_dense_rank
+    FROM part
+    """,
+)
+def window_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank vs dense_rank under ties — both are functions of the order
+    key only, so duplicate prices produce identical output rows."""
+    p = _t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+    )
+
+
+@query(
+    "window_running_total",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,8)))
+                OVER (PARTITION BY l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_qty
+    FROM lineitem
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum per supplier over a unique (shipdate, orderkey,
+    linenumber) order; decimal accumulation keeps it engine-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("decimal(30,8)")).over(w).cast("double").alias("running_qty"),
+    )
+
+
+@query(
+    "window_lag_delta",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           o_totalprice - LAG(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS delta_vs_prev
+    FROM orders
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(): spend delta vs the customer's previous order (single
+    subtraction of raw doubles — bit-identical in both engines)."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("delta_vs_prev"),
+    )
+
+
+@query(
+    "window_moving_avg",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,8)))
+                OVER w AS DOUBLE)
+           / COUNT(l_quantity) OVER w AS mov_avg_qty
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-row moving average with an explicit ROWS frame."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-4, W.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.sum(F.col("l_quantity").cast("decimal(30,8)")).over(w).cast("double")
+            / F.count("l_quantity").over(w)
+        ).alias("mov_avg_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_union",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of nation keys present among customers/suppliers."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: nations with both customers and suppliers."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: nations with customers but no suppliers."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (string / date / math / JSON / conditional)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "string_functions",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           LENGTH(p_name) AS name_len,
+           SUBSTR(p_name, 1, 8) AS name_prefix,
+           REPLACE(p_type, ' ', '_') AS type_snake,
+           CONCAT(p_brand, '#', CAST(p_size AS VARCHAR)) AS brand_size,
+           TRIM(p_name) AS name_trim,
+           LPAD(CAST(p_partkey AS VARCHAR), 10, '0') AS key_padded,
+           REVERSE(p_brand) AS brand_rev,
+           p_name LIKE '%a%' AS has_a
+    FROM part
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar-function breadth — the reference's only scalar
+    transform is lower() (main.go:148); everything else is extension."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.regexp_replace("p_type", " ", "_").alias("type_snake"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_size").cast("string")).alias(
+            "brand_size"
+        ),
+        F.trim(F.col("p_name")).alias("name_trim"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_padded"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.col("p_name").like("%a%").alias("has_a"),
+    )
+
+
+@query(
+    "date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(day(o_orderdate) AS INT) AS order_day,
+           CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002
+    FROM orders
+    """,
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar functions; timestamps emitted as strings under a
+    UTC-pinned session for engine parity."""
+    ensure_utc(spark)
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_2002"
+        ),
+    )
+
+
+@query(
+    "math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_extendedprice - 30000) AS abs_centered,
+           CEIL(l_discount * 100) AS disc_pct_ceil,
+           FLOOR(l_tax * 100) AS tax_pct_floor,
+           ROUND(l_extendedprice, 1) AS price_r1,
+           ROUND(SQRT(l_quantity), 6) AS qty_sqrt,
+           ROUND(LN(l_extendedprice), 6) AS price_ln,
+           ROUND(POWER(l_quantity, 2), 6) AS qty_sq,
+           MOD(l_linenumber, 3) AS line_mod3,
+           GREATEST(l_discount, l_tax) AS max_rate,
+           LEAST(l_discount, l_tax) AS min_rate
+    FROM lineitem
+    WHERE l_orderkey <= 1000
+    """,
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar functions (transcendentals rounded to 6: JVM vs libm
+    may differ in the final ulp)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 30000).alias("abs_centered"),
+        F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
+        F.floor(F.col("l_tax") * 100).alias("tax_pct_floor"),
+        F.round(F.col("l_extendedprice"), 1).alias("price_r1"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+        F.round(F.pow(F.col("l_quantity"), 2), 6).alias("qty_sq"),
+        (F.col("l_linenumber") % 3).alias("line_mod3"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+    )
+
+
+@query(
+    "json_extract",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events
+    """,
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from events.props."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+@query(
+    "case_bucketing",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END AS size_bucket,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_display
+    FROM orders
+    """,
+)
+def case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/COALESCE/NULLIF conditional expressions."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+        .alias("size_bucket"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")
+        ).alias("status_display"),
+    )
+
+
+@query(
+    "order_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: physically TakeOrderedAndProject (per-partition
+    heap + merge at the driver), not a full sort — the only safe global
+    'sort' at 100 TB."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "sql_api_q",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_api_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same engine through the SQL entry point (spark.sql over temp
+    views) — Catalyst produces the identical plan either way."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS sum_price
+        FROM orders_v
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sampling — sampling algorithms are
+    engine-specific so there is no oracle; pytest checks the rate is
+    within binomial bounds and that the seed makes it reproducible."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+
+
+query("sample_bernoulli")(sample_bernoulli)

@@ -30,7 +30,20 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan for one table. Column pruning + predicate pushdown
-    happen automatically once callers ``select``/``filter`` (Catalyst)."""
+    happen automatically once callers ``select``/``filter`` (Catalyst).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects — read it as raw int64 nanos and convert with integer
+    arithmetic (``div``, not ``/``: epoch-nanos ≈ 1.7e18 exceeds a
+    double's 2^53 integer range, so float division corrupts the low
+    digits). Truncation (not rounding) to µs matches DuckDB.
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

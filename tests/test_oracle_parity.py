@@ -52,11 +52,15 @@ def test_parity(name, spark, duck):
         f"{name}: columns {sorted(spark_pdf.columns)} != {sorted(duck_pdf.columns)}"
     )
     s, d = _canon(spark_pdf), _canon(duck_pdf)
+
+    def eq(a, b):
+        if a is None and b is None:
+            return True
+        if isinstance(a, float) and isinstance(b, float) and math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+
     for col in s.columns:
         sv, dv = list(s[col]), list(d[col])
-        mism = [
-            (i, a, b)
-            for i, (a, b) in enumerate(zip(sv, dv))
-            if a != b and not (a is None and b is None)
-        ]
+        mism = [(i, a, b) for i, (a, b) in enumerate(zip(sv, dv)) if not eq(a, b)]
         assert not mism, f"{name}.{col}: {len(mism)} mismatches, first 5: {mism[:5]}"
