@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <scale factor>}
+
+Each query is forced end-to-end with the noop sink (full execution, no
+driver-side result transfer). Timings exclude session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mapreduce_wordcounter_spark import get_spark
+from mapreduce_wordcounter_spark.registry import all_queries
+
+HEADLINE = [
+    "wc_counts",
+    "wc_top100",
+    "wc_rdd_twin",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "join_fact_revenue",
+    "window_topk_per_group",
+    "tf_idf",
+    "quality_score",
+    "dedup_exact",
+    "minhash_signatures",
+    "lsh_verified_pairs",
+    "simhash32",
+    "knn_brute_cosine",
+    "ann_ivf_topk",
+    "ev_tumbling_hourly",
+    "ev_session_windows",
+    "stream_tumbling_live",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    queries = all_queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,406 @@
+"""Deduplication operators over ``documents`` (SURVEY.md §7 phase 5).
+
+The training-data dedup toolbox: exact (hash groupBy), normalized
+exact, keep-first windowed dedup, n-gram Jaccard, and a full
+MinHash+LSH pipeline (shingle → minhash → band → bucket-join →
+verify). The reference has no dedup at all — this is north-star
+extension surface (BASELINE.json).
+
+Everything here is oracle-checked, including MinHash+LSH: instead of
+engine-specific hash functions (Spark's xxhash64 vs DuckDB's hash are
+incompatible), shingles are hashed with an explicit polynomial rolling
+hash over character codes — pure integer arithmetic, bit-identical in
+any engine — and the minhash permutations are explicit affine maps
+``(a_j * id + b_j) mod p``. That makes the *whole* pipeline
+SQL-expressible and differentially testable, which ml.feature.MinHashLSH
+is not.
+
+Scale posture (100 TB):
+- exact dedup: shuffle on a 256-bit hash — perfectly uniform keys, no
+  skew, one exchange;
+- shingle Jaccard: the shingle self-join explodes on hot shingles;
+  production runs drop stop-shingles (document frequency cap) first —
+  here the corpus is synthetic and flat so the join is bounded;
+- MinHash+LSH: the scale path — candidate generation is a bucket-join
+  on (band, signature), i.e. |pairs| is bounded by bucket collisions,
+  not |docs|²; signatures are 16 ints per doc (fits the shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_wordcounter_spark.registry import query
+from mapreduce_wordcounter_spark.tables import load_table
+
+# --- engine-portable hashing fragments --------------------------------------
+
+# Polynomial char hash: h = fold(chars, h*31 + code) mod 1e9+7. Verified
+# bit-identical Spark vs DuckDB (pure BIGINT arithmetic).
+_SPARK_CHARHASH = (
+    "aggregate(transform(sequence(1, length({s})), i -> cast(ascii(substr({s}, i, 1)) as bigint)),"
+    " 0L, (acc, c) -> (acc * 31 + c) % 1000000007)"
+)
+_DUCK_CHARHASH = (
+    "list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, length({s})),"
+    " i -> ascii(substr({s}, i, 1))::BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007)"
+)
+
+_SQL_TOKS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), x -> x <> '')"
+)
+
+# 3-gram word shingles, distinct per doc, with their portable hash ids.
+_DUCK_SHINGLES = f"""
+    SELECT DISTINCT doc_id, s, {_DUCK_CHARHASH.format(s='s')} AS sid
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 2),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM documents) d
+    ) x
+"""
+
+# MinHash: 16 affine permutations of the shingle id space.
+_N_HASH = 16
+_P = 2147483647
+
+
+def _spark_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s, sid): distinct word-3-gram shingles + portable hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), r"[^\p{L}]+"), lambda x: x != ""
+        ).alias("t"),
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= 3,
+                F.expr(
+                    "transform(sequence(1, size(t) - 2),"
+                    " i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2)))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("s"),
+    ).distinct()
+    return sh.withColumn("sid", F.expr(_SPARK_CHARHASH.format(s="s")))
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group on sha256(text), keep the lowest doc_id.
+    One shuffle on a uniform 256-bit key — the cheapest dedup at any
+    scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.sha2("text", 256).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@query(
+    "dedup_exact_normalized",
+    oracle="""
+    SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after normalization (lowercase + whitespace
+    collapse) — catches trivially-reformatted copies."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        docs.groupBy(F.sha2(norm, 256).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@query(
+    "dedup_keep_first",
+    oracle=f"""
+    SELECT doc_id, fingerprint FROM (
+        SELECT doc_id,
+               md5(array_to_string({_SQL_TOKS}, ' ')) AS fingerprint,
+               ROW_NUMBER() OVER (PARTITION BY md5(array_to_string({_SQL_TOKS}, ' '))
+                                  ORDER BY doc_id) AS rn
+        FROM documents) t
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup as a window: survivors of token-stream
+    fingerprint collisions (whitespace/punct-insensitive dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"[^\p{L}]+"), lambda x: x != "")
+    from pyspark.sql import Window as W
+
+    fp = docs.select("doc_id", F.md5(F.array_join(toks, " ")).alias("fingerprint"))
+    w = W.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        fp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "jaccard_near_dup_pairs",
+    oracle=f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    """,
+)
+def jaccard_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (3-gram shingles, J ≥ 0.5)
+    via shingle self-join. The exact-but-quadratic-in-collisions
+    baseline that lsh_verified_pairs approximates at scale."""
+    sh = _spark_shingles(spark, sf_dir).select("doc_id", "s")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (fully oracle-checked)
+# ---------------------------------------------------------------------------
+
+_DUCK_MINHASH = f"""
+    SELECT doc_id, j,
+           MIN(((2 * j + 1) * sid + (7919 * j + 1)) % {_P}) AS mh
+    FROM ({_DUCK_SHINGLES}) sh
+    CROSS JOIN (SELECT unnest(generate_series(0, {_N_HASH - 1})) AS j) perms
+    GROUP BY doc_id, j
+"""
+
+
+def _spark_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, j, mh): 16 minhashes per doc via explicit affine
+    permutations over the portable shingle ids."""
+    sh = _spark_shingles(spark, sf_dir)
+    perms = spark.range(_N_HASH).select(F.col("id").cast("long").alias("j"))
+    return (
+        sh.crossJoin(F.broadcast(perms))
+        .groupBy("doc_id", "j")
+        .agg(F.min(((2 * F.col("j") + 1) * F.col("sid") + (7919 * F.col("j") + 1)) % _P).alias("mh"))
+    )
+
+
+@query(
+    "minhash_signatures",
+    oracle=f"""
+    SELECT doc_id, j, mh FROM ({_DUCK_MINHASH}) m
+    """,
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature matrix (doc × 16 permutations), long form."""
+    return _spark_minhash(spark, sf_dir)
+
+
+_DUCK_BANDS = f"""
+    SELECT doc_id, j // 4 AS band,
+           CONCAT_WS('-',
+               MAX(CASE WHEN j % 4 = 0 THEN mh END),
+               MAX(CASE WHEN j % 4 = 1 THEN mh END),
+               MAX(CASE WHEN j % 4 = 2 THEN mh END),
+               MAX(CASE WHEN j % 4 = 3 THEN mh END)) AS band_sig
+    FROM ({_DUCK_MINHASH}) m
+    GROUP BY doc_id, j // 4
+"""
+
+
+def _spark_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: 4 bands × 4 rows; band signature concatenated in
+    fixed j-order via conditional aggregation (collect_list order is
+    not deterministic in a distributed engine — this is)."""
+    mh = _spark_minhash(spark, sf_dir)
+    return (
+        mh.groupBy("doc_id", (F.col("j") / 4).cast("long").alias("band"))
+        .agg(
+            F.concat_ws(
+                "-",
+                *[
+                    F.max(F.when(F.col("j") % 4 == r, F.col("mh"))).cast("string")
+                    for r in range(4)
+                ],
+            ).alias("band_sig")
+        )
+    )
+
+
+@query(
+    "lsh_candidate_pairs",
+    oracle=f"""
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM ({_DUCK_BANDS}) a
+    JOIN ({_DUCK_BANDS}) b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    """,
+)
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on any full band. The
+    bucket-join replaces the |docs|² comparison — this is the 100 TB
+    near-dup strategy."""
+    bands = _spark_bands(spark, sf_dir)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query(
+    "lsh_verified_pairs",
+    oracle=f"""
+    WITH cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ({_DUCK_BANDS}) a
+        JOIN ({_DUCK_BANDS}) b
+          ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+    sh AS ({_DUCK_SHINGLES}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
+        GROUP BY 1, 2)
+    SELECT i.doc_a, i.doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    """,
+)
+def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full LSH pipeline: candidates from band collisions, then
+    exact Jaccard verification (J ≥ 0.5) on candidates only."""
+    cand = lsh_candidate_pairs(spark, sf_dir)
+    sh = _spark_shingles(spark, sf_dir).select("doc_id", "s")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa_s"))
+    b = sh.select(F.col("doc_id").alias("b_doc"), F.col("s").alias("sb_s"))
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, (F.col("doc_b") == F.col("b_doc")) & (F.col("sa_s") == F.col("sb_s")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "simhash32",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM documents),
+    th AS (SELECT doc_id, {_DUCK_CHARHASH.format(s='word')} AS h FROM tok),
+    bits AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS weight
+        FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bb
+        GROUP BY doc_id, b)
+    SELECT doc_id,
+           SUM(CASE WHEN weight > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over token hashes: bit b of the signature is the
+    sign of the multiplicity-weighted vote of bit b across all token
+    hashes. Near-dup docs land within small Hamming distance."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), r"[^\p{L}]+"), lambda x: x != "")
+        ).alias("word"),
+    )
+    th = tok.select("doc_id", F.expr(_SPARK_CHARHASH.format(s="word")).alias("h"))
+    bitsrange = spark.range(32).select(F.col("id").cast("int").alias("b"))
+    bits = (
+        th.crossJoin(F.broadcast(bitsrange))
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1)
+            ).alias("weight")
+        )
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("weight") > 0, F.expr("shiftleft(1L, b)")).otherwise(0)
+        ).alias("simhash")
+    )

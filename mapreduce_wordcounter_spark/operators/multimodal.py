@@ -1,0 +1,155 @@
+"""Multimodal-column plumbing (north-star extension, BASELINE.json).
+
+Treats media payloads as opaque ``binary`` columns with typed metadata,
+processed by Arrow-batched Pandas UDFs over ``mapInPandas`` — the
+pattern a 100 TB image/audio pipeline uses (decode/resize/frame-sample
+per batch, never per row, never on the driver).
+
+The container has no image/audio codecs, so the *decode* step is
+stubbed (``decode_image`` raises NotImplementedError unless a codec
+import succeeds — see tests/test_multimodal.py), while everything
+Spark-side — schema, binary handling, UDF signature, Arrow batch shape,
+partitioning — is real and oracle-checked: the synthetic payload is the
+utf-8 encoding of ``documents.text``, so byte-level features computed
+in the Pandas UDF have exact SQL equivalents over character codes
+(the corpus is ASCII, so byte == char code).
+
+Scale posture: binary columns ride normal parquet row groups;
+``maxPartitionBytes`` keeps scan partitions bounded no matter how big
+individual payloads are, and mapInPandas streams Arrow batches so
+executor memory holds one batch of payloads, not one partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_wordcounter_spark.registry import query
+from mapreduce_wordcounter_spark.tables import load_table
+
+
+def attach_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + synthetic media column: (doc_id, content: binary,
+    media_type, n_chars). In production `content` is the image/audio
+    payload read from object storage."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("content"),
+        F.lit("text/plain;fake-media").alias("media_type"),
+        "n_chars",
+    )
+
+
+@query(
+    "mm_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS content_sha256
+    FROM documents
+    """,
+)
+def mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over the binary column: size + content digest —
+    pure JVM expressions, no Python in the hot path."""
+    b = attach_binary(spark, sf_dir)
+    return b.select(
+        "doc_id",
+        F.length("content").alias("n_bytes"),
+        F.sha2("content", 256).alias("content_sha256"),
+    )
+
+
+_FEATURES_SCHEMA = "doc_id long, n_bytes long, byte_sum long, max_byte int"
+
+
+@query(
+    "mm_features_pandas",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           list_reduce(list_prepend(0::BIGINT,
+               list_transform(generate_series(1, length(text)),
+                              i -> ascii(substr(text, i, 1))::BIGINT)),
+               (acc, c) -> acc + c) AS byte_sum,
+           CAST(list_max(list_transform(generate_series(1, length(text)),
+                              i -> ascii(substr(text, i, 1)))) AS INT) AS max_byte
+    FROM documents
+    """,
+)
+def mm_features_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas decode path end-to-end: binary payloads stream
+    through an Arrow-batched Python UDF that emits fixed-width features.
+    Oracle-checked because the fake features are byte-exact SQL over the
+    ASCII payload — proving the plumbing, not just running it.
+
+    The UDF body is nested so cloudpickle serializes it BY VALUE:
+    Spark's Python workers do not share the driver's sys.path, so a
+    module-level function reference would fail to unpickle there
+    (ModuleNotFoundError) when this package is loaded via a path hack
+    rather than installed. Rule for every Python UDF in this repo."""
+
+    def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            arrs = [np.frombuffer(c, dtype=np.uint8) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [int(a.size) for a in arrs],
+                    "byte_sum": [int(a.sum()) for a in arrs],
+                    "max_byte": [int(a.max()) if a.size else 0 for a in arrs],
+                }
+            )
+
+    b = attach_binary(spark, sf_dir).select("doc_id", "content")
+    return b.mapInPandas(extract_features, schema=_FEATURES_SCHEMA)
+
+
+def decode_image(content: bytes) -> "object":
+    """Real decode step — stubbed: the runtime image libraries are not
+    in this container. The Spark-side integration (binary column →
+    mapInPandas batch → decoded array) is exercised by
+    mm_features_pandas with the deterministic fake decoder above."""
+    try:
+        from PIL import Image  # noqa: F401  (absent in this container)
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decode requires an image codec (PIL/opencv); not "
+            "available in this environment — see mm_features_pandas for "
+            "the exercised plumbing"
+        ) from exc
+    import io
+
+    return Image.open(io.BytesIO(content))
+
+
+def image_feature_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame/feature extraction pipeline wired to the (stubbed) real
+    decoder — raises NotImplementedError at execution time in this
+    container; registered rows-only nowhere, tested in pytest."""
+    b = attach_binary(spark, sf_dir).select("doc_id", "content")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained (no module references — see mm_features_pandas).
+        import io
+
+        for pdf in batches:
+            for c in pdf["content"]:
+                try:
+                    from PIL import Image
+                except ImportError as exc:
+                    raise NotImplementedError(
+                        "image decode requires an image codec (PIL/opencv);"
+                        " not available in this environment"
+                    ) from exc
+                Image.open(io.BytesIO(bytes(c)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "ok": True})
+
+    return b.mapInPandas(run, schema="doc_id long, ok boolean")

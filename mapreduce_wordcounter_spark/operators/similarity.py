@@ -1,0 +1,361 @@
+"""Similarity search over ``embeddings`` (SURVEY.md §7 phase 5).
+
+Brute-force cosine top-k as the exact baseline, plus the two standard
+scale paths: IVF (coarse-quantizer probe) and random-hyperplane LSH
+bucketing. All oracle-checked: vector math is expressed as sequential
+left-folds (Spark ``aggregate`` / DuckDB ``list_reduce``) over
+double-cast elements, which is bit-identical in both engines; where a
+sum's accumulation order is not total (grouped sums over positions),
+terms go through the same integer quantization as functions/numeric.py.
+
+Ranking robustness: candidates are ordered by ROUND(cosine, 6) with
+vec_id as tie-break — the rounded value is computed identically in
+both engines, and any candidates whose cosines collide at 6 decimals
+order deterministically by id.
+
+Scale posture (100 TB):
+- brute-force is a broadcast-the-queries scan: O(|corpus|) per query
+  batch, embarrassingly parallel, no shuffle of the corpus;
+- IVF probes one coarse cell: the corpus is partitioned by nearest
+  centroid (here: the label centroid — a deterministic stand-in for a
+  k-means codebook, which would be trained offline), so each query
+  scans ~1/k of the data;
+- LSH hyperplane buckets turn near-neighbor search into an equi-join
+  on bucket id — the same bucket-join shape as dedup's MinHash LSH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from mapreduce_wordcounter_spark.registry import query
+from mapreduce_wordcounter_spark.tables import load_table
+
+N_QUERIES = 5  # vec_id < 5 are the benchmark query vectors
+TOP_K = 10
+
+# -- engine-portable vector math fragments -----------------------------------
+
+# Sequential left-fold dot product; bit-identical across engines.
+_SPARK_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+    " 0D, (acc, x) -> acc + x)"
+)
+_DUCK_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform(generate_series(1, len({a})),"
+    " i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (acc, x) -> acc + x)"
+)
+
+
+def _with_norm(df: DataFrame, vec: str, out: str) -> DataFrame:
+    return df.withColumn(out, F.expr(f"sqrt({_SPARK_DOT.format(a=vec, b=vec)})"))
+
+
+_DUCK_NORM = "sqrt(" + _DUCK_DOT.format(a="{v}", b="{v}") + ")"
+
+
+@query(
+    "knn_brute_cosine",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               ROUND({_DUCK_DOT.format(a='q.qv', b='e.embedding')}
+                     / ({_DUCK_NORM.format(v='q.qv')} * {_DUCK_NORM.format(v='e.embedding')}),
+                     6) AS cosine
+        FROM q CROSS JOIN embeddings e
+        WHERE e.vec_id <> q.query_id)
+    SELECT query_id, vec_id, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS rn
+        FROM scored) t
+    WHERE rn <= {TOP_K}
+    """,
+)
+def knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the query batch against the full
+    corpus scan. The correctness baseline every ANN variant is measured
+    against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                F.expr(_SPARK_DOT.format(a="qv", b="embedding"))
+                / (
+                    F.expr(f"sqrt({_SPARK_DOT.format(a='qv', b='qv')})")
+                    * F.expr(f"sqrt({_SPARK_DOT.format(a='embedding', b='embedding')})")
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", "cosine")
+    )
+
+
+@query(
+    "embedding_top_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_DUCK_DOT.format(a='a.embedding', b='b.embedding')}
+                 / ({_DUCK_NORM.format(v='a.embedding')} * {_DUCK_NORM.format(v='b.embedding')}),
+                 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ORDER BY cosine DESC, vec_a, vec_b
+    LIMIT 20
+    """,
+)
+def embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup detection: the 20 most-cosine-similar pairs.
+    All-pairs is O(n²) — correct at oracle scale; the LSH/IVF queries
+    below are the scale path (this corpus plants no >0.9 pairs, so a
+    threshold query would be vacuously empty)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = F.round(
+        F.expr(_SPARK_DOT.format(a="ea", b="eb"))
+        / (
+            F.expr(f"sqrt({_SPARK_DOT.format(a='ea', b='ea')})")
+            * F.expr(f"sqrt({_SPARK_DOT.format(a='eb', b='eb')})")
+        ),
+        6,
+    )
+    return (
+        pairs.select("vec_a", "vec_b", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(20)
+    )
+
+
+# Long-form (vec_id, pos, x) view used by centroid/IVF queries.
+_DUCK_LONG = """
+    SELECT vec_id, label, i - 1 AS pos, embedding[i]::DOUBLE AS x
+    FROM embeddings,
+         LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) ix
+"""
+
+
+def _spark_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "xf")
+    ).select("vec_id", "label", "pos", F.col("xf").cast("double").alias("x"))
+
+
+@query(
+    "label_centroids",
+    oracle=f"""
+    SELECT label, pos,
+           CAST(SUM(CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 / COUNT(*) AS c
+    FROM ({_DUCK_LONG}) lv
+    GROUP BY label, pos
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, element-wise (long form: label, pos, c).
+    The deterministic coarse codebook for the IVF probe below — in a
+    production ANN index this is a k-means codebook trained offline."""
+    lv = _spark_long(spark, sf_dir)
+    return lv.groupBy("label", "pos").agg(
+        (
+            F.sum(F.floor(F.col("x") * 1_000_000 + F.lit(0.5)).cast("long")).cast("double")
+            / 1_000_000
+            / F.count("*")
+        ).alias("c")
+    )
+
+
+_DUCK_CENTROIDS = f"""
+    SELECT label, pos,
+           CAST(SUM(CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 / COUNT(*) AS c
+    FROM ({_DUCK_LONG}) lv
+    GROUP BY label, pos
+"""
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH cent AS ({_DUCK_CENTROIDS}),
+    qlong AS (SELECT vec_id AS query_id, pos, x FROM ({_DUCK_LONG}) lv
+              WHERE vec_id < {N_QUERIES}),
+    qdist AS (
+        SELECT q.query_id, cent.label,
+               SUM(CAST(FLOOR((q.x - cent.c) * (q.x - cent.c) * 1000000.0 + 0.5) AS BIGINT)) AS d2q
+        FROM qlong q JOIN cent ON q.pos = cent.pos
+        GROUP BY q.query_id, cent.label),
+    probe AS (
+        SELECT query_id, label FROM (
+            SELECT query_id, label,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2q, label) AS rn
+            FROM qdist) t
+        WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, e.vec_id, probe.label,
+               ROUND({_DUCK_DOT.format(a='q.qv', b='e.embedding')}
+                     / ({_DUCK_NORM.format(v='q.qv')} * {_DUCK_NORM.format(v='e.embedding')}),
+                     6) AS cosine
+        FROM q
+        JOIN probe ON q.query_id = probe.query_id
+        JOIN embeddings e ON e.label = probe.label AND e.vec_id <> q.query_id)
+    SELECT query_id, label, vec_id, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS rn
+        FROM scored) t
+    WHERE rn <= {TOP_K}
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: route each query to its nearest coarse centroid
+    (L2, quantized terms → engine-exact), then rank only that cell's
+    vectors. Scans ~1/n_labels of the corpus per query — the scale
+    path vs knn_brute_cosine, with recall measured in pytest."""
+    cent = label_centroids(spark, sf_dir)
+    lv = _spark_long(spark, sf_dir)
+    qlong = lv.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "pos", "x"
+    )
+    qdist = (
+        qlong.join(F.broadcast(cent), "pos")
+        .groupBy("query_id", "label")
+        .agg(
+            F.sum(
+                F.floor(
+                    (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")) * 1_000_000
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("d2q")
+        )
+    )
+    wprobe = W.partitionBy("query_id").orderBy(F.asc("d2q"), F.asc("label"))
+    probe = (
+        qdist.withColumn("rn", F.row_number().over(wprobe))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("probe_label"))
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        q.join(probe, "query_id")
+        .join(emb.alias("e"), F.col("probe_label") == F.col("e.label"))
+        .filter(F.col("e.vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("probe_label").alias("label"),
+            F.col("e.vec_id").alias("vec_id"),
+            F.round(
+                F.expr(_SPARK_DOT.format(a="qv", b="e.embedding"))
+                / (
+                    F.expr(f"sqrt({_SPARK_DOT.format(a='qv', b='qv')})")
+                    * F.expr(
+                        f"sqrt({_SPARK_DOT.format(a='e.embedding', b='e.embedding')})"
+                    )
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "label", "vec_id", "cosine")
+    )
+
+
+# Random-hyperplane LSH with integer-derived planes: plane(j, i) =
+# ((1103515245 * (j * 64 + i) + 12345) % 2001) - 1000 — an explicit LCG,
+# pure integer arithmetic, identical in any engine.
+_N_PLANES = 8
+_SPARK_PLANE = "(((1103515245 * (j * 64 + pos) + 12345) % 2001) - 1000)"
+_DUCK_PLANE = "(((1103515245 * (j * 64 + pos) + 12345) % 2001) - 1000)"
+
+
+@query(
+    "lsh_hyperplane_buckets",
+    oracle=f"""
+    WITH lv AS ({_DUCK_LONG}),
+    dots AS (
+        SELECT vec_id, j,
+               SUM(CAST(FLOOR(x * {_DUCK_PLANE} * 1000.0 + 0.5) AS BIGINT)) AS qdot
+        FROM lv CROSS JOIN (SELECT unnest(generate_series(0, {_N_PLANES - 1})) AS j) pj
+        GROUP BY vec_id, j)
+    SELECT vec_id,
+           SUM(CASE WHEN qdot > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bucket
+    FROM dots GROUP BY vec_id
+    """,
+)
+def lsh_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector: 8 sign bits of
+    (quantized) dot products against LCG-derived hyperplanes. Vectors
+    in the same bucket are ANN candidates via a plain equi-join —
+    the join itself is lsh_bucket_candidates."""
+    lv = _spark_long(spark, sf_dir)
+    planes = spark.range(_N_PLANES).select(F.col("id").cast("long").alias("j"))
+    dots = (
+        lv.crossJoin(F.broadcast(planes))
+        .groupBy("vec_id", "j")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("x") * F.expr(_SPARK_PLANE) * 1000 + F.lit(0.5)
+                ).cast("long")
+            ).alias("qdot")
+        )
+    )
+    return dots.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("qdot") > 0, F.expr("shiftleft(1L, j)")).otherwise(0)
+        ).alias("bucket")
+    )
+
+
+@query(
+    "lsh_bucket_candidates",
+    oracle=f"""
+    WITH lv AS ({_DUCK_LONG}),
+    dots AS (
+        SELECT vec_id, j,
+               SUM(CAST(FLOOR(x * {_DUCK_PLANE} * 1000.0 + 0.5) AS BIGINT)) AS qdot
+        FROM lv CROSS JOIN (SELECT unnest(generate_series(0, {_N_PLANES - 1})) AS j) pj
+        GROUP BY vec_id, j),
+    buckets AS (
+        SELECT vec_id,
+               SUM(CASE WHEN qdot > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bucket
+        FROM dots GROUP BY vec_id)
+    SELECT bucket, COUNT(*) AS n_vectors,
+           CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS n_candidate_pairs
+    FROM buckets GROUP BY bucket
+    """,
+)
+def lsh_bucket_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket occupancy + candidate-pair counts — the cost model of the
+    LSH join (sum of per-bucket n·(n−1)/2 vs the brute-force n²/2)."""
+    b = lsh_hyperplane_buckets(spark, sf_dir)
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_vectors"),
+        (F.count("*") * (F.count("*") - 1) / 2).cast("long").alias("n_candidate_pairs"),
+    )

@@ -1,0 +1,308 @@
+"""Text-analysis operators over ``documents`` (SURVEY.md §7 phase 4).
+
+Extends the reference's tokenizer (main.go:141-148) into the text
+metrics a training-data pipeline needs: per-document stats, n-grams,
+TF-IDF, quality scoring, stopword ratios, token-length distribution,
+and content fingerprinting. Everything here is SQL-expressible by
+design so the DuckDB oracle applies (SURVEY.md §7 "keep to
+SQL-expressible forms").
+
+Scale posture: all queries are one explode + one or two aggregations;
+the explode output is never wider than (doc_id, word), partial
+aggregation runs map-side, and the shuffles key on `word` or `doc_id`
+— both high-cardinality and un-skewed at corpus scale (stopword skew
+is absorbed by map-side combine exactly like the reference's per-file
+maps, main.go:126).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_wordcounter_spark.operators.wordcount import TOKEN_SEP, tokens
+from mapreduce_wordcounter_spark.registry import query
+from mapreduce_wordcounter_spark.tables import load_table
+
+# Shared oracle fragments -----------------------------------------------------
+
+_SQL_TOKS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), x -> x <> '')"
+)
+_SQL_TOKEN_ROWS = (
+    f"SELECT doc_id, lang, source, unnest({_SQL_TOKS}) AS word FROM documents"
+)
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+_SQL_STOPS = "('" + "', '".join(STOPWORDS) + "')"
+
+
+def _toks_col() -> F.Column:
+    """Filtered token array column (non-empty tokens, lowercased)."""
+    return F.filter(
+        F.split(F.lower(F.col("text")), TOKEN_SEP), lambda x: x != ""
+    )
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           COUNT(DISTINCT word) AS n_distinct,
+           CAST(SUM(LENGTH(word)) AS DOUBLE) / COUNT(*) AS avg_token_len,
+           CAST(COUNT(DISTINCT word) AS DOUBLE) / COUNT(*) AS type_token_ratio
+    FROM ({_SQL_TOKEN_ROWS}) t
+    GROUP BY doc_id
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (integer sums → exact division
+    parity)."""
+    return tokens(spark, sf_dir).groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("word").alias("n_distinct"),
+        (F.sum(F.length("word")).cast("double") / F.count("*")).alias("avg_token_len"),
+        (F.countDistinct("word").cast("double") / F.count("*")).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+def _ngram_query(n: int):
+    spark_gram = "concat(" + ", ' ', ".join(
+        f"element_at(toks, i + {j})" for j in range(n)
+    ) + ")"
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        grams = docs.select(_toks_col().alias("toks")).select(
+            F.explode(
+                # sequence(1, k) is DESCENDING in Spark when k < 1 — guard
+                # short documents explicitly (DuckDB generate_series is
+                # empty there, Spark would emit [1, 0, ...]).
+                F.when(
+                    F.size("toks") >= n,
+                    F.expr(
+                        f"transform(sequence(1, size(toks) - {n - 1}), i -> {spark_gram})"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram")
+        )
+        return (
+            grams.groupBy("gram")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("gram"))
+            .limit(50)
+        )
+
+    fn.__name__ = f"ngrams_{n}_top50"
+    fn.__doc__ = (
+        f"Top-50 word {n}-grams (adjacency in the filtered token "
+        "sequence; deterministic total order)."
+    )
+    return fn
+
+
+# Register bigram/trigram via the factory (explicit, with oracles).
+def _register_ngrams() -> None:
+    for n, name in ((2, "ngrams_bigram_top50"), (3, "ngrams_trigram_top50")):
+        fn = _ngram_query(n)
+        duck_gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+        oracle = f"""
+        SELECT gram, COUNT(*) AS cnt FROM (
+            SELECT unnest(list_transform(generate_series(1, len(toks) - {n - 1}),
+                                         i -> {duck_gram})) AS gram
+            FROM (SELECT {_SQL_TOKS} AS toks FROM documents) d
+        ) g
+        GROUP BY gram
+        ORDER BY cnt DESC, gram
+        LIMIT 50
+        """
+        query(name, oracle=oracle)(fn)
+
+
+@query(
+    "tf_idf",
+    oracle=f"""
+    WITH tok AS ({_SQL_TOKEN_ROWS}),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word),
+    df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY word),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.word, tf.tf, df.df,
+           ROUND(LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS idf,
+           ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tf_idf
+    FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+    """,
+)
+def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: term frequency × ln(N/df). The df side is a tiny
+    (vocabulary-sized) relation → broadcast join against the tf side, so
+    the only real shuffle is the tf aggregation itself."""
+    tok = tokens(spark, sf_dir)
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    idf = F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+    return (
+        tf.join(F.broadcast(df), "word")
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            "df",
+            idf.alias("idf"),
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+                "tf_idf"
+            ),
+        )
+    )
+
+
+@query(
+    "quality_score",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               SUM(CASE WHEN word IN {_SQL_STOPS} THEN 1 ELSE 0 END) AS n_stop,
+               SUM(LENGTH(word)) AS n_letters
+        FROM ({_SQL_TOKEN_ROWS}) t GROUP BY doc_id)
+    SELECT d.doc_id, d.n_chars, tok.n_tokens,
+           CAST(tok.n_stop AS DOUBLE) / tok.n_tokens AS stopword_ratio,
+           CAST(tok.n_letters AS DOUBLE) / d.n_chars AS letter_ratio,
+           CAST(tok.n_letters AS DOUBLE) / tok.n_tokens AS avg_word_len,
+           (CASE WHEN tok.n_tokens >= 20 THEN 1 ELSE 0 END
+            + CASE WHEN CAST(tok.n_stop AS DOUBLE) / tok.n_tokens
+                        BETWEEN 0.01 AND 0.6 THEN 1 ELSE 0 END
+            + CASE WHEN CAST(tok.n_letters AS DOUBLE) / tok.n_tokens
+                        BETWEEN 2 AND 12 THEN 1 ELSE 0 END) AS quality_score
+    FROM documents d JOIN tok ON d.doc_id = tok.doc_id
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality scoring: length, stopword ratio,
+    average word length — the classic pre-training filter triple
+    (C4/Gopher-style rules, here reduced to SQL-exact arithmetic)."""
+    tok = (
+        tokens(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("word").isin(*STOPWORDS), 1).otherwise(0)
+            ).alias("n_stop"),
+            F.sum(F.length("word")).alias("n_letters"),
+        )
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    letter_ratio = F.col("n_letters").cast("double") / F.col("n_chars")
+    avg_len = F.col("n_letters").cast("double") / F.col("n_tokens")
+    score = (
+        F.when(F.col("n_tokens") >= 20, 1).otherwise(0)
+        + F.when((stop_ratio >= 0.01) & (stop_ratio <= 0.6), 1).otherwise(0)
+        + F.when((avg_len >= 2) & (avg_len <= 12), 1).otherwise(0)
+    )
+    return d.join(tok, "doc_id").select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        stop_ratio.alias("stopword_ratio"),
+        letter_ratio.alias("letter_ratio"),
+        avg_len.alias("avg_word_len"),
+        score.alias("quality_score"),
+    )
+
+
+@query(
+    "token_length_hist",
+    oracle=f"""
+    SELECT LENGTH(word) AS token_len, COUNT(*) AS cnt
+    FROM ({_SQL_TOKEN_ROWS}) t
+    GROUP BY LENGTH(word)
+    """,
+)
+def token_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram over the whole corpus."""
+    return (
+        tokens(spark, sf_dir)
+        .groupBy(F.length("word").alias("token_len"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "word_rarity_bottom10",
+    oracle=f"""
+    SELECT word, COUNT(*) AS cnt
+    FROM ({_SQL_TOKEN_ROWS}) t
+    GROUP BY word
+    ORDER BY cnt ASC, word
+    LIMIT 10
+    """,
+)
+def word_rarity_bottom10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rarest-word tail (the hapax-legomena end of the Zipf curve)."""
+    return (
+        tokens(spark, sf_dir)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.asc("cnt"), F.asc("word"))
+        .limit(10)
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id, md5(array_to_string({_SQL_TOKS}, ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 over the normalized token stream —
+    whitespace/punctuation-insensitive by construction (two documents
+    differing only in separators collide, which is the point)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.array_join(_toks_col(), " ")).alias("fingerprint"),
+    )
+
+
+@query(
+    "lang_marker_score",
+    oracle=f"""
+    SELECT doc_id,
+           SUM(CASE WHEN word IN ('the', 'a', 'is', 'and') THEN 1 ELSE 0 END) AS en_hits,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN word IN ('the', 'a', 'is', 'and') THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS en_score
+    FROM ({_SQL_TOKEN_ROWS}) t
+    GROUP BY doc_id
+    """,
+)
+def lang_marker_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID building block: marker-word (n-gram heuristic) hit
+    rate per document. Real language ID extends the marker lists per
+    language and takes the argmax — the synthetic corpus shares one
+    vocabulary, so only the scoring machinery is exercised here."""
+    markers = ("the", "a", "is", "and")
+    return (
+        tokens(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("word").isin(*markers), 1).otherwise(0)).alias(
+                "en_hits"
+            ),
+            F.count("*").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "en_hits",
+            "n_tokens",
+            (F.col("en_hits").cast("double") / F.col("n_tokens")).alias("en_score"),
+        )
+    )
+
+
+_register_ngrams()

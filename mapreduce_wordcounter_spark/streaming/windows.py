@@ -1,0 +1,237 @@
+"""Streaming operators over ``events`` (SURVEY.md §7 phase 6).
+
+The reference is strictly batch (terminates after one pass,
+main.go:106-110) — streaming is north-star extension surface. Strategy
+(SURVEY.md §7): every windowed aggregation is declared twice —
+
+1. as a *batch* DataFrame query (oracle-checked against DuckDB
+   ``time_bucket``/sessionization SQL), and
+2. as a *live* Structured Streaming run (file source → availableNow
+   trigger → memory sink) whose result must equal the batch run
+   (batch-equivalence is asserted both here — stream_tumbling_live is
+   oracle-checked too — and in tests/test_streaming.py, which also
+   exercises watermarks and dropDuplicatesWithinWatermark, the pieces
+   whose semantics are only observable across multiple micro-batches).
+
+Scale posture: windowed streaming aggs shuffle on (window, key) with
+state bounded by watermark retention; session windows use Spark's
+native session_window merge. The file source here stands in for
+Kafka — swap ``readStream.format`` and the plan is unchanged.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mapreduce_wordcounter_spark.functions.numeric import dsum, sql_dsum
+from mapreduce_wordcounter_spark.registry import query
+from mapreduce_wordcounter_spark.session import ensure_utc
+from mapreduce_wordcounter_spark.tables import load_table
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+_DFMT = "%Y-%m-%d %H:%M:%S"
+
+
+@query(
+    "ev_tumbling_hourly",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_DFMT}') AS window_start,
+           event_type, COUNT(*) AS n,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ev_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type (batch form of the
+    canonical streaming agg)."""
+    ensure_utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum(F.col("value"), "sum_value"))
+        .select(
+            F.date_format("w.start", _FMT).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "ev_sliding_1h_30m",
+    oracle=f"""
+    SELECT strftime(ws, '{_DFMT}') AS window_start, COUNT(*) AS n,
+           {sql_dsum('value', 'sum_value')}
+    FROM (
+        SELECT time_bucket(INTERVAL '30 minutes', ts)
+                 - k * INTERVAL '30 minutes' AS ws,
+               value
+        FROM events
+        CROSS JOIN (SELECT unnest([0, 1]) AS k) ks) w
+    GROUP BY ws
+    """,
+)
+def ev_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1-hour length, 30-minute slide (each event in
+    exactly two windows; the oracle materializes both memberships)."""
+    ensure_utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), dsum(F.col("value"), "sum_value"))
+        .select(
+            F.date_format("w.start", _FMT).alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "ev_session_windows",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL '10 minutes'
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps)
+    SELECT user_id,
+           strftime(MIN(ts), '{_DFMT}') AS session_start,
+           strftime(MAX(ts) + INTERVAL '10 minutes', '{_DFMT}') AS session_end,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def ev_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (10-minute gap) per user via Spark's native
+    session_window; the oracle is the classic lag/gap/cumsum
+    sessionization. Spark's session end = last event + gap, mirrored
+    in the oracle. Second-precision output (the gap arithmetic is
+    µs-exact in both engines; formatting truncates identically)."""
+    ensure_utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", _FMT).alias("session_start"),
+            F.date_format("w.end", _FMT).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "ev_dedup_first_per_key",
+    oracle=f"""
+    SELECT user_id, event_type,
+           strftime(ts, '{_DFMT}') AS first_ts,
+           event_id AS first_event_id
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS rn
+        FROM events) t
+    WHERE rn = 1
+    """,
+)
+def ev_dedup_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of streaming dedup: first event per (user, type) —
+    what dropDuplicatesWithinWatermark keeps when events arrive in
+    timestamp order (streaming twin in tests/test_streaming.py)."""
+    ensure_utc(spark)
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.date_format("ts", _FMT).alias("first_ts"),
+            F.col("event_id").alias("first_event_id"),
+        )
+    )
+
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as int64
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as an unbounded stream: parquet file source (stand-in for
+    Kafka) with the same ns→µs conversion as the batch loader."""
+    ensure_utc(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+@query(
+    "stream_tumbling_live",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_DFMT}') AS window_start,
+           event_type, COUNT(*) AS n,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling aggregation executed as an actual Structured
+    Streaming query: file source → availableNow trigger → memory sink,
+    drained to completion, result returned as a batch DataFrame. Same
+    oracle as ev_tumbling_hourly — live streaming batch-equivalence IS
+    the correctness check (complete output mode: every window emits)."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum(F.col("value"), "sum_value"))
+        .select(
+            F.date_format("w.start", _FMT).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    name = "stream_tumbling_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(name)
