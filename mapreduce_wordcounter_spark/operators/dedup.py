@@ -68,7 +68,14 @@ _P = 2147483647
 
 
 def _spark_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, s, sid): distinct word-3-gram shingles + portable hash."""
+    """(doc_id, s, sid): distinct word-3-gram shingles + portable hash.
+
+    Persisted: every consumer (minhash ×16 perms, banding, both sides of
+    the candidate self-join, Jaccard verification) reuses one
+    materialization instead of re-exploding the corpus — Spark's cache
+    manager dedups by logical plan, so repeated calls share the entry.
+    (Observed: 12 parquet scans → 2 in lsh_verified_pairs without it.
+    A production job would unpersist after the dedup pass.)"""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -88,7 +95,11 @@ def _spark_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<string>"))
         ).alias("s"),
     ).distinct()
-    return sh.withColumn("sid", F.expr(_SPARK_CHARHASH.format(s="s")))
+    from pyspark import StorageLevel
+
+    return sh.withColumn("sid", F.expr(_SPARK_CHARHASH.format(s="s"))).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
 
 # ---------------------------------------------------------------------------

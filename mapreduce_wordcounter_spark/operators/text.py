@@ -135,23 +135,33 @@ def _register_ngrams() -> None:
     """,
 )
 def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF: term frequency × ln(N/df). The df side is a tiny
-    (vocabulary-sized) relation → broadcast join against the tf side, so
-    the only real shuffle is the tf aggregation itself."""
-    tok = tokens(spark, sf_dir)
-    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = load_table(spark, sf_dir, "documents").count()
-    idf = F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+    """TF-IDF: term frequency × ln(N/df).
+
+    Single token-stream pass: df is derived from the tf relation
+    (tf has exactly one row per (doc, word), so df = count(*) per word)
+    instead of re-exploding the corpus; N comes from a metadata-only
+    count over documents, broadcast as a scalar. Plan: one explode
+    scan → tf agg → broadcast-joined with the vocabulary-sized df."""
+    tf = (
+        tokens(spark, sf_dir)
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").cast("double").alias("n_docs")
+    )
+    idf = F.round(F.log(F.col("n_docs") / F.col("df")), 6)
     return (
         tf.join(F.broadcast(df), "word")
+        .join(F.broadcast(n))
         .select(
             "doc_id",
             "word",
             "tf",
             "df",
             idf.alias("idf"),
-            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias(
                 "tf_idf"
             ),
         )
