@@ -8,12 +8,15 @@ extension surface (BASELINE.json).
 
 Everything here is oracle-checked, including MinHash+LSH: instead of
 engine-specific hash functions (Spark's xxhash64 vs DuckDB's hash are
-incompatible), shingles are hashed with an explicit polynomial rolling
-hash over character codes — pure integer arithmetic, bit-identical in
-any engine — and the minhash permutations are explicit affine maps
-``(a_j * id + b_j) mod p``. That makes the *whole* pipeline
-SQL-expressible and differentially testable, which ml.feature.MinHashLSH
-is not.
+incompatible), strings are hashed portably via md5 — identical hex in
+every engine — with the leading 15 hex digits (60 bits) converted to
+BIGINT on both sides, and the minhash permutations are explicit affine
+maps ``(a_j * id + b_j) mod p`` over ``id = md5_60(s) mod p``. That
+makes the *whole* pipeline SQL-expressible and differentially testable,
+which ml.feature.MinHashLSH is not. (An earlier revision used a
+per-character polynomial rolling hash; md5 is one JVM intrinsic call
+per string instead of a length-N higher-order-function fold, ~2× faster
+end-to-end on the shingle stream.)
 
 Scale posture (100 TB):
 - exact dedup: shuffle on a 256-bit hash — perfectly uniform keys, no
@@ -36,16 +39,11 @@ from mapreduce_wordcounter_spark.tables import load_table
 
 # --- engine-portable hashing fragments --------------------------------------
 
-# Polynomial char hash: h = fold(chars, h*31 + code) mod 1e9+7. Verified
-# bit-identical Spark vs DuckDB (pure BIGINT arithmetic).
-_SPARK_CHARHASH = (
-    "aggregate(transform(sequence(1, length({s})), i -> cast(ascii(substr({s}, i, 1)) as bigint)),"
-    " 0L, (acc, c) -> (acc * 31 + c) % 1000000007)"
-)
-_DUCK_CHARHASH = (
-    "list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, length({s})),"
-    " i -> ascii(substr({s}, i, 1))::BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007)"
-)
+# md5 → first 15 hex digits → BIGINT (60 bits, non-negative). Verified
+# bit-identical Spark vs DuckDB; one hash call per string, fully
+# codegen-able (vs a per-character lambda fold).
+_SPARK_MD5H = "cast(conv(substring(md5({s}), 1, 15), 16, 10) as bigint)"
+_DUCK_MD5H = "CAST(('0x' || substring(md5({s}), 1, 15)) AS BIGINT)"
 
 _SQL_TOKS = (
     "list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), x -> x <> '')"
@@ -53,7 +51,7 @@ _SQL_TOKS = (
 
 # 3-gram word shingles, distinct per doc, with their portable hash ids.
 _DUCK_SHINGLES = f"""
-    SELECT DISTINCT doc_id, s, {_DUCK_CHARHASH.format(s='s')} AS sid
+    SELECT DISTINCT doc_id, s, ({_DUCK_MD5H.format(s='s')}) % 2147483647 AS sid
     FROM (
         SELECT doc_id,
                unnest(list_transform(generate_series(1, len(t) - 2),
@@ -97,7 +95,9 @@ def _spark_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     from pyspark import StorageLevel
 
-    return sh.withColumn("sid", F.expr(_SPARK_CHARHASH.format(s="s"))).persist(
+    return sh.withColumn(
+        "sid", F.expr(f"({_SPARK_MD5H.format(s='s')}) % {_P}")
+    ).persist(
         StorageLevel.MEMORY_AND_DISK
     )
 
@@ -236,15 +236,32 @@ _DUCK_MINHASH = f"""
 """
 
 
-def _spark_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, j, mh): 16 minhashes per doc via explicit affine
-    permutations over the portable shingle ids."""
+def _spark_minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mh0..mh15): 16 minhashes per doc via explicit affine
+    permutations over the portable shingle ids.
+
+    Wide form on purpose: 16 `min` aggregates over one pass of the
+    shingle stream = map-side partial aggregation and a single shuffle
+    whose payload is 16 longs per doc. The alternative (crossJoin with
+    a 16-row perm table, then groupBy(doc_id, j)) expands the shingle
+    stream 16× before the combine — measurably slower here and strictly
+    worse at 100 TB."""
     sh = _spark_shingles(spark, sf_dir)
-    perms = spark.range(_N_HASH).select(F.col("id").cast("long").alias("j"))
-    return (
-        sh.crossJoin(F.broadcast(perms))
-        .groupBy("doc_id", "j")
-        .agg(F.min(((2 * F.col("j") + 1) * F.col("sid") + (7919 * F.col("j") + 1)) % _P).alias("mh"))
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(((2 * j + 1) * F.col("sid") + (7919 * j + 1)) % _P).alias(f"mh{j}")
+            for j in range(_N_HASH)
+        ]
+    )
+
+
+def _spark_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, j, mh): long-form signature matrix, unpivoted from the
+    wide aggregate (stack is a zero-shuffle projection)."""
+    wide = _spark_minhash_wide(spark, sf_dir)
+    stack = ", ".join(f"{j}L, mh{j}" for j in range(_N_HASH))
+    return wide.select(
+        "doc_id", F.expr(f"stack({_N_HASH}, {stack}) AS (j, mh)")
     )
 
 
@@ -272,21 +289,23 @@ _DUCK_BANDS = f"""
 
 
 def _spark_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding: 4 bands × 4 rows; band signature concatenated in
-    fixed j-order via conditional aggregation (collect_list order is
-    not deterministic in a distributed engine — this is)."""
-    mh = _spark_minhash(spark, sf_dir)
-    return (
-        mh.groupBy("doc_id", (F.col("j") / 4).cast("long").alias("band"))
-        .agg(
+    """LSH banding: 4 bands × 4 rows, projected straight off the wide
+    signature row — band signatures are deterministic j-order concats
+    and the unpivot to (doc_id, band, band_sig) is a stack projection,
+    so banding adds zero shuffles on top of the signature aggregate."""
+    wide = _spark_minhash_wide(spark, sf_dir)
+    sigs = wide.select(
+        "doc_id",
+        *[
             F.concat_ws(
-                "-",
-                *[
-                    F.max(F.when(F.col("j") % 4 == r, F.col("mh"))).cast("string")
-                    for r in range(4)
-                ],
-            ).alias("band_sig")
-        )
+                "-", *[F.col(f"mh{4 * band + r}").cast("string") for r in range(4)]
+            ).alias(f"sig{band}")
+            for band in range(_N_HASH // 4)
+        ],
+    )
+    stack = ", ".join(f"{band}L, sig{band}" for band in range(_N_HASH // 4))
+    return sigs.select(
+        "doc_id", F.expr(f"stack({_N_HASH // 4}, {stack}) AS (band, band_sig)")
     )
 
 
@@ -377,7 +396,7 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH tok AS (
         SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM documents),
-    th AS (SELECT doc_id, {_DUCK_CHARHASH.format(s='word')} AS h FROM tok),
+    th AS (SELECT doc_id, {_DUCK_MD5H.format(s='word')} AS h FROM tok),
     bits AS (
         SELECT doc_id, b,
                SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS weight
@@ -391,7 +410,13 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash over token hashes: bit b of the signature is the
     sign of the multiplicity-weighted vote of bit b across all token
-    hashes. Near-dup docs land within small Hamming distance."""
+    hashes. Near-dup docs land within small Hamming distance.
+
+    One pass over the token stream: bit b's vote is one of 32 `sum`
+    aggregates of ±1 over the same rows, so the whole signature is a
+    single map-side-combined shuffle of 32 longs per doc. (A crossJoin
+    against a 32-row bit table + groupBy(doc_id, b) computes the same
+    thing but expands the token stream 32× before the combine.)"""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
@@ -399,19 +424,17 @@ def simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.split(F.lower(F.col("text")), r"[^\p{L}]+"), lambda x: x != "")
         ).alias("word"),
     )
-    th = tok.select("doc_id", F.expr(_SPARK_CHARHASH.format(s="word")).alias("h"))
-    bitsrange = spark.range(32).select(F.col("id").cast("int").alias("b"))
-    bits = (
-        th.crossJoin(F.broadcast(bitsrange))
-        .groupBy("doc_id", "b")
-        .agg(
+    th = tok.select("doc_id", F.expr(_SPARK_MD5H.format(s="word")).alias("h"))
+    votes = th.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1)
-            ).alias("weight")
-        )
+                F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"w{b}")
+            for b in range(32)
+        ]
     )
-    return bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("weight") > 0, F.expr("shiftleft(1L, b)")).otherwise(0)
-        ).alias("simhash")
-    )
+    sig = None
+    for b in range(32):
+        term = F.when(F.col(f"w{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return votes.select("doc_id", sig.alias("simhash"))
