@@ -1,0 +1,107 @@
+"""Plan-shape tests (SURVEY.md §4): pin the physical-plan properties
+that matter at the 100 TB design point. Wall-clock at sf0.01 cannot
+distinguish a pruned scan from a full scan or a broadcast join from a
+shuffled one — these assertions can.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_wordcounter_spark.plans.inspect import (
+    assert_scale_ready,
+    plan_facts,
+)
+from mapreduce_wordcounter_spark.registry import all_queries
+from tests.conftest import SF_ORACLE
+
+_QUERIES = all_queries()
+
+# Queries allowed to plan ArrowEvalPython (pandas UDF paths by design:
+# multimodal feature extraction). Nothing may plan BatchEvalPython.
+_PANDAS_UDF_OK = {"mm_features_pandas"}
+
+# Streaming-only entries construct a streaming query; plan introspection
+# of the batch shape is covered by their ev_* batch twins.
+_SKIP = {"stream_tumbling_live"}
+
+
+@pytest.mark.parametrize("name", sorted(n for n in _QUERIES if n not in _SKIP))
+def test_every_query_is_scale_ready(name, spark):
+    """No declared query may plan a cartesian product or a
+    row-at-a-time Python UDF."""
+    df = _QUERIES[name](spark, SF_ORACLE)
+    assert_scale_ready(df, allow_python_udf=False)
+
+
+def test_scan_pruning_and_pushdown(spark):
+    """scan_filter_project must read only the projected columns and
+    push its predicate into the parquet scan — the Catalyst equivalents
+    of the reference's hand-rolled 'only do the work you need' loop."""
+    facts = plan_facts(_QUERIES["scan_filter_project"](spark, SF_ORACLE))
+    assert facts.scans, "expected a parquet scan"
+    scan = facts.scans[0]
+    assert scan["pushed"] not in ("", "[]"), f"no pushdown: {scan}"
+    # Column pruning: lineitem has 16 columns; the read schema must not
+    # materialize all of them.
+    assert scan["read_schema"].count(":") < 10, scan["read_schema"]
+
+
+def test_small_dims_broadcast(spark):
+    """nation⋈region joins must broadcast the dimensions, never
+    shuffle the fact side (q5-style plans at scale die without this)."""
+    facts = plan_facts(_QUERIES["join_broadcast_dims"](spark, SF_ORACLE))
+    assert facts.broadcast_joins >= 1
+    assert facts.sortmerge_joins == 0
+
+
+def test_q5_broadcasts_all_dims(spark):
+    """TPC-H Q5 shape: every dimension (region, nation, customer,
+    supplier) broadcasts; the only shuffle exchanges are for the
+    aggregate, not for dimension joins."""
+    facts = plan_facts(_QUERIES["q5_regional_revenue"](spark, SF_ORACLE))
+    assert facts.broadcast_joins >= 3, facts
+    assert facts.sortmerge_joins == 0, facts
+
+
+def test_wordcount_partial_aggregate(spark):
+    """The flagship groupBy(word).count() must split partial→final —
+    the map-side combiner the reference hand-implements
+    (main.go:126,150) and gets for free here."""
+    facts = plan_facts(_QUERIES["wc_counts"](spark, SF_ORACLE))
+    assert facts.has_partial_aggregate
+    assert facts.has_final_aggregate
+
+
+def test_wordcount_single_shuffle(spark):
+    """One logical shuffle for the word aggregation — no accidental
+    extra exchanges in the flagship pipeline."""
+    facts = plan_facts(_QUERIES["wc_counts"](spark, SF_ORACLE))
+    assert facts.n_shuffle_exchanges <= 1, facts
+
+
+def test_minhash_single_shuffle(spark):
+    """The wide MinHash aggregate computes all 16 permutations in one
+    groupBy(doc_id) pass: exactly one shuffle beyond the shingle
+    distinct, and banding adds none (stack/concat are projections)."""
+    facts = plan_facts(_QUERIES["minhash_signatures"](spark, SF_ORACLE))
+    # shingle .distinct() + groupBy(doc_id) = 2 shuffles max
+    assert facts.n_shuffle_exchanges <= 2, facts
+
+
+def test_tfidf_broadcasts_df_side(spark):
+    """TF-IDF joins tf (big) with df (vocabulary-sized): the df side
+    must broadcast."""
+    facts = plan_facts(_QUERIES["tf_idf"](spark, SF_ORACLE))
+    assert facts.broadcast_joins >= 1, facts
+    assert facts.sortmerge_joins == 0, facts
+
+
+def test_multimodal_uses_arrow_not_row_udf(spark):
+    """Pandas-UDF paths must be Arrow-batched (ArrowEvalPython), never
+    BatchEvalPython."""
+    from mapreduce_wordcounter_spark.plans.inspect import physical_plan
+
+    df = _QUERIES["mm_features_pandas"](spark, SF_ORACLE)
+    plan = physical_plan(df)
+    assert "BatchEvalPython" not in plan

@@ -1,0 +1,202 @@
+"""Source/sink connector tests (SURVEY.md §2 O1/O3/O12/O15).
+
+Covers the reference's input semantics re-expressed on Spark — text
+corpus scan with per-file grain, corrupt-member tolerance, empty-input
+rejection — plus the extension readers (schema-first CSV/JSON/parquet)
+and sinks (partitioned parquet, bucketed tables, single-file exports).
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mapreduce_wordcounter_spark.sources.readers import (
+    read_csv,
+    read_json,
+    read_parquet,
+    read_text_corpus,
+)
+from mapreduce_wordcounter_spark.sources.writers import (
+    export_single_csv,
+    write_bucketed_table,
+    write_partitioned_parquet,
+)
+from mapreduce_wordcounter_spark.tables import load_table
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture()
+def corpus(tmp_path):
+    """Two clean text files mirroring the reference's golden test
+    corpus shape (main_test.go:16-26)."""
+    a = tmp_path / "a.txt"
+    b = tmp_path / "b.txt"
+    a.write_text("apple orange! banana? apple.\nbanana apple: apple. banana\n")
+    b.write_text("apple orange! banana? apple.\nbanana apple: apple. banana\n")
+    return [str(a), str(b)]
+
+
+def test_text_corpus_lines_and_per_file_grain(spark, corpus):
+    df = read_text_corpus(spark, corpus)
+    assert df.columns == ["path", "text"]
+    assert df.count() == 4  # 2 lines x 2 files
+    per_file = df.groupBy("path").count().collect()
+    assert sorted(r["count"] for r in per_file) == [2, 2]
+
+
+def test_text_corpus_wholetext_is_per_file(spark, corpus):
+    df = read_text_corpus(spark, corpus, whole_file=True)
+    assert df.count() == 2
+    texts = [r["text"] for r in df.collect()]
+    assert all(t.count("\n") >= 1 for t in texts)
+
+
+def test_text_corpus_flagship_counts(spark, corpus):
+    """End-to-end: reference golden counts {apple: 8, orange: 2,
+    banana: 6} (main_test.go:36-40)."""
+    words = (
+        read_text_corpus(spark, corpus)
+        .select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), r"[^\p{L}]+"), lambda x: x != ""
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .count()
+    )
+    got = {r["word"]: r["count"] for r in words.collect()}
+    assert got == {"apple": 8, "orange": 2, "banana": 6}
+
+
+def test_text_corpus_empty_paths_rejected(spark):
+    with pytest.raises(ValueError):
+        read_text_corpus(spark, [])
+
+
+def test_text_corpus_skips_corrupt_member(spark, corpus, tmp_path):
+    """A truncated gzip member is skipped, not fatal — the reference's
+    warn-and-continue on unreadable files (main.go:128-131)."""
+    bad = tmp_path / "bad.txt.gz"
+    bad.write_bytes(gzip.compress(b"zzz unreachable zzz\n" * 100)[:20])
+    df = read_text_corpus(spark, [*corpus, str(bad)])
+    words = df.filter(F.col("text").contains("unreachable"))
+    assert df.count() == 4 and words.count() == 0
+
+
+def test_csv_roundtrip_strict(spark, tmp_path):
+    nation = load_table(spark, SF_ORACLE, "nation")
+    out = str(tmp_path / "nation_csv")
+    nation.write.option("header", "true").csv(out)
+    back = read_csv(spark, out, nation.schema)
+    assert back.schema == nation.schema
+    assert sorted(r["n_nationkey"] for r in back.collect()) == sorted(
+        r["n_nationkey"] for r in nation.collect()
+    )
+
+
+def test_csv_permissive_quarantines_bad_rows(spark, tmp_path):
+    p = tmp_path / "dirty.csv"
+    p.write_text("k,v\n1,alpha\nnot_an_int,beta\n3,gamma\n")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    df = read_csv(spark, str(p), schema, strict=False).cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 2
+    assert bad.count() == 1 and "not_an_int" in bad.collect()[0]["_corrupt_record"]
+
+
+def test_json_roundtrip(spark, tmp_path):
+    region = load_table(spark, SF_ORACLE, "region")
+    out = str(tmp_path / "region_json")
+    region.write.json(out)
+    back = read_json(spark, out, region.schema)
+    assert sorted(r["r_name"] for r in back.collect()) == sorted(
+        r["r_name"] for r in region.collect()
+    )
+
+
+def test_parquet_schema_drift_detection(spark, tmp_path):
+    region = load_table(spark, SF_ORACLE, "region")
+    out = str(tmp_path / "region_pq")
+    region.write.parquet(out)
+    read_parquet(spark, out, expected_schema=region.schema)  # no raise
+    wrong = T.StructType([T.StructField("r_regionkey", T.StringType())])
+    with pytest.raises(TypeError, match="schema drift"):
+        read_parquet(spark, out, expected_schema=wrong)
+
+
+def test_partitioned_parquet_prunes(spark, tmp_path):
+    orders = load_table(spark, SF_ORACLE, "orders")
+    out = str(tmp_path / "orders_part")
+    write_partitioned_parquet(orders, out, ["o_orderstatus"])
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    one = back.filter(F.col("o_orderstatus") == "F")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    # Partition pruning: the status predicate is a PartitionFilter on
+    # the scan, so non-matching directories are never opened.
+    assert "PartitionFilters: [" in plan and "o_orderstatus" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    assert one.count() == orders.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_bucketed_join_skips_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key join with zero Exchange
+    operators — the pre-shuffled layout that replaces the reference's
+    mutex-guarded global merge (main.go:191-193) at rest."""
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("t_orders_b", "t_lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # The default in-memory catalog forgets tables between sessions
+        # but their warehouse dirs persist; clear both.
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    orders = load_table(spark, SF_ORACLE, "orders")
+    lineitem = load_table(spark, SF_ORACLE, "lineitem")
+    write_bucketed_table(orders, "t_orders_b", ["o_orderkey"], 8)
+    write_bucketed_table(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "t_lineitem_b",
+        ["o_orderkey"],
+        8,
+    )
+    # Force the non-broadcast plan: at sf0.01 orders fits under the
+    # broadcast threshold, but the point here is the co-located
+    # sort-merge path a 100 TB fact-fact join would take.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("t_orders_b").join(
+            spark.table("t_lineitem_b"), "o_orderkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE IF EXISTS t_orders_b")
+    spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_export_single_csv(spark, tmp_path):
+    region = load_table(spark, SF_ORACLE, "region")
+    out = str(tmp_path / "region_export")
+    export_single_csv(region.orderBy("r_regionkey"), out)
+    files = [f for f in os.listdir(out) if f.endswith(".csv")]
+    assert len(files) == 1
+    back = spark.read.option("header", "true").csv(out)
+    assert back.count() == region.count()
