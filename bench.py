@@ -48,6 +48,7 @@ HEADLINE = [
     "ev_tumbling_hourly",
     "ev_session_windows",
     "stream_tumbling_live",
+    "stream_stateful_user_counts",
 ]
 
 

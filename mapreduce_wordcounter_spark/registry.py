@@ -47,7 +47,7 @@ def all_queries() -> dict[str, QueryFn]:
         text,
         wordcount,
     )
-    from mapreduce_wordcounter_spark.streaming import windows  # noqa: F401
+    from mapreduce_wordcounter_spark.streaming import stateful, windows  # noqa: F401
 
     return dict(QUERIES)
 

@@ -84,6 +84,9 @@ def test_minhash_single_shuffle(spark):
     """The wide MinHash aggregate computes all 16 permutations in one
     groupBy(doc_id) pass: exactly one shuffle beyond the shingle
     distinct, and banding adds none (stack/concat are projections)."""
+    # Cold plan: a populated shingle cache embeds the cached subtree's
+    # own exchanges in the plan string and would double-count.
+    spark.catalog.clearCache()
     facts = plan_facts(_QUERIES["minhash_signatures"](spark, SF_ORACLE))
     # shingle .distinct() + groupBy(doc_id) = 2 shuffles max
     assert facts.n_shuffle_exchanges <= 2, facts

@@ -1,0 +1,252 @@
+"""Structured Streaming tests (SURVEY.md §7 phase 6).
+
+Two layers:
+
+1. **Batch-equivalence**: every windowed aggregation runs as a live
+   stream (file source → availableNow → memory sink) and must produce
+   exactly the batch query's result. This is the correctness contract
+   for operators whose streaming semantics DuckDB can't oracle.
+2. **Multi-batch semantics**: watermark late-data drop,
+   dropDuplicatesWithinWatermark, and custom stateful progression are
+   only observable across micro-batches — driven here with one file
+   per micro-batch (maxFilesPerTrigger=1, mtime-ordered).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mapreduce_wordcounter_spark.registry import all_queries
+from mapreduce_wordcounter_spark.session import ensure_utc
+from mapreduce_wordcounter_spark.streaming.stateful import user_running_counts
+from mapreduce_wordcounter_spark.streaming.windows import events_stream
+from tests.conftest import SF_ORACLE
+
+_QUERIES = all_queries()
+
+_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _canon(df):
+    pdf = df.toPandas()
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    return pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def _drain(stream_df, *, output_mode: str):
+    """Run a streaming DataFrame to completion into a memory sink and
+    return the sink table."""
+    name = "t_" + uuid.uuid4().hex[:8]
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.table(name)
+
+
+def _write_batches(spark, tmp_path, batches):
+    """One JSON-lines file per micro-batch, mtime-ordered so the file
+    source replays them in sequence with maxFilesPerTrigger=1."""
+    d = tmp_path / "stream_src"
+    d.mkdir()
+    t0 = time.time() - len(batches) * 10
+    for i, rows in enumerate(batches):
+        p = d / f"batch_{i}.json"
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (t0 + i * 10, t0 + i * 10))
+    return str(d)
+
+
+def _event_stream_from_json(spark, path):
+    ensure_utc(spark)
+    return (
+        spark.readStream.schema(_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(path)
+    )
+
+
+def _ev(event_id, ts, user_id=1, event_type="click", value=1.0):
+    return {
+        "event_id": event_id,
+        "ts": ts,
+        "user_id": user_id,
+        "event_type": event_type,
+        "value": value,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Layer 1: batch-equivalence of the windowed aggregations
+# ---------------------------------------------------------------------------
+
+
+def test_stream_tumbling_equals_batch(spark):
+    live = _QUERIES["stream_tumbling_live"](spark, SF_ORACLE)
+    batch = _QUERIES["ev_tumbling_hourly"](spark, SF_ORACLE)
+    assert _canon(live).equals(_canon(batch))
+
+
+def test_stream_sliding_equals_batch(spark):
+    agg = (
+        events_stream(spark, SF_ORACLE)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+        )
+    )
+    live = _drain(agg, output_mode="complete")
+    batch = _QUERIES["ev_sliding_1h_30m"](spark, SF_ORACLE).select(
+        "window_start", "n"
+    )
+    assert _canon(live).equals(_canon(batch))
+
+
+def test_stream_session_equals_batch(spark):
+    agg = (
+        events_stream(spark, SF_ORACLE)
+        .groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+    live = _drain(agg, output_mode="complete")
+    batch = _QUERIES["ev_session_windows"](spark, SF_ORACLE)
+    assert _canon(live).equals(_canon(batch))
+
+
+def test_stream_stateful_equals_batch(spark):
+    live = _QUERIES["stream_stateful_user_counts"](spark, SF_ORACLE)
+    batch = (
+        spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    assert _canon(live).equals(_canon(batch))
+
+
+# ---------------------------------------------------------------------------
+# Layer 2: multi-batch semantics (watermarks, streaming dedup, state)
+# ---------------------------------------------------------------------------
+
+
+def test_watermark_drops_late_event(spark, tmp_path):
+    """Append-mode tumbling agg with a 10-minute watermark: an event
+    arriving after the watermark sealed its window is dropped.
+
+    Subtlety pinned here (empirically verified): the watermark
+    *operative for late-row filtering* in micro-batch N is the one
+    committed after batch N-1 — which was computed from data up through
+    batch N-2. A late row landing exactly one batch after the
+    watermark-advancing event is therefore still merged; one arriving
+    two batches after is dropped. The late event below (batch 2) sits
+    two batches after the 11:30 event (batch 0) that sealed its window.
+    """
+    src = _write_batches(
+        spark,
+        tmp_path,
+        [
+            # batch 0: 10:00-window events + 11:30 (→ wm 11:20, seals
+            # the 10:00 window once committed)
+            [
+                _ev(1, "2024-01-01 10:00:00"),
+                _ev(2, "2024-01-01 10:05:00"),
+                _ev(3, "2024-01-01 11:30:00"),
+            ],
+            # batch 1: advances wm toward 12:00 (seals 11:00 window)
+            [_ev(5, "2024-01-01 12:10:00")],
+            # batch 2: event_id=4 is late into the sealed 10:00 window
+            # → dropped by the watermark; 12:20 keeps the stream moving.
+            [
+                _ev(4, "2024-01-01 10:02:00"),
+                _ev(6, "2024-01-01 12:20:00"),
+            ],
+        ],
+    )
+    agg = (
+        _event_stream_from_json(spark, src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format("w.start", "HH:mm").alias("ws"), "n")
+    )
+    got = {r["ws"]: r["n"] for r in _drain(agg, output_mode="append").collect()}
+    # 10:00 window: 2 (late event_id=4 dropped); 11:00 window: 1;
+    # 12:00 window: unsealed at end of input, never emitted in append.
+    assert got == {"10:00": 2, "11:00": 1}
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Streaming dedup: a duplicate event_id replayed in a later
+    micro-batch (within the watermark) is suppressed."""
+    src = _write_batches(
+        spark,
+        tmp_path,
+        [
+            [_ev(1, "2024-01-01 10:00:00"), _ev(2, "2024-01-01 10:01:00")],
+            [_ev(2, "2024-01-01 10:01:00"), _ev(3, "2024-01-01 10:02:00")],
+        ],
+    )
+    dedup = (
+        _event_stream_from_json(spark, src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id")
+    )
+    got = sorted(r["event_id"] for r in _drain(dedup, output_mode="append").collect())
+    assert got == [1, 2, 3]
+
+
+def test_stateful_running_count_progression(spark, tmp_path):
+    """The applyInPandasWithState operator emits a monotone cumulative
+    count per key per micro-batch — observable only across batches."""
+    src = _write_batches(
+        spark,
+        tmp_path,
+        [
+            [_ev(1, "2024-01-01 10:00:00", user_id=7)],
+            [
+                _ev(2, "2024-01-01 10:01:00", user_id=7),
+                _ev(3, "2024-01-01 10:01:30", user_id=8),
+            ],
+            [_ev(4, "2024-01-01 10:02:00", user_id=7)],
+        ],
+    )
+    out = user_running_counts(_event_stream_from_json(spark, src))
+    rows = _drain(out, output_mode="update").collect()
+    by_user: dict[int, list[int]] = {}
+    for r in sorted(rows, key=lambda r: r["n_events"]):
+        by_user.setdefault(r["user_id"], []).append(r["n_events"])
+    assert by_user == {7: [1, 2, 3], 8: [1]}
