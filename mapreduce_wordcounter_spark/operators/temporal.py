@@ -1,0 +1,121 @@
+"""Temporal join operators over ``events`` (north-star extension).
+
+Spark has no native AS-OF join (DuckDB/Pandas/kdb do). The scalable
+construction used here is the **union + running-last trick**: tag the
+probe ("left") and reference ("right") streams, union them, and take a
+per-key running ``last(right_payload, ignorenulls)`` over event time.
+One shuffle (the window partition), no range-condition join — the
+naive alternative (theta-join on ``b.ts <= a.ts`` + argmax) plans a
+per-key cross product, which is quadratic in the hot keys and
+unrunnable at 100 TB.
+
+Ordering detail: rows sort by (ts, side) with the reference side
+first, so a reference row at exactly the probe's timestamp IS matched
+— the inclusive ``<=`` semantics of DuckDB's ``ASOF JOIN ... ON
+b.ts <= a.ts``, which is also the oracle here.
+
+The reference repo has no joins at all (single-input pipeline,
+SURVEY.md §2.2) — this is extension surface with exact oracle parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from mapreduce_wordcounter_spark.registry import query
+from mapreduce_wordcounter_spark.session import ensure_utc
+from mapreduce_wordcounter_spark.tables import load_table
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_DUCK_TS_FMT = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def _asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(click event, ts of the user's most recent purchase at-or-before
+    it) — NULL when no prior purchase exists (left as-of)."""
+    ensure_utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_probe"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("ref_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_probe"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("ref_ts"),
+    )
+    # Reference rows sort before probe rows at equal ts → inclusive <=.
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_probe")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("last_purchase_ts", F.last("ref_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_probe") == 1)
+        .select("event_id", "user_id", "ts", "last_purchase_ts")
+    )
+
+
+@query(
+    "join_asof_last_purchase",
+    oracle=f"""
+    SELECT a.event_id,
+           a.user_id,
+           strftime(a.ts, '{_DUCK_TS_FMT}') AS click_ts,
+           strftime(b.ts, '{_DUCK_TS_FMT}') AS last_purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id AND b.ts <= a.ts
+    """,
+)
+def join_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each click matched to the same user's most recent
+    purchase at or before it. Oracle is DuckDB's native ASOF JOIN; the
+    Spark plan is the union + running-last construction (module
+    docstring) — semantically identical, shuffle-optimal."""
+    out = _asof_click_purchase(spark, sf_dir)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("click_ts"),
+        F.date_format("last_purchase_ts", _TS_FMT).alias("last_purchase_ts"),
+    )
+
+
+@query(
+    "join_asof_tolerance_1h",
+    oracle=f"""
+    SELECT a.event_id,
+           a.user_id,
+           strftime(a.ts, '{_DUCK_TS_FMT}') AS click_ts,
+           CASE WHEN a.ts - b.ts <= INTERVAL '1 hour'
+                THEN strftime(b.ts, '{_DUCK_TS_FMT}') END AS recent_purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id AND b.ts <= a.ts
+    """,
+)
+def join_asof_tolerance_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join with tolerance (pandas merge_asof's ``tolerance=``):
+    the match only counts if the purchase happened within the hour
+    before the click — staleness masking as a post-projection, zero
+    extra plan cost."""
+    out = _asof_click_purchase(spark, sf_dir)
+    within = F.col("last_purchase_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("click_ts"),
+        F.when(within, F.date_format("last_purchase_ts", _TS_FMT)).alias(
+            "recent_purchase_ts"
+        ),
+    )
