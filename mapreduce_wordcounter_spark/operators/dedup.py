@@ -81,18 +81,26 @@ def _spark_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.lower(F.col("text")), r"[^\p{L}]+"), lambda x: x != ""
         ).alias("t"),
     )
+    # array_distinct BEFORE the explode: per-doc dedup is a per-row op,
+    # so the (doc_id, s) stream is distinct by construction — the
+    # full-stream `.distinct()` exchange this replaces was the largest
+    # shuffle in the LSH pipeline (the oracle's SELECT DISTINCT is
+    # unchanged; doc-local dedup is equivalent because doc_id is part
+    # of the key).
     sh = toks.select(
         "doc_id",
         F.explode(
-            F.when(
-                F.size("t") >= 3,
-                F.expr(
-                    "transform(sequence(1, size(t) - 2),"
-                    " i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2)))"
-                ),
-            ).otherwise(F.array().cast("array<string>"))
+            F.array_distinct(
+                F.when(
+                    F.size("t") >= 3,
+                    F.expr(
+                        "transform(sequence(1, size(t) - 2),"
+                        " i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2)))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            )
         ).alias("s"),
-    ).distinct()
+    )
     from pyspark import StorageLevel
 
     return sh.withColumn(

@@ -145,6 +145,36 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS gid,
+           COUNT(*) AS n, {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither a rollup nor a full cube:
+    per-status totals, per-priority totals, grand total) with a
+    GROUPING() disambiguator so all-NULL rows are attributable.
+    Spark expands the sets map-side and aggregates once (SCALE.md §2).
+    """
+    o = _t(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        (
+            F.grouping("o_orderstatus") + 2 * F.grouping("o_orderpriority")
+        ).alias("gid"),
+        F.count("*").alias("n"),
+        dsum(F.col("o_totalprice"), "sum_price"),
+    )
+
+
+@query(
     "agg_stats",
     oracle=f"""
     SELECT l_returnflag,

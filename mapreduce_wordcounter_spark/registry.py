@@ -39,7 +39,7 @@ def all_queries() -> dict[str, QueryFn]:
     """Import every operator module (side effect: registration) and
     return the full query dict."""
     # Imports deferred so `import mapreduce_wordcounter_spark` stays cheap.
-    from mapreduce_wordcounter_spark.functions import udaf  # noqa: F401
+    from mapreduce_wordcounter_spark.functions import udaf, udtf  # noqa: F401
     from mapreduce_wordcounter_spark.operators import (  # noqa: F401
         dedup,
         multimodal,

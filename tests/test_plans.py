@@ -21,6 +21,11 @@ _QUERIES = all_queries()
 # multimodal feature extraction). Nothing may plan BatchEvalPython.
 _PANDAS_UDF_OK = {"mm_features_pandas"}
 
+# The Python UDTF is the *deliberate* slow-path surface demo — its
+# docstring records the cost and points at the codegen twin (wc_counts).
+# Nothing else may plan row-at-a-time Python.
+_ROW_PYTHON_OK = {"udtf_tokenize_counts"}
+
 # Streaming-only entries construct a streaming query; plan introspection
 # of the batch shape is covered by their ev_* batch twins.
 _SKIP = {"stream_tumbling_live"}
@@ -31,7 +36,7 @@ def test_every_query_is_scale_ready(name, spark):
     """No declared query may plan a cartesian product or a
     row-at-a-time Python UDF."""
     df = _QUERIES[name](spark, SF_ORACLE)
-    assert_scale_ready(df, allow_python_udf=False)
+    assert_scale_ready(df, allow_python_udf=name in _ROW_PYTHON_OK)
 
 
 def test_scan_pruning_and_pushdown(spark):
@@ -88,8 +93,9 @@ def test_minhash_single_shuffle(spark):
     # own exchanges in the plan string and would double-count.
     spark.catalog.clearCache()
     facts = plan_facts(_QUERIES["minhash_signatures"](spark, SF_ORACLE))
-    # shingle .distinct() + groupBy(doc_id) = 2 shuffles max
-    assert facts.n_shuffle_exchanges <= 2, facts
+    # Shingles dedup per-row (array_distinct) → the only shuffle is the
+    # wide groupBy(doc_id) aggregate.
+    assert facts.n_shuffle_exchanges <= 1, facts
 
 
 def test_tfidf_broadcasts_df_side(spark):

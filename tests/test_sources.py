@@ -192,6 +192,21 @@ def test_bucketed_join_skips_exchange(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
 
 
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC is the second columnar format Spark ships natively; the
+    engine's readers/writers are format-agnostic DataFrame ops, so a
+    round-trip plus predicate pushdown check covers it."""
+    orders = load_table(spark, SF_ORACLE, "orders")
+    out = str(tmp_path / "orders_orc")
+    orders.write.orc(out)
+    back = spark.read.orc(out)
+    assert back.schema == orders.schema
+    assert back.count() == orders.count()
+    filtered = back.filter(F.col("o_orderkey") == 42)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan or "orc" in plan.lower()
+
+
 def test_export_single_csv(spark, tmp_path):
     region = load_table(spark, SF_ORACLE, "region")
     out = str(tmp_path / "region_export")
