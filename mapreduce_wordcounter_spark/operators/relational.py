@@ -356,6 +356,45 @@ def join_fact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_salted_skew",
+    oracle=f"""
+    SELECT o_orderstatus, {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+           COUNT(*) AS n_items
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manual skew-salting recipe (SCALE.md §2), proven correct
+    against the plain join's oracle: the probe side's key is salted
+    with a deterministic secondary hash mod S, the build side is
+    replicated ×S (explode over sequence), and the join runs on
+    (key, salt) — splitting any single hot key's rows across S
+    reducers. AQE's skew-join handles *observed* skew automatically;
+    this operator is the explicit form for planned skew (null-heavy
+    FKs, celebrity keys) where you don't want to rely on runtime
+    detection. Same result, same oracle, as join_fact_revenue."""
+    S = 8
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    probe = li.withColumn(
+        "salt", F.pmod(F.xxhash64("l_partkey", "l_linenumber"), F.lit(S))
+    )
+    build = o.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1))))
+    return (
+        build.join(
+            probe,
+            (build.o_orderkey == probe.l_orderkey) & (build.salt == probe.salt),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
     "q3_shipping_priority",
     oracle=f"""
     SELECT l_orderkey,
