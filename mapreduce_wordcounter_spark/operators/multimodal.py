@@ -112,6 +112,52 @@ def mm_features_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.mapInPandas(extract_features, schema=_FEATURES_SCHEMA)
 
 
+@query(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           j AS frame_no,
+           1 + 256 * j AS byte_offset,
+           md5(substring(text, 1 + 256 * j, 64)) AS frame_digest
+    FROM documents,
+         LATERAL (SELECT unnest(generate_series(0, (length(text) - 1) // 256)) AS j) f
+    WHERE length(text) > 0
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over a media payload: every 256th byte offset
+    yields one 64-byte "frame" (stand-in for video frame extraction —
+    no codecs in this container), digested per frame. Exercises the
+    1→N mapInPandas shape: one input row fans out to a variable number
+    of output rows inside the Arrow batch, which is exactly how a real
+    frame sampler emits. Oracle: byte slices == char slices on the
+    ASCII corpus."""
+    import hashlib
+
+    b = attach_binary(spark, sf_dir).select("doc_id", "content")
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained (pickled by value — workers lack this package).
+        for pdf in batches:
+            out = {"doc_id": [], "frame_no": [], "byte_offset": [], "frame_digest": []}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                data = bytes(content)
+                if not data:
+                    continue
+                for j in range(0, (len(data) - 1) // 256 + 1):
+                    frame = data[256 * j : 256 * j + 64]
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(j)
+                    out["byte_offset"].append(1 + 256 * j)
+                    out["frame_digest"].append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    return b.mapInPandas(
+        sample_frames,
+        schema="doc_id long, frame_no long, byte_offset long, frame_digest string",
+    )
+
+
 def decode_image(content: bytes) -> "object":
     """Real decode step — stubbed: the runtime image libraries are not
     in this container. The Spark-side integration (binary column →

@@ -809,6 +809,123 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.subtract(s)
 
 
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL: bag semantics — each suppkey kept min(m, n)
+    times across the two branches (the distinct form would lose the
+    multiplicities)."""
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_suppkey")
+    return r.intersectAll(a)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    EXCEPT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL: bag difference — each suppkey kept max(m − n, 0)
+    times."""
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_suppkey")
+    return r.exceptAll(a)
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                          RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)
+               AS n_similar_spend
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, vs the ROWS frame in
+    window_moving_avg): peers are orders within ±1000 of the current
+    price, however many rows that is — a genuinely different frame
+    evaluator in both engines."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, 1000)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.count("*").over(w).alias("n_similar_spend"),
+    )
+
+
+@query(
+    "cte_chained",
+    oracle="""
+    WITH cust_orders AS (
+        SELECT o_custkey, COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey),
+    buckets AS (
+        SELECT n_orders, COUNT(*) AS n_custs
+        FROM cust_orders GROUP BY n_orders)
+    SELECT n_orders, n_custs FROM buckets WHERE n_custs > 1
+    """,
+)
+def cte_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained CTEs through the SQL surface (spark.sql), exercising the
+    parser/analyzer path rather than the DataFrame builder."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("cte_orders_v")
+    return spark.sql(
+        """
+        WITH cust_orders AS (
+            SELECT o_custkey, COUNT(*) AS n_orders
+            FROM cte_orders_v GROUP BY o_custkey),
+        buckets AS (
+            SELECT n_orders, COUNT(*) AS n_custs
+            FROM cust_orders GROUP BY n_orders)
+        SELECT n_orders, n_custs FROM buckets WHERE n_custs > 1
+        """
+    )
+
+
+@query(
+    "lateral_posexplode",
+    oracle="""
+    SELECT doc_id, i - 1 AS pos, t[i] AS word
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'),
+                             x -> x <> '') AS t
+          FROM documents) d,
+         LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) ix
+    WHERE doc_id < 25
+    """,
+)
+def lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode/LATERAL-VIEW: token stream with ordinal positions —
+    the order-preserving UDTF shape (vs explode's bag semantics)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 25)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"[^\p{L}]+"), lambda x: x != ""
+    )
+    return docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "word")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar functions (string / date / math / JSON / conditional)
 # ---------------------------------------------------------------------------
