@@ -1059,6 +1059,68 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "json_struct_roundtrip",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           to_json(struct_pack(id := event_id,
+                               k := CAST(json_extract_string(props, '$.k') AS INT)
+                  ))::VARCHAR AS packed
+    FROM events
+    """,
+)
+def json_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested types end-to-end: parse events.props with from_json into
+    a typed struct, access the field, re-serialize a constructed struct
+    with to_json — byte-identical serialization in both engines."""
+    e = _t(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_id",
+        F.from_json("props", "k int").alias("p"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        F.to_json(
+            F.named_struct(F.lit("id"), F.col("event_id"), F.lit("k"), F.col("p.k"))
+        ).alias("packed"),
+    )
+
+
+@query(
+    "array_functions",
+    oracle="""
+    SELECT doc_id,
+           len(t) AS n_toks,
+           array_to_string(list_sort(t)[1:3], ',') AS first3_sorted,
+           list_contains(t, 'the') AS has_the,
+           len(list_distinct(t)) AS n_distinct
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'),
+                             x -> x <> '') AS t
+          FROM documents) d
+    WHERE doc_id < 50
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order/collection functions over the token array:
+    size, sort+slice+join, membership, distinct count — all JVM
+    expression trees (ASCII corpus → collation-safe sort parity)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"[^\p{L}]+"), lambda x: x != ""
+    )
+    t = docs.select("doc_id", toks.alias("t"))
+    return t.select(
+        "doc_id",
+        F.size("t").alias("n_toks"),
+        F.array_join(F.slice(F.sort_array("t"), 1, 3), ",").alias("first3_sorted"),
+        F.array_contains("t", "the").alias("has_the"),
+        F.size(F.array_distinct("t")).alias("n_distinct"),
+    )
+
+
+@query(
     "case_bucketing",
     oracle="""
     SELECT o_orderkey,
