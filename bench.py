@@ -36,7 +36,9 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_regional_revenue",
     "join_fact_revenue",
+    "join_asof_last_purchase",
     "window_topk_per_group",
+    "udaf_weighted_mean",
     "tf_idf",
     "quality_score",
     "dedup_exact",

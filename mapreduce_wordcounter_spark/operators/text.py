@@ -141,11 +141,18 @@ def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tf has exactly one row per (doc, word), so df = count(*) per word)
     instead of re-exploding the corpus; N comes from a metadata-only
     count over documents, broadcast as a scalar. Plan: one explode
-    scan → tf agg → broadcast-joined with the vocabulary-sized df."""
+    scan → tf agg → broadcast-joined with the vocabulary-sized df.
+
+    tf is persisted because it feeds two consumers (the join probe and
+    the df derivation) — without it Spark re-scans and re-explodes the
+    corpus per consumer, same pattern as dedup's shingle persist."""
+    from pyspark import StorageLevel
+
     tf = (
         tokens(spark, sf_dir)
         .groupBy("doc_id", "word")
         .agg(F.count("*").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     df = tf.groupBy("word").agg(F.count("*").alias("df"))
     n = load_table(spark, sf_dir, "documents").agg(

@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: physical-plan evidence for the headline queries.
+
+Usage: python tools/dump_plans.py  (writes /root/repo/PLANS.md)
+
+For each query: the PlanFacts summary (exchanges, join strategies,
+aggregate split, Python eval mode) plus every parquet scan's pushed
+filters and read schema — the observable form of "filters reach the
+scan, dims broadcast, aggregation is partial→final".
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mapreduce_wordcounter_spark import get_spark  # noqa: E402
+from mapreduce_wordcounter_spark.plans.inspect import plan_facts  # noqa: E402
+from mapreduce_wordcounter_spark.registry import all_queries  # noqa: E402
+
+SHOWCASE = [
+    "wc_counts",
+    "scan_filter_project",
+    "q5_regional_revenue",
+    "join_fact_revenue",
+    "join_asof_last_purchase",
+    "tf_idf",
+    "minhash_signatures",
+    "lsh_verified_pairs",
+    "simhash32",
+    "ann_ivf_topk",
+    "ev_session_windows",
+    "mm_features_pandas",
+]
+
+SF = "/root/testdata/sf0.01"
+
+
+def main() -> None:
+    spark = get_spark("plans")
+    queries = all_queries()
+    out = [
+        "# PLANS — physical-plan evidence (auto-generated)\n",
+        "Regenerate with `python tools/dump_plans.py`. Facts per headline",
+        "query at sf0.01; the properties asserted in tests/test_plans.py",
+        "are marked. Shuffle/broadcast counts are from the pre-AQE plan",
+        "(AQE may further coalesce at runtime).\n",
+    ]
+    for name in SHOWCASE:
+        spark.catalog.clearCache()
+        f = plan_facts(queries[name](spark, SF))
+        out.append(f"## {name}\n")
+        out.append(
+            f"- exchanges: {f.n_shuffle_exchanges} shuffle, "
+            f"{f.n_broadcast_exchanges} broadcast; joins: "
+            f"{f.broadcast_joins} broadcast-hash, {f.sortmerge_joins} sort-merge"
+        )
+        out.append(
+            f"- aggregates: partial={f.has_partial_aggregate} "
+            f"final={f.has_final_aggregate}; cartesian={f.has_cartesian}; "
+            f"row-python={f.has_python_row_udf}"
+        )
+        for i, s in enumerate(f.scans):
+            pushed = s["pushed"] or "[]"
+            schema = s["read_schema"]
+            if len(schema) > 100:
+                schema = schema[:97] + "..."
+            out.append(f"- scan[{i}]: PushedFilters={pushed} ReadSchema={schema}")
+        out.append("")
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+    with open(path, "w") as fh:
+        fh.write("\n".join(out) + "\n")
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
