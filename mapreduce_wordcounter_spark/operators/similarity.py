@@ -26,6 +26,12 @@ Scale posture (100 TB):
   trade every IVF index makes;
 - LSH hyperplane buckets turn near-neighbor search into an equi-join
   on bucket id — the same bucket-join shape as dedup's MinHash LSH.
+
+Design grounding (PAPERS.md): partition-then-prune top-k is the shape
+of REPOSE's distributed trajectory top-k (ICDE 2021 — local reference
+partitions ≈ our coarse cells) and of incremental top-k reuse (EDBT
+2020); the broadcast-queries/scan-corpus baseline is the classic
+MapReduce top-k join (VLDB 2012 tutorial lineage).
 """
 
 from __future__ import annotations

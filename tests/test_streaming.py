@@ -229,6 +229,55 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     assert got == [1, 2, 3]
 
 
+def test_checkpoint_recovery_preserves_dedup_state(spark, tmp_path):
+    """Exactly-once across restarts: a dedup query checkpoints its
+    state; a *new* query started from the same checkpoint must suppress
+    a duplicate that was first seen before the restart — state and
+    source offsets both recover."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def write_file(name, rows):
+        p = src / name
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(_EVENT_SCHEMA)
+            .json(str(src))
+            .withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id")
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+    ensure_utc(spark)
+    write_file("b0.json", [_ev(1, "2024-01-01 10:00:00"), _ev(2, "2024-01-01 10:01:00")])
+    run_once()  # first run: sees 1, 2
+
+    # restart with new data: 2 is a replay from BEFORE the restart
+    write_file("b1.json", [_ev(2, "2024-01-01 10:01:00"), _ev(3, "2024-01-01 10:02:00")])
+    run_once()  # recovered state must still remember event 2
+
+    got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3]
+
+
 def test_stateful_running_count_progression(spark, tmp_path):
     """The applyInPandasWithState operator emits a monotone cumulative
     count per key per micro-batch — observable only across batches."""
