@@ -247,6 +247,48 @@ def token_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish tokenization proxy: letter runs, 1-3 digit groups (BPE splits
+# long numbers), single punctuation marks — the pre-merge segmentation a
+# byte-pair tokenizer starts from. Portable across Java regex and RE2.
+_BPE_PAT = "[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9 \\t\\n]"
+
+
+@query(
+    "token_count_estimators",
+    oracle=f"""
+    SELECT doc_id,
+           n_chars,
+           len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+               AS n_ws_tokens,
+           len(regexp_extract_all(text, '{_BPE_PAT}')) AS n_bpe_tokens,
+           ROUND(CAST(n_chars AS DOUBLE)
+                 / len(regexp_extract_all(text, '{_BPE_PAT}')), 4)
+               AS chars_per_bpe_token
+    FROM documents
+    """,
+)
+def token_count_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data token accounting: whitespace token count (the
+    word-ish budget) and a BPE-ish regex count (the LLM-cost budget —
+    letter runs + short digit groups + punctuation marks approximate a
+    byte-pair tokenizer's pre-merge segmentation within a few percent).
+    Both are single-pass projections + one aggregate-free scan; at
+    100 TB this is the query that prices a corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = F.size(F.expr(f"regexp_extract_all(text, '{_BPE_PAT}', 0)"))
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias(
+            "n_ws_tokens"
+        ),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(F.col("n_chars").cast("double") / n_bpe, 4).alias(
+            "chars_per_bpe_token"
+        ),
+    )
+
+
 @query(
     "word_rarity_bottom10",
     oracle=f"""
