@@ -1202,3 +1202,100 @@ def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 query("sample_bernoulli")(sample_bernoulli)
+
+
+# ---------------------------------------------------------------------------
+# Ranking distributions, exact percentiles, map-typed columns
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_rank_dist",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ranking functions (ntile / percent_rank / cume_dist)
+    over a total order — (acctbal, custkey) tie-break makes every rank
+    deterministic, and both outputs are exact integer ratios so the
+    doubles are bit-identical across engines."""
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+           ROUND(quantile_cont(l_quantity, 0.50), 6) AS p50,
+           ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75,
+           quantile_disc(l_quantity, 0.90) AS p90_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles: linearly interpolated (percentile ≡ DuckDB
+    quantile_cont, both the classic type-7 estimator) plus the discrete
+    lower-bound variant. Exact sort-based aggregate — at 100 TB this is
+    the operator you replace with approx_percentile (see
+    agg_p90_approx); kept exact here because the oracle demands
+    determinism. Interpolation rounded to 6dp (one multiply-add may
+    fuse differently across libm builds)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(l_quantity, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("p75"),
+        F.expr(
+            "percentile_disc(0.90) WITHIN GROUP (ORDER BY l_quantity)"
+        ).alias("p90_disc"),
+    )
+
+
+@query(
+    "map_functions",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) * 2 AS double_cnt
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+    HAVING COUNT(*) > 5
+    """,
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column machinery: rows → map_from_entries →
+    map_filter → transform_values → explode back to rows. The map is
+    per-group metadata (bounded cardinality: |orderstatus| ≤ 3), so the
+    collect_list never exceeds a few entries per row — safe at any
+    scale. Oracle states the same relation without maps."""
+    od = _t(spark, sf_dir, "orders")
+    per = od.groupBy("o_orderpriority", "o_orderstatus").count()
+    mapped = per.groupBy("o_orderpriority").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("o_orderstatus", "count"))
+        ).alias("status_counts")
+    )
+    transformed = mapped.select(
+        "o_orderpriority",
+        F.transform_values(
+            F.map_filter("status_counts", lambda _, v: v > 5),
+            lambda _, v: v * 2,
+        ).alias("status_counts"),
+    )
+    return transformed.select(
+        "o_orderpriority",
+        F.explode("status_counts").alias("o_orderstatus", "double_cnt"),
+    )

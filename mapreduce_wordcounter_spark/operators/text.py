@@ -365,3 +365,56 @@ def lang_marker_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_ngrams()
+
+
+@query(
+    "word_typo_pairs",
+    oracle=f"""
+    WITH top_words AS (
+        SELECT word, COUNT(*) AS cnt
+        FROM ({_SQL_TOKEN_ROWS}) t
+        GROUP BY word
+        ORDER BY cnt DESC, word
+        LIMIT 200
+    )
+    SELECT a.word AS word_a, b.word AS word_b,
+           levenshtein(a.word, b.word) AS dist
+    FROM top_words a JOIN top_words b
+      ON a.word < b.word
+     AND abs(length(a.word) - length(b.word)) <= 1
+     AND levenshtein(a.word, b.word) = 1
+    """,
+)
+def word_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo/variant detection: edit-distance-1 pairs among the top-200
+    vocabulary. The candidate set is bounded by the LIMIT (a broadcast
+    on both sides), and the length-difference band prunes the quadratic
+    before the O(len²) levenshtein runs — the same bound-the-candidates
+    pattern the LSH dedup family uses at corpus scale. At 100 TB the
+    vocabulary cut stays small (top-K of an aggregate), so the
+    quadratic never touches the full corpus."""
+    top = (
+        tokens(spark, sf_dir)
+        .groupBy("word")
+        .count()
+        .orderBy(F.desc("count"), F.asc("word"))
+        .limit(200)
+        .select("word")
+    )
+    a = F.broadcast(top.select(F.col("word").alias("word_a")))
+    b = F.broadcast(top.select(F.col("word").alias("word_b")))
+    return (
+        a.join(
+            b,
+            (F.col("word_a") < F.col("word_b"))
+            & (
+                F.abs(F.length("word_a") - F.length("word_b")) <= 1
+            )
+            & (F.levenshtein("word_a", "word_b") == 1),
+        )
+        .select(
+            "word_a",
+            "word_b",
+            F.levenshtein("word_a", "word_b").alias("dist"),
+        )
+    )
