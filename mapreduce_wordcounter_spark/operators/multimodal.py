@@ -199,3 +199,80 @@ def image_feature_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "ok": True})
 
     return b.mapInPandas(run, schema="doc_id long, ok boolean")
+
+
+@query(
+    "mm_audio_windows",
+    oracle="""
+    SELECT doc_id,
+           j AS window_no,
+           1 + 256 * j AS sample_offset,
+           CAST(length(substring(text, 1 + 256 * j, 512)) AS INT) AS n_samples,
+           list_reduce(list_prepend(0::BIGINT,
+               list_transform(generate_series(1 + 256 * j,
+                                              least(length(text), 256 * j + 512)),
+                              i -> ascii(substr(text, i, 1))::BIGINT)),
+               (acc, c) -> acc + c) AS amp_sum,
+           list_reduce(list_prepend(0::BIGINT,
+               list_transform(generate_series(1 + 256 * j,
+                                              least(length(text), 256 * j + 512)),
+                              i -> (ascii(substr(text, i, 1))::BIGINT
+                                    * ascii(substr(text, i, 1))::BIGINT))),
+               (acc, c) -> acc + c) AS energy,
+           CAST(list_max(
+               list_transform(generate_series(1 + 256 * j,
+                                              least(length(text), 256 * j + 512)),
+                              i -> ascii(substr(text, i, 1)))) AS INT) AS peak
+    FROM documents,
+         LATERAL (SELECT unnest(generate_series(0, (length(text) - 1) // 256)) AS j) w
+    WHERE length(text) > 0
+    """,
+)
+def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio windowing stand-in: the payload is treated as a u8 PCM
+    sample stream and cut into 512-sample windows with a 256-sample hop
+    (50% overlap) — the framing every spectral/feature extractor (STFT,
+    MFCC, VAD) starts from. Per-window features are integer (sum,
+    energy = sum of squares, peak) so the DuckDB oracle is byte-exact;
+    a real pipeline would replace the feature block with the codec +
+    FFT call inside the same mapInPandas shape. 1→N fan-out happens
+    inside the Arrow batch, never on the driver."""
+    b = attach_binary(spark, sf_dir).select("doc_id", "content")
+
+    def window_audio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained (pickled by value — workers lack this package).
+        import numpy as np
+
+        WIN, HOP = 512, 256
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "window_no": [],
+                "sample_offset": [],
+                "n_samples": [],
+                "amp_sum": [],
+                "energy": [],
+                "peak": [],
+            }
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                a = np.frombuffer(bytes(content), dtype=np.uint8).astype(np.int64)
+                if a.size == 0:
+                    continue
+                for j in range(0, (a.size - 1) // HOP + 1):
+                    seg = a[HOP * j : HOP * j + WIN]
+                    out["doc_id"].append(doc_id)
+                    out["window_no"].append(j)
+                    out["sample_offset"].append(1 + HOP * j)
+                    out["n_samples"].append(int(seg.size))
+                    out["amp_sum"].append(int(seg.sum()))
+                    out["energy"].append(int((seg * seg).sum()))
+                    out["peak"].append(int(seg.max()))
+            yield pd.DataFrame(out)
+
+    return b.mapInPandas(
+        window_audio,
+        schema=(
+            "doc_id long, window_no long, sample_offset long, "
+            "n_samples int, amp_sum long, energy long, peak int"
+        ),
+    )

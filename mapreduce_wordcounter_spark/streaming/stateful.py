@@ -97,3 +97,121 @@ def stream_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.max("n_events").alias("n_events"))
     )
+
+
+def user_profile_tws(stream: DataFrame) -> DataFrame:
+    """Attach the transformWithState per-user profile operator: running
+    event count (ValueState) + distinct event-type set (MapState).
+
+    ``transformWithStateInPandas`` is Spark 4's successor to
+    ``applyInPandasWithState``: named state variables with independent
+    schemas/TTLs instead of one monolithic state tuple, plus timers.
+    Both flavors are kept here deliberately — same pipeline, two state
+    APIs. The processor class is nested so cloudpickle ships it by
+    value (same worker-pickling rule as update_running_count above).
+
+    Scale posture: state lives in the per-partition RocksDB store
+    keyed by user_id; the MapState holds ≤|event_type| entries per
+    user, so state is O(users x event_types) — bounded, and TTL-able
+    via the ttlDurationMs argument when user churn matters."""
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class UserProfile(StatefulProcessor):
+        def init(self, handle):
+            self._n = handle.getValueState("n", "n bigint")
+            self._types = handle.getMapState("types", "t string", "seen boolean")
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+                for t in pdf["event_type"].unique():
+                    self._types.updateValue((str(t),), (True,))
+            self._n.update((n,))
+            n_types = sum(1 for _ in self._types.keys())
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "n_types": [n_types]}
+            )
+
+        def close(self):
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        UserProfile(),
+        outputStructType="user_id bigint, n_events bigint, n_types bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+_ROCKSDB = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
+def _tws_available() -> bool:
+    """transformWithState's Python state-server protocol speaks
+    protobuf (pyspark/sql/streaming/proto/StateMessage_pb2.py imports
+    google.protobuf at query start). This container ships pyspark
+    without the protobuf dependency, so the operator is registered only
+    where it can actually run — same import-gate pattern as the
+    multimodal decode stubs."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no parent 'google' package at all
+        return False
+
+
+def stream_tws_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithState drained over the finite events source. Both
+    emitted metrics are monotone, so max-per-user of the update-mode
+    emissions equals the batch GROUP BY — the same streaming-batch
+    equivalence contract as stream_stateful_user_counts.
+
+    transformWithState requires the RocksDB state store; the provider
+    conf is set for the duration of this run and restored after (other
+    queries keep the session default)."""
+    prior = spark.conf.get(_PROVIDER_KEY, None)
+    spark.conf.set(_PROVIDER_KEY, _ROCKSDB)
+    name = "stream_tws_" + uuid.uuid4().hex[:8]
+    try:
+        out = user_profile_tws(events_stream(spark, sf_dir))
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    finally:
+        if prior is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, prior)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("n_types").alias("n_types"),
+        )
+    )
+
+
+if _tws_available():  # pragma: no cover - absent in this container
+    query(
+        "stream_tws_user_profile",
+        oracle="""
+        SELECT user_id, COUNT(*) AS n_events,
+               COUNT(DISTINCT event_type) AS n_types
+        FROM events
+        GROUP BY user_id
+        """,
+    )(stream_tws_user_profile)

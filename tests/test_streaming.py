@@ -299,3 +299,38 @@ def test_stateful_running_count_progression(spark, tmp_path):
     for r in sorted(rows, key=lambda r: r["n_events"]):
         by_user.setdefault(r["user_id"], []).append(r["n_events"])
     assert by_user == {7: [1, 2, 3], 8: [1]}
+
+
+def test_transform_with_state_gated(spark):
+    """transformWithState needs google.protobuf (pyspark's state-server
+    protocol); this container ships pyspark without it. The operator
+    must register itself ONLY where it can run — and when it can, its
+    drained result must match the batch GROUP BY (same equivalence
+    contract as the applyInPandasWithState twin)."""
+    from mapreduce_wordcounter_spark.streaming.stateful import (
+        _tws_available,
+        stream_tws_user_profile,
+    )
+    from mapreduce_wordcounter_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    registered = "stream_tws_user_profile" in all_queries()
+    assert registered == _tws_available()
+    if not _tws_available():
+        pytest.skip("google.protobuf absent: transformWithState cannot run here")
+
+    got = {
+        (r["user_id"], r["n_events"], r["n_types"])
+        for r in stream_tws_user_profile(spark, str(SF_SMOKE)).collect()
+    }
+    exp = {
+        (r["user_id"], r["n_events"], r["n_types"])
+        for r in load_table(spark, str(SF_SMOKE), "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .collect()
+    }
+    assert got == exp
