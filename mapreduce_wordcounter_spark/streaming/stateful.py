@@ -26,7 +26,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 
 from mapreduce_wordcounter_spark.registry import query
-from mapreduce_wordcounter_spark.streaming.windows import events_stream
+from mapreduce_wordcounter_spark.streaming.windows import (
+    events_stream,
+    stream_shuffle_partitions,
+)
 
 _OUT_SCHEMA = "user_id bigint, n_events bigint"
 _STATE_SCHEMA = "n bigint"
@@ -79,17 +82,18 @@ def stream_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (multi-batch state progression is pinned in tests/test_streaming.py)."""
     out = user_running_counts(events_stream(spark, sf_dir))
     name = "stream_stateful_" + uuid.uuid4().hex[:8]
-    q = (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
+    with stream_shuffle_partitions(spark):
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
     # Update mode appends one row per key per micro-batch; the running
     # count is monotone, so max = final.
     return (
@@ -179,17 +183,18 @@ def stream_tws_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "stream_tws_" + uuid.uuid4().hex[:8]
     try:
         out = user_profile_tws(events_stream(spark, sf_dir))
-        q = (
-            out.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            q.awaitTermination()
-        finally:
-            q.stop()
+        with stream_shuffle_partitions(spark):
+            q = (
+                out.writeStream.outputMode("update")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination()
+            finally:
+                q.stop()
     finally:
         if prior is None:
             spark.conf.unset(_PROVIDER_KEY)

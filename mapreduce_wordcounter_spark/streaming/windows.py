@@ -22,6 +22,7 @@ Kafka — swap ``readStream.format`` and the plan is unchanged.
 from __future__ import annotations
 
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,6 +35,29 @@ from mapreduce_wordcounter_spark.tables import load_table
 
 _FMT = "yyyy-MM-dd HH:mm:ss"
 _DFMT = "%Y-%m-%d %H:%M:%S"
+
+# Streaming state partition count, decoupled from the batch session's
+# spark.sql.shuffle.partitions: each stateful-operator partition owns a
+# state store instance whose open/commit cost is per-partition fixed
+# overhead, so the right number tracks STATE size (keys retained), not
+# batch scan width. Here state is tiny (hour-buckets x event types /
+# distinct users), so a handful of stores beats 32-200 near-empty ones
+# — measured 2x on the drained queries. A production stream sizes this
+# to its own key cardinality at first start (the checkpoint locks it).
+STREAM_STATE_PARTITIONS = 8
+
+
+@contextmanager
+def stream_shuffle_partitions(spark: SparkSession, n: int = STREAM_STATE_PARTITIONS):
+    """Scope spark.sql.shuffle.partitions to a streaming drain; each
+    drain starts a fresh query + checkpoint, so the partition count is
+    free to differ from the batch default and is restored after."""
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
 
 
 @query(
@@ -223,15 +247,16 @@ def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "stream_tumbling_" + uuid.uuid4().hex[:8]
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
+    with stream_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
     return spark.table(name)
