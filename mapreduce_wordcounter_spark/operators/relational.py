@@ -1328,3 +1328,47 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.explode("status_counts").alias("o_orderstatus", "double_cnt"),
     )
+
+
+@query(
+    "unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+    FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+                    AND l_shipdate <  TIMESTAMP '1998-02-01'
+                    AND l_quantity > 45
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+                    AND l_shipdate <  TIMESTAMP '1998-02-01'
+                    AND l_quantity > 45
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+                    AND l_shipdate <  TIMESTAMP '1998-02-01'
+                    AND l_quantity > 45
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+    FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+                    AND l_shipdate <  TIMESTAMP '1998-02-01'
+                    AND l_quantity > 45
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long (the inverse of agg_pivot): four measure columns
+    melt into (measure, val) rows via the native unpivot/melt operator
+    — one scan, no join, 1→4 row fan-out inside the projection, so it
+    scales as a pure map-side op. The oracle states the same relation
+    as 4 UNION ALL branches (which would scan 4×; Spark's unpivot
+    scans once)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-01-01")
+        & (F.col("l_shipdate") < "1998-02-01")
+        & (F.col("l_quantity") > 45)
+    )
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )

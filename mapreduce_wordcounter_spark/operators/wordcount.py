@@ -237,6 +237,31 @@ def wc_vocab_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 query("wc_vocab_approx")(wc_vocab_approx)
 
 
+def wc_vocab_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch vocabulary: one Datasketches HLL sketch per
+    source partition-key, unioned into the corpus estimate.
+
+    This is the 100 TB pattern approx_count_distinct can't express:
+    the PER-SOURCE sketches are themselves storable (binary column →
+    parquet), so tomorrow's corpus can merge yesterday's sketches
+    instead of rescanning yesterday's tokens — incremental cardinality
+    at petabyte scale. Not oracle-checked (estimator is
+    engine-specific); pytest bounds the relative error vs the exact
+    vocabulary and pins merge-consistency against the single-pass
+    sketch."""
+    per_source = (
+        tokens(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.hll_sketch_agg("word", F.lit(14)).alias("sketch"))
+    )
+    return per_source.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("vocab_size_hll")
+    )
+
+
+query("wc_vocab_hll_merge")(wc_vocab_hll_merge)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() body: the full (word, cnt) relation, ordered for
     deterministic display (Appendix B.2 — the reference's output is

@@ -260,3 +260,80 @@ def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
     return spark.table(name)
+
+
+@query(
+    "stream_click_to_purchase",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id AS user_id,
+           (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS delay_s
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def stream_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: every (click, purchase) pair by the
+    same user with the purchase inside a 30-minute attribution window.
+
+    Both sides carry a watermark + the join carries a time-range bound,
+    which is what lets Spark EVICT buffered rows: a click older than
+    watermark - 30min can never match a future purchase, so join state
+    is bounded by (rate x window), not by history — the property that
+    makes this runnable forever at 100 TB/day. Drained over the finite
+    source with availableNow, the result equals the batch join (the
+    single batch sees operative watermark 0, so nothing is dropped —
+    the eviction path is exercised across batches in
+    tests/test_streaming.py)."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        # µs-exact difference floored to whole seconds (per-side
+        # unix_timestamp floors twice and can be 1s off the true delta)
+        F.expr("(unix_micros(p_ts) - unix_micros(c_ts)) div 1000000").alias(
+            "delay_s"
+        ),
+    )
+    name = "stream_cj_" + uuid.uuid4().hex[:8]
+    with stream_shuffle_partitions(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    return spark.table(name)

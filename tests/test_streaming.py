@@ -334,3 +334,72 @@ def test_transform_with_state_gated(spark):
         .collect()
     }
     assert got == exp
+
+
+def test_stream_stream_join_buffers_then_evicts(spark, tmp_path):
+    """Stream-stream join semantics observable only across batches:
+    (1) a click buffered in batch 0 joins a purchase arriving in batch
+    1 (cross-batch state), and (2) once the watermark passes, the old
+    click is evicted so a much-later matching purchase finds nothing.
+    Watermark 1h + 30min range bound => clicks older than wm-30min are
+    droppable state. The operative watermark lags one batch behind the
+    committed one (see test_watermark_drops_late_rows), hence the
+    spacer batch before the late purchase."""
+    src = _write_batches(
+        spark,
+        tmp_path,
+        [
+            [_ev(1, "2024-01-01 10:00:00", user_id=1, event_type="click")],
+            # the global watermark is the MIN across BOTH sides'
+            # watermark nodes, so advancing only the click side would
+            # pin the join watermark at the purchase side's max - 1h;
+            # every advancing batch therefore carries both types
+            # (users 2/99 never pair: no click/purchase of the same
+            # user within 30 minutes).
+            [
+                _ev(2, "2024-01-01 10:10:00", user_id=1, event_type="purchase"),
+                _ev(3, "2024-01-01 20:00:00", user_id=2, event_type="click"),
+                _ev(7, "2024-01-01 20:00:00", user_id=99, event_type="purchase"),
+            ],
+            [
+                _ev(4, "2024-01-01 20:05:00", user_id=2, event_type="click"),
+                _ev(8, "2024-01-01 20:05:00", user_id=99, event_type="purchase"),
+            ],
+            [
+                _ev(6, "2024-01-01 20:10:00", user_id=2, event_type="click"),
+                _ev(9, "2024-01-01 20:10:00", user_id=99, event_type="purchase"),
+            ],
+            # by now the operative watermark (19:00 from batch 1,
+            # committed with the one-batch lag) has evicted the 10:00
+            # click (< 18:30 threshold) and filters the 10:15 purchase
+            # as late input
+            [_ev(5, "2024-01-01 10:15:00", user_id=1, event_type="purchase")],
+        ],
+    )
+    ev = _event_stream_from_json(spark, src)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("click_id", "purchase_id")
+    rows = {(r["click_id"], r["purchase_id"]) for r in _drain(joined, output_mode="append").collect()}
+    assert rows == {(1, 2)}
