@@ -1372,3 +1372,91 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="val",
     )
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-10-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue last quarter.
+    Both fact filters (order date on orders, returnflag on lineitem)
+    are pushed to their scans BEFORE the fact-fact join, nation
+    broadcasts, and the top-20 is a TakeOrderedAndProject — no global
+    sort materializes. Total-order tie-break on custkey pins the LIMIT
+    line for the oracle."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-10-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q18_large_volume",
+    oracle=f"""
+    SELECT c_custkey, c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           {sql_dsum('l_quantity', 'total_qty')}
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 50
+    """,
+)
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity crosses a
+    threshold, with their customers. The HAVING subquery becomes a
+    pre-aggregated semi-join (aggregate once, semi-join the keys back)
+    — the aggregate and the semi-join share the l_orderkey shuffle
+    partitioning, so AQE can reuse the exchange. UTC-pinned date
+    formatting for the oracle."""
+    ensure_utc(spark)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "b_orderkey"),
+                F.col("l_orderkey") == F.col("b_orderkey"), "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey",
+                 F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
+        .agg(dsum(F.col("l_quantity"), "total_qty"))
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(50)
+    )

@@ -33,6 +33,11 @@ SHOWCASE = [
     "ann_ivf_topk",
     "ev_session_windows",
     "mm_features_pandas",
+    "q10_returned_items",
+    "q18_large_volume",
+    "unpivot_measures",
+    "word_typo_pairs",
+    "mm_audio_windows",
 ]
 
 SF = "/root/testdata/sf0.01"
