@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_wordcounter_spark.registry import query
+from mapreduce_wordcounter_spark.registry import ORACLE, query
 from mapreduce_wordcounter_spark.tables import load_table
 
 # --- engine-portable hashing fragments --------------------------------------
@@ -446,3 +446,92 @@ def simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"w{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
     return votes.select("doc_id", sig.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the verified pairs
+# ---------------------------------------------------------------------------
+
+_DUCK_JACCARD_PAIRS = ORACLE["jaccard_near_dup_pairs"]
+
+
+@query(
+    "dedup_components_canonical",
+    oracle=f"""
+    WITH RECURSIVE
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM ({_DUCK_JACCARD_PAIRS}) jp),
+    sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    nodes AS (SELECT DISTINCT a FROM sym),
+    reach(src, dst) AS (
+        SELECT a, a FROM nodes
+        UNION
+        SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a)
+    SELECT src AS doc_id, MIN(dst) AS canonical_id,
+           CAST(src = MIN(dst) AS BOOLEAN) AS is_canonical
+    FROM reach GROUP BY src
+    """,
+)
+def dedup_components_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the verified
+    Jaccard pairs, each doc labeled with its component's minimum doc_id
+    as the canonical representative — the "keep one per duplicate
+    cluster" step that follows pair generation in a training-data
+    dedup pipeline (pairs alone over-delete: A~B, B~C must collapse to
+    ONE canonical even when A~C wasn't emitted).
+
+    Algorithm: iterative min-label propagation (the MapReduce
+    connected-components construction): every node starts as its own
+    label; each round joins labels across the symmetrized edge list
+    and keeps the minimum seen; converges in O(component diameter)
+    rounds — near-dup clusters are shallow (diameter ≤ a few hops), so
+    3-4 rounds in practice, capped defensively. Each round is one
+    shuffle join + one groupBy min, all keyed on doc_id.
+
+    Scale posture: the driver loop only reads a scalar convergence
+    count per round (no data collected); per-round results are
+    localCheckpoint()ed to truncate lineage, the standard guard for
+    iterative DataFrame algorithms. The oracle states the same
+    fixpoint declaratively as a recursive CTE — DuckDB can afford
+    transitive closure at test scale; the iterative form is what runs
+    at 10^9 docs."""
+    edges = jaccard_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sym = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        sym.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(20):  # cap >> any real near-dup component diameter
+        neighbor_min = (
+            sym.join(labels, sym.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "label", F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("canonical_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+    )

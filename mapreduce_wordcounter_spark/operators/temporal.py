@@ -119,3 +119,71 @@ def join_asof_tolerance_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recent_purchase_ts"
         ),
     )
+
+
+@query(
+    "ev_resample_ffill",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS h,
+               arg_max(value, epoch_us(ts)) AS v
+        FROM events GROUP BY 1, 2),
+    bounds AS (
+        SELECT user_id,
+               time_bucket(INTERVAL '1 hour', MIN(ts)) AS h0,
+               time_bucket(INTERVAL '1 hour', MAX(ts)) AS h1
+        FROM events GROUP BY 1),
+    grid AS (
+        SELECT user_id, unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS h
+        FROM bounds)
+    SELECT g.user_id,
+           strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           last_value(hv.v IGNORE NULLS)
+               OVER (PARTITION BY g.user_id ORDER BY g.h) AS value_ffill
+    FROM grid g
+    LEFT JOIN hourly hv ON g.user_id = hv.user_id AND g.h = hv.h
+    """,
+)
+def ev_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: snap each user's events onto a dense
+    hourly grid (their first hour → last hour) and forward-fill gaps
+    with the most recent observed value — the gap-filling primitive
+    under downsampling, feature snapshots, and point-in-time training
+    frames.
+
+    Scale posture: the grid materializes via sequence()+explode on the
+    per-user bounds row — rows ∝ users x hours, generated distributed,
+    never on the driver. Everything shuffles once on user_id (the agg,
+    the join, and the ffill window all share it). The last-in-hour
+    pick is max_by over unix_micros so ties are impossible at µs
+    resolution (verified: no (user, ts) duplicates in the corpus); the
+    ffill is last(ignorenulls) over the event-time order — the same
+    running-last trick as the AS-OF join above."""
+    ensure_utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.expr("max_by(value, unix_micros(ts))").alias("v"))
+    bounds = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            F.last("v", ignorenulls=True).over(w).alias("value_ffill"),
+        )
+    )
