@@ -1460,3 +1460,90 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
         .limit(50)
     )
+
+
+@query(
+    "agg_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS price_per_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics (correlation, sample covariance, regression
+    slope) per group — single-pass CO-moment aggregates, shuffled on
+    the tiny grouping key like every other agg here. Rounded: both
+    engines use numerically stable one-pass updates that agree to
+    ~1e-10 relative, not to the last ulp."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 4).alias(
+            "price_per_qty"
+        ),
+    )
+
+
+@query(
+    "try_functions",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.plan') AS INT) AS plan_as_int,
+           CASE WHEN value = 0 THEN NULL ELSE ROUND(100.0 / value, 6) END AS inv_value,
+           TRY_CAST('not-a-number' AS DOUBLE) AS always_null
+    FROM events
+    WHERE event_type = 'signup'
+    """,
+)
+def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant expressions: try_cast on dirty JSON fields and
+    try_divide instead of a crash on zero — the ANSI-mode-safe way to
+    run projections over messy corpora (one malformed row must not
+    kill a 100 TB scan). NULL is the quarantine value; the oracle
+    states the same nulls declaratively."""
+    e = _t(spark, sf_dir, "events")
+    return e.filter(F.col("event_type") == "signup").select(
+        "event_id",
+        F.expr("try_cast(get_json_object(props, '$.plan') AS INT)").alias(
+            "plan_as_int"
+        ),
+        F.round(F.expr("try_divide(100.0, nullif(value, 0.0))"), 6).alias(
+            "inv_value"
+        ),
+        F.expr("try_cast('not-a-number' AS DOUBLE)").alias("always_null"),
+    )
+
+
+@query(
+    "join_not_in_nulls",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (
+        SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    """,
+)
+def join_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN as a null-aware anti-join — the subtle three-valued-logic
+    cousin of join_anti: if the subquery ever yields NULL, NOT IN is
+    never true and the result must be EMPTY, so Spark plans
+    NullAwareAntiJoin rather than a plain left-anti. Declared through
+    the SQL path because that null-aware semantics is exactly what the
+    DataFrame left_anti join does NOT implement."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("c_v")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("o_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM c_v
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM o_v WHERE o_totalprice > 400000)
+        """
+    )

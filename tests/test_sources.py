@@ -215,3 +215,43 @@ def test_export_single_csv(spark, tmp_path):
     assert len(files) == 1
     back = spark.read.option("header", "true").csv(out)
     assert back.count() == region.count()
+
+
+def test_binaryfile_source_for_media(spark, tmp_path):
+    """The multimodal ingestion path: `binaryFile` reads whole files as
+    (path, modificationTime, length, content: binary) — how raw
+    image/audio payloads enter the engine before the mapInPandas
+    feature extractors (operators/multimodal.py). Partition-parallel:
+    one task per file group, content never touches the driver."""
+    d = tmp_path / "media"
+    d.mkdir()
+    payloads = {f"blob_{i}.bin": bytes([i]) * (100 + i) for i in range(5)}
+    for name, data in payloads.items():
+        (d / name).write_bytes(data)
+    df = spark.read.format("binaryFile").load(str(d))
+    rows = df.select(
+        F.element_at(F.split("path", "/"), -1).alias("name"), "length", "content"
+    ).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert bytes(r["content"]) == payloads[r["name"]]
+        assert r["length"] == len(payloads[r["name"]])
+
+
+def test_observe_metrics_like_reference_summary(spark):
+    """The reference prints elapsed time + distinct-vocabulary size as
+    its run summary (main.go:60,73 — SURVEY.md O13). Spark's native
+    analog is `observe()`: named aggregates collected as a side effect
+    of the action, no second scan. Pinned here so the metrics path
+    stays wired."""
+    from pyspark.sql import Observation
+    from mapreduce_wordcounter_spark.operators.wordcount import wc_counts
+
+    obs = Observation("summary")
+    counts = wc_counts(spark, SF_ORACLE).observe(
+        obs, F.count(F.lit(1)).alias("vocab"), F.sum("cnt").alias("total_tokens")
+    )
+    counts.write.format("noop").mode("overwrite").save()
+    exact_vocab = wc_counts(spark, SF_ORACLE).count()
+    assert obs.get["vocab"] == exact_vocab
+    assert obs.get["total_tokens"] > exact_vocab  # corpus repeats words
