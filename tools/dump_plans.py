@@ -38,6 +38,9 @@ SHOWCASE = [
     "unpivot_measures",
     "word_typo_pairs",
     "mm_audio_windows",
+    "ev_resample_ffill",
+    "dedup_components_canonical",
+    "join_not_in_nulls",
 ]
 
 SF = "/root/testdata/sf0.01"
