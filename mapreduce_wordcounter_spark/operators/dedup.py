@@ -411,7 +411,7 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bb
         GROUP BY doc_id, b)
     SELECT doc_id,
-           SUM(CASE WHEN weight > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+           CAST(SUM(CASE WHEN weight > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id
     """,
 )

@@ -259,7 +259,7 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT o_orderstatus,
            COUNT(*) AS n,
-           SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS n_big,
+           CAST(SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
            {sql_dsum("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END", 'urgent_revenue')}
     FROM orders
     GROUP BY o_orderstatus
@@ -1036,8 +1036,8 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            ABS(l_extendedprice - 30000) AS abs_centered,
-           CEIL(l_discount * 100) AS disc_pct_ceil,
-           FLOOR(l_tax * 100) AS tax_pct_floor,
+           CAST(CEIL(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+           CAST(FLOOR(l_tax * 100) AS BIGINT) AS tax_pct_floor,
            ROUND(l_extendedprice, 1) AS price_r1,
            ROUND(SQRT(l_quantity), 6) AS qty_sqrt,
            ROUND(LN(l_extendedprice), 6) AS price_ln,

@@ -316,7 +316,7 @@ _DUCK_PLANE = "(((1103515245 * (j * 64 + pos) + 12345) % 2001) - 1000)"
         FROM lv CROSS JOIN (SELECT unnest(generate_series(0, {_N_PLANES - 1})) AS j) pj
         GROUP BY vec_id, j)
     SELECT vec_id,
-           SUM(CASE WHEN qdot > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bucket
+           CAST(SUM(CASE WHEN qdot > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
     FROM dots GROUP BY vec_id
     """,
 )
@@ -356,7 +356,7 @@ def lsh_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY vec_id, j),
     buckets AS (
         SELECT vec_id,
-               SUM(CASE WHEN qdot > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bucket
+               CAST(SUM(CASE WHEN qdot > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
         FROM dots GROUP BY vec_id)
     SELECT bucket, COUNT(*) AS n_vectors,
            CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS n_candidate_pairs

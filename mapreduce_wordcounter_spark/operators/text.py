@@ -332,7 +332,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lang_marker_score",
     oracle=f"""
     SELECT doc_id,
-           SUM(CASE WHEN word IN ('the', 'a', 'is', 'and') THEN 1 ELSE 0 END) AS en_hits,
+           CAST(SUM(CASE WHEN word IN ('the', 'a', 'is', 'and') THEN 1 ELSE 0 END) AS BIGINT) AS en_hits,
            COUNT(*) AS n_tokens,
            CAST(SUM(CASE WHEN word IN ('the', 'a', 'is', 'and') THEN 1 ELSE 0 END) AS DOUBLE)
                / COUNT(*) AS en_score
