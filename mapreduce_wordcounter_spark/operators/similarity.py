@@ -155,6 +155,135 @@ def embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- bucketed top-pairs: the scale path for embedding near-dup pairs --------
+#
+# Multi-table random-hyperplane LSH: _TP_TABLES independent tables of
+# _TP_BITS sign bits each (single-table LSH has poor recall; OR-ing L
+# tables gives recall 1-(1-p^bits)^L for per-plane collision prob
+# p = 1 - theta/pi). Planes come from the same LCG family as the
+# single-table query above, indexed by global plane id p = t*bits+bit.
+_TP_TABLES = 6
+_TP_BITS = 5
+
+
+def _tp_qdot_expr(p: int) -> str:
+    """Quantized dot of `embedding` against LCG plane ``p`` as ONE
+    narrow per-row expression: build the plane's coefficient vector with
+    transform(sequence(...)), multiply element-wise, quantize each term
+    to a long, and left-fold. No explode, no shuffle — bucketing is a
+    map-only stage (unlike the long-form single-table query above, which
+    exists to mirror the oracle's relational shape)."""
+    p64 = p * 64
+    return (
+        "aggregate(zip_with(embedding, "
+        f"transform(sequence(0, size(embedding) - 1), pos -> "
+        f"(((CAST(1103515245 AS BIGINT) * ({p64} + pos) + 12345) % 2001) - 1000)), "
+        "(x, c) -> CAST(FLOOR(CAST(x AS DOUBLE) * c * 1000.0 + 0.5) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def _tp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, t, bucket) — one bucket id per vector per LSH table,
+    computed map-side; the only wide op downstream is the bucket join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    tables = []
+    for t in range(_TP_TABLES):
+        bucket = None
+        for bit in range(_TP_BITS):
+            p = t * _TP_BITS + bit
+            term = (
+                F.when(F.expr(_tp_qdot_expr(p)) > 0, F.lit(1 << bit).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            )
+            bucket = term if bucket is None else bucket + term
+        tables.append(F.struct(F.lit(t).alias("t"), bucket.alias("bucket")))
+    return emb.select("vec_id", F.explode(F.array(*tables)).alias("tb")).select(
+        "vec_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
+    )
+
+
+_DUCK_TP_BUCKETS = f"""
+    WITH planes AS (
+        SELECT ts.t, bs.bit, ts.t * {_TP_BITS} + bs.bit AS p
+        FROM (SELECT unnest(generate_series(0, {_TP_TABLES - 1})) AS t) ts,
+             (SELECT unnest(generate_series(0, {_TP_BITS - 1})) AS bit) bs),
+    qd AS (
+        SELECT e.vec_id, pl.t, pl.bit,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(generate_series(1, len(e.embedding)),
+                   i -> CAST(FLOOR(e.embedding[i]::DOUBLE *
+                        (((CAST(1103515245 AS BIGINT) * (pl.p * 64 + i - 1) + 12345)
+                          % 2001) - 1000)
+                        * 1000.0 + 0.5) AS BIGINT))),
+                 (acc, v) -> acc + v) AS qdot
+        FROM embeddings e CROSS JOIN planes pl),
+    tp_buckets AS (
+        SELECT vec_id, t,
+               CAST(SUM(CASE WHEN qdot > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+                    AS BIGINT) AS bucket
+        FROM qd GROUP BY vec_id, t)
+"""
+
+
+@query(
+    "embedding_top_pairs_bucketed",
+    oracle=f"""
+    {_DUCK_TP_BUCKETS},
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM tp_buckets a JOIN tp_buckets b
+          ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT c.vec_a, c.vec_b,
+           ROUND({_DUCK_DOT.format(a='ea.embedding', b='eb.embedding')}
+                 / ({_DUCK_NORM.format(v='ea.embedding')} * {_DUCK_NORM.format(v='eb.embedding')}),
+                 6) AS cosine
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.vec_a
+    JOIN embeddings eb ON eb.vec_id = c.vec_b
+    ORDER BY cosine DESC, vec_a, vec_b
+    LIMIT 20
+    """,
+)
+def embedding_top_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for `embedding_top_pairs`: candidate pairs come from a
+    bucket equi-join over 6 LSH tables (map-side bucketing,
+    DISTINCT pair dedup, then exact cosine on candidates only + global
+    top-20). Replaces the baseline's O(n²) BroadcastNestedLoopJoin with
+    shuffles proportional to bucket occupancy — the same
+    candidate-then-verify shape as the MinHash-LSH dedup pipeline.
+    Approximate by construction: pairs that never co-bucket are unseen
+    (recall vs the exact baseline is pinned on planted clustered data in
+    tests/test_similarity_quality.py)."""
+    b = _tp_buckets(spark, sf_dir)
+    a = b.select(F.col("vec_id").alias("vec_a"), "t", "bucket")
+    c = b.select(F.col("vec_id").alias("vec_b"), "t", "bucket")
+    cand = (
+        a.join(c, ["t", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = F.round(
+        F.expr(_SPARK_DOT.format(a="ea", b="eb"))
+        / (
+            F.expr(f"sqrt({_SPARK_DOT.format(a='ea', b='ea')})")
+            * F.expr(f"sqrt({_SPARK_DOT.format(a='eb', b='eb')})")
+        ),
+        6,
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(20)
+    )
+
+
 # Long-form (vec_id, pos, x) view used by centroid/IVF queries.
 _DUCK_LONG = """
     SELECT vec_id, label, i - 1 AS pos, embedding[i]::DOUBLE AS x

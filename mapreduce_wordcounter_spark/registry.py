@@ -74,8 +74,8 @@ DRIVER_WINDOW: list[str] = [
     "ann_ivf_topk",
     "lsh_hyperplane_buckets",
     "lsh_bucket_candidates",
-    "label_centroids",
     "embedding_top_pairs",
+    "embedding_top_pairs_bucketed",
     # streaming (batch-equivalence oracles)
     "ev_tumbling_hourly",
     "ev_session_windows",

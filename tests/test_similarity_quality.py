@@ -93,6 +93,27 @@ def test_lsh_buckets_separate_clusters(spark, clustered_sf):
     assert (multi["nunique"] / multi["count"]).mean() < 0.5
 
 
+def test_bucketed_top_pairs_recall_on_clustered_data(spark, clustered_sf):
+    """The bucketed (multi-table LSH) top-pairs scale path must recover
+    the overwhelming share of the exact top-20 pairs when those pairs
+    are genuinely similar (intra-cluster cosine ~0.99 → per-plane
+    collision prob ~0.97 → 6-table recall ≈ 1). This is the regime the
+    operator exists for: near-duplicate embedding detection."""
+    exact = _QUERIES["embedding_top_pairs"](spark, clustered_sf).toPandas()
+    bucketed = _QUERIES["embedding_top_pairs_bucketed"](spark, clustered_sf).toPandas()
+    want = {(a, b) for a, b in zip(exact.vec_a, exact.vec_b)}
+    got = {(a, b) for a, b in zip(bucketed.vec_a, bucketed.vec_b)}
+    assert len(want & got) / len(want) >= 0.75, (
+        f"bucketed top-pairs recall {len(want & got)}/{len(want)}"
+    )
+    # Every reported pair must carry its true (exact-formula) cosine —
+    # the approximation is in candidate generation only, never scoring.
+    by_pair = {(a, b): c for a, b, c in zip(exact.vec_a, exact.vec_b, exact.cosine)}
+    for a, b, c in zip(bucketed.vec_a, bucketed.vec_b, bucketed.cosine):
+        if (a, b) in by_pair:
+            assert abs(by_pair[(a, b)] - c) < 1e-9
+
+
 @pytest.fixture(scope="module")
 def nearly_dup_sf(spark, tmp_path_factory):
     """Documents with planted duplicate structure: 5 exact-dup pairs,
@@ -100,7 +121,10 @@ def nearly_dup_sf(spark, tmp_path_factory):
     rng = random.Random(7)
     # Alphabetic-only vocab: the tokenizer treats digits as separators,
     # so "w123"-style words would all collapse to the single token "w".
-    vocab = list(
+    # sorted(): set iteration order of *strings* depends on the
+    # per-process PYTHONHASHSEED — without it the planted corpus (and
+    # the Hamming-distance margins below) silently differ between runs.
+    vocab = sorted(
         {
             "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(6))
             for _ in range(500)
