@@ -1,0 +1,98 @@
+"""Command-line word counter — the reference's user-facing surface.
+
+The reference binary is ``./wordcounter [-profile=...] file1 file2 …``
+(main.go:25-74): it errors out when no files are given (main.go:61-64),
+tokenizes each file into maximal runs of Unicode letters, lowercases,
+counts, and prints the count table (printResult, main.go:173-181) plus
+the distinct-word total (main.go:73).
+
+Spark-first mapping: ``spark.read.text(paths)`` is the chunked
+work-queue file reader (O1-O3 — Spark's file source splits large files
+and schedules the chunks across executors, which is what the
+reference's 1 MB-buffer worker pool hand-builds), and the count is the
+same explode/groupBy pipeline as ``wc_counts``. The ``--explain`` flag
+is the plan-level analog of the reference's ``-profile`` switch; the
+runtime half of O14 lives in tools/op_times.py.
+
+Output rows are printed count-descending (word as tie-break) — the
+reference iterates Go map order, i.e. deliberately unordered
+(main.go:177-180), so any deterministic order is semantics-preserving.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def count_words(spark: SparkSession, paths: Sequence[str]) -> DataFrame:
+    """(word, cnt) over arbitrary text files — wc_counts semantics
+    (SURVEY.md Appendix A) applied to ``spark.read.text`` lines instead
+    of the documents table."""
+    from mapreduce_wordcounter_spark.operators.wordcount import TOKEN_SEP
+
+    lines = spark.read.text(list(paths))
+    return (
+        lines.select(
+            F.explode(F.split(F.lower(F.col("value")), TOKEN_SEP)).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def main(argv: Sequence[str] | None = None, spark: SparkSession | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="python -m mapreduce_wordcounter_spark",
+        description="Count word occurrences across text files (Spark).",
+    )
+    parser.add_argument("files", nargs="*", help="text files to process")
+    parser.add_argument(
+        "--top",
+        type=int,
+        default=0,
+        metavar="N",
+        help="print only the N most frequent words (default: all)",
+    )
+    parser.add_argument(
+        "--explain",
+        action="store_true",
+        help="also print the formatted physical plan (profiling analog)",
+    )
+    args = parser.parse_args(argv)
+
+    if not args.files:
+        # Reference: log.Error("No files to process") + exit (main.go:61-64).
+        print("error: no files to process", file=sys.stderr)
+        return 2
+
+    started = time.monotonic()
+    own_session = spark is None
+    if own_session:
+        from mapreduce_wordcounter_spark.session import get_spark
+
+        spark = get_spark("wordcounter-cli")
+
+    counts = count_words(spark, args.files)
+    if args.explain:
+        counts.explain("formatted")
+    ordered = counts.orderBy(F.desc("cnt"), F.asc("word"))
+    rows = (ordered.limit(args.top) if args.top > 0 else ordered).collect()
+
+    print(f"{'Count':<10}Word")
+    print(f"{'-----':<10}----")
+    for r in rows:
+        print(f"{r['cnt']:<10}{r['word']}")
+    elapsed = time.monotonic() - started
+    print(f"Processing took: {elapsed:.3f}s")
+    print(f"Total words: {counts.count()}")
+
+    if own_session:
+        spark.stop()
+    return 0
