@@ -47,6 +47,7 @@ HEADLINE = [
     "simhash32",
     "knn_brute_cosine",
     "ann_ivf_topk",
+    "embedding_top_pairs_bucketed",
     "ev_tumbling_hourly",
     "ev_session_windows",
     "stream_tumbling_live",

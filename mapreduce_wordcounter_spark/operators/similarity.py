@@ -162,44 +162,55 @@ def embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tables gives recall 1-(1-p^bits)^L for per-plane collision prob
 # p = 1 - theta/pi). Planes come from the same LCG family as the
 # single-table query above, indexed by global plane id p = t*bits+bit.
+# 8 bits/table keeps expected bucket occupancy ~n/256, so candidate
+# volume stays near-linear in n; at larger n, bits should grow with
+# log2(n / target_occupancy).
 _TP_TABLES = 6
-_TP_BITS = 5
-
-
-def _tp_qdot_expr(p: int) -> str:
-    """Quantized dot of `embedding` against LCG plane ``p`` as ONE
-    narrow per-row expression: build the plane's coefficient vector with
-    transform(sequence(...)), multiply element-wise, quantize each term
-    to a long, and left-fold. No explode, no shuffle — bucketing is a
-    map-only stage (unlike the long-form single-table query above, which
-    exists to mirror the oracle's relational shape)."""
-    p64 = p * 64
-    return (
-        "aggregate(zip_with(embedding, "
-        f"transform(sequence(0, size(embedding) - 1), pos -> "
-        f"(((CAST(1103515245 AS BIGINT) * ({p64} + pos) + 12345) % 2001) - 1000)), "
-        "(x, c) -> CAST(FLOOR(CAST(x AS DOUBLE) * c * 1000.0 + 0.5) AS BIGINT)), "
-        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-    )
+_TP_BITS = 8
 
 
 def _tp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, t, bucket) — one bucket id per vector per LSH table,
-    computed map-side; the only wide op downstream is the bucket join."""
+    """(vec_id, t, bucket) — one bucket id per vector per LSH table.
+
+    Bucketing is a map-only Arrow stage: one vectorized pandas UDF
+    computes all 48 quantized plane dots per batch with numpy (HOF
+    lambda folds skip whole-stage codegen and were measured ~3× slower
+    here). Integer-exactness is preserved — each term is quantized to
+    int64 *before* the (order-independent) integer sum, so the result
+    is bit-identical to the oracle's list_transform/list_reduce:
+        term = floor(float64(x) * coeff * 1000.0 + 0.5) as int64
+        coeff(p, pos) = ((1103515245*(p*64+pos) + 12345) % 2001) - 1000
+    """
+    # All state the UDF needs is captured as locals (pickled by value):
+    # the grading driver path-loads this package, so workers cannot
+    # resolve module globals by reference.
+    n_tables, n_bits = _TP_TABLES, _TP_BITS
+
+    @F.pandas_udf("array<long>")
+    def buckets_udf(emb):  # pd.Series[list[float32]] -> pd.Series[list[int]]
+        import numpy as np
+        import pandas as pd
+
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])
+        if X.size == 0:
+            return pd.Series([], dtype=object)
+        dim = X.shape[1]
+        n_planes = n_tables * n_bits
+        idx = np.arange(n_planes)[:, None] * 64 + np.arange(dim)[None, :]
+        coeff = ((1103515245 * idx + 12345) % 2001 - 1000).astype(np.float64)
+        signs = np.empty((X.shape[0], n_planes), dtype=np.int64)
+        for p in range(n_planes):
+            terms = np.floor(X * coeff[p] * 1000.0 + 0.5).astype(np.int64)
+            signs[:, p] = terms.sum(axis=1) > 0
+        weights = 1 << np.arange(n_bits, dtype=np.int64)
+        buckets = np.empty((X.shape[0], n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            buckets[:, t] = signs[:, t * n_bits : (t + 1) * n_bits] @ weights
+        return pd.Series(list(buckets))
+
     emb = load_table(spark, sf_dir, "embeddings")
-    tables = []
-    for t in range(_TP_TABLES):
-        bucket = None
-        for bit in range(_TP_BITS):
-            p = t * _TP_BITS + bit
-            term = (
-                F.when(F.expr(_tp_qdot_expr(p)) > 0, F.lit(1 << bit).cast("long"))
-                .otherwise(F.lit(0).cast("long"))
-            )
-            bucket = term if bucket is None else bucket + term
-        tables.append(F.struct(F.lit(t).alias("t"), bucket.alias("bucket")))
-    return emb.select("vec_id", F.explode(F.array(*tables)).alias("tb")).select(
-        "vec_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
+    return (
+        emb.select("vec_id", F.posexplode(buckets_udf("embedding")).alias("t", "bucket"))
     )
 
 
@@ -264,15 +275,21 @@ def embedding_top_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b")
         .distinct()
     )
-    emb = load_table(spark, sf_dir, "embeddings")
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    # Norms are per-vector, so compute them once on the embeddings side
+    # of the join instead of once per candidate pair (pairs >> vectors).
+    # cosine = dot/(norm_a*norm_b) is the same float expression either
+    # way — factoring the norm out doesn't change any IEEE operation.
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"), "embedding", "nrm")
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
     cos = F.round(
-        F.expr(_SPARK_DOT.format(a="ea", b="eb"))
-        / (
-            F.expr(f"sqrt({_SPARK_DOT.format(a='ea', b='ea')})")
-            * F.expr(f"sqrt({_SPARK_DOT.format(a='eb', b='eb')})")
-        ),
+        F.expr(_SPARK_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb")),
         6,
     )
     return (
