@@ -29,7 +29,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from mapreduce_wordcounter_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from mapreduce_wordcounter_spark.functions.numeric import (
+    SCALE,
+    davg,
+    dsum,
+    quantize,
+    sql_davg,
+    sql_dsum,
+)
 from mapreduce_wordcounter_spark.registry import query
 from mapreduce_wordcounter_spark.session import ensure_utc
 from mapreduce_wordcounter_spark.tables import load_table
@@ -1546,4 +1553,213 @@ def join_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_custkey NOT IN (
             SELECT o_custkey FROM o_v WHERE o_totalprice > 400000)
         """
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount', 'revenue')}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global aggregate, no join. The
+    benchmark's predicate-pushdown showcase — every predicate reaches
+    the parquet scan (min/max row-group pruning on l_shipdate), and the
+    aggregate is a single partial→final pair over the surviving rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    )
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL '80 days')
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted: this schema has no commit/receipt dates,
+    so "late" = shipped >80 days after order date): EXISTS decorrelates
+    to a LEFT SEMI join on orderkey with the date bound as a join-side
+    predicate — orders shuffle once, lineitem is semi-reduced before the
+    aggregate, and no lineitem columns survive the join."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 80 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+@query(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT
+        {sql_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END",
+                  'promo_revenue')},
+        {sql_dsum('l_extendedprice * (1 - l_discount)', 'total_revenue')},
+        ROUND(
+            CAST(SUM(CAST(FLOOR((CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0 END) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+            * 100.0
+            / CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5)
+                            AS BIGINT)) AS DOUBLE),
+            6) AS promo_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: one month of lineitem joined to the part
+    dimension (broadcast — 2k rows at sf0.01, and still broadcastable at
+    100 TB where part is ~0.2% of lineitem), conditional revenue share
+    of PROMO-type parts. The percentage is computed from the two
+    quantized integer sums, so the ratio is engine-exact."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+    q_promo = F.sum(quantize(promo))
+    q_total = F.sum(quantize(rev))
+    return joined.agg(
+        (q_promo.cast("double") / SCALE).alias("promo_revenue"),
+        (q_total.cast("double") / SCALE).alias("total_revenue"),
+        F.round(q_promo.cast("double") * 100.0 / q_total.cast("double"), 6).alias(
+            "promo_pct"
+        ),
+    )
+
+
+@query(
+    "q19_discounted_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (adapted to this schema's brands/sizes): an OR of
+    three brand/size/quantity brackets across a fact-dimension join.
+    The join key predicate is an equi-join; the disjunction becomes a
+    post-join filter Catalyst partially pushes to each side (the
+    brand/size disjunction prunes part before broadcast, the quantity
+    range prunes lineitem at the scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    joined = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#19")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.filter(bracket).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+    )
+
+
+@query(
+    "window_qualify_pareto",
+    oracle="""
+    SELECT o_orderstatus, o_orderkey, o_totalprice,
+           ROUND(CAST(cum_q AS DOUBLE) / CAST(tot_q AS DOUBLE), 6) AS cum_share
+    FROM (
+        SELECT o_orderstatus, o_orderkey, o_totalprice,
+               SUM(CAST(FLOOR(o_totalprice * 1000000.0 + 0.5) AS BIGINT))
+                   OVER (PARTITION BY o_orderstatus
+                         ORDER BY o_totalprice DESC, o_orderkey
+                         ROWS UNBOUNDED PRECEDING) AS cum_q,
+               CAST(FLOOR(o_totalprice * 1000000.0 + 0.5) AS BIGINT) AS row_q,
+               SUM(CAST(FLOOR(o_totalprice * 1000000.0 + 0.5) AS BIGINT))
+                   OVER (PARTITION BY o_orderstatus) AS tot_q
+        FROM orders
+        QUALIFY (cum_q - row_q) * 100 < tot_q * 2) t
+    """,
+)
+def window_qualify_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY-style window filter (Pareto head): within each order
+    status, keep the top orders until their cumulative revenue passes 2%
+    of the segment total. The oracle states it with DuckDB's QUALIFY
+    clause; Spark has no QUALIFY, so the same predicate filters the
+    windowed projection — which is precisely what QUALIFY desugars to.
+    The threshold comparison is pure BIGINT arithmetic on quantized
+    prices, so membership is engine-exact (no float cumsum at the
+    boundary)."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    row_q = quantize(F.col("o_totalprice"))
+    w_cum = (
+        W.partitionBy("o_orderstatus")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_tot = W.partitionBy("o_orderstatus")
+    return (
+        o.select(
+            "o_orderstatus",
+            "o_orderkey",
+            "o_totalprice",
+            F.sum(row_q).over(w_cum).alias("cum_q"),
+            row_q.alias("row_q"),
+            F.sum(row_q).over(w_tot).alias("tot_q"),
+        )
+        .filter((F.col("cum_q") - F.col("row_q")) * 100 < F.col("tot_q") * 2)
+        .select(
+            "o_orderstatus",
+            "o_orderkey",
+            "o_totalprice",
+            F.round(F.col("cum_q").cast("double") / F.col("tot_q").cast("double"), 6).alias(
+                "cum_share"
+            ),
+        )
     )

@@ -337,3 +337,88 @@ def stream_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
     return spark.table(name)
+
+
+def foreach_batch_upsert(
+    spark: SparkSession, agg: DataFrame, target_dir: str, key_cols: list[str] | None = None
+) -> DataFrame:
+    """Drain an update-mode streaming aggregate through ``foreachBatch``
+    into a parquet upsert target, and return the target's latest state.
+
+    The canonical custom-sink pattern for sinks with no native streaming
+    writer (JDBC, key-value stores, MERGE targets): update mode emits
+    only keys whose aggregate changed in each micro-batch; the batch
+    callback appends them stamped with the epoch id, and readers resolve
+    the current value as "highest epoch per key". Append + epoch-rank
+    keeps the sink idempotent under micro-batch replay (same epoch
+    re-appended → same rank winner), which is exactly-once delivery in
+    the sense Structured Streaming guarantees for foreachBatch. The
+    callback runs a *distributed* write (no driver-side collect) — at
+    100 TB this is a parquet/Delta MERGE per batch, nothing else changes.
+    """
+    from pyspark.sql import Window as W
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(target_dir)
+        )
+
+    with stream_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", target_dir + "_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+    state = spark.read.parquet(target_dir)
+    if key_cols is None:  # default: everything left of the agg columns
+        key_cols = [c for c in state.columns if c not in ("n", "sum_value", "epoch")]
+    w = W.partitionBy(*key_cols).orderBy(F.desc("epoch"))
+    return (
+        state.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "epoch")
+    )
+
+
+@query(
+    "stream_foreach_batch_upsert",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_DFMT}') AS window_start,
+           event_type, COUNT(*) AS n,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling aggregation delivered through a foreachBatch upsert
+    sink instead of the memory sink: update-mode micro-batches append
+    epoch-stamped deltas to a parquet target, and the returned state is
+    latest-epoch-per-key — which after a full drain must equal the batch
+    aggregate (same oracle as ev_tumbling_hourly). Multi-epoch upsert
+    behavior (later batches overwriting earlier keys) is pinned in
+    tests/test_streaming.py over a multi-file source."""
+    import tempfile
+
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum(F.col("value"), "sum_value"))
+        .select(
+            F.date_format("w.start", _FMT).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    target = tempfile.mkdtemp(prefix="fbu_") + "/target"
+    return foreach_batch_upsert(spark, agg, target)

@@ -403,3 +403,41 @@ def test_stream_stream_join_buffers_then_evicts(spark, tmp_path):
     ).select("click_id", "purchase_id")
     rows = {(r["click_id"], r["purchase_id"]) for r in _drain(joined, output_mode="append").collect()}
     assert rows == {(1, 2)}
+
+def test_foreach_batch_upsert_multi_epoch(spark, tmp_path):
+    """foreachBatch upsert sink: three micro-batches hit the same
+    window key with growing counts; the target accumulates one
+    epoch-stamped row per update, and latest-epoch-per-key resolution
+    must equal the batch aggregate over all events (later epochs
+    overwrite earlier — the MERGE semantic)."""
+    from mapreduce_wordcounter_spark.streaming.windows import foreach_batch_upsert
+
+    src = _write_batches(
+        spark,
+        tmp_path,
+        [
+            [_ev(1, "2024-01-01 10:05:00", value=1.0)],
+            [_ev(2, "2024-01-01 10:15:00", value=2.0)],  # same 10:00 window
+            [_ev(3, "2024-01-01 11:05:00", value=4.0)],  # new 11:00 window
+        ],
+    )
+    agg = (
+        _event_stream_from_json(spark, src)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.date_format("w.start", "HH:mm").alias("ws"), "n", "sum_value")
+    )
+    target = str(tmp_path / "upsert_target")
+    final = foreach_batch_upsert(spark, agg, target, key_cols=["ws"])
+    got = {r["ws"]: (r["n"], r["sum_value"]) for r in final.collect()}
+    assert got == {"10:00": (2, 3.0), "11:00": (1, 4.0)}
+    # The raw target must show the upsert history: the 10:00 key was
+    # written in two different epochs (update mode re-emits changed keys).
+    raw = spark.read.parquet(target).toPandas()
+    assert raw[raw.ws == "10:00"].epoch.nunique() == 2
+
+
+def test_stream_foreach_batch_upsert_equals_batch(spark):
+    live = _QUERIES["stream_foreach_batch_upsert"](spark, SF_ORACLE)
+    batch = _QUERIES["ev_tumbling_hourly"](spark, SF_ORACLE)
+    assert _canon(live).equals(_canon(batch))

@@ -41,6 +41,12 @@ SHOWCASE = [
     "ev_resample_ffill",
     "dedup_components_canonical",
     "join_not_in_nulls",
+    "embedding_top_pairs_bucketed",
+    "q6_forecast_revenue",
+    "q4_order_priority",
+    "q14_promo_revenue",
+    "q19_discounted_revenue",
+    "window_qualify_pareto",
 ]
 
 SF = "/root/testdata/sf0.01"
