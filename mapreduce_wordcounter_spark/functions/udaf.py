@@ -69,3 +69,88 @@ def udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted.groupBy("event_type").agg(
         F.round(wmean("value", "w"), 6).alias("wmean_value")
     )
+
+
+@query(
+    "grouped_ols_slope",
+    oracle="""
+    WITH pts AS (
+        SELECT o_custkey,
+               epoch_us(o_orderdate) // 86400000000 AS x,
+               CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS y
+        FROM orders),
+    s AS (
+        SELECT o_custkey, COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM pts GROUP BY o_custkey)
+    SELECT o_custkey, n AS n_orders,
+           CAST(FLOOR((CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0)
+                      * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS slope
+    FROM s
+    WHERE n >= 2 AND n * sxx - sx * sx > 0
+    """,
+)
+def grouped_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas``: per-customer OLS slope of order
+    total (dollars/day) over the order date — the per-group model-fit
+    pattern (each group's rows land in one pandas frame; numpy does the
+    math). The engine's third Pandas-API class after grouped-agg
+    (udaf_weighted_mean) and map-batches (mm_features_pandas).
+
+    Cross-engine exactness: inputs are integerized first (days since
+    epoch; price in cents via floor(p*100+0.5)), the five OLS sums are
+    exact int64 arithmetic (order-independent), and the closed form
+    slope = (n·Sxy − Sx·Sy)/(n·Sxx − Sx²) goes through the identical
+    float64 divide/quantize in numpy and DuckDB. Degenerate groups
+    (n<2 or zero date variance) are dropped on both sides.
+
+    Scale posture: one shuffle on the group key; each group must fit in
+    one pandas frame — true for per-customer order history at any scale
+    (bounded group), the same boundedness argument as the UDAF above.
+    """
+    o = _t_orders(spark, sf_dir)
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        import numpy as np
+        import pandas as pd  # noqa: F811 — worker-side import by value
+
+        x = pdf["x"].to_numpy(np.int64)
+        y = pdf["y"].to_numpy(np.int64)
+        n = len(x)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxx, sxy = int((x * x).sum()), int((x * y).sum())
+        den = n * sxx - sx * sx
+        if n < 2 or den == 0:
+            return pd.DataFrame({"o_custkey": [], "n_orders": [], "slope": []}).astype(
+                {"o_custkey": "int64", "n_orders": "int64", "slope": "float64"}
+            )
+        raw = (n * sxy - sx * sy) / den / 100.0
+        slope = math.floor(raw * 1_000_000.0 + 0.5) / 1_000_000.0
+        return pd.DataFrame(
+            {
+                "o_custkey": [int(pdf["o_custkey"].iloc[0])],
+                "n_orders": [n],
+                "slope": [slope],
+            }
+        )
+
+    return o.groupBy("o_custkey").applyInPandas(
+        fit, "o_custkey long, n_orders long, slope double"
+    )
+
+
+def _t_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    # o_orderdate is TIMESTAMP_NTZ (midnight-aligned): days since epoch
+    # via datediff == DuckDB's epoch_us // 86400e6 on naive timestamps.
+    return o.select(
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("y"),
+    )

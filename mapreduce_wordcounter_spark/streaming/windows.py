@@ -422,3 +422,63 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     target = tempfile.mkdtemp(prefix="fbu_") + "/target"
     return foreach_batch_upsert(spark, agg, target)
+
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+@query(
+    "stream_wc_counts",
+    oracle="""
+    SELECT word, COUNT(*) AS cnt
+    FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^\\p{L}]+')) AS word
+          FROM documents) t
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def stream_wc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship word count as a live Structured Streaming query —
+    the reference pipeline (tokenize → normalize → filter → count,
+    main.go:115-171) run over an unbounded document source and drained
+    with availableNow into a memory sink. Same oracle as wc_counts:
+    batch-equivalence IS the correctness contract. Complete output mode
+    because word counts are a global, ever-updating aggregate (at
+    production scale this is update mode + a foreachBatch MERGE — see
+    stream_foreach_batch_upsert for exactly that sink)."""
+    from mapreduce_wordcounter_spark.operators.wordcount import TOKEN_SEP
+
+    ensure_utc(spark)
+    docs = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    counts = (
+        docs.select(F.explode(F.split(F.lower(F.col("text")), TOKEN_SEP)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    name = "stream_wc_" + uuid.uuid4().hex[:8]
+    with stream_shuffle_partitions(spark):
+        q = (
+            counts.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    return spark.table(name)

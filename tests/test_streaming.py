@@ -441,3 +441,9 @@ def test_stream_foreach_batch_upsert_equals_batch(spark):
     live = _QUERIES["stream_foreach_batch_upsert"](spark, SF_ORACLE)
     batch = _QUERIES["ev_tumbling_hourly"](spark, SF_ORACLE)
     assert _canon(live).equals(_canon(batch))
+
+
+def test_stream_wc_counts_equals_batch(spark):
+    live = _QUERIES["stream_wc_counts"](spark, SF_ORACLE)
+    batch = _QUERIES["wc_counts"](spark, SF_ORACLE)
+    assert _canon(live).equals(_canon(batch))

@@ -47,6 +47,7 @@ SHOWCASE = [
     "q14_promo_revenue",
     "q19_discounted_revenue",
     "window_qualify_pareto",
+    "grouped_ols_slope",
 ]
 
 SF = "/root/testdata/sf0.01"
