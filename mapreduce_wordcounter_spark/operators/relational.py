@@ -1763,3 +1763,35 @@ def window_qualify_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+    WITH a AS (
+        SELECT NULLIF(o_orderpriority, '5-LOW') AS k, COUNT(*) AS n_orders
+        FROM orders GROUP BY 1),
+    b AS (
+        SELECT NULLIF(o_orderpriority, '5-LOW') AS k,
+               COUNT(DISTINCT o_custkey) AS n_cust
+        FROM orders GROUP BY 1)
+    SELECT a.k AS priority_key, a.n_orders, b.n_cust
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantic a plain
+    equi-join silently drops. Both sides NULLIF one priority group so
+    the NULL-keyed row exists and must survive the join. Spark treats
+    `eqNullSafe` as a hash-joinable key (no nested loop), so the plan is
+    the same single-shuffle hash join as join_fact_revenue."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.nullif(F.col("o_orderpriority"), F.lit("5-LOW"))
+    a = o.groupBy(k.alias("ak")).agg(F.count("*").alias("n_orders"))
+    b = o.groupBy(k.alias("bk")).agg(
+        F.countDistinct("o_custkey").alias("n_cust")
+    )
+    return a.join(b, F.col("ak").eqNullSafe(F.col("bk"))).select(
+        F.col("ak").alias("priority_key"), "n_orders", "n_cust"
+    )

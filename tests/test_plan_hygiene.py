@@ -1,0 +1,74 @@
+"""Repo-wide plan-hygiene sweep: EVERY registered batch query is built
+(plan-time only — no jobs run) and its physical plan checked for the
+two unconditional scale-killers:
+
+- a cartesian product / broadcast nested-loop join, and
+- a row-at-a-time Python UDF (BatchEvalPython).
+
+The showcase queries get deeper pinned properties in tests/test_plans.py;
+this sweep exists so a *new* query can't land with a quadratic join or a
+row-Python hot path without explicitly declaring it below.
+
+Streaming queries (stream_*) execute their drain inside the query
+function, so they are excluded here — their plans are exercised by
+tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_wordcounter_spark.plans.inspect import physical_plan
+from mapreduce_wordcounter_spark.registry import all_queries
+from tests.conftest import SF_ORACLE
+
+_QUERIES = all_queries()
+
+# Documented exact baselines whose quadratic join is the point (each has
+# a bucketed/LSH scale twin registered alongside):
+_ALLOWED_QUADRATIC = {
+    "embedding_top_pairs",  # all-pairs theta join; twin: embedding_top_pairs_bucketed
+    "jaccard_near_dup_pairs",  # exact shingle self-join; twin: lsh_* pipeline
+    "dedup_components_canonical",  # reuses the jaccard exact baseline as edge input
+    "knn_brute_cosine",  # broadcast-queries x corpus scan: the exactness oracle
+    "lsh_verified_pairs",  # verification reuses the jaccard-pair shape on candidates
+}
+
+# BroadcastNestedLoopJoin whose build side is CONSTANT-BOUNDED (a scalar,
+# a literal band table, an 8-row plane table, a LIMIT-capped vocab): the
+# work is O(N · k) for fixed small k, not O(N²) — fine at any scale.
+_ALLOWED_BOUNDED_BNLJ = {
+    "join_range_bands",  # 3-row literal price-band table
+    "lsh_hyperplane_buckets",  # 8-row plane table cross (long-form oracle twin)
+    "lsh_bucket_candidates",  # same plane cross, one level down
+    "scalar_subquery",  # 1-row aggregate scalar as the build side
+    "tf_idf",  # 1-row corpus-size scalar joined onto df counts
+    "word_typo_pairs",  # vocab LIMIT-capped before the edit-distance theta join
+}
+
+# The deliberately-Python surface: the real UDTF twin of the native
+# tokenizer (its JVM explode/split twin wc_counts is the hot path).
+_ALLOWED_PYTHON = {"udtf_tokenize_counts"}
+
+_BATCH_QUERIES = sorted(n for n in _QUERIES if not n.startswith("stream_"))
+
+
+@pytest.mark.parametrize("name", _BATCH_QUERIES)
+def test_no_scale_killers(name, spark):
+    plan = physical_plan(_QUERIES[name](spark, SF_ORACLE))
+    if name not in _ALLOWED_QUADRATIC:
+        assert "CartesianProduct" not in plan, (
+            f"{name}: plans a cartesian product — add a bucketed twin or "
+            f"whitelist with justification"
+        )
+        if name not in _ALLOWED_BOUNDED_BNLJ:
+            assert "BroadcastNestedLoop" not in plan, (
+                f"{name}: plans a nested-loop join — if the build side is "
+                f"constant-bounded, whitelist with justification; otherwise "
+                f"add a bucketed twin"
+            )
+    if name not in _ALLOWED_PYTHON:
+        assert "BatchEvalPython" not in plan, (
+            f"{name}: row-at-a-time Python UDF in the plan — use a pandas_udf/"
+            f"mapInPandas (Arrow) instead"
+        )
