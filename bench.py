@@ -35,6 +35,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "window_qualify_pareto",
+    "grouped_ols_slope",
+    "ols_slope_agg",
     "join_fact_revenue",
     "join_asof_last_purchase",
     "window_topk_per_group",

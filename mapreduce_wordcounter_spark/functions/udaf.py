@@ -71,14 +71,14 @@ def udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "grouped_ols_slope",
-    oracle="""
+# Shared oracle body: per-customer OLS slope from exact integer sums.
+# {where} restricts the customer domain ('' = all customers).
+_OLS_ORACLE = """
     WITH pts AS (
         SELECT o_custkey,
                epoch_us(o_orderdate) // 86400000000 AS x,
                CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS y
-        FROM orders),
+        FROM orders{where}),
     s AS (
         SELECT o_custkey, COUNT(*) AS n,
                SUM(x) AS sx, SUM(y) AS sy,
@@ -90,7 +90,12 @@ def udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
                       * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS slope
     FROM s
     WHERE n >= 2 AND n * sxx - sx * sx > 0
-    """,
+    """
+
+
+@query(
+    "grouped_ols_slope",
+    oracle=_OLS_ORACLE.format(where=" WHERE o_custkey % 97 = 0"),
 )
 def grouped_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map ``applyInPandas``: per-customer OLS slope of order
@@ -106,11 +111,16 @@ def grouped_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     float64 divide/quantize in numpy and DuckDB. Degenerate groups
     (n<2 or zero date variance) are dropped on both sides.
 
-    Scale posture: one shuffle on the group key; each group must fit in
-    one pandas frame — true for per-customer order history at any scale
-    (bounded group), the same boundedness argument as the UDAF above.
+    Scale posture — grouped-map is the FEW-LARGE-GROUPS tool: each group
+    pays a Python invocation + pandas frame construction, so fitting
+    every customer this way costs ~1 ms × |customers| regardless of data
+    size (measured: 15k tiny groups → 17 s at sf0.1 vs 0.3 s for the
+    same math as JVM aggregates). The domain is therefore bounded to a
+    deterministic customer sample (custkey % 97 = 0 — the "segments
+    worth a model fit" regime); the all-customers scale path is
+    ols_slope_agg below, same closed form as pure JVM aggregates.
     """
-    o = _t_orders(spark, sf_dir)
+    o = _t_orders(spark, sf_dir).filter(F.col("o_custkey") % 97 == 0)
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         import math
@@ -140,6 +150,33 @@ def grouped_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return o.groupBy("o_custkey").applyInPandas(
         fit, "o_custkey long, n_orders long, slope double"
+    )
+
+
+@query("ols_slope_agg", oracle=_OLS_ORACLE.format(where=""))
+def ols_slope_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The all-customers scale path for grouped_ols_slope: identical
+    closed-form OLS, but the five sums are built-in JVM aggregates (one
+    partial→final hash aggregate, no Python anywhere) and the slope is a
+    post-aggregation expression. Per-group cost is O(rows), not
+    O(groups) Python invocations — this is the form that survives
+    millions of groups at 100 TB. Same oracle body as the grouped-map
+    demo, unrestricted domain."""
+    o = _t_orders(spark, sf_dir)
+    s = o.groupBy("o_custkey").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    raw = num.cast("double") / den.cast("double") / F.lit(100.0)
+    slope = F.floor(raw * 1_000_000.0 + F.lit(0.5)).cast("long") / F.lit(1_000_000.0)
+    return (
+        s.filter((F.col("n") >= 2) & (den > 0))
+        .select("o_custkey", F.col("n").alias("n_orders"), slope.alias("slope"))
     )
 
 
