@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_wordcounter_spark.operators.wordcount import TOKEN_SEP, tokens
-from mapreduce_wordcounter_spark.registry import query
+from mapreduce_wordcounter_spark.registry import ORACLE, query
 from mapreduce_wordcounter_spark.tables import load_table
 
 # Shared oracle fragments -----------------------------------------------------
@@ -365,6 +365,224 @@ def lang_marker_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_ngrams()
+
+
+# --- Gopher repetition filters ----------------------------------------------
+#
+# The repetition half of the Gopher quality rules (Rae et al. 2021,
+# "Scaling Language Models", table A1): documents dominated by repeated
+# lines or repeated n-grams are boilerplate/spam and get filtered before
+# pre-training. Four signals, all SQL-exact:
+#   - duplicate-line fraction          (lines - distinct lines) / lines
+#   - top-2-gram character fraction    chars of the most frequent 2-gram
+#   - top-3-gram character fraction      over the doc's n_chars
+#   - duplicated-5-gram char fraction  chars in 5-grams seen more than once
+# (The synthetic corpus is single-line, so dup_line_frac exercises the
+# machinery but reads 0; the n-gram fractions carry the real signal.)
+
+
+def _doc_ngrams(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """(doc_id, gram): word n-grams per document, adjacency order.
+
+    Same guard as the corpus-level n-gram query: Spark's sequence() is
+    descending for k < 1, so short documents emit an explicit empty
+    array (DuckDB's generate_series is already empty there)."""
+    docs = load_table(spark, sf_dir, "documents")
+    spark_gram = "concat(" + ", ' ', ".join(
+        f"element_at(t, i + {j})" for j in range(n)
+    ) + ")"
+    return docs.select("doc_id", _toks_col().alias("t")).select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= n,
+                F.expr(
+                    f"transform(sequence(1, size(t) - {n - 1}), i -> {spark_gram})"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+
+
+def _duck_doc_ngrams(n: int) -> str:
+    duck_gram = " || ' ' || ".join(f"t[i + {j}]" for j in range(n))
+    return f"""
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - {n - 1}),
+                                     i -> {duck_gram})) AS gram
+        FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM documents) d
+    """
+
+
+def _top_gram_chars(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """(doc_id, chars): occurrences × length of the doc's most frequent
+    n-gram (ties broken lexicographically — deterministic)."""
+    from pyspark.sql import Window as W
+
+    cnts = (
+        _doc_ngrams(spark, sf_dir, n)
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("gram"))
+    return (
+        cnts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", (F.col("cnt") * F.length("gram")).alias("chars"))
+    )
+
+
+def _duck_top_gram_chars(n: int) -> str:
+    return f"""
+        SELECT doc_id, cnt * length(gram) AS chars FROM (
+            SELECT doc_id, gram, cnt,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY cnt DESC, gram) AS rn
+            FROM (SELECT doc_id, gram, COUNT(*) AS cnt
+                  FROM ({_duck_doc_ngrams(n)}) g GROUP BY doc_id, gram) c
+        ) r WHERE rn = 1
+    """
+
+
+@query(
+    "gopher_repetition",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, n_chars,
+               list_filter(list_transform(string_split(text, chr(10)),
+                                          s -> trim(s)), s -> s <> '') AS lines
+        FROM documents),
+    t2 AS ({_duck_top_gram_chars(2)}),
+    t3 AS ({_duck_top_gram_chars(3)}),
+    d5 AS (
+        SELECT doc_id,
+               SUM(CASE WHEN cnt > 1 THEN cnt * length(gram) END) AS dup_chars
+        FROM (SELECT doc_id, gram, COUNT(*) AS cnt
+              FROM ({_duck_doc_ngrams(5)}) g GROUP BY doc_id, gram) c
+        GROUP BY doc_id)
+    SELECT b.doc_id,
+           ROUND(CASE WHEN len(lines) > 0
+                      THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                           / len(lines)
+                      ELSE 0.0 END, 6) AS dup_line_frac,
+           ROUND(CAST(COALESCE(t2.chars, 0) AS DOUBLE) / b.n_chars, 6)
+               AS top2_char_frac,
+           ROUND(CAST(COALESCE(t3.chars, 0) AS DOUBLE) / b.n_chars, 6)
+               AS top3_char_frac,
+           ROUND(CAST(COALESCE(d5.dup_chars, 0) AS DOUBLE) / b.n_chars, 6)
+               AS dup5_char_frac
+    FROM base b
+    LEFT JOIN t2 USING (doc_id)
+    LEFT JOIN t3 USING (doc_id)
+    LEFT JOIN d5 USING (doc_id)
+    """,
+)
+def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document (see module note).
+
+    Plan shape: three n-gram streams (n = 2, 3, 5), each one explode →
+    map-side-combined groupBy on the high-cardinality (doc_id, gram)
+    key, reduced to one row per doc before the final doc_id joins — the
+    per-doc relations are corpus-row-sized, so the joins are cheap and
+    the line metrics are a pure per-row projection (zero shuffles).
+    Survives 100×: nothing here is wider than the token stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    base = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(lines).alias("n_lines"),
+        F.size(F.array_distinct(lines)).alias("n_dlines"),
+    )
+    t2 = _top_gram_chars(spark, sf_dir, 2).withColumnRenamed("chars", "c2")
+    t3 = _top_gram_chars(spark, sf_dir, 3).withColumnRenamed("chars", "c3")
+    d5 = (
+        _doc_ngrams(spark, sf_dir, 5)
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("cnt") > 1, F.col("cnt") * F.length("gram"))
+            ).alias("dup_chars")
+        )
+    )
+    dup_line = F.when(
+        F.col("n_lines") > 0,
+        (F.col("n_lines") - F.col("n_dlines")).cast("double") / F.col("n_lines"),
+    ).otherwise(F.lit(0.0))
+    return (
+        base.join(t2, "doc_id", "left")
+        .join(t3, "doc_id", "left")
+        .join(d5, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(dup_line, 6).alias("dup_line_frac"),
+            F.round(
+                F.coalesce(F.col("c2"), F.lit(0)).cast("double") / F.col("n_chars"), 6
+            ).alias("top2_char_frac"),
+            F.round(
+                F.coalesce(F.col("c3"), F.lit(0)).cast("double") / F.col("n_chars"), 6
+            ).alias("top3_char_frac"),
+            F.round(
+                F.coalesce(F.col("dup_chars"), F.lit(0)).cast("double")
+                / F.col("n_chars"),
+                6,
+            ).alias("dup5_char_frac"),
+        )
+    )
+
+
+@query(
+    "quality_score_gopher",
+    # Composed from the two component oracles (both already registered
+    # above) — DuckDB accepts CTE-bearing subqueries as derived tables,
+    # same pattern as dedup_components_canonical's oracle.
+    oracle=f"""
+    WITH qs AS ({ORACLE["quality_score"]}),
+    gr AS ({ORACLE["gopher_repetition"]})
+    SELECT qs.doc_id,
+           qs.quality_score AS base_score,
+           (CASE WHEN gr.dup_line_frac <= 0.30 THEN 1 ELSE 0 END
+            + CASE WHEN gr.top2_char_frac <= 0.20 THEN 1 ELSE 0 END
+            + CASE WHEN gr.top3_char_frac <= 0.18 THEN 1 ELSE 0 END
+            + CASE WHEN gr.dup5_char_frac <= 0.15 THEN 1 ELSE 0 END) AS rep_score,
+           qs.quality_score
+           + (CASE WHEN gr.dup_line_frac <= 0.30 THEN 1 ELSE 0 END
+              + CASE WHEN gr.top2_char_frac <= 0.20 THEN 1 ELSE 0 END
+              + CASE WHEN gr.top3_char_frac <= 0.18 THEN 1 ELSE 0 END
+              + CASE WHEN gr.dup5_char_frac <= 0.15 THEN 1 ELSE 0 END)
+               AS gopher_score
+    FROM qs JOIN gr ON qs.doc_id = gr.doc_id
+    """,
+)
+def quality_score_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher-style quality gate: the length/stopword/word-length
+    triple from `quality_score` plus the four repetition checks from
+    `gopher_repetition`, using the paper's thresholds (dup-line ≤ 0.30,
+    top-2-gram ≤ 0.20, top-3-gram ≤ 0.18, dup-5-gram ≤ 0.15). Score is
+    0–7; a pre-training filter keeps gopher_score = 7.
+
+    Checks are applied to the ROUNDED fractions on both engines (the
+    component queries round to 6 decimals), so threshold comparisons
+    are bit-identical by construction."""
+    qs = quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    gr = gopher_repetition(spark, sf_dir)
+    rep = (
+        F.when(F.col("dup_line_frac") <= 0.30, 1).otherwise(0)
+        + F.when(F.col("top2_char_frac") <= 0.20, 1).otherwise(0)
+        + F.when(F.col("top3_char_frac") <= 0.18, 1).otherwise(0)
+        + F.when(F.col("dup5_char_frac") <= 0.15, 1).otherwise(0)
+    )
+    return qs.join(gr, "doc_id").select(
+        "doc_id",
+        F.col("quality_score").alias("base_score"),
+        rep.alias("rep_score"),
+        (F.col("quality_score") + rep).alias("gopher_score"),
+    )
 
 
 @query(
