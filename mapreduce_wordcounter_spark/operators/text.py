@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_wordcounter_spark.operators.dedup import _DUCK_MD5H, _SPARK_MD5H
 from mapreduce_wordcounter_spark.operators.wordcount import TOKEN_SEP, tokens
 from mapreduce_wordcounter_spark.registry import ORACLE, query
 from mapreduce_wordcounter_spark.tables import load_table
@@ -381,26 +382,31 @@ _register_ngrams()
 # machinery but reads 0; the n-gram fractions carry the real signal.)
 
 
-def _doc_ngrams(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+def _doc_ngrams(
+    spark: SparkSession, sf_dir: str, n: int, *, distinct: bool = False
+) -> DataFrame:
     """(doc_id, gram): word n-grams per document, adjacency order.
 
     Same guard as the corpus-level n-gram query: Spark's sequence() is
     descending for k < 1, so short documents emit an explicit empty
-    array (DuckDB's generate_series is already empty there)."""
+    array (DuckDB's generate_series is already empty there).
+
+    ``distinct=True`` dedups WITHIN the document before the explode
+    (array_distinct is a per-row op, so the (doc_id, gram) stream is
+    distinct by construction with zero extra shuffles — same trick as
+    dedup._spark_shingles)."""
     docs = load_table(spark, sf_dir, "documents")
     spark_gram = "concat(" + ", ' ', ".join(
         f"element_at(t, i + {j})" for j in range(n)
     ) + ")"
+    grams = F.when(
+        F.size("t") >= n,
+        F.expr(f"transform(sequence(1, size(t) - {n - 1}), i -> {spark_gram})"),
+    ).otherwise(F.array().cast("array<string>"))
+    if distinct:
+        grams = F.array_distinct(grams)
     return docs.select("doc_id", _toks_col().alias("t")).select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size("t") >= n,
-                F.expr(
-                    f"transform(sequence(1, size(t) - {n - 1}), i -> {spark_gram})"
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("gram"),
+        "doc_id", F.explode(grams).alias("gram")
     )
 
 
@@ -582,6 +588,234 @@ def quality_score_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("quality_score").alias("base_score"),
         rep.alias("rep_score"),
         (F.col("quality_score") + rep).alias("gopher_score"),
+    )
+
+
+# --- benchmark contamination -------------------------------------------------
+#
+# The canonical pre-training hygiene check (GPT-3 appendix C / PaLM /
+# Llama report): does a training document contain a long word n-gram
+# that also appears in a held-out benchmark? 13-grams are the published
+# convention. The benchmark here is a deterministic stand-in subset of
+# the corpus (doc_id % 10 = 0 — wide enough that the synthetic corpus's
+# clone pairs put nonzero overlap on both sides; a real run would point
+# the bench side at the actual eval sets, which are tiny at any corpus
+# scale).
+#
+# Scale posture: grams are doc-locally deduped before the explode, then
+# reduced to a 60-bit portable hash so the join key is 8 bytes, not a
+# 13-word string. The benchmark side is DISTINCT-reduced and BROADCAST
+# — benchmark suites are MBs while the corpus is TBs, so the probe side
+# never shuffles: one map-side hash-join pass + one per-doc aggregate.
+
+_CONTAM_N = 13
+_CONTAM_MOD = 10
+
+_DUCK_CONTAM = f"""
+    WITH g AS (
+        SELECT DISTINCT doc_id, {_DUCK_MD5H.format(s='gram')} AS gh
+        FROM ({_duck_doc_ngrams(_CONTAM_N)}) x),
+    bench AS (SELECT DISTINCT gh FROM g WHERE doc_id % {_CONTAM_MOD} = 0),
+    train AS (SELECT doc_id, gh FROM g WHERE doc_id % {_CONTAM_MOD} <> 0),
+    tg AS (SELECT doc_id, COUNT(*) AS n_grams FROM train GROUP BY doc_id),
+    hits AS (
+        SELECT t.doc_id, COUNT(*) AS n_contaminated
+        FROM train t JOIN bench b ON t.gh = b.gh
+        GROUP BY t.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(tg.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(hits.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           COALESCE(hits.n_contaminated, 0) > 0 AS contaminated
+    FROM documents d
+    LEFT JOIN tg ON d.doc_id = tg.doc_id
+    LEFT JOIN hits ON d.doc_id = hits.doc_id
+    WHERE d.doc_id % {_CONTAM_MOD} <> 0
+"""
+
+
+def _contam_gram_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, gh): distinct 13-gram 60-bit hashes per document."""
+    g = _doc_ngrams(spark, sf_dir, _CONTAM_N, distinct=True)
+    return g.select("doc_id", F.expr(_SPARK_MD5H.format(s="gram")).alias("gh"))
+
+
+@query("benchmark_contamination", oracle=_DUCK_CONTAM)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-training-doc benchmark contamination: how many of the doc's
+    distinct 13-grams appear anywhere in the held-out benchmark subset
+    (see module note for the plan shape and why the bench side is a
+    broadcast)."""
+    gh = _contam_gram_hashes(spark, sf_dir)
+    bench = (
+        gh.filter(F.col("doc_id") % _CONTAM_MOD == 0).select("gh").distinct()
+    )
+    train = gh.filter(F.col("doc_id") % _CONTAM_MOD != 0)
+    tg = train.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hits = (
+        train.join(F.broadcast(bench), "gh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % _CONTAM_MOD != 0)
+        .select("doc_id")
+    )
+    return (
+        base.join(tg, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("n_contaminated", F.lit(0).cast("long")).alias(
+                "n_contaminated"
+            ),
+            (F.coalesce("n_contaminated", F.lit(0).cast("long")) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+@query(
+    "benchmark_contamination_rate",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+           CAST(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated_docs,
+           ROUND(CAST(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS contaminated_frac
+    FROM ({_DUCK_CONTAM}) c
+    """,
+)
+def benchmark_contamination_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level contamination summary: the contaminated-doc ratio a
+    data-quality dashboard reports per snapshot."""
+    per_doc = benchmark_contamination(spark, sf_dir)
+    return per_doc.agg(
+        F.count("*").alias("n_train_docs"),
+        F.sum(F.when(F.col("contaminated"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_contaminated_docs"),
+        F.round(
+            F.sum(F.when(F.col("contaminated"), 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("contaminated_frac"),
+    )
+
+
+# --- BM25 retrieval ----------------------------------------------------------
+#
+# One step past TF-IDF: Okapi BM25 (Robertson/Spärck Jones) with the
+# standard k1=1.2, b=0.75 and the +1-smoothed idf
+# ln((N - df + 0.5)/(df + 0.5) + 1). Query terms are a fixed corpus mix
+# (one rare marker + two mid-frequency words) so the ranking has signal
+# at every SF.
+#
+# Cross-engine float determinism: each (doc, term) partial score is
+# quantized to integer micro-units — floor(score·1e6 + 0.5) as BIGINT —
+# BEFORE the per-doc sum, so the aggregate is an order-independent
+# integer sum and the ranking is bit-identical between Spark and DuckDB
+# (same trick as similarity._tp_buckets' quantized plane dots). The
+# reported double is derived from the integer after the sum.
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("dup", "vector", "stream")
+_BM25_TOPK = 20
+
+_SQL_BM25_TERMS = "('" + "', '".join(_BM25_TERMS) + "')"
+
+
+@query(
+    "bm25_topk",
+    oracle=f"""
+    WITH tok AS ({_SQL_TOKEN_ROWS}),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+        SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE)
+               / (SELECT COUNT(*) FROM documents) AS avgdl
+        FROM dl),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok
+           WHERE word IN {_SQL_BM25_TERMS} GROUP BY doc_id, word),
+    df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+    term AS (
+        SELECT tf.doc_id,
+               CAST(FLOOR(
+                   LN((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * (tf.tf * ({_BM25_K1} + 1.0))
+                   / (tf.tf + {_BM25_K1}
+                      * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))
+                   * 1000000.0 + 0.5) AS BIGINT) AS micro
+        FROM tf
+        JOIN df ON tf.word = df.word
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats s)
+    SELECT doc_id, CAST(SUM(micro) AS BIGINT) AS score_micro,
+           ROUND(SUM(micro) / 1000000.0, 6) AS bm25
+    FROM term GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k document retrieval for the fixed query term set.
+
+    Plan shape: ONE pass over the token stream feeds both the per-doc
+    length and the per-(doc, term) tf (the tf relation is filtered to
+    |terms| words BEFORE its aggregate, so it is query-sized, not
+    corpus-sized); df is an aggregate of tf (|terms| rows, broadcast);
+    N/avgdl are scalar aggregates (broadcast). The only corpus-wide
+    shuffle keys on doc_id — uniform, and identical to the dl shuffle,
+    so AQE coalesces them. Survives 100×: every relation after the
+    first aggregate is O(docs-matching-query) or O(|terms|)."""
+    toks = tokens(spark, sf_dir)
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").cast("double").alias("n_docs")
+    )
+    stats = dl.agg(
+        (F.sum("dl").cast("double")).alias("sum_dl")
+    ).join(F.broadcast(n)).select(
+        "n_docs", (F.col("sum_dl") / F.col("n_docs")).alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("word").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    score = (
+        idf
+        * (F.col("tf") * (_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    micro = F.floor(score * 1000000.0 + 0.5).cast("long")
+    term = (
+        tf.join(F.broadcast(df), "word")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select("doc_id", micro.alias("micro"))
+    )
+    return (
+        term.groupBy("doc_id")
+        .agg(F.sum("micro").cast("long").alias("score_micro"))
+        .select(
+            "doc_id",
+            "score_micro",
+            F.round(F.col("score_micro") / 1000000.0, 6).alias("bm25"),
+        )
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
     )
 
 

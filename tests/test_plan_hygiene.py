@@ -43,6 +43,7 @@ _ALLOWED_BOUNDED_BNLJ = {
     "lsh_bucket_candidates",  # same plane cross, one level down
     "scalar_subquery",  # 1-row aggregate scalar as the build side
     "tf_idf",  # 1-row corpus-size scalar joined onto df counts
+    "bm25_topk",  # 1-row (N, avgdl) scalar stats joined onto the tf relation
     "word_typo_pairs",  # vocab LIMIT-capped before the edit-distance theta join
 }
 
