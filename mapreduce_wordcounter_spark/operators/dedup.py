@@ -455,46 +455,24 @@ def simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DUCK_JACCARD_PAIRS = ORACLE["jaccard_near_dup_pairs"]
 
 
-@query(
-    "dedup_components_canonical",
-    oracle=f"""
-    WITH RECURSIVE
-    edges AS (SELECT doc_a AS a, doc_b AS b FROM ({_DUCK_JACCARD_PAIRS}) jp),
-    sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
-    nodes AS (SELECT DISTINCT a FROM sym),
-    reach(src, dst) AS (
-        SELECT a, a FROM nodes
-        UNION
-        SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a)
-    SELECT src AS doc_id, MIN(dst) AS canonical_id,
-           CAST(src = MIN(dst) AS BOOLEAN) AS is_canonical
-    FROM reach GROUP BY src
-    """,
-)
-def dedup_components_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clustering: connected components over the verified
-    Jaccard pairs, each doc labeled with its component's minimum doc_id
-    as the canonical representative — the "keep one per duplicate
-    cluster" step that follows pair generation in a training-data
-    dedup pipeline (pairs alone over-delete: A~B, B~C must collapse to
-    ONE canonical even when A~C wasn't emitted).
+def connected_components(edges: DataFrame) -> DataFrame:
+    """(doc_id, canonical_id, is_canonical) labels for the graph given
+    as an edge list ``(doc_a, doc_b)`` — iterative min-label
+    propagation (the MapReduce connected-components construction).
 
-    Algorithm: iterative min-label propagation (the MapReduce
-    connected-components construction): every node starts as its own
-    label; each round joins labels across the symmetrized edge list
-    and keeps the minimum seen; converges in O(component diameter)
-    rounds — near-dup clusters are shallow (diameter ≤ a few hops), so
-    3-4 rounds in practice, capped defensively. Each round is one
-    shuffle join + one groupBy min, all keyed on doc_id.
-
-    Scale posture: the driver loop only reads a scalar convergence
+    Every node starts as its own label; each round joins labels across
+    the symmetrized edge list and keeps the minimum seen; converges in
+    O(component diameter) rounds — near-dup clusters are shallow
+    (diameter ≤ a few hops), so 3-4 rounds in practice, capped
+    defensively. Each round is one shuffle join + one groupBy min, all
+    keyed on doc_id. The driver loop only reads a scalar convergence
     count per round (no data collected); per-round results are
     localCheckpoint()ed to truncate lineage, the standard guard for
-    iterative DataFrame algorithms. The oracle states the same
-    fixpoint declaratively as a recursive CTE — DuckDB can afford
-    transitive closure at test scale; the iterative form is what runs
-    at 10^9 docs."""
-    edges = jaccard_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    iterative DataFrame algorithms.
+
+    Shared by the shingle-Jaccard pipeline (dedup_components_canonical)
+    and the embedding-cosine pipeline (semantic_dedup_components in
+    similarity.py) — the edge source is the only difference."""
     sym = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
@@ -535,3 +513,36 @@ def dedup_components_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("canonical_id"),
         (F.col("doc_id") == F.col("label")).alias("is_canonical"),
     )
+
+
+@query(
+    "dedup_components_canonical",
+    oracle=f"""
+    WITH RECURSIVE
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM ({_DUCK_JACCARD_PAIRS}) jp),
+    sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    nodes AS (SELECT DISTINCT a FROM sym),
+    reach(src, dst) AS (
+        SELECT a, a FROM nodes
+        UNION
+        SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a)
+    SELECT src AS doc_id, MIN(dst) AS canonical_id,
+           CAST(src = MIN(dst) AS BOOLEAN) AS is_canonical
+    FROM reach GROUP BY src
+    """,
+)
+def dedup_components_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the verified
+    Jaccard pairs, each doc labeled with its component's minimum doc_id
+    as the canonical representative — the "keep one per duplicate
+    cluster" step that follows pair generation in a training-data
+    dedup pipeline (pairs alone over-delete: A~B, B~C must collapse to
+    ONE canonical even when A~C wasn't emitted).
+
+    Algorithm + scale posture: see :func:`connected_components` (the
+    shared iterative min-label loop). The oracle states the same
+    fixpoint declaratively as a recursive CTE — DuckDB can afford
+    transitive closure at test scale; the iterative form is what runs
+    at 10^9 docs."""
+    edges = jaccard_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(edges)
