@@ -21,6 +21,7 @@ Kafka — swap ``readStream.format`` and the plan is unchanged.
 
 from __future__ import annotations
 
+import os
 import uuid
 from contextlib import contextmanager
 
@@ -194,29 +195,41 @@ def ev_dedup_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as int64
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as an unbounded stream: parquet file source (stand-in for
-    Kafka) with the same ns→µs conversion as the batch loader."""
+    Kafka) with the same ts normalization as the batch loader
+    (tables.load_table): the corpus has shipped ``ts`` both as
+    TIMESTAMP(NANOS) (read as int64, converted with integer µs
+    arithmetic) and as TIMESTAMP(MICROS) NTZ (cast to session-tz
+    TIMESTAMP — sessions pin UTC so the instant is unchanged). A
+    readStream needs its schema up front, so sniff the footer with a
+    batch read (metadata only, no job)."""
     ensure_utc(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    ts_is_nanos_long = dict(spark.read.parquet(path).dtypes)["ts"] == "bigint"
+    ts_type = T.LongType() if ts_is_nanos_long else T.TimestampNTZType()
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(ts_type))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_is_nanos_long:
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 @query(

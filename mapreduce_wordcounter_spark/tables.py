@@ -32,18 +32,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan for one table. Column pruning + predicate pushdown
     happen automatically once callers ``select``/``filter`` (Catalyst).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects — read it as raw int64 nanos and convert with integer
-    arithmetic (``div``, not ``/``: epoch-nanos ≈ 1.7e18 exceeds a
-    double's 2^53 integer range, so float division corrupts the low
-    digits). Truncation (not rounding) to µs matches DuckDB.
+    ``events.ts`` has shipped in two physical encodings across corpus
+    generations, so the loader adapts to whichever it finds:
+
+    - TIMESTAMP(NANOS): Spark's vectorized reader rejects it — read as
+      raw int64 nanos and convert with integer arithmetic (``div``, not
+      ``/``: epoch-nanos ≈ 1.7e18 exceeds a double's 2^53 integer
+      range, so float division corrupts the low digits). Truncation
+      (not rounding) to µs matches DuckDB.
+    - TIMESTAMP(MICROS), no tz: Spark reads TIMESTAMP_NTZ natively —
+      cast to session-tz TIMESTAMP (sessions pin UTC, so wall-clock and
+      unix_micros are unchanged) so every downstream window/as-of query
+      sees one stable type either way.
     """
     if name == "events":
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if dict(df.dtypes)["ts"] == "bigint":
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
