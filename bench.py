@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from mapreduce_wordcounter_spark import get_spark
 from mapreduce_wordcounter_spark.registry import all_queries
+from mapreduce_wordcounter_spark.session import release_pinned
 
 HEADLINE = [
     "wc_counts",
@@ -67,6 +68,7 @@ def main() -> None:
 
     for name in HEADLINE:  # untimed warm-up pass (JIT/codegen)
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        release_pinned()
 
     # Two timed passes, min per query: single-run wall times at this
     # scale swing 2-3× from GC/compaction scheduling noise; the min is
@@ -82,6 +84,10 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
+            # Query-path caches (shingles, tf) are released between
+            # queries — persist discipline, and each timing measures
+            # real computation, not a warm cache from a neighbor query.
+            release_pinned()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -83,15 +83,30 @@ def main(argv: Sequence[str] | None = None, spark: SparkSession | None = None) -
     if args.explain:
         counts.explain("formatted")
     ordered = counts.orderBy(F.desc("cnt"), F.asc("word"))
-    rows = (ordered.limit(args.top) if args.top > 0 else ordered).collect()
 
     print(f"{'Count':<10}Word")
     print(f"{'-----':<10}----")
-    for r in rows:
-        print(f"{r['cnt']:<10}{r['word']}")
+    if args.top > 0:
+        # Two actions (top-N rows + vocabulary total) over one cached
+        # aggregate instead of recomputing the pipeline per action.
+        from mapreduce_wordcounter_spark.session import pin, release_pinned
+
+        pin(counts)
+        for r in ordered.limit(args.top).collect():
+            print(f"{r['cnt']:<10}{r['word']}")
+        total = counts.count()
+        release_pinned()
+    else:
+        # Full-table print: stream partition-by-partition (global order
+        # is preserved — the sort range-partitions) and derive the total
+        # from the rows printed; never collect() an unbounded relation.
+        total = 0
+        for r in ordered.toLocalIterator():
+            print(f"{r['cnt']:<10}{r['word']}")
+            total += 1
     elapsed = time.monotonic() - started
     print(f"Processing took: {elapsed:.3f}s")
-    print(f"Total words: {counts.count()}")
+    print(f"Total words: {total}")
 
     if own_session:
         spark.stop()

@@ -237,6 +237,46 @@ _DUCK_TP_BUCKETS = f"""
 """
 
 
+def _tp_scored_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_a, vec_b, cosine) for every distinct multi-table LSH
+    candidate pair — the shared candidate-then-verify core of
+    `embedding_top_pairs_bucketed` (global top-20) and
+    `semantic_dedup_components` (threshold edges + clustering).
+
+    Norms are per-vector, so compute them once on the embeddings side
+    of the join instead of once per candidate pair (pairs >> vectors).
+    cosine = dot/(norm_a*norm_b) is the same float expression either
+    way — factoring the norm out doesn't change any IEEE operation."""
+    b = _tp_buckets(spark, sf_dir)
+    a = b.select(F.col("vec_id").alias("vec_a"), "t", "bucket")
+    c = b.select(F.col("vec_id").alias("vec_b"), "t", "bucket")
+    cand = (
+        a.join(c, ["t", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"), "embedding", "nrm")
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(
+        F.expr(_SPARK_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb")),
+        6,
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+    )
+
+
+
 @query(
     "embedding_top_pairs_bucketed",
     oracle=f"""
@@ -266,36 +306,8 @@ def embedding_top_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Approximate by construction: pairs that never co-bucket are unseen
     (recall vs the exact baseline is pinned on planted clustered data in
     tests/test_similarity_quality.py)."""
-    b = _tp_buckets(spark, sf_dir)
-    a = b.select(F.col("vec_id").alias("vec_a"), "t", "bucket")
-    c = b.select(F.col("vec_id").alias("vec_b"), "t", "bucket")
-    cand = (
-        a.join(c, ["t", "bucket"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
-    # Norms are per-vector, so compute them once on the embeddings side
-    # of the join instead of once per candidate pair (pairs >> vectors).
-    # cosine = dot/(norm_a*norm_b) is the same float expression either
-    # way — factoring the norm out doesn't change any IEEE operation.
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"), "embedding", "nrm")
-    ea = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    eb = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    cos = F.round(
-        F.expr(_SPARK_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb")),
-        6,
-    )
     return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select("vec_a", "vec_b", cos.alias("cosine"))
+        _tp_scored_candidates(spark, sf_dir)
         .orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(20)
     )
@@ -516,4 +528,75 @@ def lsh_bucket_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.groupBy("bucket").agg(
         F.count("*").alias("n_vectors"),
         (F.count("*") * (F.count("*") - 1) / 2).cast("long").alias("n_candidate_pairs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-cosine) dedup: LSH edges → connected components
+# ---------------------------------------------------------------------------
+
+# Edge threshold for "semantically duplicate". Production pipelines use
+# ~0.9+ on real text embeddings (SemDeDup-style); this synthetic corpus
+# is near-isotropic (max candidate cosine ≈ 0.47 at sf0.01), so the
+# threshold sits where the corpus actually has structure. The value is
+# shared verbatim by the Spark query and the oracle, so correctness is
+# threshold-independent.
+SEM_TAU = 0.4
+
+_DUCK_TP_EDGES = f"""
+    {_DUCK_TP_BUCKETS.replace("WITH planes", "WITH RECURSIVE planes", 1)},
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM tp_buckets a JOIN tp_buckets b
+          ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    edges AS (
+        SELECT c.vec_a AS a, c.vec_b AS b
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.vec_a
+        JOIN embeddings eb ON eb.vec_id = c.vec_b
+        WHERE ROUND({_DUCK_DOT.format(a='ea.embedding', b='eb.embedding')}
+                    / ({_DUCK_NORM.format(v='ea.embedding')} * {_DUCK_NORM.format(v='eb.embedding')}),
+                    6) >= {SEM_TAU})
+"""
+
+
+@query(
+    "semantic_dedup_components",
+    oracle=f"""
+    {_DUCK_TP_EDGES},
+    sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    nodes AS (SELECT DISTINCT a FROM sym),
+    reach(src, dst) AS (
+        SELECT a, a FROM nodes
+        UNION
+        SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a)
+    SELECT src AS vec_id, MIN(dst) AS canonical_id,
+           CAST(src = MIN(dst) AS BOOLEAN) AS is_canonical
+    FROM reach GROUP BY src
+    """,
+)
+def semantic_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup end-to-end (the SemDeDup shape): edges are LSH
+    candidate pairs whose exact cosine ≥ SEM_TAU, clusters are connected
+    components over those edges, and each vector is labeled with its
+    component's minimum vec_id as the canonical representative — "keep
+    one per embedding-cluster" for a training corpus.
+
+    Composition of two already-verified scale paths: candidate
+    generation is the multi-table-LSH bucket equi-join (never all
+    pairs), clustering is the iterative min-label loop shared with the
+    shingle-Jaccard pipeline (dedup.connected_components — one
+    shuffle join + groupBy min per round, localCheckpoint lineage
+    truncation). The oracle states the same fixpoint as a recursive CTE
+    over the same thresholded edge set."""
+    from mapreduce_wordcounter_spark.operators.dedup import connected_components
+
+    edges = (
+        _tp_scored_candidates(spark, sf_dir)
+        .filter(F.col("cosine") >= SEM_TAU)
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    )
+    cc = connected_components(edges)
+    return cc.select(
+        F.col("doc_id").alias("vec_id"), "canonical_id", "is_canonical"
     )

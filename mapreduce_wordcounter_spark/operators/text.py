@@ -146,14 +146,12 @@ def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tf is persisted because it feeds two consumers (the join probe and
     the df derivation) — without it Spark re-scans and re-explodes the
-    corpus per consumer, same pattern as dedup's shingle persist."""
-    from pyspark import StorageLevel
+    corpus per consumer, same pattern as dedup's shingle persist.
+    Cached through session.pin → released by session.release_pinned."""
+    from mapreduce_wordcounter_spark.session import pin
 
-    tf = (
-        tokens(spark, sf_dir)
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    tf = pin(
+        tokens(spark, sf_dir).groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     )
     df = tf.groupBy("word").agg(F.count("*").alias("df"))
     n = load_table(spark, sf_dir, "documents").agg(

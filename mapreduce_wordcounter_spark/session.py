@@ -8,7 +8,10 @@ the shuffle-partition count is pinned to the core count instead of the
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -37,6 +40,55 @@ def get_spark(app_name: str = "mapreduce-wordcounter-spark", cpus: int | None = 
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+_PINNED_DFS: list = []
+
+
+def pin(df, storage_level=None):
+    """persist() with bookkeeping: every query-path cache goes through
+    here so a long-lived session can drop them all with
+    :func:`release_pinned` — persist without a matching unpersist leaks
+    executor memory across queries. Spark's cache manager dedups by
+    logical plan, so re-pinning the same relation shares one entry."""
+    from pyspark import StorageLevel
+
+    df = df.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
+    _PINNED_DFS.append(df)
+    return df
+
+
+def release_pinned() -> int:
+    """Unpersist every pinned relation (bench harness calls this after
+    each query; the grading driver's one-query sessions never need to).
+    Returns the number of entries released."""
+    n = len(_PINNED_DFS)
+    while _PINNED_DFS:
+        try:
+            _PINNED_DFS.pop().unpersist()
+        except Exception:
+            pass
+    return n
+
+
+_SCRATCH_DIRS: list[str] = []
+
+
+def scratch_dir(prefix: str = "mrwc_") -> str:
+    """Process-scoped scratch directory for operators that need a
+    filesystem target (bucketed-table snapshots, foreachBatch sinks and
+    their checkpoints). Every directory is registered for atexit
+    removal, so repeated harness/bench invocations don't accumulate
+    orphaned temp state."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH_DIRS.append(d)
+    return d
+
+
+@atexit.register
+def _cleanup_scratch_dirs() -> None:
+    while _SCRATCH_DIRS:
+        shutil.rmtree(_SCRATCH_DIRS.pop(), ignore_errors=True)
 
 
 def ensure_utc(spark: SparkSession) -> SparkSession:

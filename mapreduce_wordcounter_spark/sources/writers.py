@@ -52,15 +52,19 @@ def write_bucketed_table(
     *,
     sort_by: Sequence[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    """Bucketed + optionally sorted managed table. A join or groupBy on
-    the bucket key between two tables bucketed the same way runs with
-    zero exchanges (verified by tests/test_sources.py plan assertions).
-    At 100 TB this converts the nightly fact⋈fact join from the
-    cluster's largest shuffle into a local zipper."""
+    """Bucketed + optionally sorted table (managed, or external when
+    ``path`` is given). A join or groupBy on the bucket key between two
+    tables bucketed the same way runs with zero exchanges (verified by
+    tests/test_sources.py plan assertions). At 100 TB this converts the
+    nightly fact⋈fact join from the cluster's largest shuffle into a
+    local zipper."""
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
     if sort_by:
         writer = writer.sortBy(*sort_by)
+    if path:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
 
 

@@ -391,6 +391,11 @@ def foreach_batch_upsert(
         finally:
             q.stop()
 
+    # Zero micro-batches (empty source) → the callback never ran and the
+    # target path doesn't exist; the sink's state is legitimately empty.
+    if not os.path.isdir(target_dir):
+        return spark.createDataFrame([], agg.schema)
+
     state = spark.read.parquet(target_dir)
     if key_cols is None:  # default: everything left of the agg columns
         key_cols = [c for c in state.columns if c not in ("n", "sum_value", "epoch")]
@@ -420,7 +425,7 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (same oracle as ev_tumbling_hourly). Multi-epoch upsert
     behavior (later batches overwriting earlier keys) is pinned in
     tests/test_streaming.py over a multi-file source."""
-    import tempfile
+    from mapreduce_wordcounter_spark.session import scratch_dir
 
     agg = (
         events_stream(spark, sf_dir)
@@ -433,7 +438,7 @@ def stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    target = tempfile.mkdtemp(prefix="fbu_") + "/target"
+    target = scratch_dir("fbu_") + "/target"
     return foreach_batch_upsert(spark, agg, target)
 
 

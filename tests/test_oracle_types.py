@@ -10,7 +10,11 @@ compares *plan-time* schemas — ``df.schema`` on the Spark side and the
 relation's bound types on the DuckDB side — normalized to coarse
 categories, and additionally rejects any HUGEINT oracle column outright.
 
-Plan-time only → no jobs run; the whole sweep costs seconds.
+Mostly plan-time: batch queries only build a DataFrame (no jobs).
+The exceptions are the stream_* entries and snapshot-writing ops
+(dedup_incremental_new), whose query functions execute a full
+availableNow drain / table write at *build* time — those names run
+real (small, sf0.01) jobs inside this sweep.
 """
 
 from __future__ import annotations

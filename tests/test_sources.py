@@ -192,6 +192,31 @@ def test_bucketed_join_skips_exchange(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
 
 
+def test_incremental_dedup_base_no_exchange(spark):
+    """dedup_incremental_new's anti-join must plan ZERO exchanges on
+    the bucketed base-snapshot side — the property that makes
+    cross-snapshot dedup affordable when the base is accumulated
+    history (~100 TB) and only the daily increment shuffles. Broadcast
+    is disabled to force the sort-merge path a history-sized base would
+    take; the base scan then feeds the join through its bucketing alone."""
+    from mapreduce_wordcounter_spark.operators.dedup import dedup_incremental_new
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = dedup_incremental_new(spark, SF_ORACLE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan and "LeftAnti" in plan, plan
+        # Exactly one shuffle: the probe (increment) side. The bucketed
+        # base side must reach the join without an Exchange.
+        import re
+
+        assert len(re.findall(r"Exchange hash", plan)) == 1, plan
+        assert "SelectedBucketsCount" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_orc_roundtrip(spark, tmp_path):
     """ORC is the second columnar format Spark ships natively; the
     engine's readers/writers are format-agnostic DataFrame ops, so a
