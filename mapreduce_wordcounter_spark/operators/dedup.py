@@ -471,6 +471,11 @@ def connected_components(edges: DataFrame) -> DataFrame:
     Shared by the shingle-Jaccard pipeline (dedup_components_canonical)
     and the embedding-cosine pipeline (semantic_dedup_components in
     similarity.py) — the edge source is the only difference."""
+    # Persist the edge list BEFORE symmetrizing: the union's two
+    # branches read the same relation, and without the cache each
+    # branch would recompute the (potentially expensive) upstream
+    # pair-generation pipeline once.
+    edges = edges.persist()
     sym = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
@@ -506,6 +511,7 @@ def connected_components(edges: DataFrame) -> DataFrame:
         if changed == 0:
             break
     sym.unpersist()
+    edges.unpersist()
     return labels.select(
         "doc_id",
         F.col("label").alias("canonical_id"),
