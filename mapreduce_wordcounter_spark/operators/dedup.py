@@ -229,6 +229,76 @@ def jaccard_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Stop-shingle document-frequency cap: the production guard for the
+# exact shingle self-join (drop shingles appearing in more than CAP
+# docs before joining — they are stop-phrases/boilerplate and each one
+# contributes O(df²) join rows). On this corpus max shingle df is ~7,
+# so a cap of 5 genuinely filters.
+_DF_CAP = 5
+
+_DUCK_CAPPED_SHINGLES = f"""
+    SELECT doc_id, s FROM ({_DUCK_SHINGLES}) sh
+    WHERE s NOT IN (
+        SELECT s FROM ({_DUCK_SHINGLES}) h GROUP BY s HAVING COUNT(*) > {_DF_CAP})
+"""
+
+
+@query(
+    "jaccard_capped_pairs",
+    oracle=f"""
+    WITH sh AS ({_DUCK_CAPPED_SHINGLES}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    """,
+)
+def jaccard_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`jaccard_near_dup_pairs` with the stop-shingle guard made real:
+    shingles whose document frequency exceeds _DF_CAP are dropped
+    before the self-join, which bounds the join's per-key expansion at
+    df²·CAP² instead of (hot-shingle df)² — the difference between a
+    quadratic blowup and a linear pass on a boilerplate-heavy corpus.
+    Jaccard is computed over the capped shingle universe on both sides
+    of the differential test, so the oracle is exact.
+
+    The hot-shingle list is a tiny relation (df > CAP shingles are by
+    definition few distinct values... though each is frequent) —
+    broadcast anti-join, no extra shuffle of the shingle stream."""
+    sh = _spark_shingles(spark, sf_dir).select("doc_id", "s")
+    hot = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > _DF_CAP)
+        .select("s")
+    )
+    kept = sh.join(F.broadcast(hot), "s", "left_anti")
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = kept.alias("a")
+    b = kept.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (fully oracle-checked)
 # ---------------------------------------------------------------------------
@@ -389,6 +459,63 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sb), "doc_b")
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query(
+    "minhash_jaccard_est",
+    oracle=f"""
+    WITH cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ({_DUCK_BANDS}) a
+        JOIN ({_DUCK_BANDS}) b
+          ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+    mh AS ({_DUCK_MINHASH})
+    SELECT c.doc_a, c.doc_b,
+           ROUND(CAST(SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS DOUBLE)
+                 / {_N_HASH}, 6) AS jaccard_est
+    FROM cand c
+    JOIN mh ma ON ma.doc_id = c.doc_a
+    JOIN mh mb ON mb.doc_id = c.doc_b AND ma.j = mb.j
+    GROUP BY c.doc_a, c.doc_b
+    """,
+)
+def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-space Jaccard estimate for every LSH candidate pair:
+    the fraction of the 16 minhash permutations on which the two docs
+    agree (an unbiased estimator of true Jaccard — the MinHash
+    property). This is the cheap verification tier a production
+    pipeline runs BEFORE exact shingle-intersection verification:
+    signatures are 16 longs/doc, so estimating J costs a 16-row zip per
+    candidate instead of re-joining the shingle streams; only pairs
+    whose estimate clears the threshold go to exact verification
+    (lsh_verified_pairs).
+
+    Plan: candidates × wide signatures — two broadcast-able joins on
+    doc_id against the 16-long signature rows; agreement is a single
+    projection over the zipped signature arrays, no shingle access."""
+    cand = lsh_candidate_pairs(spark, sf_dir)
+    wide = _spark_minhash_wide(spark, sf_dir)
+    wa = wide.select(
+        F.col("doc_id").alias("doc_a"),
+        F.array(*[F.col(f"mh{j}") for j in range(_N_HASH)]).alias("sig_a"),
+    )
+    wb = wide.select(
+        F.col("doc_id").alias("doc_b"),
+        F.array(*[F.col(f"mh{j}") for j in range(_N_HASH)]).alias("sig_b"),
+    )
+    agree = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),"
+        " 0, (acc, v) -> acc + v)"
+    )
+    return (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree.cast("double") / _N_HASH, 6).alias("jaccard_est"),
+        )
     )
 
 
@@ -585,6 +712,23 @@ def dedup_incremental_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     (At sf0.01 Catalyst would rightly broadcast the base instead; the
     plan test forces the sort-merge path a real history-sized base
     would take.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    table = write_base_snapshot(spark, sf_dir)
+    today = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.sha2("text", 256).alias("content_hash")
+    )
+    return today.join(spark.table(table), "content_hash", "left_anti").select(
+        "doc_id", "content_hash"
+    )
+
+
+def write_base_snapshot(spark: SparkSession, sf_dir: str) -> str:
+    """Write the base-snapshot survivor set (distinct content_hash of
+    the doc_id % 3 ≠ 0 docs) as a content_hash-bucketed external table
+    in a scratch dir; returns the table name. Shared by the batch
+    (dedup_incremental_new) and streaming (stream_incremental_dedup)
+    increment-dedup paths — in production this is the persistent,
+    append-per-day survivor table."""
     import os
     import uuid
 
@@ -606,9 +750,4 @@ def dedup_incremental_new(spark: SparkSession, sf_dir: str) -> DataFrame:
         sort_by=["content_hash"],
         path=os.path.join(scratch_dir("incr_dedup_"), table),
     )
-    today = docs.filter(F.col("doc_id") % 3 == 0).select(
-        "doc_id", F.sha2("text", 256).alias("content_hash")
-    )
-    return today.join(spark.table(table), "content_hash", "left_anti").select(
-        "doc_id", "content_hash"
-    )
+    return table

@@ -327,6 +327,219 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Boilerplate detection: word 5-grams shared across documents. Line- or
+# sentence-level dedup (RefinedWeb/C4 style) degenerates on this corpus
+# (documents contain no newlines or punctuation), so the cross-document
+# repetition unit is the n-gram — same operator shape: explode the
+# repetition unit, count DISTINCT docs per unit, rank.
+_BP_N = 5
+
+
+@query(
+    "boilerplate_ngrams",
+    oracle=f"""
+    SELECT gram, COUNT(*) AS n_docs FROM (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - {_BP_N - 1}),
+                      i -> {" || ' ' || ".join(f"t[i+{j}]" for j in range(_BP_N))})) AS gram
+        FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM documents) d) x
+    GROUP BY gram
+    HAVING COUNT(*) >= 2
+    ORDER BY n_docs DESC, gram
+    LIMIT 50
+    """,
+)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 boilerplate 5-grams: word 5-grams ranked by the number of
+    DISTINCT documents containing them (≥2). Doc-frequency — not
+    occurrence count like ngrams_*_top50 — is the boilerplate signal: a
+    phrase repeated inside one document is repetition
+    (gopher_repetition's axis); a phrase repeated across documents is
+    template/boilerplate text to strip before training.
+
+    Scale: per-doc `array_distinct` BEFORE the explode (the same
+    doc-local dedup trick as the shingle pipeline) makes the groupBy
+    count a plain COUNT(*) with map-side combine — no COUNT(DISTINCT)
+    shuffle of (gram, doc_id) re-expansion."""
+    spark_gram = "concat(" + ", ' ', ".join(
+        f"element_at(toks, i + {j})" for j in range(_BP_N)
+    ) + ")"
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select("doc_id", _toks_col().alias("toks")).select(
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.size("toks") >= _BP_N,
+                    F.expr(
+                        f"transform(sequence(1, size(toks) - {_BP_N - 1}),"
+                        f" i -> {spark_gram})"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            )
+        ).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.asc("gram"))
+        .limit(50)
+    )
+
+
+# Hash-based dataset split: the reproducible train/val/test assignment a
+# training pipeline derives from CONTENT (not doc_id), so the split is
+# stable under re-crawls/re-sharding that renumber documents.
+_SPLIT_BUCKETS = 100
+_SPLIT_TRAIN, _SPLIT_VAL = 80, 90  # [0,80) train, [80,90) val, rest test
+
+
+@query(
+    "dataset_split_assign",
+    oracle=f"""
+    SELECT doc_id,
+           ({_DUCK_MD5H.format(s='text')}) % {_SPLIT_BUCKETS} AS bucket,
+           CASE WHEN ({_DUCK_MD5H.format(s='text')}) % {_SPLIT_BUCKETS} < {_SPLIT_TRAIN} THEN 'train'
+                WHEN ({_DUCK_MD5H.format(s='text')}) % {_SPLIT_BUCKETS} < {_SPLIT_VAL} THEN 'validation'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash split assignment: md5(text) → 60-bit
+    int → bucket 0-99 → 80/10/10 train/validation/test. Pure per-row
+    projection (no shuffle at any scale); the engine-portable md5
+    fragment keeps Spark and DuckDB bit-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(f"({_SPARK_MD5H.format(s='text')}) % {_SPLIT_BUCKETS}")
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < _SPLIT_TRAIN, "train")
+        .when(bucket < _SPLIT_VAL, "validation")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# Sequence packing: fill fixed-size training sequences with documents.
+_PACK_CAPACITY = 2048
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, source, COUNT(*) AS n_tokens
+        FROM ({_SQL_TOKEN_ROWS}) t GROUP BY doc_id, lang, source)
+    SELECT doc_id, lang, source, n_tokens,
+           CAST((SUM(n_tokens) OVER (PARTITION BY lang, source ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) - n_tokens)
+                // {_PACK_CAPACITY} AS BIGINT) AS pack_id
+    FROM tok
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing for training batches: documents are
+    assigned to fixed-capacity packs (_PACK_CAPACITY=2048 tokens) in
+    doc_id order — pack_id = (running token total before this doc) //
+    capacity, i.e. a document starts a new pack when the previous ones
+    filled it. The standard pre-training batching op (packing short
+    documents into one context window instead of padding).
+
+    Scale: packing is PER (lang, source) GROUP — a global running sum
+    would serialize into one partition at 100 TB (the classic global-
+    window trap); per-shard packing is what production pipelines do
+    anyway (packs must not mix languages/sources), and each group's
+    window runs independently after one shuffle on the group key."""
+    from pyspark.sql import Window as W
+
+    tok = (
+        tokens(spark, sf_dir)
+        .groupBy("doc_id", "lang", "source")
+        .agg(F.count("*").alias("n_tokens"))
+    )
+    w = (
+        W.partitionBy("lang", "source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    running = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return tok.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        (running / _PACK_CAPACITY).cast("long").alias("pack_id"),
+    )
+
+
+# Vocabulary building: ranked token ids for the top of the frequency
+# distribution — the precursor to any subword/embedding-table step.
+_VOCAB_K = 1000
+_VOCAB_MIN_COUNT = 2
+
+
+@query(
+    "vocab_top1k",
+    oracle=f"""
+    SELECT word, cnt, token_id FROM (
+        SELECT word, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, word) - 1 AS token_id
+        FROM (SELECT word, COUNT(*) AS cnt FROM ({_SQL_TOKEN_ROWS}) t
+              GROUP BY word HAVING COUNT(*) >= {_VOCAB_MIN_COUNT}) c) r
+    WHERE token_id < {_VOCAB_K}
+    """,
+)
+def vocab_top1k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction: corpus word counts → min-count filter →
+    dense token ids 0..K-1 assigned by rank (count desc, word asc as
+    the deterministic tie-break — same convention as BPE vocab dumps).
+
+    Scale: the count is the flagship word-count aggregate; the ranking
+    window runs over the VOCABULARY (≤ a few 10⁷ rows at web scale,
+    post min-count), not the corpus — a single-partition sort of the
+    small relation, then limit K. The corpus-sized stream never passes
+    through the window."""
+    from pyspark.sql import Window as W
+
+    counts = (
+        tokens(spark, sf_dir)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= _VOCAB_MIN_COUNT)
+    )
+    w = W.orderBy(F.desc("cnt"), F.asc("word"))
+    return (
+        counts.withColumn("token_id", F.row_number().over(w) - 1)
+        .filter(F.col("token_id") < _VOCAB_K)
+        .select("word", "cnt", "token_id")
+    )
+
+
+@query(
+    "deterministic_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ({_DUCK_MD5H.format(s='text')}) % 1000 < 100
+    """,
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 10% corpus sample: keep documents whose content
+    hash lands in the first 100 of 1000 buckets. Unlike Bernoulli
+    sampling (sample_bernoulli, seed- and partitioning-dependent), a
+    hash sample is a pure per-row predicate — identical membership on
+    any cluster, any partitioning, any engine, and stable across
+    snapshot re-shards, which is why ablation/holdout sets in data
+    pipelines are hash-defined. No shuffle; the predicate runs at scan
+    time."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(
+        F.expr(f"({_SPARK_MD5H.format(s='text')}) % 1000 < 100")
+    ).select("doc_id", "lang")
+
+
 @query(
     "lang_marker_score",
     oracle=f"""
@@ -381,7 +594,12 @@ _register_ngrams()
 
 
 def _doc_ngrams(
-    spark: SparkSession, sf_dir: str, n: int, *, distinct: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    n: int,
+    *,
+    distinct: bool = False,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, gram): word n-grams per document, adjacency order.
 
@@ -392,8 +610,11 @@ def _doc_ngrams(
     ``distinct=True`` dedups WITHIN the document before the explode
     (array_distinct is a per-row op, so the (doc_id, gram) stream is
     distinct by construction with zero extra shuffles — same trick as
-    dedup._spark_shingles)."""
-    docs = load_table(spark, sf_dir, "documents")
+    dedup._spark_shingles).
+
+    ``toks`` (doc_id, t) lets a caller that derives several gram sizes
+    share ONE tokenization of the corpus (gopher_repetition pins it) —
+    at 100 TB that is two fewer full scans + regex-splits."""
     spark_gram = "concat(" + ", ' ', ".join(
         f"element_at(t, i + {j})" for j in range(n)
     ) + ")"
@@ -403,9 +624,11 @@ def _doc_ngrams(
     ).otherwise(F.array().cast("array<string>"))
     if distinct:
         grams = F.array_distinct(grams)
-    return docs.select("doc_id", _toks_col().alias("t")).select(
-        "doc_id", F.explode(grams).alias("gram")
-    )
+    if toks is None:
+        toks = load_table(spark, sf_dir, "documents").select(
+            "doc_id", _toks_col().alias("t")
+        )
+    return toks.select("doc_id", F.explode(grams).alias("gram"))
 
 
 def _duck_doc_ngrams(n: int) -> str:
@@ -418,13 +641,15 @@ def _duck_doc_ngrams(n: int) -> str:
     """
 
 
-def _top_gram_chars(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+def _top_gram_chars(
+    spark: SparkSession, sf_dir: str, n: int, *, toks: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, chars): occurrences × length of the doc's most frequent
     n-gram (ties broken lexicographically — deterministic)."""
     from pyspark.sql import Window as W
 
     cnts = (
-        _doc_ngrams(spark, sf_dir, n)
+        _doc_ngrams(spark, sf_dir, n, toks=toks)
         .groupBy("doc_id", "gram")
         .agg(F.count("*").alias("cnt"))
     )
@@ -489,7 +714,11 @@ def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, reduced to one row per doc before the final doc_id joins — the
     per-doc relations are corpus-row-sized, so the joins are cheap and
     the line metrics are a pure per-row projection (zero shuffles).
-    Survives 100×: nothing here is wider than the token stream."""
+    The corpus is scanned + tokenized ONCE (pinned (doc_id, t)
+    relation shared by the three gram streams). Survives 100×: nothing
+    here is wider than the token stream."""
+    from mapreduce_wordcounter_spark.session import pin
+
     docs = load_table(spark, sf_dir, "documents")
     lines = F.filter(
         F.transform(F.split(F.col("text"), "\n"), lambda s: F.trim(s)),
@@ -501,10 +730,11 @@ def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(lines).alias("n_lines"),
         F.size(F.array_distinct(lines)).alias("n_dlines"),
     )
-    t2 = _top_gram_chars(spark, sf_dir, 2).withColumnRenamed("chars", "c2")
-    t3 = _top_gram_chars(spark, sf_dir, 3).withColumnRenamed("chars", "c3")
+    toks = pin(docs.select("doc_id", _toks_col().alias("t")))
+    t2 = _top_gram_chars(spark, sf_dir, 2, toks=toks).withColumnRenamed("chars", "c2")
+    t3 = _top_gram_chars(spark, sf_dir, 3, toks=toks).withColumnRenamed("chars", "c3")
     d5 = (
-        _doc_ngrams(spark, sf_dir, 5)
+        _doc_ngrams(spark, sf_dir, 5, toks=toks)
         .groupBy("doc_id", "gram")
         .agg(F.count("*").alias("cnt"))
         .groupBy("doc_id")

@@ -454,6 +454,66 @@ DOCUMENTS_SCHEMA = T.StructType(
 
 
 @query(
+    "stream_incremental_dedup",
+    oracle="""
+    SELECT d.doc_id, sha256(d.text) AS content_hash
+    FROM documents d
+    WHERE d.doc_id % 3 = 0
+      AND NOT EXISTS (SELECT 1 FROM documents b
+                      WHERE b.doc_id % 3 <> 0
+                        AND sha256(b.text) = sha256(d.text))
+    """,
+)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup: the daily increment arrives as a STREAM
+    and is deduped against the static base-snapshot survivor table at
+    rest (same bucketed table as dedup_incremental_new — shared via
+    dedup.write_base_snapshot). The production shape for "dedup on
+    arrival" pipelines: the stream side is unbounded, the base is a
+    stream-static join's static side, so no streaming state is kept at
+    all — state lives in the snapshot table, exactly where an
+    incremental pipeline wants it.
+
+    Stream-static joins support inner/left-outer/left-semi (no anti),
+    so anti is expressed as left-outer + IS NULL on a base marker —
+    same plan, null-filter instead of anti semantics. Same oracle as
+    the batch twin: batch-equivalence IS the correctness check."""
+    from mapreduce_wordcounter_spark.operators.dedup import write_base_snapshot
+
+    ensure_utc(spark)
+    base = spark.table(write_base_snapshot(spark, sf_dir)).withColumn(
+        "seen", F.lit(1)
+    )
+    docs = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    increment = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.sha2("text", 256).alias("content_hash")
+    )
+    new_docs = (
+        increment.join(base, "content_hash", "left_outer")
+        .filter(F.col("seen").isNull())
+        .select("doc_id", "content_hash")
+    )
+    name = "stream_incr_" + uuid.uuid4().hex[:8]
+    with stream_shuffle_partitions(spark):
+        q = (
+            new_docs.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    return spark.table(name)
+
+
+@query(
     "stream_wc_counts",
     oracle="""
     SELECT word, COUNT(*) AS cnt
