@@ -518,6 +518,78 @@ def vocab_top1k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_unigram_kl",
+    oracle="""
+    WITH sc AS (
+        SELECT source, word, COUNT(*) AS cnt_s
+        FROM (SELECT source, unnest(list_filter(
+                  regexp_split_to_array(lower(text), '[^\\p{L}]+'), x -> x <> '')) AS word
+              FROM documents) t
+        GROUP BY source, word),
+    stot AS (SELECT source, SUM(cnt_s) AS n_s FROM sc GROUP BY source),
+    corp AS (SELECT word, SUM(cnt_s) AS cnt FROM sc GROUP BY word),
+    n AS (SELECT SUM(cnt_s) AS nn FROM sc)
+    SELECT sc.source, CAST(stot.n_s AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(FLOOR(
+               (CAST(sc.cnt_s AS DOUBLE) / stot.n_s)
+               * LN((CAST(sc.cnt_s AS DOUBLE) / stot.n_s)
+                    / (CAST(corp.cnt AS DOUBLE) / n.nn))
+               * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0
+               AS kl_unigram
+    FROM sc
+    JOIN stot USING (source)
+    JOIN corp USING (word)
+    CROSS JOIN n
+    GROUP BY sc.source, stot.n_s
+    """,
+)
+def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift per corpus slice: KL(P_source ‖ P_corpus)
+    over unigram distributions — the standard check that one source
+    (crawl, snapshot, domain) hasn't drifted from the corpus mix before
+    it's blended into training data.
+
+    Determinism: each KL term is a pure function of four integers
+    (cnt_s, N_s, cnt, N) computed identically in both engines; the
+    cross-word sum uses the repo's quantize-to-int64 construction
+    (functions/numeric.py) so accumulation order can't move the result.
+
+    Scale: ONE token pass builds (source, word) counts; the corpus
+    marginal and per-source totals are DERIVED from that relation
+    (vocabulary-sized and #sources-sized), then broadcast back — no
+    second corpus scan, no skew (the join keys are word/source on
+    vocabulary-sized relations)."""
+    from mapreduce_wordcounter_spark.functions.numeric import quantize
+
+    sc = (
+        tokens(spark, sf_dir)
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("cnt_s"))
+    )
+    from mapreduce_wordcounter_spark.session import pin
+
+    sc = pin(sc)
+    stot = sc.groupBy("source").agg(F.sum("cnt_s").alias("n_s"))
+    corp = sc.groupBy("word").agg(F.sum("cnt_s").alias("cnt"))
+    n = sc.agg(F.sum("cnt_s").alias("nn"))
+    p_s = F.col("cnt_s").cast("double") / F.col("n_s")
+    p_c = F.col("cnt").cast("double") / F.col("nn")
+    term = p_s * F.log(p_s / p_c)
+    return (
+        sc.join(F.broadcast(stot), "source")
+        .join(F.broadcast(corp), "word")
+        .join(F.broadcast(n))
+        .groupBy("source", "n_s")
+        .agg((F.sum(quantize(term)).cast("double") / 1_000_000).alias("kl_unigram"))
+        .select(
+            "source",
+            F.col("n_s").cast("long").alias("n_tokens"),
+            "kl_unigram",
+        )
+    )
+
+
+@query(
     "deterministic_sample",
     oracle=f"""
     SELECT doc_id, lang

@@ -44,6 +44,7 @@ _ALLOWED_BOUNDED_BNLJ = {
     "scalar_subquery",  # 1-row aggregate scalar as the build side
     "tf_idf",  # 1-row corpus-size scalar joined onto df counts
     "bm25_topk",  # 1-row (N, avgdl) scalar stats joined onto the tf relation
+    "source_unigram_kl",  # 1-row corpus-token-total scalar onto (source, word)
     "word_typo_pairs",  # vocab LIMIT-capped before the edit-distance theta join
 }
 

@@ -48,6 +48,18 @@ SHOWCASE = [
     "q19_discounted_revenue",
     "window_qualify_pareto",
     "grouped_ols_slope",
+    # round 3
+    "quality_score_gopher",
+    "benchmark_contamination_rate",
+    "bm25_topk",
+    "semantic_dedup_components",
+    "dedup_incremental_new",
+    "boilerplate_ngrams",
+    "pack_sequences",
+    "vocab_top1k",
+    "jaccard_capped_pairs",
+    "minhash_jaccard_est",
+    "dataset_split_assign",
 ]
 
 SF = "/root/testdata/sf0.01"
