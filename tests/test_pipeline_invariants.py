@@ -1,0 +1,148 @@
+"""Semantic invariants for the training-pipeline operators (SURVEY.md
+§5.2 layer 4 — properties the DuckDB differential can't express).
+
+The oracle parity layer proves Spark == SQL-spec; these tests prove the
+*spec itself* has the properties the operator's consumers rely on:
+packing respects capacity, hash splits are consistent and stable, KL is
+non-negative, MinHash estimates track exact Jaccard within the
+estimator's variance, streaming and batch incremental dedup agree.
+"""
+
+from __future__ import annotations
+
+from mapreduce_wordcounter_spark.registry import all_queries
+from tests.conftest import SF_ORACLE
+
+_QUERIES = all_queries()
+
+_PACK_CAPACITY = 2048  # mirrors operators/text.py
+
+
+def test_pack_sequences_greedy_invariants(spark):
+    """pack_id must equal (running token total before the doc) //
+    capacity within each (lang, source) group, doc_id order — checked
+    against a three-line Python reference on the collected rows."""
+    rows = (
+        _QUERIES["pack_sequences"](spark, SF_ORACLE)
+        .orderBy("lang", "source", "doc_id")
+        .collect()
+    )
+    assert rows
+    running: dict[tuple[str, str], int] = {}
+    for r in rows:
+        key = (r["lang"], r["source"])
+        before = running.get(key, 0)
+        assert r["pack_id"] == before // _PACK_CAPACITY, r
+        running[key] = before + r["n_tokens"]
+    # Every pack (except possibly each group's last) is filled past its
+    # start boundary, i.e. pack ids within a group are contiguous.
+    for key, total in running.items():
+        assert total > 0
+
+
+def test_dataset_split_consistency_and_shares(spark):
+    rows = _QUERIES["dataset_split_assign"](spark, SF_ORACLE).collect()
+    n = len(rows)
+    assert n > 0
+    shares = {"train": 0, "validation": 0, "test": 0}
+    for r in rows:
+        assert 0 <= r["bucket"] < 100
+        expect = (
+            "train" if r["bucket"] < 80 else "validation" if r["bucket"] < 90 else "test"
+        )
+        assert r["split"] == expect
+        shares[r["split"]] += 1
+    # Loose binomial bounds around 80/10/10 (n=500 at sf0.01).
+    assert 0.70 <= shares["train"] / n <= 0.90
+    assert 0.03 <= shares["validation"] / n <= 0.20
+    assert 0.03 <= shares["test"] / n <= 0.20
+
+
+def test_deterministic_sample_is_deterministic(spark):
+    """Hash membership must be identical across independent runs (the
+    property Bernoulli sampling lacks) and a ~10% fraction."""
+    a = {r["doc_id"] for r in _QUERIES["deterministic_sample"](spark, SF_ORACLE).collect()}
+    b = {r["doc_id"] for r in _QUERIES["deterministic_sample"](spark, SF_ORACLE).collect()}
+    assert a == b
+    total = _QUERIES["dedup_exact"](spark, SF_ORACLE).count()  # 500 docs
+    assert 0.04 <= len(a) / total <= 0.20
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    """For LSH candidates that exact verification confirms (J >= 0.5),
+    the 16-perm signature estimate must sit within the estimator's
+    4-sigma band (sigma <= sqrt(0.25/16) = 0.125): |est - J| <= 0.5,
+    and the mean absolute error must be far tighter."""
+    est = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_est"]
+        for r in _QUERIES["minhash_jaccard_est"](spark, SF_ORACLE).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in _QUERIES["lsh_verified_pairs"](spark, SF_ORACLE).collect()
+    }
+    assert exact, "expected verified near-dup pairs at sf0.01"
+    # Every verified pair came from the candidate set, so it has an
+    # estimate row.
+    errs = []
+    for pair, j in exact.items():
+        assert pair in est, pair
+        errs.append(abs(est[pair] - j))
+        assert errs[-1] <= 0.5, (pair, est[pair], j)
+    assert sum(errs) / len(errs) <= 0.25
+
+
+def test_source_kl_nonnegative_and_total(spark):
+    rows = _QUERIES["source_unigram_kl"](spark, SF_ORACLE).collect()
+    assert rows
+    # Gibbs' inequality: KL >= 0 (quantization can dip a hair under 0).
+    for r in rows:
+        assert r["kl_unigram"] >= -1e-6, r
+    corpus_tokens = sum(r["n_tokens"] for r in rows)
+    wc = _QUERIES["wc_summary"](spark, SF_ORACLE).collect()[0]
+    assert corpus_tokens == wc["total_tokens"]
+
+
+def test_semantic_dedup_labels_are_canonical_minima(spark):
+    rows = _QUERIES["semantic_dedup_components"](spark, SF_ORACLE).collect()
+    assert rows
+    by_label: dict[int, list[int]] = {}
+    for r in rows:
+        assert r["canonical_id"] <= r["vec_id"]
+        assert r["is_canonical"] == (r["vec_id"] == r["canonical_id"])
+        by_label.setdefault(r["canonical_id"], []).append(r["vec_id"])
+    for label, members in by_label.items():
+        assert min(members) == label  # the canonical is the component min
+        assert len(members) >= 2  # edges only — singletons are not emitted
+
+
+def test_stream_incremental_dedup_matches_batch(spark):
+    batch = {
+        (r["doc_id"], r["content_hash"])
+        for r in _QUERIES["dedup_incremental_new"](spark, SF_ORACLE).collect()
+    }
+    stream = {
+        (r["doc_id"], r["content_hash"])
+        for r in _QUERIES["stream_incremental_dedup"](spark, SF_ORACLE).collect()
+    }
+    assert batch == stream
+    assert batch  # non-vacuous
+
+
+def test_vocab_ids_dense_and_rank_ordered(spark):
+    rows = sorted(
+        _QUERIES["vocab_top1k"](spark, SF_ORACLE).collect(),
+        key=lambda r: r["token_id"],
+    )
+    assert rows
+    assert [r["token_id"] for r in rows] == list(range(len(rows)))
+    cnts = [r["cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+
+
+def test_boilerplate_ngrams_doc_frequency_floor(spark):
+    rows = _QUERIES["boilerplate_ngrams"](spark, SF_ORACLE).collect()
+    assert rows
+    assert all(r["n_docs"] >= 2 for r in rows)
+    ndocs = [r["n_docs"] for r in rows]
+    assert ndocs == sorted(ndocs, reverse=True)
