@@ -63,6 +63,7 @@ HEADLINE = [
     "bm25_topk",
     "semantic_dedup_components",
     "dedup_incremental_new",
+    "pipeline_curate",
 ]
 
 

@@ -1005,6 +1005,86 @@ def benchmark_contamination_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- End-to-end curation pipeline -------------------------------------------
+
+_CURATE_MIN_SCORE = 6  # of 7 (3 C4-style gates + 4 Gopher repetition gates)
+
+
+@query(
+    "pipeline_curate",
+    # Composes registered, independently-verified oracles — the
+    # FROM-subquery nesting pattern established by
+    # dedup_components_canonical (DuckDB allows WITH inside a derived
+    # table). ORACLE["quality_score_gopher"] is registered above in
+    # this module, _DUCK_CONTAM is the benchmark_contamination body.
+    oracle=f"""
+    WITH keep AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+    survivors AS (
+        SELECT d.doc_id, d.n_chars,
+               ({_DUCK_MD5H.format(s='d.text')}) % 100 AS bucket
+        FROM documents d
+        JOIN keep k ON d.doc_id = k.doc_id
+        JOIN (SELECT * FROM ({{qsg}}) q) qsg ON qsg.doc_id = d.doc_id
+        JOIN (SELECT * FROM ({{contam}}) c) ct ON ct.doc_id = d.doc_id
+        WHERE qsg.gopher_score >= {_CURATE_MIN_SCORE} AND NOT ct.contaminated)
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'validation'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM survivors
+    GROUP BY 1
+    """.replace("{qsg}", ORACLE["quality_score_gopher"]).replace(
+        "{contam}", _DUCK_CONTAM
+    ),
+)
+def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation story in one plan — what this engine exists
+    for: exact dedup (keep-first) → Gopher quality gate (score ≥ 6/7)
+    → benchmark decontamination (drop contaminated docs AND the
+    benchmark subset itself) → content-hash split assignment → per-
+    split doc/char totals. Every stage is an independently oracle-
+    verified operator; this query is their composition, verified
+    end-to-end against the composed SQL.
+
+    Scale: the stages share the plan shapes already audited per-op —
+    one 256-bit-hash shuffle (dedup), the token/n-gram aggregates
+    (quality), a broadcast semi-join (contamination), a per-row hash
+    projection (split). Nothing new is introduced by composing them;
+    Catalyst pipelines the per-doc joins on doc_id."""
+    from mapreduce_wordcounter_spark.operators.dedup import dedup_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = dedup_exact(spark, sf_dir).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    qsg = quality_score_gopher(spark, sf_dir).select("doc_id", "gopher_score")
+    contam = benchmark_contamination(spark, sf_dir).select("doc_id", "contaminated")
+    bucket = F.expr(f"({_SPARK_MD5H.format(s='text')}) % 100")
+    survivors = (
+        docs.join(keep, "doc_id")
+        .join(qsg, "doc_id")
+        .join(contam, "doc_id")
+        .filter(
+            (F.col("gopher_score") >= _CURATE_MIN_SCORE) & ~F.col("contaminated")
+        )
+        .select("doc_id", "n_chars", bucket.alias("bucket"))
+    )
+    return (
+        survivors.groupBy(
+            F.when(F.col("bucket") < 80, "train")
+            .when(F.col("bucket") < 90, "validation")
+            .otherwise("test")
+            .alias("split")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
 # --- BM25 retrieval ----------------------------------------------------------
 #
 # One step past TF-IDF: Okapi BM25 (Robertson/Spärck Jones) with the

@@ -60,6 +60,8 @@ SHOWCASE = [
     "jaccard_capped_pairs",
     "minhash_jaccard_est",
     "dataset_split_assign",
+    "pipeline_curate",
+    "source_unigram_kl",
 ]
 
 SF = "/root/testdata/sf0.01"
