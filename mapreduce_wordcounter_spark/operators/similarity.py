@@ -531,6 +531,103 @@ def lsh_bucket_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUCK_HP_BUCKETS = f"""
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN qdot > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+    FROM (
+        SELECT vec_id, j,
+               SUM(CAST(FLOOR(x * {_DUCK_PLANE} * 1000.0 + 0.5) AS BIGINT)) AS qdot
+        FROM ({_DUCK_LONG}) lv
+        CROSS JOIN (SELECT unnest(generate_series(0, {_N_PLANES - 1})) AS j) pj
+        GROUP BY vec_id, j) dots
+    GROUP BY vec_id
+"""
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH buckets AS ({_DUCK_HP_BUCKETS}),
+    qprobe AS (
+        SELECT b.vec_id AS query_id, xor(b.bucket, pb.flip) AS probe
+        FROM buckets b
+        CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS flip) pb
+        WHERE b.vec_id < {N_QUERIES}),
+    cand AS (
+        SELECT DISTINCT q.query_id, c.vec_id
+        FROM qprobe q JOIN buckets c ON c.bucket = q.probe
+        WHERE c.vec_id <> q.query_id),
+    scored AS (
+        SELECT cand.query_id, cand.vec_id,
+               ROUND({_DUCK_DOT.format(a='qe.embedding', b='ce.embedding')}
+                     / ({_DUCK_NORM.format(v='qe.embedding')} * {_DUCK_NORM.format(v='ce.embedding')}),
+                     6) AS cosine
+        FROM cand
+        JOIN embeddings qe ON qe.vec_id = cand.query_id
+        JOIN embeddings ce ON ce.vec_id = cand.vec_id)
+    SELECT query_id, vec_id, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS rn
+        FROM scored) t
+    WHERE rn <= {TOP_K}
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH end-to-end ANN top-k (the hyperplane-bucket counterpart of
+    ann_ivf_topk): each query probes its own bucket plus all 8 buckets
+    at Hamming distance 1 (multi-probe LSH — recall of several tables
+    at the storage cost of one), candidates come from the bucket
+    equi-join, exact cosine ranks candidates only.
+
+    Scale: the probe list is 9 longs per query — broadcast; the corpus
+    side is the bucket relation (one long per vector); the only
+    per-query work is the candidate verification, ∝ bucket occupancy ×
+    9 instead of |corpus|. Same candidate-then-verify shape as every
+    other ANN path here."""
+    b = lsh_hyperplane_buckets(spark, sf_dir)
+    flips = spark.range(0, _N_PLANES + 1).select(
+        F.when(F.col("id") == 0, F.lit(0))
+        .otherwise(F.expr("shiftleft(1L, cast(id as int) - 1)"))
+        .alias("flip")
+    )
+    qprobe = (
+        b.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(flips))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.expr("bucket ^ flip").alias("probe"),
+        )
+    )
+    cand = (
+        qprobe.join(b, b.bucket == qprobe.probe)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"), "embedding", "nrm")
+    qe = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    ce = emb.select(
+        "vec_id", F.col("embedding").alias("cv"), F.col("nrm").alias("cn")
+    )
+    cos = F.round(
+        F.expr(_SPARK_DOT.format(a="qv", b="cv")) / (F.col("qn") * F.col("cn")), 6
+    )
+    scored = (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ce, "vec_id")
+        .select("query_id", "vec_id", cos.alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", "cosine")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Semantic (embedding-cosine) dedup: LSH edges → connected components
 # ---------------------------------------------------------------------------

@@ -41,6 +41,7 @@ _ALLOWED_BOUNDED_BNLJ = {
     "join_range_bands",  # 3-row literal price-band table
     "lsh_hyperplane_buckets",  # 8-row plane table cross (long-form oracle twin)
     "lsh_bucket_candidates",  # same plane cross, one level down
+    "ann_lsh_topk",  # plane cross + 9-row constant probe-flip table
     "scalar_subquery",  # 1-row aggregate scalar as the build side
     "tf_idf",  # 1-row corpus-size scalar joined onto df counts
     "bm25_topk",  # 1-row (N, avgdl) scalar stats joined onto the tf relation

@@ -73,6 +73,16 @@ def test_ivf_recall_floor_on_real_testdata(spark):
     assert ivf.cosine.notna().all()
 
 
+def test_lsh_topk_recall_on_clustered_data(spark, clustered_sf):
+    """Multi-probe hyperplane-LSH top-k on clustered data: a tight
+    cluster (σ=0.05 around its center) collides on most sign bits, so
+    probing the query's bucket + all Hamming-1 neighbors must recover
+    the large majority of the exact top-10."""
+    brute = _QUERIES["knn_brute_cosine"](spark, clustered_sf).toPandas()
+    lsh = _QUERIES["ann_lsh_topk"](spark, clustered_sf).toPandas()
+    assert _recall(brute, lsh) >= 0.7, _recall(brute, lsh)
+
+
 def test_lsh_buckets_separate_clusters(spark, clustered_sf):
     """Hyperplane-LSH property: same-bucket pairs must be substantially
     more similar than the corpus at large — bucket collision correlates
