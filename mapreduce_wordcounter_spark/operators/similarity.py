@@ -697,3 +697,42 @@ def semantic_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(
         F.col("doc_id").alias("vec_id"), "canonical_id", "is_canonical"
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    SELECT vec_id,
+           list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale,
+           CASE WHEN list_max(list_transform(embedding, x -> abs(x::DOUBLE))) = 0
+                THEN list_transform(embedding, x -> 0)
+                ELSE list_transform(embedding,
+                     x -> CAST(FLOOR(x::DOUBLE
+                          / (list_max(list_transform(embedding, y -> abs(y::DOUBLE))) / 127.0)
+                          + 0.5) AS INT))
+           END AS qvec
+    FROM embeddings
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector (scale = max|x|/127,
+    q_i = floor(x_i/scale + 0.5)) — the standard storage/serving
+    compression for embedding tables: 4× smaller than float32, dot
+    products run in int arithmetic, the scale rides along for
+    dequantize. Zero vectors quantize to zeros (guarded division).
+
+    Pure per-row array projection — no shuffle at any scale; floor(x +
+    0.5) instead of round() because the two engines disagree on
+    negative-half rounding while floor is IEEE-identical everywhere."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale = F.expr(
+        "array_max(transform(embedding, x -> abs(cast(x as double)))) / 127.0D"
+    )
+    qvec = F.expr(
+        "CASE WHEN array_max(transform(embedding, x -> abs(cast(x as double)))) = 0D"
+        " THEN transform(embedding, x -> 0)"
+        " ELSE transform(embedding, x -> CAST(FLOOR(cast(x as double)"
+        "   / (array_max(transform(embedding, y -> abs(cast(y as double)))) / 127.0D)"
+        "   + 0.5D) AS INT)) END"
+    )
+    return emb.select("vec_id", scale.alias("scale"), qvec.alias("qvec"))

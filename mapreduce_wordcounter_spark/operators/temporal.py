@@ -187,3 +187,112 @@ def ev_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("v", ignorenulls=True).over(w).alias("value_ffill"),
         )
     )
+
+
+@query(
+    "ev_interpolate_linear",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS h,
+               arg_max(value, epoch_us(ts)) AS v
+        FROM events GROUP BY 1, 2),
+    bounds AS (
+        SELECT user_id,
+               time_bucket(INTERVAL '1 hour', MIN(ts)) AS h0,
+               time_bucket(INTERVAL '1 hour', MAX(ts)) AS h1
+        FROM events GROUP BY 1),
+    grid AS (
+        SELECT user_id, unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS h
+        FROM bounds),
+    joined AS (
+        SELECT g.user_id, g.h, hv.v,
+               last_value(hv.v IGNORE NULLS)
+                   OVER (PARTITION BY g.user_id ORDER BY g.h) AS v_prev,
+               last_value(CASE WHEN hv.v IS NOT NULL THEN g.h END IGNORE NULLS)
+                   OVER (PARTITION BY g.user_id ORDER BY g.h) AS h_prev,
+               first_value(hv.v IGNORE NULLS)
+                   OVER (PARTITION BY g.user_id ORDER BY g.h
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_next,
+               first_value(CASE WHEN hv.v IS NOT NULL THEN g.h END IGNORE NULLS)
+                   OVER (PARTITION BY g.user_id ORDER BY g.h
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS h_next
+        FROM grid g
+        LEFT JOIN hourly hv ON g.user_id = hv.user_id AND g.h = hv.h)
+    SELECT user_id,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           CAST(FLOOR((CASE WHEN h_next = h_prev THEN v_prev
+                      ELSE v_prev + (v_next - v_prev)
+                           * (CAST(epoch_us(h) - epoch_us(h_prev) AS DOUBLE)
+                              / CAST(epoch_us(h_next) - epoch_us(h_prev) AS DOUBLE))
+                 END) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS value_interp
+    FROM joined
+    """,
+)
+def ev_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill by LINEAR interpolation on the same dense hourly grid as
+    ev_resample_ffill: missing hours take the value lerped between the
+    nearest observed hours on either side (exact at observed hours —
+    h_prev = h_next there). The other standard resampling mode for
+    time-series features; bounds are always observed, so prev/next
+    exist everywhere on the grid.
+
+    Same scale posture as the ffill twin: one shuffle on user_id shared
+    by the agg, the join and BOTH direction windows (forward/backward
+    scan over each user's grid, no extra exchange). The lerp is a pure
+    per-row IEEE expression over integers and two observed doubles —
+    identical in both engines; ROUND(6) guards the division's last ulp.
+    """
+    ensure_utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.expr("max_by(value, unix_micros(ts))").alias("v"))
+    bounds = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    wback = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wfwd = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    j = grid.join(hourly, ["user_id", "h"], "left").select(
+        "user_id",
+        "h",
+        F.last("v", ignorenulls=True).over(wback).alias("v_prev"),
+        F.last(F.when(F.col("v").isNotNull(), F.col("h")), ignorenulls=True)
+        .over(wback)
+        .alias("h_prev"),
+        F.first("v", ignorenulls=True).over(wfwd).alias("v_next"),
+        F.first(F.when(F.col("v").isNotNull(), F.col("h")), ignorenulls=True)
+        .over(wfwd)
+        .alias("h_next"),
+    )
+    frac = (
+        (F.expr("unix_micros(h)") - F.expr("unix_micros(h_prev)")).cast("double")
+        / (F.expr("unix_micros(h_next)") - F.expr("unix_micros(h_prev)")).cast(
+            "double"
+        )
+    )
+    interp = F.when(F.col("h_next") == F.col("h_prev"), F.col("v_prev")).otherwise(
+        F.col("v_prev") + (F.col("v_next") - F.col("v_prev")) * frac
+    )
+    return j.select(
+        "user_id",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+        # floor-quantize instead of round(): the two engines disagree on
+        # binary-exact .5 halfway cases (8/105k rows at sf0.01), while
+        # floor(x*1e6 + 0.5) is IEEE-identical everywhere.
+        (F.floor(interp * 1_000_000 + F.lit(0.5)).cast("long") / 1_000_000).alias(
+            "value_interp"
+        ),
+    )

@@ -30,6 +30,13 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
             return None
         if isinstance(v, float) and math.isnan(v):
             return None
+        # List-valued cells (array columns): numpy arrays from DuckDB,
+        # lists/ndarrays from Spark — normalize to a tuple of Python
+        # scalars so equality and lexicographic sort are well-defined.
+        if hasattr(v, "tolist") and getattr(v, "ndim", 0) >= 1:
+            return tuple(v.tolist())
+        if isinstance(v, (list, tuple)):
+            return tuple(x.item() if hasattr(x, "item") else x for x in v)
         if hasattr(v, "item"):
             v = v.item()
         if isinstance(v, bytes):
