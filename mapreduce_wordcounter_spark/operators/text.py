@@ -1250,3 +1250,127 @@ def word_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("word_a", "word_b").alias("dist"),
         )
     )
+
+
+# --- Document chunking -------------------------------------------------------
+
+_CHUNK_TOKENS = 64
+_CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+@query(
+    "chunk_documents",
+    oracle=f"""
+    SELECT doc_id,
+           CAST((start - 1) / {_CHUNK_STRIDE} AS BIGINT) AS chunk_no,
+           CAST(start AS BIGINT) AS start_token,
+           CAST(len(list_slice(t, start, start + {_CHUNK_TOKENS - 1})) AS BIGINT)
+               AS n_tokens,
+           md5(array_to_string(list_slice(t, start, start + {_CHUNK_TOKENS - 1}), ' '))
+               AS chunk_md5
+    FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM documents) d,
+         LATERAL (SELECT unnest(generate_series(1, len(t), {_CHUNK_STRIDE})) AS start) s
+    WHERE len(t) > 0
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size chunking — the context-window prep step
+    for RAG indexing and long-document training: 64-token chunks with a
+    48-token stride (16-token overlap so no boundary context is lost).
+    Emits (chunk_no, start, length, content digest) per chunk; a real
+    pipeline would carry the chunk text into the embedding stage —
+    digests keep the oracle compact while pinning exact content.
+
+    Scale: pure per-row fan-out (sequence → explode → slice), no
+    shuffle at all; chunk count ∝ tokens/stride. The 1→N shape is the
+    same as the multimodal frame sampler, JVM-side here because slicing
+    token arrays needs no codec."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _toks_col().alias("t")).filter(F.size("t") > 0)
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(1, size(t), {_CHUNK_STRIDE})")
+        ).alias("start"),
+        "t",
+    )
+    sl = F.expr(f"slice(t, start, {_CHUNK_TOKENS})")
+    return chunks.select(
+        "doc_id",
+        ((F.col("start") - 1) / _CHUNK_STRIDE).cast("long").alias("chunk_no"),
+        F.col("start").cast("long").alias("start_token"),
+        F.size(sl).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(sl, " ")).alias("chunk_md5"),
+    )
+
+
+# --- Language assignment (argmax over marker families) -----------------------
+
+_LANG_MARKERS = {
+    "en": ("the", "a", "is", "and"),
+    "sql": ("table", "query", "row", "join"),
+    "stream": ("stream", "batch", "window", "event"),
+}
+
+
+def _sql_in(words: tuple[str, ...]) -> str:
+    return "('" + "', '".join(words) + "')"
+
+
+@query(
+    "lang_assign",
+    oracle=f"""
+    WITH scores AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN word IN {_sql_in(_LANG_MARKERS["en"])} THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS s_en,
+               CAST(SUM(CASE WHEN word IN {_sql_in(_LANG_MARKERS["sql"])} THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS s_sql,
+               CAST(SUM(CASE WHEN word IN {_sql_in(_LANG_MARKERS["stream"])} THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS s_stream
+        FROM ({_SQL_TOKEN_ROWS}) t GROUP BY doc_id)
+    SELECT doc_id, s_en, s_sql, s_stream,
+           CASE WHEN s_en >= s_sql AND s_en >= s_stream THEN 'en'
+                WHEN s_sql >= s_stream THEN 'sql'
+                ELSE 'stream' END AS assigned_lang,
+           GREATEST(s_en, s_sql, s_stream) AS confidence
+    FROM scores
+    """,
+)
+def lang_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification, completed: marker-family hit rates per
+    document (the n-gram-heuristic building block lang_marker_score
+    exposes) argmax'd into an assignment + confidence. Ties break by
+    fixed family precedence (en > sql > stream) so the label is
+    deterministic. Real lang-ID swaps the marker lists for per-language
+    frequency profiles; the plan — one token pass, K conditional sums,
+    per-row argmax — is unchanged at any K.
+
+    Scale: single map-side-combined groupBy(doc_id); the argmax is a
+    projection. The synthetic corpus shares one vocabulary, so the
+    machinery (not linguistic truth) is what's verified."""
+    t = tokens(spark, sf_dir)
+    aggs = [
+        (
+            F.sum(F.when(F.col("word").isin(*words), 1).otherwise(0)).cast("double")
+            / F.count("*")
+        ).alias(f"s_{fam}")
+        for fam, words in _LANG_MARKERS.items()
+    ]
+    scores = t.groupBy("doc_id").agg(*aggs)
+    assigned = (
+        F.when(
+            (F.col("s_en") >= F.col("s_sql")) & (F.col("s_en") >= F.col("s_stream")),
+            "en",
+        )
+        .when(F.col("s_sql") >= F.col("s_stream"), "sql")
+        .otherwise("stream")
+    )
+    return scores.select(
+        "doc_id",
+        "s_en",
+        "s_sql",
+        "s_stream",
+        assigned.alias("assigned_lang"),
+        F.greatest("s_en", "s_sql", "s_stream").alias("confidence"),
+    )
