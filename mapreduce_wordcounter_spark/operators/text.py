@@ -1374,3 +1374,63 @@ def lang_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.alias("assigned_lang"),
         F.greatest("s_en", "s_sql", "s_stream").alias("confidence"),
     )
+
+
+@query(
+    "zipf_slope",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rank
+        FROM (SELECT word, COUNT(*) AS cnt FROM ({_SQL_TOKEN_ROWS}) t
+              GROUP BY word) c),
+    terms AS (
+        SELECT LN(CAST(rank AS DOUBLE)) AS x, LN(CAST(cnt AS DOUBLE)) AS y
+        FROM ranked),
+    sums AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sx,
+               CAST(SUM(CAST(FLOOR(y * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sy,
+               CAST(SUM(CAST(FLOOR(x * y * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sxy,
+               CAST(SUM(CAST(FLOOR(x * x * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sxx
+        FROM terms)
+    SELECT CAST(n AS BIGINT) AS n_words,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+    FROM sums
+    """,
+)
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the whole vocabulary: OLS slope of ln(count)
+    on ln(rank). Natural text sits near −1; a corpus that drifts far
+    from its usual slope (template spam flattens it, dedup artifacts
+    steepen it) fails this data-quality check — a one-scalar corpus
+    fingerprint alongside source_unigram_kl.
+
+    Determinism: each ln/ln·ln term is a pure per-row function of two
+    integers (count, rank) and goes through the quantize-to-int64 sum,
+    so the four moments — and therefore the closed-form slope — are
+    engine-exact. Scale: word count is the flagship aggregate; the rank
+    window and the moment sums run over the vocabulary, not the corpus.
+    """
+    from pyspark.sql import Window as W
+
+    counts = tokens(spark, sf_dir).groupBy("word").agg(F.count("*").alias("cnt"))
+    ranked = counts.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("cnt"), F.asc("word")))
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("cnt").cast("double"))
+    q = lambda c: F.floor(c * 1_000_000 + F.lit(0.5)).cast("long")  # noqa: E731
+    sums = ranked.agg(
+        F.count("*").alias("n"),
+        (F.sum(q(x)).cast("double") / 1_000_000).alias("sx"),
+        (F.sum(q(y)).cast("double") / 1_000_000).alias("sy"),
+        (F.sum(q(x * y)).cast("double") / 1_000_000).alias("sxy"),
+        (F.sum(q(x * x)).cast("double") / 1_000_000).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("n").cast("long").alias("n_words"),
+        F.round(slope, 6).alias("zipf_slope"),
+    )
