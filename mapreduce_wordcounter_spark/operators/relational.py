@@ -1795,3 +1795,143 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, F.col("ak").eqNullSafe(F.col("bk"))).select(
         F.col("ak").alias("priority_key"), "n_orders", "n_cust"
     )
+
+
+@query(
+    "q7_nation_volume",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year, {sql_dsum('volume', 'revenue')}
+    FROM (
+        SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+            OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01') shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue between two nations by
+    direction and ship year. Plan: the fact-fact lineitem⋈orders join
+    carries the two broadcast nation-filtered dimension joins
+    (supplier/customer are nation-pruned BEFORE touching the facts, so
+    the big join's inputs are pre-filtered); the disjunctive nation
+    pair predicate stays on the dimension join output."""
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = ("NATION_1", "NATION_2")
+    ns = n.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = s.join(F.broadcast(ns), s.s_nationkey == ns.s_nk).select(
+        F.col("s_suppkey").alias("l_suppkey"), "supp_nation"
+    )
+    cust = c.join(F.broadcast(nc), c.c_nationkey == nc.c_nk).select(
+        F.col("c_custkey").alias("o_custkey"), "cust_nation"
+    )
+    joined = (
+        li.join(F.broadcast(supp), "l_suppkey")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), "o_custkey")
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(F.col("volume"), "revenue"))
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey) c_orders
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    join with a join-side predicate (the filter must NOT drop customers
+    — it belongs on the join, not a WHERE), double aggregation. The
+    customers-with-zero-orders bucket only exists if the outer join is
+    correct, which is what this query pins."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice', 'total_price')},
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#9'
+      AND l.l_quantity < (
+          SELECT 0.2 * AVG(l2.l_quantity)
+          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    scalar subquery (per-part average quantity) decorrelates into a
+    per-part aggregate joined back to the fact — the standard rewrite
+    Catalyst itself performs for correlated scalars. The per-part avg
+    relation is part-cardinality-sized → broadcast; the brand filter
+    prunes the probe before the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#9").select(
+        "p_partkey"
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cap")
+    )
+    branded = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    filtered = branded.join(F.broadcast(per_part), "l_partkey").filter(
+        F.col("l_quantity") < F.col("qty_cap")
+    )
+    return filtered.agg(
+        dsum(F.col("l_extendedprice"), "total_price"),
+        (
+            F.sum(F.floor(F.col("l_extendedprice") * 1_000_000 + F.lit(0.5)).cast("long"))
+            .cast("double")
+            / 1_000_000
+            / 7.0
+        ).alias("avg_yearly"),
+    )
