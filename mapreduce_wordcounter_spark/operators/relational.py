@@ -1845,10 +1845,13 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = c.join(F.broadcast(nc), c.c_nationkey == nc.c_nk).select(
         F.col("c_custkey").alias("o_custkey"), "cust_nation"
     )
+    # supp (nation-filtered suppliers) is broadcast-sized at any scale;
+    # cust is customer-cardinality — no hint, AQE decides (broadcast at
+    # test scale, shuffle join reusing o_custkey partitioning at 100 TB).
     joined = (
         li.join(F.broadcast(supp), "l_suppkey")
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), "o_custkey")
+        .join(cust, "o_custkey")
         .filter(F.col("supp_nation") != F.col("cust_nation"))
     )
     return (
@@ -1913,8 +1916,11 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar subquery (per-part average quantity) decorrelates into a
     per-part aggregate joined back to the fact — the standard rewrite
     Catalyst itself performs for correlated scalars. The per-part avg
-    relation is part-cardinality-sized → broadcast; the brand filter
-    prunes the probe before the join."""
+    is part-cardinality-sized — deliberately NOT hinted broadcast (at
+    100 TB that relation is hundreds of millions of rows; both sides of
+    its join already partition on partkey, and AQE picks broadcast at
+    test scale on its own). Only the brand-filtered part list, tiny at
+    any scale, carries a broadcast hint."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#9").select(
         "p_partkey"
@@ -1923,7 +1929,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg("l_quantity") * 0.2).alias("qty_cap")
     )
     branded = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-    filtered = branded.join(F.broadcast(per_part), "l_partkey").filter(
+    filtered = branded.join(per_part, "l_partkey").filter(
         F.col("l_quantity") < F.col("qty_cap")
     )
     return filtered.agg(

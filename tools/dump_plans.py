@@ -62,6 +62,12 @@ SHOWCASE = [
     "dataset_split_assign",
     "pipeline_curate",
     "source_unigram_kl",
+    "ann_lsh_topk",
+    "chunk_documents",
+    "ev_interpolate_linear",
+    "q7_nation_volume",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
 ]
 
 SF = "/root/testdata/sf0.01"
