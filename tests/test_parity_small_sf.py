@@ -1,0 +1,96 @@
+"""Oracle parity at sf0.001 for the size-guard-sensitive queries.
+
+The main differential layer runs at sf0.01; this one re-runs the
+queries whose implementations carry explicit short-input guards
+(Spark's ``sequence(1, k)`` is DESCENDING for k < 1 where DuckDB's
+``generate_series`` is empty; slices/windows degenerate on tiny docs)
+at the smallest scale, where short documents and sparse groups actually
+occur. A full-surface sweep at sf0.001 was green when this was added —
+this subset keeps the guard regressions pinned without doubling suite
+time.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+from mapreduce_wordcounter_spark import TABLES
+from mapreduce_wordcounter_spark.registry import all_oracles, all_queries
+from tests.conftest import SF_SMOKE
+
+_ORACLES = all_oracles()
+_QUERIES = all_queries()
+
+# Queries with n-gram/slice/window size guards or grid generation.
+_GUARDED = [
+    "ngrams_bigram_top50",
+    "ngrams_trigram_top50",
+    "boilerplate_ngrams",
+    "gopher_repetition",
+    "benchmark_contamination",
+    "chunk_documents",
+    "pack_sequences",
+    "jaccard_near_dup_pairs",
+    "minhash_signatures",
+    "ev_resample_ffill",
+    "ev_interpolate_linear",
+]
+
+
+@pytest.fixture(scope="module")
+def duck_smoke():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_SMOKE}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+
+    def cell(v):
+        if v is None:
+            return None
+        if isinstance(v, float) and math.isnan(v):
+            return None
+        if hasattr(v, "item"):
+            v = v.item()
+        if isinstance(v, bytes):
+            return v.hex()
+        return v
+
+    out = df.map(cell)
+    return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+@pytest.mark.parametrize("name", _GUARDED)
+def test_parity_at_smoke_sf(name, spark, duck_smoke):
+    s = _canon(_QUERIES[name](spark, SF_SMOKE).toPandas())
+    o = _canon(duck_smoke.execute(_ORACLES[name]).fetchdf())
+    assert s.shape == o.shape, f"{name}: {s.shape} != {o.shape}"
+    for col in s.columns:
+        sv, dv = list(s[col]), list(o[col])
+        mism = [
+            (i, a, b)
+            for i, (a, b) in enumerate(zip(sv, dv))
+            if not (
+                (a is None and b is None)
+                or (
+                    isinstance(a, float)
+                    and isinstance(b, float)
+                    and math.isnan(a)
+                    and math.isnan(b)
+                )
+                or a == b
+            )
+        ]
+        assert not mism, f"{name}.{col}: {len(mism)} mismatches, first: {mism[:3]}"
