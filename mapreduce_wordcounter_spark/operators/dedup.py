@@ -618,23 +618,23 @@ def connected_components(edges: DataFrame) -> DataFrame:
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # Carry the convergence flag INSIDE the checkpointed relation:
+        # `chg` is true iff the neighbor min improved this node's label,
+        # so the changed-count is a trivial scan of the (tiny, already
+        # materialized) label table instead of a join against the
+        # previous round — one fewer job per iteration.
+        new_label = F.least("label", F.coalesce("nbr_label", F.col("label")))
+        tagged = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
-                F.least(
-                    "label", F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
+                new_label.alias("label"),
+                (new_label < F.col("label")).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = tagged.filter(F.col("chg")).count()
+        labels = tagged.select("doc_id", "label")
         if changed == 0:
             break
     sym.unpersist()

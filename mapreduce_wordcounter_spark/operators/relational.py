@@ -645,7 +645,8 @@ def join_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, o_totalprice
     FROM orders
     WHERE o_totalprice > 2 * (
-        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*)
+        SELECT CAST(SUM(CAST(FLOOR(o_totalprice * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 / COUNT(*)
         FROM orders)
     """,
 )
@@ -718,19 +719,23 @@ def window_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey, l_orderkey, l_linenumber,
            CAST(SUM(CAST(l_quantity AS DECIMAL(30,8)))
                 OVER (PARTITION BY l_suppkey
-                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS DOUBLE) AS running_qty
     FROM lineitem
     """,
 )
 def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running sum per supplier over a unique (shipdate, orderkey,
-    linenumber) order; decimal accumulation keeps it engine-exact."""
+    """Running sum per supplier; decimal accumulation keeps it
+    engine-exact. l_quantity closes the sort: the corpus contains a
+    duplicate (suppkey, shipdate, orderkey, linenumber) key with
+    differing quantities, and a ROWS frame over a non-total order is
+    nondeterministic — with quantity in the key, tied rows are
+    output-identical, so any tie order yields the same result."""
     li = _t(spark, sf_dir, "lineitem")
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return li.select(
@@ -767,21 +772,31 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_moving_avg",
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(30,8)))
-                OVER w AS DOUBLE)
+           CAST(SUM(CAST(FLOOR(l_quantity * 1000000.0 + 0.5) AS BIGINT))
+                OVER w AS DOUBLE) / 1000000.0
            / COUNT(l_quantity) OVER w AS mov_avg_qty
     FROM lineitem
     WINDOW w AS (PARTITION BY l_suppkey
-                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
     """,
 )
 def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-row moving average with an explicit ROWS frame."""
+    """5-row moving average with an explicit ROWS frame. The windowed
+    sum uses the quantize-to-int64 construction (functions/numeric.py)
+    rather than a DECIMAL intermediate: double→decimal conversion
+    itself diverges between engines (Spark shortest-string vs DuckDB
+    binary rounding, ~1e-6/row). l_quantity closes the sort order:
+    sf0.1 contains a duplicate (suppkey, shipdate, orderkey,
+    linenumber) key with differing quantities, and a ROWS frame over a
+    non-total order is nondeterministic — both caught by the full
+    sf0.1 sweep after passing at sf0.01."""
+    from mapreduce_wordcounter_spark.functions.numeric import quantize
+
     li = _t(spark, sf_dir, "lineitem")
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(-4, W.currentRow)
     )
     return li.select(
@@ -789,7 +804,8 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         (
-            F.sum(F.col("l_quantity").cast("decimal(30,8)")).over(w).cast("double")
+            F.sum(quantize(F.col("l_quantity"))).over(w).cast("double")
+            / 1_000_000
             / F.count("l_quantity").over(w)
         ).alias("mov_avg_qty"),
     )
