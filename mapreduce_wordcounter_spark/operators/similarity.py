@@ -246,8 +246,16 @@ def _tp_scored_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     Norms are per-vector, so compute them once on the embeddings side
     of the join instead of once per candidate pair (pairs >> vectors).
     cosine = dot/(norm_a*norm_b) is the same float expression either
-    way — factoring the norm out doesn't change any IEEE operation."""
-    b = _tp_buckets(spark, sf_dir)
+    way — factoring the norm out doesn't change any IEEE operation.
+
+    The bucket relation is pinned: it feeds BOTH sides of the candidate
+    self-join, and without the cache each side re-runs the Arrow
+    bucketing UDF over the full corpus (released per-query by
+    session.release_pinned; at 100 TB this is a materialized index
+    table, not a recompute)."""
+    from mapreduce_wordcounter_spark.session import pin
+
+    b = pin(_tp_buckets(spark, sf_dir))
     a = b.select(F.col("vec_id").alias("vec_a"), "t", "bucket")
     c = b.select(F.col("vec_id").alias("vec_b"), "t", "bucket")
     cand = (
