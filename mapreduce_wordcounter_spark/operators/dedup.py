@@ -398,6 +398,10 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: docs agreeing on any full band. The
     bucket-join replaces the |docs|² comparison — this is the 100 TB
     near-dup strategy."""
+    # Both self-join branches derive bands from the PINNED shingle
+    # relation, so the duplicated work is only the (fast, map-combined)
+    # minhash aggregate — measured cheaper than forcing an extra cache
+    # materialization boundary here (pinning bands cost +0.4s at sf0.1).
     bands = _spark_bands(spark, sf_dir)
     a = bands.alias("a")
     b = bands.alias("b")
