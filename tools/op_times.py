@@ -26,7 +26,13 @@ from mapreduce_wordcounter_spark.registry import all_queries  # noqa: E402
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
-DEFAULT = ["wc_counts", "q5_regional_revenue", "tf_idf", "minhash_signatures"]
+DEFAULT = [
+    "wc_counts",
+    "q5_regional_revenue",
+    "tf_idf",
+    "minhash_signatures",
+    "pipeline_curate",
+]
 
 # Metrics worth printing: anything time-like, plus volume indicators.
 _KEEP = ("time", "duration", "numOutputRows", "spill", "dataSize", "peak")
