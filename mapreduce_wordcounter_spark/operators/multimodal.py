@@ -276,3 +276,52 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_samples int, amp_sum long, energy long, peak int"
         ),
     )
+
+
+@query(
+    "mm_chunk_dedup",
+    oracle="""
+    SELECT chunk_digest,
+           COUNT(*) AS n_copies,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM (
+        SELECT doc_id, md5(substring(text, 1 + 256 * j, 256)) AS chunk_digest
+        FROM documents,
+             LATERAL (SELECT unnest(generate_series(0, (length(text) - 1) // 256)) AS j) c
+        WHERE length(text) > 0)
+    GROUP BY chunk_digest
+    HAVING COUNT(*) > 1
+    """,
+)
+def mm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-level chunk dedup over media payloads: cut each binary
+    into fixed 256-byte chunks, digest each, and report digests stored
+    more than once (the content-addressable-store dedup a blob lake
+    runs — identical media shared across documents collapses to one
+    physical chunk per digest). Fixed-size chunking is the baseline;
+    content-defined (rolling-hash) boundaries are the shift-tolerant
+    refinement and share this exact plan shape with a different
+    boundary rule.
+
+    Scale: per-row fan-out (1→N inside the scan projection) → one
+    map-combined groupBy on the digest — the same single-shuffle
+    profile as exact document dedup, at chunk granularity. Oracle:
+    byte slices == char slices on the ASCII corpus."""
+    b = attach_binary(spark, sf_dir).select("doc_id", "content")
+    chunks = b.filter(F.length("content") > 0).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, cast((length(content) - 1) / 256 as int)),"
+                " j -> md5(substring(content, 1 + 256 * j, 256)))"
+            )
+        ).alias("chunk_digest"),
+    )
+    return (
+        chunks.groupBy("chunk_digest")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

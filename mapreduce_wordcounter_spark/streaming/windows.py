@@ -276,6 +276,111 @@ def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_sliding_live",
+    oracle=f"""
+    SELECT strftime(ws, '{_DFMT}') AS window_start, COUNT(*) AS n,
+           {sql_dsum('value', 'sum_value')}
+    FROM (
+        SELECT time_bucket(INTERVAL '30 minutes', ts)
+                 - k * INTERVAL '30 minutes' AS ws,
+               value
+        FROM events
+        CROSS JOIN (SELECT unnest([0, 1]) AS k) ks) w
+    GROUP BY ws
+    """,
+)
+def stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1h/30m sliding aggregation as a LIVE streaming query (each
+    event enters two window states; complete-mode drain over the finite
+    source must equal the batch result — same oracle as
+    ev_sliding_1h_30m). Exercises the overlapping-window state manager
+    the tumbling twin doesn't."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), dsum(F.col("value"), "sum_value"))
+        .select(
+            F.date_format("w.start", _FMT).alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+    name = "stream_sliding_" + uuid.uuid4().hex[:8]
+    with stream_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    return spark.table(name)
+
+
+@query(
+    "stream_session_live",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL '10 minutes'
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps)
+    SELECT user_id,
+           strftime(MIN(ts), '{_DFMT}') AS session_start,
+           strftime(MAX(ts) + INTERVAL '10 minutes', '{_DFMT}') AS session_end,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (10-minute gap) as a LIVE streaming query — the
+    hardest window state to stream because sessions MERGE when a late
+    event bridges two open sessions; Spark's session_window state store
+    handles the merge, and the drained complete-mode result must equal
+    the batch sessionization (same oracle as ev_session_windows).
+    Update/append modes require a watermark; complete mode over the
+    finite drain keeps every session visible for the equivalence
+    check."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", _FMT).alias("session_start"),
+            F.date_format("w.end", _FMT).alias("session_end"),
+            "n_events",
+        )
+    )
+    name = "stream_session_" + uuid.uuid4().hex[:8]
+    with stream_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    return spark.table(name)
+
+
+@query(
     "stream_click_to_purchase",
     oracle="""
     SELECT c.event_id AS click_id, p.event_id AS purchase_id,
