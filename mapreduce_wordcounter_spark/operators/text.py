@@ -1434,3 +1434,107 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_words"),
         F.round(slope, 6).alias("zipf_slope"),
     )
+
+
+# --- Data mixing -------------------------------------------------------------
+#
+# The sampling/mixing half of a pre-training pipeline: what fraction of
+# the final token budget each slice contributes (mixture weights),
+# slice-dependent deterministic sampling rates (up/down-sampling), and
+# quality-weighted repetition (good documents seen more epochs).
+
+_STRAT_RATES = {"zh": 200, "en": 50}  # per-mille keep rates
+_STRAT_DEFAULT = 100
+
+
+@query(
+    "mixture_weights",
+    oracle="""
+    WITH slice_tokens AS (
+        SELECT lang, source, COUNT(*) AS n_tokens
+        FROM (SELECT lang, source, unnest(list_filter(
+                  regexp_split_to_array(lower(text), '[^\\p{L}]+'), x -> x <> '')) AS w
+              FROM documents) t
+        GROUP BY lang, source)
+    SELECT lang, source, n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE)
+                 / (SELECT SUM(n_tokens) FROM slice_tokens), 6) AS weight
+    FROM slice_tokens
+    """,
+)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture report: each (lang, source) slice's share of the
+    total token budget — the numbers a data-mixing recipe (uniform,
+    proportional, DoReMi-style reweighted) starts from.
+
+    One token pass → slice aggregate; the total is a scalar over the
+    slice relation (slices ≪ corpus), broadcast back. ROUND(6) on the
+    share keeps the division engine-exact."""
+    from pyspark.sql import Window as W
+
+    t = tokens(spark, sf_dir)
+    slices = t.groupBy("lang", "source").agg(F.count("*").alias("n_tokens"))
+    total = F.sum("n_tokens").over(W.partitionBy())
+    return slices.select(
+        "lang",
+        "source",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / total, 6).alias("weight"),
+    )
+
+
+@query(
+    "stratified_sample_hash",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ({_DUCK_MD5H.format(s='text')}) % 1000 <
+          CASE lang WHEN 'zh' THEN {_STRAT_RATES["zh"]}
+                    WHEN 'en' THEN {_STRAT_RATES["en"]}
+                    ELSE {_STRAT_DEFAULT} END
+    """,
+)
+def stratified_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-slice keep rates (zh
+    up-sampled at 20%, en down-sampled at 5%, default 10%) applied
+    through the same content-hash predicate as deterministic_sample —
+    reproducible up/down-sampling of corpus slices with zero shuffle
+    and membership stable across re-shards."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "zh", _STRAT_RATES["zh"])
+        .when(F.col("lang") == "en", _STRAT_RATES["en"])
+        .otherwise(_STRAT_DEFAULT)
+    )
+    h = F.expr(f"({_SPARK_MD5H.format(s='text')}) % 1000")
+    return docs.filter(h < rate).select("doc_id", "lang")
+
+
+@query(
+    "repeat_upsample",
+    # Epochs from the Gopher gate: 7/7 → 3 epochs, 6 → 2, else 1. The
+    # oracle nests the registered quality_score_gopher oracle as a
+    # derived table (same pattern as pipeline_curate).
+    oracle="""
+    SELECT q.doc_id,
+           CASE WHEN q.gopher_score >= 7 THEN 3
+                WHEN q.gopher_score >= 6 THEN 2
+                ELSE 1 END AS n_epochs
+    FROM ({qsg}) q
+    """.replace("{qsg}", ORACLE["quality_score_gopher"]),
+)
+def repeat_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted repetition: documents clearing every quality
+    gate are repeated 3 epochs, near-misses 2, the rest once — the
+    "repeat good data" knob of a data-mixing recipe, derived from the
+    already-verified Gopher score. Per-row projection over the quality
+    relation; the downstream trainer materializes epochs by exploding
+    sequence(1, n_epochs), which stays ∝ the token budget."""
+    q = quality_score_gopher(spark, sf_dir).select("doc_id", "gopher_score")
+    return q.select(
+        "doc_id",
+        F.when(F.col("gopher_score") >= 7, 3)
+        .when(F.col("gopher_score") >= 6, 2)
+        .otherwise(1)
+        .alias("n_epochs"),
+    )
