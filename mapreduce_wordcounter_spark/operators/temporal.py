@@ -296,3 +296,110 @@ def ev_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_interp"
         ),
     )
+
+
+@query(
+    "ev_ohlc_hourly",
+    oracle="""
+    SELECT user_id,
+           strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           arg_min(value, epoch_us(ts)) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, epoch_us(ts)) AS close,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ev_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (the financial/telemetry candlestick
+    aggregate): per user-hour, the first (open), max (high), min (low)
+    and last (close) observed value. open/close are min_by/max_by over
+    µs-exact event time — no window needed, so the whole bar is ONE
+    map-side-combined aggregate per (user, hour); at 100 TB this is the
+    canonical downsampling pass before dashboards/feature stores, and
+    it shuffles only the 4-value bar per key. Raw values pass through
+    untouched (no float arithmetic), so parity is exact without
+    quantization. Event times are unique per user at µs resolution
+    (corpus invariant pinned by the as-of joins), making min_by/max_by
+    deterministic."""
+    ensure_utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id", F.date_trunc("hour", "ts").alias("h")
+        )
+        .agg(
+            F.expr("min_by(value, unix_micros(ts))").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.expr("max_by(value, unix_micros(ts))").alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+
+
+@query(
+    "ev_session_stats",
+    # Composes the sessionization CTE (same construction as the
+    # ev_session_windows oracle) into a session-size histogram.
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL '10 minutes'
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps),
+    sizes AS (
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) // 1000000
+                   AS duration_s
+        FROM sess GROUP BY user_id, session_id)
+    SELECT n_events,
+           COUNT(*) AS n_sessions,
+           CAST(MIN(duration_s) AS BIGINT) AS min_duration_s,
+           CAST(MAX(duration_s) AS BIGINT) AS max_duration_s
+    FROM sizes
+    GROUP BY n_events
+    """,
+)
+def ev_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-size distribution: how many sessions have k events, with
+    the duration range per size — the engagement histogram product
+    analytics derives from sessionization. Built on Spark's native
+    session_window (the oracle re-derives sessions with the lag/cumsum
+    construction); the histogram is a second tiny aggregate over the
+    session relation, so corpus-sized work is the one sessionization
+    shuffle."""
+    ensure_utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    sess = e.groupBy(
+        "user_id", F.session_window("ts", "10 minutes").alias("w")
+    ).agg(
+        F.count("*").alias("n_events"),
+        (
+            (F.expr("unix_micros(max(ts))") - F.expr("unix_micros(min(ts))"))
+            / F.lit(1_000_000)
+        ).cast("long").alias("duration_s"),
+    )
+    return sess.groupBy("n_events").agg(
+        F.count("*").alias("n_sessions"),
+        F.min("duration_s").alias("min_duration_s"),
+        F.max("duration_s").alias("max_duration_s"),
+    )
