@@ -755,3 +755,62 @@ def write_base_snapshot(spark: SparkSession, sf_dir: str) -> str:
         path=os.path.join(scratch_dir("incr_dedup_"), table),
     )
     return table
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling-hash document fingerprinting)
+# ---------------------------------------------------------------------------
+
+_WINNOW_W = 4  # window of consecutive 3-gram hashes per fingerprint
+
+
+@query(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, len(t) - 2),
+                   i -> ({_DUCK_MD5H.format(s="t[i] || ' ' || t[i+1] || ' ' || t[i+2]")}) % {_P}) AS hs
+        FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM documents) d
+        WHERE len(t) >= 3)
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(hs) - {_WINNOW_W - 1}, 1)),
+                                 j -> list_min(hs[j:j+{_WINNOW_W - 1}]))) AS fp
+    FROM h
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (Schleimer/Wilkerson/Aiken, the MOSS algorithm): slide
+    a window of {_WINNOW_W} consecutive 3-gram rolling hashes and keep
+    each window's minimum — the selected fingerprints GUARANTEE that
+    any shared run of ≥ window+gram tokens between two documents shares
+    at least one fingerprint, at a fraction of the full shingle set.
+    The sparse fingerprint index is what plagiarism/near-dup systems
+    store instead of every shingle; matching docs is then an equi-join
+    on fp (the same bucket-join shape as every candidate generator
+    here).
+
+    Positional hashes (not the deduped shingle set — winnowing is
+    order-sensitive) via the portable md5 fragment; window minima are
+    doc-local array ops, so the whole selection is a per-row projection
+    with one explode — no shuffle until a consumer aggregates. Short
+    documents (fewer grams than the window) emit their global min, the
+    standard boundary rule."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), r"[^\p{L}]+"), lambda x: x != ""
+        ).alias("t"),
+    ).filter(F.size("t") >= 3)
+    gram = "concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', element_at(t, i + 2))"
+    hashes = F.expr(
+        f"transform(sequence(1, size(t) - 2), i -> ({_SPARK_MD5H.format(s=gram)}) % {_P})"
+    )
+    fps = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(hs) - {_WINNOW_W - 1}, 1)),"
+        f" j -> array_min(slice(hs, j, {_WINNOW_W}))))"
+    )
+    return toks.withColumn("hs", hashes).select(
+        "doc_id", F.explode(fps).alias("fp")
+    )

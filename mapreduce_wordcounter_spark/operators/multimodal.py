@@ -325,3 +325,53 @@ def mm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+@query(
+    "mm_image_resize",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(len(list_transform(generate_series(1, least(length(text), 1024), 4),
+                                   i -> ascii(substr(text, i, 1)))) AS INT) AS resized_len,
+           list_reduce(list_prepend(0::BIGINT,
+               list_transform(generate_series(1, least(length(text), 1024), 4),
+                              i -> ascii(substr(text, i, 1))::BIGINT)),
+               (acc, c) -> acc + c) AS resized_sum
+    FROM documents
+    WHERE length(text) > 0
+    """,
+)
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize step of the image pipeline as Arrow-batched plumbing:
+    crop the payload to its first 1024 bytes and 4× downsample by
+    striding — the real pipeline swaps the stride for the codec's
+    resample kernel inside the SAME mapInPandas shape (batch in, one
+    fixed-width feature row out). Summary features (length + checksum of
+    the resized payload) keep the oracle exact over the ASCII corpus.
+
+    Scale: map-only Arrow stage, no shuffle; memory holds one batch of
+    cropped payloads, never a partition."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained (pickled by value — workers lack this package).
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_bytes": [], "resized_len": [], "resized_sum": []}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                data = np.frombuffer(bytes(content), dtype=np.uint8)
+                if data.size == 0:
+                    continue
+                small = data[:1024][::4].astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(int(data.size))
+                out["resized_len"].append(int(small.size))
+                out["resized_sum"].append(int(small.sum()))
+            yield pd.DataFrame(out)
+
+    b = attach_binary(spark, sf_dir).select("doc_id", "content")
+    return b.mapInPandas(
+        resize,
+        schema="doc_id long, n_bytes long, resized_len int, resized_sum long",
+    )
