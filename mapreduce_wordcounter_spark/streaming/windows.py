@@ -276,6 +276,62 @@ def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_ohlc_live",
+    oracle="""
+    SELECT user_id,
+           strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           arg_min(value, epoch_us(ts)) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, epoch_us(ts)) AS close,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_ohlc_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars as a LIVE streaming aggregate: min_by/max_by keep the
+    earliest/latest (time, value) pair per key in window state, so the
+    candlestick never stores raw events — the downsampling stream a
+    telemetry pipeline runs continuously. Complete-mode drain equals
+    the batch bars (same oracle as ev_ohlc_hourly)."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy("user_id", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.expr("min_by(value, unix_micros(ts))").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.expr("max_by(value, unix_micros(ts))").alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", _FMT).alias("hour_ts"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+    name = "stream_ohlc_" + uuid.uuid4().hex[:8]
+    with stream_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    return spark.table(name)
+
+
+@query(
     "stream_sliding_live",
     oracle=f"""
     SELECT strftime(ws, '{_DFMT}') AS window_start, COUNT(*) AS n,
