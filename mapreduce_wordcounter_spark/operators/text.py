@@ -1538,3 +1538,67 @@ def repeat_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(1)
         .alias("n_epochs"),
     )
+
+
+@query(
+    "corpus_health_report",
+    # One-row snapshot dashboard composing already-registered oracles
+    # (derived-table nesting, as in pipeline_curate/repeat_upsample).
+    oracle="""
+    SELECT
+        (SELECT COUNT(*) FROM documents) AS n_docs,
+        (SELECT COUNT(*) FROM (SELECT unnest(list_filter(
+             regexp_split_to_array(lower(text), '[^\\p{L}]+'), x -> x <> ''))
+             FROM documents) t) AS n_tokens,
+        (SELECT COUNT(DISTINCT w) FROM (SELECT unnest(list_filter(
+             regexp_split_to_array(lower(text), '[^\\p{L}]+'), x -> x <> '')) AS w
+             FROM documents) t) AS vocab,
+        (SELECT COUNT(*) - COUNT(DISTINCT sha256(text)) FROM documents)
+            AS n_exact_dups,
+        ROUND((SELECT CAST(COUNT(*) - COUNT(DISTINCT sha256(text)) AS DOUBLE)
+                      / COUNT(*) FROM documents), 6) AS dup_rate,
+        (SELECT contaminated_frac FROM ({contam_rate}) c) AS contaminated_frac,
+        (SELECT zipf_slope FROM ({zipf}) z) AS zipf_slope
+    """.replace("{contam_rate}", ORACLE["benchmark_contamination_rate"]).replace(
+        "{zipf}", ORACLE["zipf_slope"]
+    ),
+)
+def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-snapshot data-quality dashboard row: corpus size, token
+    and vocabulary totals, exact-duplicate rate, benchmark-contamination
+    fraction, and the Zipf-slope fingerprint — the numbers an ingestion
+    pipeline publishes after every snapshot so drift is visible before
+    training starts. Every component is an already-verified registered
+    operator; this query is their one-row join (scalar aggregates →
+    broadcast-joined singletons, no data-sized shuffle beyond the
+    component aggregates themselves)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(spark, sf_dir)
+    base = docs.agg(
+        F.count("*").alias("n_docs"),
+        (F.count("*") - F.countDistinct(F.sha2("text", 256))).alias("n_exact_dups"),
+        F.round(
+            (F.count("*") - F.countDistinct(F.sha2("text", 256))).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("dup_rate"),
+    )
+    tok = t.agg(
+        F.count("*").alias("n_tokens"), F.countDistinct("word").alias("vocab")
+    )
+    contam = benchmark_contamination_rate(spark, sf_dir).select("contaminated_frac")
+    zipf = zipf_slope(spark, sf_dir).select("zipf_slope")
+    return (
+        base.join(tok)
+        .join(contam)
+        .join(zipf)
+        .select(
+            "n_docs",
+            "n_tokens",
+            "vocab",
+            "n_exact_dups",
+            "dup_rate",
+            "contaminated_frac",
+            "zipf_slope",
+        )
+    )

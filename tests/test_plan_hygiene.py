@@ -46,6 +46,7 @@ _ALLOWED_BOUNDED_BNLJ = {
     "tf_idf",  # 1-row corpus-size scalar joined onto df counts
     "bm25_topk",  # 1-row (N, avgdl) scalar stats joined onto the tf relation
     "source_unigram_kl",  # 1-row corpus-token-total scalar onto (source, word)
+    "corpus_health_report",  # one-row dashboard: joins of 1-row aggregates only
     "word_typo_pairs",  # vocab LIMIT-capped before the edit-distance theta join
 }
 

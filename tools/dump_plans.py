@@ -68,6 +68,10 @@ SHOWCASE = [
     "q7_nation_volume",
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
+    "winnowing_fingerprints",
+    "mixture_weights",
+    "ev_ohlc_hourly",
+    "mm_chunk_dedup",
 ]
 
 SF = "/root/testdata/sf0.01"
