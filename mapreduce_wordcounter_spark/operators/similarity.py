@@ -559,7 +559,7 @@ _DUCK_HP_BUCKETS = f"""
     qprobe AS (
         SELECT b.vec_id AS query_id, xor(b.bucket, pb.flip) AS probe
         FROM buckets b
-        CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS flip) pb
+        CROSS JOIN (SELECT unnest([{", ".join(["0"] + [str(1 << j) for j in range(_N_PLANES)])}]) AS flip) pb
         WHERE b.vec_id < {N_QUERIES}),
     cand AS (
         SELECT DISTINCT q.query_id, c.vec_id
@@ -613,7 +613,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"), "embedding", "nrm")
-    qe = emb.select(
+    # Query-subset filter BEFORE the broadcast: qe is N_QUERIES rows, not
+    # the corpus — broadcasting corpus-sized embeddings OOMs the driver
+    # at scale (the candidate join key is query_id, so the filter loses
+    # nothing).
+    qe = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
         F.col("nrm").alias("qn"),
     )

@@ -85,8 +85,30 @@ def scratch_dir(prefix: str = "mrwc_") -> str:
     return d
 
 
+_SCRATCH_TABLES: list[str] = []
+
+
+def register_scratch_table(name: str) -> str:
+    """Catalog entries created against scratch paths (snapshot tables)
+    must be dropped as well as their data: the atexit hook below removes
+    the scratch *directories*, but with a persistent metastore — or many
+    bench passes in one session — the table metadata would otherwise
+    dangle. Registered names are dropped at exit, before the dirs go."""
+    _SCRATCH_TABLES.append(name)
+    return name
+
+
 @atexit.register
 def _cleanup_scratch_dirs() -> None:
+    # Drop catalog entries first (their data lives in the scratch dirs).
+    spark = SparkSession.getActiveSession()
+    while _SCRATCH_TABLES:
+        t = _SCRATCH_TABLES.pop()
+        if spark is not None:
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            except Exception:
+                pass
     while _SCRATCH_DIRS:
         shutil.rmtree(_SCRATCH_DIRS.pop(), ignore_errors=True)
 

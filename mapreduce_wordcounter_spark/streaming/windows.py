@@ -124,7 +124,9 @@ def ev_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH gaps AS (
         SELECT user_id, ts,
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                         > INTERVAL '10 minutes'
+                         >= INTERVAL '10 minutes'
+                         -- >= : Spark's session_window merges only strictly-inside-gap events,
+                         --      so an exact-boundary event STARTS a new session in both engines
                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events),
@@ -383,7 +385,9 @@ def stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH gaps AS (
         SELECT user_id, ts,
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                         > INTERVAL '10 minutes'
+                         >= INTERVAL '10 minutes'
+                         -- >= : Spark's session_window merges only strictly-inside-gap events,
+                         --      so an exact-boundary event STARTS a new session in both engines
                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events),

@@ -280,3 +280,23 @@ def test_observe_metrics_like_reference_summary(spark):
     exact_vocab = wc_counts(spark, SF_ORACLE).count()
     assert obs.get["vocab"] == exact_vocab
     assert obs.get["total_tokens"] > exact_vocab  # corpus repeats words
+
+
+def test_scratch_snapshot_tables_are_dropped_at_cleanup(spark):
+    """write_base_snapshot creates a uuid-named catalog table per call;
+    the atexit hook must DROP it as well as deleting its scratch dir,
+    or dangling metadata accumulates across bench passes / persistent
+    metastores (ADVICE r3). Calls the cleanup directly and checks the
+    catalog."""
+    from mapreduce_wordcounter_spark.operators.dedup import write_base_snapshot
+    from mapreduce_wordcounter_spark.session import (
+        _SCRATCH_TABLES,
+        _cleanup_scratch_dirs,
+    )
+
+    table = write_base_snapshot(spark, SF_ORACLE)
+    assert spark.catalog.tableExists(table)
+    assert table in _SCRATCH_TABLES
+    _cleanup_scratch_dirs()
+    assert not spark.catalog.tableExists(table)
+    assert not _SCRATCH_TABLES
