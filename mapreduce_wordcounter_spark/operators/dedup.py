@@ -221,9 +221,12 @@ def jaccard_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    # sa/sb are corpus-cardinality (one row per doc) — no broadcast hint;
+    # AQE broadcasts at test scale, shuffles at 10^9 docs where a
+    # doc-sized broadcast would OOM the driver.
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
@@ -291,9 +294,11 @@ def jaccard_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    # Per-doc size relations are corpus-cardinality — no broadcast hint;
+    # AQE broadcasts at test scale, shuffles at history scale.
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
@@ -458,9 +463,11 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    # Per-doc size relations are corpus-cardinality — no broadcast hint;
+    # AQE broadcasts at test scale, shuffles at history scale.
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
@@ -736,7 +743,10 @@ def write_base_snapshot(spark: SparkSession, sf_dir: str) -> str:
     import os
     import uuid
 
-    from mapreduce_wordcounter_spark.session import scratch_dir
+    from mapreduce_wordcounter_spark.session import (
+        register_scratch_table,
+        scratch_dir,
+    )
     from mapreduce_wordcounter_spark.sources.writers import write_bucketed_table
 
     docs = load_table(spark, sf_dir, "documents")
@@ -745,7 +755,7 @@ def write_base_snapshot(spark: SparkSession, sf_dir: str) -> str:
         .select(F.sha2("text", 256).alias("content_hash"))
         .distinct()
     )
-    table = "dedup_base_" + uuid.uuid4().hex[:8]
+    table = register_scratch_table("dedup_base_" + uuid.uuid4().hex[:8])
     write_bucketed_table(
         base,
         table,
@@ -853,4 +863,144 @@ def winnowing_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level corpus dedup (the RefinedWeb/C4 unit)
+# ---------------------------------------------------------------------------
+#
+# Document-level dedup (dedup_exact) misses the dominant duplication
+# mode of web corpora: repeated paragraphs (boilerplate, quoted posts,
+# syndicated fragments) inside otherwise-distinct documents. The
+# RefinedWeb/C4 pass removes the duplicated PARAGRAPH occurrences and
+# keeps the first, corpus-wide.
+#
+# Paragraph unit here: documents are split on newline into trimmed
+# non-empty lines (the gopher_repetition machinery); because this
+# synthetic corpus is single-line, each line is further segmented into
+# fixed _PARA_TOKENS-token windows — the standard fallback
+# segmentation for unsegmented text (OCR output, crawl text with
+# stripped markup). With real multi-line documents the line split does
+# the work and long lines still get bounded segments; both levels are
+# expressed identically in the oracle.
+#
+# Scale: segmentation is a per-row array projection; "first occurrence
+# corpus-wide" is ONE shuffle on the (uniform, 128-bit) paragraph md5 —
+# exact dedup's profile at paragraph grain — and the per-doc survival
+# rollup shuffles doc-id-sized data. Position keys pack
+# (doc_id, line_no, seg_no) into one BIGINT so the arg-min is a plain
+# MIN; the packing bound (line_no, seg_no < 100000) is asserted in
+# tests/test_paragraph_dedup.py against the corpus and holds for any
+# document under 100k lines / 2.5M tokens-per-line.
+
+_PARA_TOKENS = 25  # tokens per fallback segment for unsegmented lines
+_POS_PACK = 100_000  # per-level capacity of the packed position key
+
+_DUCK_PARAGRAPHS = f"""
+    SELECT doc_id,
+           (line_no - 1) * {_POS_PACK} + seg_no AS pos_in_doc,
+           seg
+    FROM (
+        SELECT doc_id, line_no,
+               unnest(list_transform(generate_series(1, len(t), {_PARA_TOKENS}),
+                      i -> array_to_string(list_slice(t, i, i + {_PARA_TOKENS - 1}), ' '))) AS seg,
+               unnest(generate_series(1, greatest((len(t) + {_PARA_TOKENS - 1}) // {_PARA_TOKENS}, 0))) AS seg_no
+        FROM (
+            SELECT doc_id, line_no,
+                   list_filter(regexp_split_to_array(lower(line), '[^\\p{{L}}]+'),
+                               x -> x <> '') AS t
+            FROM (
+                SELECT doc_id,
+                       unnest(list_filter(list_transform(string_split(text, chr(10)),
+                                                         s -> trim(s)), s -> s <> '')) AS line,
+                       unnest(generate_series(1, len(list_filter(list_transform(
+                           string_split(text, chr(10)), s -> trim(s)), s -> s <> '')))) AS line_no
+                FROM documents) lines) toks
+        WHERE len(t) > 0) segs
+    WHERE seg <> ''
+"""
+
+
+@query(
+    "dedup_paragraphs",
+    oracle=f"""
+    WITH para AS ({_DUCK_PARAGRAPHS}),
+    keyed AS (
+        SELECT doc_id, seg,
+               doc_id * {_POS_PACK * _POS_PACK} + pos_in_doc AS pos_key
+        FROM para),
+    first_pos AS (
+        SELECT doc_id, pos_key,
+               MIN(pos_key) OVER (PARTITION BY md5(seg)) AS min_pos
+        FROM keyed)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+           CAST(SUM(CASE WHEN pos_key = min_pos THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           ROUND(CAST(SUM(CASE WHEN pos_key = min_pos THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS kept_frac
+    FROM first_pos
+    GROUP BY doc_id
+    """,
+)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level corpus dedup: keep each paragraph's FIRST
+    occurrence corpus-wide (ordered by packed (doc_id, line, segment)
+    position), report per-document paragraph count, survivors, and
+    surviving fraction — the RefinedWeb/C4 remove-duplicated-paragraphs
+    pass reduced to its audit record. The surviving-text projection is
+    the same relation filtered to pos_key = min_pos before re-joining
+    segments; the audit shape keeps the oracle total-order-free.
+
+    Plan: per-row line split + tokenize + window segmentation (no
+    shuffle), one exchange on md5(seg) for the window MIN (uniform
+    256-bit-derived key, no skew), one doc_id rollup. See module note
+    for the segmentation semantics and SCALE.md §4 for the 100 TB
+    posture."""
+    docs = load_table(spark, sf_dir, "documents")
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    with_lines = docs.select(
+        "doc_id", F.posexplode(lines).alias("line_idx", "line")
+    ).select(
+        "doc_id",
+        (F.col("line_idx") + 1).alias("line_no"),
+        F.filter(
+            F.split(F.lower(F.col("line")), r"[^\p{L}]+"), lambda x: x != ""
+        ).alias("t"),
+    ).filter(F.size("t") > 0)
+    segs_arr = F.expr(
+        f"transform(sequence(1, size(t), {_PARA_TOKENS}),"
+        f" i -> array_join(slice(t, i, {_PARA_TOKENS}), ' '))"
+    )
+    para = (
+        with_lines.select(
+            "doc_id", "line_no", F.posexplode(segs_arr).alias("seg_idx", "seg")
+        )
+        .filter(F.col("seg") != "")
+        .select(
+            "doc_id",
+            (
+                (F.col("line_no") - 1) * _POS_PACK + F.col("seg_idx") + 1
+            ).alias("pos_in_doc"),
+            "seg",
+        )
+    )
+    from pyspark.sql import Window as W
+
+    pos_key = F.col("doc_id") * (_POS_PACK * _POS_PACK) + F.col("pos_in_doc")
+    keyed = para.select("doc_id", "seg", pos_key.alias("pos_key"))
+    first_pos = keyed.select(
+        "doc_id",
+        "pos_key",
+        F.min("pos_key").over(W.partitionBy(F.md5("seg"))).alias("min_pos"),
+    )
+    kept = F.sum(F.when(F.col("pos_key") == F.col("min_pos"), 1).otherwise(0))
+    return first_pos.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_paragraphs"),
+        kept.cast("long").alias("n_kept"),
+        F.round(kept.cast("double") / F.count("*"), 6).alias("kept_frac"),
     )

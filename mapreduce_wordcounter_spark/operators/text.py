@@ -37,6 +37,13 @@ _SQL_TOKEN_ROWS = (
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 _SQL_STOPS = "('" + "', '".join(STOPWORDS) + "')"
 
+# PII span patterns (shared by the PII section below and the
+# pipeline_curate gate; Java-regex/RE2 common subset — see the PII
+# section note).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+_PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
 
 def _toks_col() -> F.Column:
     """Filtered token array column (non-empty tokens, lowercased)."""
@@ -550,9 +557,14 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     it's blended into training data.
 
     Determinism: each KL term is a pure function of four integers
-    (cnt_s, N_s, cnt, N) computed identically in both engines; the
-    cross-word sum uses the repo's quantize-to-int64 construction
-    (functions/numeric.py) so accumulation order can't move the result.
+    (cnt_s, N_s, cnt, N); the cross-word sum uses the repo's
+    quantize-to-int64 construction (functions/numeric.py) so
+    accumulation order can't move the result. Caveat: the term contains
+    a transcendental ln whose last ulp is not guaranteed identical
+    across engines — a 1-ulp disagreement exactly on a quantization
+    boundary would flip one summand (probability ≈ |term|·1e6·2⁻⁵² per
+    term). tests/test_quantization_margin.py verifies the actual
+    boundary margins on the oracle corpus.
 
     Scale: ONE token pass builds (source, word) counts; the corpus
     marginal and per-source totals are DERIVED from that relation
@@ -1027,7 +1039,12 @@ _CURATE_MIN_SCORE = 6  # of 7 (3 C4-style gates + 4 Gopher repetition gates)
         JOIN keep k ON d.doc_id = k.doc_id
         JOIN (SELECT * FROM ({{qsg}}) q) qsg ON qsg.doc_id = d.doc_id
         JOIN (SELECT * FROM ({{contam}}) c) ct ON ct.doc_id = d.doc_id
-        WHERE qsg.gopher_score >= {_CURATE_MIN_SCORE} AND NOT ct.contaminated)
+        WHERE qsg.gopher_score >= {_CURATE_MIN_SCORE} AND NOT ct.contaminated
+          -- PII gate on the raw text (vacuously true on this letters-only
+          -- corpus; the detectors are oracle-exercised by pii_counts)
+          AND NOT regexp_matches(d.text, '{{email}}')
+          AND NOT regexp_matches(d.text, '{{phone}}')
+          AND NOT regexp_matches(d.text, '{{ipv4}}'))
     SELECT CASE WHEN bucket < 80 THEN 'train'
                 WHEN bucket < 90 THEN 'validation'
                 ELSE 'test' END AS split,
@@ -1035,15 +1052,18 @@ _CURATE_MIN_SCORE = 6  # of 7 (3 C4-style gates + 4 Gopher repetition gates)
            CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM survivors
     GROUP BY 1
-    """.replace("{qsg}", ORACLE["quality_score_gopher"]).replace(
-        "{contam}", _DUCK_CONTAM
-    ),
+    """.replace("{qsg}", ORACLE["quality_score_gopher"])
+    .replace("{contam}", _DUCK_CONTAM)
+    .replace("{email}", _PII_EMAIL)
+    .replace("{phone}", _PII_PHONE)
+    .replace("{ipv4}", _PII_IPV4),
 )
 def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole curation story in one plan — what this engine exists
     for: exact dedup (keep-first) → Gopher quality gate (score ≥ 6/7)
     → benchmark decontamination (drop contaminated docs AND the
-    benchmark subset itself) → content-hash split assignment → per-
+    benchmark subset itself) → PII gate (drop docs with detectable
+    email/phone/IPv4 spans) → content-hash split assignment → per-
     split doc/char totals. Every stage is an independently oracle-
     verified operator; this query is their composition, verified
     end-to-end against the composed SQL.
@@ -1067,7 +1087,14 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(qsg, "doc_id")
         .join(contam, "doc_id")
         .filter(
-            (F.col("gopher_score") >= _CURATE_MIN_SCORE) & ~F.col("contaminated")
+            (F.col("gopher_score") >= _CURATE_MIN_SCORE)
+            & ~F.col("contaminated")
+            # PII gate on the raw text — per-row rlike projections, no
+            # new shuffle (vacuous on this letters-only corpus; the
+            # detectors carry signal in pii_counts' planted-span oracle)
+            & ~F.col("text").rlike(_PII_EMAIL)
+            & ~F.col("text").rlike(_PII_PHONE)
+            & ~F.col("text").rlike(_PII_IPV4)
         )
         .select("doc_id", "n_chars", bucket.alias("bucket"))
     )
@@ -1407,9 +1434,17 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: each ln/ln·ln term is a pure per-row function of two
     integers (count, rank) and goes through the quantize-to-int64 sum,
-    so the four moments — and therefore the closed-form slope — are
-    engine-exact. Scale: word count is the flagship aggregate; the rank
-    window and the moment sums run over the vocabulary, not the corpus.
+    so accumulation ORDER cannot move the result. Caveat: ln is
+    transcendental and neither java.lang.Math.log nor DuckDB's std::log
+    is guaranteed correctly rounded, so a 1-ulp cross-engine
+    disagreement landing exactly on a floor(x·1e6 + 0.5) boundary would
+    flip one int64 summand. The per-term flip probability is
+    ≈ |x|·1e6·2⁻⁵² (< 4e-9 here); tests/test_quantization_margin.py
+    measures the actual distance of every term to its nearest boundary
+    on the oracle corpus and asserts a ≫ulp margin, so parity is
+    checked, not assumed. Scale: word count is the flagship aggregate;
+    the rank window and the moment sums run over the vocabulary, not
+    the corpus.
     """
     from pyspark.sql import Window as W
 
@@ -1433,6 +1468,162 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         F.col("n").cast("long").alias("n_words"),
         F.round(slope, 6).alias("zipf_slope"),
+    )
+
+
+# --- PII detection / redaction ----------------------------------------------
+#
+# The standard curation stage between quality gating and dedup in the
+# C4/RefinedWeb recipe: count PII spans per document (email, phone,
+# IPv4), produce the redacted projection, and gate the pipeline on
+# PII-free docs (patterns _PII_* defined at module top; Java-regex/RE2
+# common subset — [0-9] classes, \b word boundaries, bounded repeats —
+# so Spark's regexp_count/regexp_replace and DuckDB's
+# regexp_extract_all/regexp_replace('g') see identical semantics).
+#
+# The synthetic corpus is letters-only (zero digits or '@'), so real
+# text would exercise none of the detectors. The registered queries
+# therefore PLANT deterministic PII spans — the same expression in the
+# Spark plan and the oracle SQL, keyed on doc_id — before detecting
+# them, which makes the regex path, the per-pattern counts, and the
+# redaction arithmetic all oracle-verified rather than vacuously zero.
+# The detection/redaction expressions themselves are generic per-row
+# projections over any text column: zero shuffles, trivially 100 TB.
+
+# Planted spans (doc_id-keyed, deterministic, identical in both engines).
+_DUCK_PII_AUG = """
+    SELECT doc_id, text ||
+        CASE WHEN doc_id % 3 = 0
+             THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+             ELSE '' END ||
+        CASE WHEN doc_id % 5 = 0
+             THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             ELSE '' END ||
+        CASE WHEN doc_id % 7 = 0
+             THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                  || '.' || CAST(doc_id % 100 + 1 AS VARCHAR)
+             ELSE '' END AS aug
+    FROM documents
+"""
+
+
+def _spark_pii_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, aug): text with the planted PII spans appended."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    email = F.when(
+        did % 3 == 0,
+        F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+    ).otherwise("")
+    phone = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad((did % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise("")
+    ipv4 = F.when(
+        did % 7 == 0,
+        F.concat(
+            F.lit(" from 10."),
+            (did % 256).cast("string"),
+            F.lit("."),
+            ((did * 7) % 256).cast("string"),
+            F.lit("."),
+            (did % 100 + 1).cast("string"),
+        ),
+    ).otherwise("")
+    return docs.select(
+        "doc_id", F.concat(F.col("text"), email, phone, ipv4).alias("aug")
+    )
+
+
+@query(
+    "pii_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(aug, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(aug, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(aug, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
+           (len(regexp_extract_all(aug, '{_PII_EMAIL}'))
+            + len(regexp_extract_all(aug, '{_PII_PHONE}'))
+            + len(regexp_extract_all(aug, '{_PII_IPV4}'))) > 0 AS has_pii
+    FROM ({_DUCK_PII_AUG}) a
+    """,
+)
+def pii_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII span counts (email / phone / IPv4) + the
+    has_pii gate bit — the detection half of the curation stage.
+
+    Pure per-row regex projection over one corpus scan: no shuffle, no
+    Python, survives any scale. The planted-span construction (module
+    note) makes every count column carry real signal on this corpus;
+    the invariants (every doc_id % 3 == 0 doc has exactly one email,
+    etc.) are pinned in tests/test_pii.py."""
+    aug = _spark_pii_aug(spark, sf_dir)
+    n_email = F.regexp_count(F.col("aug"), F.lit(_PII_EMAIL)).cast("long")
+    n_phone = F.regexp_count(F.col("aug"), F.lit(_PII_PHONE)).cast("long")
+    n_ipv4 = F.regexp_count(F.col("aug"), F.lit(_PII_IPV4)).cast("long")
+    return aug.select(
+        "doc_id",
+        n_email.alias("n_email"),
+        n_phone.alias("n_phone"),
+        n_ipv4.alias("n_ipv4"),
+        ((n_email + n_phone + n_ipv4) > 0).alias("has_pii"),
+    )
+
+
+@query(
+    "pii_redacted_stats",
+    oracle=f"""
+    WITH red AS (
+        SELECT doc_id, aug,
+               regexp_replace(regexp_replace(regexp_replace(aug,
+                   '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_PHONE}', '<PHONE>', 'g'),
+                   '{_PII_IPV4}', '<IP>', 'g') AS redacted
+        FROM ({_DUCK_PII_AUG}) a)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(aug, '{_PII_EMAIL}')) AS BIGINT)
+           + CAST(len(regexp_extract_all(aug, '{_PII_PHONE}')) AS BIGINT)
+           + CAST(len(regexp_extract_all(aug, '{_PII_IPV4}')) AS BIGINT) AS n_pii,
+           CAST(length(aug) AS BIGINT) AS len_before,
+           CAST(length(redacted) AS BIGINT) AS len_after
+    FROM red
+    """,
+)
+def pii_redacted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The redaction half: replace every PII span with a typed
+    placeholder (<EMAIL>/<PHONE>/<IP>, applied email-first so a
+    placeholder can never re-match a later pattern) and report the
+    char-length delta per doc — the audit record a redaction pass
+    emits. Same zero-shuffle per-row profile as pii_counts; Spark's
+    regexp_replace is replace-all by default, DuckDB needs the 'g'
+    flag (both sides verified by the oracle compare)."""
+    aug = _spark_pii_aug(spark, sf_dir)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("aug"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IPV4,
+        "<IP>",
+    )
+    n_pii = (
+        F.regexp_count(F.col("aug"), F.lit(_PII_EMAIL))
+        + F.regexp_count(F.col("aug"), F.lit(_PII_PHONE))
+        + F.regexp_count(F.col("aug"), F.lit(_PII_IPV4))
+    ).cast("long")
+    return aug.select(
+        "doc_id",
+        n_pii.alias("n_pii"),
+        F.length("aug").cast("long").alias("len_before"),
+        F.length(redacted).cast("long").alias("len_after"),
     )
 
 

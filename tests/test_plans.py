@@ -115,3 +115,26 @@ def test_multimodal_uses_arrow_not_row_udf(spark):
     df = _QUERIES["mm_features_pandas"](spark, SF_ORACLE)
     plan = physical_plan(df)
     assert "BatchEvalPython" not in plan
+
+
+def test_paragraph_dedup_shuffles_hash_not_text(spark):
+    """dedup_paragraphs' corpus-wide exchange must carry the md5 key +
+    packed position, never the paragraph string: Catalyst projects
+    md5(seg) below the window exchange and prunes seg. If a refactor
+    reorders the projection, the shuffle payload silently grows by the
+    full corpus text — this pins the pruning."""
+    from mapreduce_wordcounter_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(_QUERIES["dedup_paragraphs"](spark, SF_ORACLE))
+    # The pre-exchange projection computes the hash...
+    assert "md5(" in plan
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange hashpartitioning(_w" in line:
+            # ...and the first Project feeding the window exchange
+            # must not retain the seg string column.
+            below = "\n".join(lines[i + 1 : i + 3])
+            assert "md5(" in below and "seg#" not in below.split("AS _w")[0].rsplit("md5", 1)[0], below
+            break
+    else:
+        raise AssertionError("window exchange not found in plan:\n" + plan)
