@@ -1627,6 +1627,91 @@ def pii_redacted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Learned quality scoring (fasttext-style linear classifier) --------------
+#
+# The rule-based gates (quality_score, quality_score_gopher) cover the
+# heuristic half of a curation stack; production pipelines add a LEARNED
+# scorer — typically a fasttext linear model over token counts
+# (CCNet/LLaMA-style "looks like Wikipedia" classifiers). The Spark
+# shape is what matters: a model-vocabulary weight relation joined
+# (broadcast — model vocabs are ~1M rows, trivially under the 8 GB
+# broadcast ceiling) onto the per-doc term-frequency relation, then one
+# integer dot-product aggregate per doc. Weights here are derived from
+# the portable md5 hash so the model is deterministic and the oracle
+# can state the same weights — swapping in trained weights changes the
+# artifact loaded, not the plan.
+#
+# Float discipline: weights are integer MILLI-units in [-1000, 1000],
+# so the per-doc dot product is an exact int64 sum (order-independent);
+# the reported double is derived from the integer after the aggregate
+# (same construction as bm25_topk).
+
+
+@query(
+    "quality_classifier_score",
+    oracle=f"""
+    WITH tok AS ({_SQL_TOKEN_ROWS}),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word),
+    w AS (SELECT word, (({_DUCK_MD5H.format(s="word")}) % 2001) - 1000 AS w_milli
+          FROM (SELECT DISTINCT word FROM tok) v),
+    s AS (SELECT tf.doc_id,
+                 CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+                 CAST(SUM(tf.tf * w.w_milli) AS BIGINT) AS score_milli
+          FROM tf JOIN w USING (word)
+          GROUP BY tf.doc_id)
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR(score_milli * 1000.0 / n_tokens + 0.5) AS BIGINT)
+               AS score_micro,
+           CAST(FLOOR(score_milli * 1000.0 / n_tokens + 0.5) AS BIGINT)
+               / 1000000.0 AS quality_score,
+           CASE WHEN score_milli >= 0 THEN 'keep' ELSE 'drop' END AS label
+    FROM s
+    """,
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier over token counts: per-doc mean token
+    weight (integer milli-unit weights → exact int64 dot product →
+    derived double), with the keep/drop decision on the exact integer.
+
+    Plan: ONE token pass feeds the (doc, word) tf aggregate; the weight
+    relation is vocabulary-sized and broadcast onto tf (at 100 TB the
+    weights come from the model artifact instead of a corpus distinct —
+    the join is unchanged); the only corpus-wide shuffle keys on
+    (doc_id, word), map-side combined. The division happens on two
+    exact int64s, so the double is identical on any IEEE engine — no
+    transcendental in sight (contrast zipf_slope's caveat)."""
+    t = tokens(spark, sf_dir)
+    tf = t.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    w = (
+        tf.select("word")
+        .distinct()
+        .select(
+            "word",
+            F.expr(f"(({_SPARK_MD5H.format(s='word')}) % 2001) - 1000").alias(
+                "w_milli"
+            ),
+        )
+    )
+    s = (
+        tf.join(F.broadcast(w), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("w_milli")).cast("long").alias("score_milli"),
+        )
+    )
+    micro = F.floor(
+        F.col("score_milli") * 1000.0 / F.col("n_tokens") + 0.5
+    ).cast("long")
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        micro.alias("score_micro"),
+        (micro / 1_000_000.0).alias("quality_score"),
+        F.when(F.col("score_milli") >= 0, "keep").otherwise("drop").alias("label"),
+    )
+
+
 # --- Data mixing -------------------------------------------------------------
 #
 # The sampling/mixing half of a pre-training pipeline: what fraction of
