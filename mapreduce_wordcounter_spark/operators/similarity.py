@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from mapreduce_wordcounter_spark.operators.dedup import _DUCK_MD5H, _SPARK_MD5H
 from mapreduce_wordcounter_spark.registry import query
 from mapreduce_wordcounter_spark.tables import load_table
 
@@ -360,43 +361,167 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DUCK_CENTROIDS = f"""
-    SELECT label, pos,
-           CAST(SUM(CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
-               / 1000000.0 / COUNT(*) AS c
-    FROM ({_DUCK_LONG}) lv
-    GROUP BY label, pos
-"""
+# ---------------------------------------------------------------------------
+# Trained IVF codebook: Lloyd k-means, engine-exact
+# ---------------------------------------------------------------------------
+#
+# The coarse quantizer an IVF index actually ships: _IVF_ITERS Lloyd
+# iterations from a deterministic hash-derived init (md5(vec_id) % K —
+# decorrelated from any planted structure, unlike the label codebook
+# label_centroids keeps as the labeled-data stand-in). Both the
+# iteration count and K are tiny constants, so the full training loop
+# is SQL-expressible and the ORACLE RUNS THE SAME LLOYD LOOP as a CTE
+# chain — assignment determinism is differentially tested, not
+# assumed.
+#
+# Cross-engine exactness: embeddings are milli-quantized once
+# (xm = floor(x·1000 + 0.5), exact int64), and the assignment metric
+# compares ‖x − c‖² WITHOUT materializing the (non-exact) centroid
+# double: for a cell with member count `cnt` and per-position integer
+# sum `sm`, argmin over cells of Σ_pos (xm·cnt − sm)² / cnt² — the
+# numerator is an exact int64 (valid to ~3·10⁵ members/cell at
+# |x| ≤ 0.6; at production cell sizes you'd switch the metric to
+# plain doubles and drop the parity claim), and the single final
+# division of two exact int64s is correctly rounded IEEE on every
+# engine. Ties break on cell id. No transcendentals anywhere.
+#
+# Scale: each iteration is (a) one groupBy(cell, pos) over the
+# member-joined xm relation — map-side combined, K·dim output rows —
+# and (b) one broadcast of those K·dim rows back onto xm for the
+# argmin. The corpus-sized relations shuffle on vec_id/pos only; the
+# driver never sees data (contrast the CC loop, which reads one scalar
+# per round — here the iteration count is fixed, so the loop is pure
+# plan composition with zero driver round-trips).
+
+_IVF_K = 10
+_IVF_ITERS = 3
+
+
+def _duck_kmeans_ctes(n_iters: int = _IVF_ITERS) -> str:
+    """CTE chain xm, a0, c1, d1, a1, …, c{T}, d{T}, a{T}: the exact
+    Lloyd loop the Spark side runs (a_i = assignment after i updates;
+    c_i = codebook from a_{i-1})."""
+    init_hash = _DUCK_MD5H.format(s="CAST(vec_id AS VARCHAR)")
+    parts = [
+        "xm AS (SELECT vec_id, pos, CAST(FLOOR(x * 1000.0 + 0.5) AS BIGINT) AS xm"
+        f" FROM ({_DUCK_LONG}) lv)",
+        f"a0 AS (SELECT vec_id, ({init_hash}) % {_IVF_K} AS cell FROM embeddings)",
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f"c{i} AS (SELECT a.cell, x.pos, CAST(SUM(x.xm) AS BIGINT) AS sm,"
+            f" COUNT(*) AS cnt FROM xm x JOIN a{i - 1} a USING (vec_id)"
+            f" GROUP BY a.cell, x.pos)"
+        )
+        parts.append(
+            f"d{i} AS (SELECT x.vec_id, c.cell,"
+            f" CAST(SUM((x.xm * c.cnt - c.sm) * (x.xm * c.cnt - c.sm)) AS BIGINT) AS num,"
+            f" MAX(c.cnt) AS cnt"
+            f" FROM xm x JOIN c{i} c ON x.pos = c.pos GROUP BY x.vec_id, c.cell)"
+        )
+        parts.append(
+            f"a{i} AS (SELECT vec_id, cell FROM ("
+            f"SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id"
+            f" ORDER BY CAST(num AS DOUBLE) / (cnt * cnt), cell) AS rn"
+            f" FROM d{i}) r WHERE rn = 1)"
+        )
+    return ",\n    ".join(parts)
+
+
+def _spark_kmeans(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(xm, cells, assign): milli-quantized long-form embeddings, the
+    trained codebook c{T} as (cell, pos, sm, cnt), and the final
+    membership a{T} — mirrors _duck_kmeans_ctes exactly. xm/cells/
+    assign are pinned (each is consumed by several downstream joins)."""
+    from mapreduce_wordcounter_spark.session import pin
+
+    lv = _spark_long(spark, sf_dir)
+    xm = pin(
+        lv.select(
+            "vec_id",
+            "pos",
+            F.floor(F.col("x") * 1000.0 + F.lit(0.5)).cast("long").alias("xm"),
+        )
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    init_hash = _SPARK_MD5H.format(s="cast(vec_id as string)")
+    assign = emb.select(
+        "vec_id", F.expr(f"({init_hash}) % {_IVF_K}").alias("cell")
+    )
+    cells = None
+    for _ in range(_IVF_ITERS):
+        cells = (
+            xm.join(assign, "vec_id")
+            .groupBy("cell", "pos")
+            .agg(F.sum("xm").alias("sm"), F.count("*").alias("cnt"))
+        )
+        diff = F.col("xm") * F.col("cnt") - F.col("sm")
+        d = (
+            xm.join(F.broadcast(cells), "pos")
+            .groupBy("vec_id", "cell")
+            .agg(F.sum(diff * diff).alias("num"), F.max("cnt").alias("cnt"))
+        )
+        w = W.partitionBy("vec_id").orderBy(
+            (F.col("num").cast("double") / (F.col("cnt") * F.col("cnt"))).asc(),
+            F.asc("cell"),
+        )
+        assign = (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cell")
+        )
+    return xm, pin(cells), pin(assign)
+
+
+@query(
+    "ivf_kmeans_assign",
+    oracle=f"""
+    WITH {_duck_kmeans_ctes()}
+    SELECT vec_id, cell FROM a{_IVF_ITERS}
+    """,
+)
+def ivf_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained coarse-quantizer membership: every vector's cell
+    after {_IVF_ITERS} Lloyd iterations from the hash init. The
+    differential test against the oracle's CTE-chain Lloyd loop pins
+    the training itself — same init, same integer metric, same
+    tie-breaks, same fixpoint prefix on both engines."""
+    _, _, assign = _spark_kmeans(spark, sf_dir)
+    return assign
 
 
 @query(
     "ann_ivf_topk",
     oracle=f"""
-    WITH cent AS ({_DUCK_CENTROIDS}),
-    qlong AS (SELECT vec_id AS query_id, pos, x FROM ({_DUCK_LONG}) lv
-              WHERE vec_id < {N_QUERIES}),
-    qdist AS (
-        SELECT q.query_id, cent.label,
-               SUM(CAST(FLOOR((q.x - cent.c) * (q.x - cent.c) * 1000000.0 + 0.5) AS BIGINT)) AS d2q
-        FROM qlong q JOIN cent ON q.pos = cent.pos
-        GROUP BY q.query_id, cent.label),
+    WITH {_duck_kmeans_ctes()},
+    qd AS (
+        SELECT x.vec_id AS query_id, c.cell,
+               CAST(SUM((x.xm * c.cnt - c.sm) * (x.xm * c.cnt - c.sm)) AS BIGINT) AS num,
+               MAX(c.cnt) AS cnt
+        FROM xm x JOIN c{_IVF_ITERS} c ON x.pos = c.pos
+        WHERE x.vec_id < {N_QUERIES}
+        GROUP BY 1, 2),
     probe AS (
-        SELECT query_id, label FROM (
-            SELECT query_id, label,
-                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2q, label) AS rn
-            FROM qdist) t
+        SELECT query_id, cell FROM (
+            SELECT query_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY CAST(num AS DOUBLE) / (cnt * cnt), cell) AS rn
+            FROM qd) t
         WHERE rn <= {N_PROBE}),
     q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
           WHERE vec_id < {N_QUERIES}),
     scored AS (
-        SELECT q.query_id, e.vec_id, probe.label,
+        SELECT q.query_id, probe.cell, e.vec_id,
                ROUND({_DUCK_DOT.format(a='q.qv', b='e.embedding')}
                      / ({_DUCK_NORM.format(v='q.qv')} * {_DUCK_NORM.format(v='e.embedding')}),
                      6) AS cosine
         FROM q
         JOIN probe ON q.query_id = probe.query_id
-        JOIN embeddings e ON e.label = probe.label AND e.vec_id <> q.query_id)
-    SELECT query_id, label, vec_id, cosine FROM (
+        JOIN a{_IVF_ITERS} m ON m.cell = probe.cell
+        JOIN embeddings e ON e.vec_id = m.vec_id AND e.vec_id <> q.query_id)
+    SELECT query_id, cell, vec_id, cosine FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                      ORDER BY cosine DESC, vec_id) AS rn
         FROM scored) t
@@ -404,33 +529,29 @@ _DUCK_CENTROIDS = f"""
     """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: route each query to its N_PROBE nearest coarse
-    centroids (L2, quantized terms → engine-exact), then rank only
-    those cells' vectors. Scans ~N_PROBE/n_labels of the corpus per
-    query — the scale path vs knn_brute_cosine; recall measured in
-    tests/test_similarity_quality.py on planted-cluster data."""
-    cent = label_centroids(spark, sf_dir)
-    lv = _spark_long(spark, sf_dir)
-    qlong = lv.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "pos", "x"
+    """IVF ANN with a TRAINED coarse quantizer: route each query to its
+    N_PROBE nearest k-means cells (the integer Lloyd metric — engine-
+    exact, see the codebook note), then exact-cosine-rank only those
+    cells' members. Scans ~N_PROBE/K of the corpus per query — the
+    scale path vs knn_brute_cosine; recall ≥ 0.9 on planted-cluster
+    data is gated in tests/test_similarity_quality.py, now against
+    centroids the hash init knows nothing about."""
+    xm, cells, members = _spark_kmeans(spark, sf_dir)
+    diff = F.col("xm") * F.col("cnt") - F.col("sm")
+    qd = (
+        xm.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cells), "pos")
+        .groupBy(F.col("vec_id").alias("query_id"), "cell")
+        .agg(F.sum(diff * diff).alias("num"), F.max("cnt").alias("cnt"))
     )
-    qdist = (
-        qlong.join(F.broadcast(cent), "pos")
-        .groupBy("query_id", "label")
-        .agg(
-            F.sum(
-                F.floor(
-                    (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")) * 1_000_000
-                    + F.lit(0.5)
-                ).cast("long")
-            ).alias("d2q")
-        )
+    wprobe = W.partitionBy("query_id").orderBy(
+        (F.col("num").cast("double") / (F.col("cnt") * F.col("cnt"))).asc(),
+        F.asc("cell"),
     )
-    wprobe = W.partitionBy("query_id").orderBy(F.asc("d2q"), F.asc("label"))
     probe = (
-        qdist.withColumn("rn", F.row_number().over(wprobe))
+        qd.withColumn("rn", F.row_number().over(wprobe))
         .filter(F.col("rn") <= N_PROBE)
-        .select("query_id", F.col("label").alias("probe_label"))
+        .select("query_id", F.col("cell").alias("probe_cell"))
     )
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -438,11 +559,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         q.join(probe, "query_id")
-        .join(emb.alias("e"), F.col("probe_label") == F.col("e.label"))
+        .join(members.alias("m"), F.col("probe_cell") == F.col("m.cell"))
+        .join(emb.alias("e"), F.col("e.vec_id") == F.col("m.vec_id"))
         .filter(F.col("e.vec_id") != F.col("query_id"))
         .select(
             "query_id",
-            F.col("probe_label").alias("label"),
+            F.col("probe_cell").alias("cell"),
             F.col("e.vec_id").alias("vec_id"),
             F.round(
                 F.expr(_SPARK_DOT.format(a="qv", b="e.embedding"))
@@ -460,7 +582,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
-        .select("query_id", "label", "vec_id", "cosine")
+        .select("query_id", "cell", "vec_id", "cosine")
     )
 
 

@@ -205,3 +205,17 @@ def test_simhash_hamming_tracks_similarity(spark, nearly_dup_sf):
     unrelated = [(20 + i, 21 + j) for i, j in [(rng.randrange(9), rng.randrange(9)) for _ in range(10)]]
     unrelated_d = [ham(a, b) for a, b in unrelated if a != b and a in sig and b in sig]
     assert sum(unrelated_d) / len(unrelated_d) > max(near_d), (unrelated_d, near_d)
+
+
+def test_kmeans_recovers_planted_clusters(spark, clustered_sf):
+    """Lloyd training from the hash init (which knows nothing about the
+    planted structure) must rediscover the 10 tight clusters: per true
+    cluster, the dominant trained cell holds ≥90% of members (mean
+    purity). This is the training-quality claim behind the IVF recall
+    gate — parity alone would also pass a k-means that never moved."""
+    assign = _QUERIES["ivf_kmeans_assign"](spark, clustered_sf).toPandas()
+    assign["true"] = assign.vec_id % 10
+    purity = (
+        assign.groupby("true").cell.agg(lambda s: s.value_counts().iloc[0] / len(s))
+    )
+    assert purity.mean() >= 0.9, purity.to_dict()
