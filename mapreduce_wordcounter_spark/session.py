@@ -37,6 +37,18 @@ def get_spark(app_name: str = "mapreduce-wordcounter-spark", cpus: int | None = 
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # Opt-in RocksDB state store (SPARK_GRAFT_ROCKSDB=1): the 100 TB
+    # posture for streaming state (SCALE.md §9) — state lives off-heap /
+    # on-disk per executor instead of on the JVM heap, so watermark-
+    # bounded state can exceed executor memory. Off by default locally
+    # because the HDFS-backed default is faster for the tiny test
+    # states; the provider is exercised by
+    # tests/test_streaming.py::test_rocksdb_state_store_equals_batch.
+    if os.environ.get("SPARK_GRAFT_ROCKSDB", "") not in ("", "0"):
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -447,3 +447,65 @@ def test_stream_wc_counts_equals_batch(spark):
     live = _QUERIES["stream_wc_counts"](spark, SF_ORACLE)
     batch = _QUERIES["wc_counts"](spark, SF_ORACLE)
     assert _canon(live).equals(_canon(batch))
+
+
+def test_rocksdb_state_store_equals_batch(spark, tmp_path):
+    """The 100 TB state-store posture, exercised: run the tumbling
+    aggregation with the RocksDB state store provider (the session flag
+    SPARK_GRAFT_ROCKSDB wires the same conf at build time) and require
+    (a) batch equivalence and (b) evidence RocksDB actually held the
+    state (its checkpoint layout: per-partition .zip snapshots, vs the
+    default provider's .delta files)."""
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    before = spark.conf.get(provider_conf, None)
+    spark.conf.set(provider_conf, rocksdb)
+    try:
+        agg = (
+            events_stream(spark, SF_ORACLE)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "event_type",
+                "n",
+            )
+        )
+        name = "rocksdb_eq_" + uuid.uuid4().hex[:8]
+        ckpt = str(tmp_path / "ckpt")
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        live = spark.table(name).toPandas()
+    finally:
+        if before is None:
+            spark.conf.unset(provider_conf)
+        else:
+            spark.conf.set(provider_conf, before)
+    batch = (
+        _QUERIES["ev_tumbling_hourly"](spark, SF_ORACLE)
+        .select("window_start", "event_type", "n")
+        .toPandas()
+    )
+    key = ["window_start", "event_type"]
+    assert (
+        live.sort_values(key).reset_index(drop=True)[["window_start", "event_type", "n"]]
+        .equals(batch.sort_values(key).reset_index(drop=True))
+    )
+    state_files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(os.path.join(ckpt, "state"))
+        for f in fs
+    ]
+    assert any(f.endswith(".zip") for f in state_files), state_files[:10]
