@@ -119,6 +119,7 @@ def all_queries() -> dict[str, QueryFn]:
         similarity,
         temporal,
         text,
+        tpch_rest,
         wordcount,
     )
     from mapreduce_wordcounter_spark.streaming import stateful, windows  # noqa: F401

@@ -48,6 +48,9 @@ _ALLOWED_BOUNDED_BNLJ = {
     "source_unigram_kl",  # 1-row corpus-token-total scalar onto (source, word)
     "corpus_health_report",  # one-row dashboard: joins of 1-row aggregates only
     "word_typo_pairs",  # vocab LIMIT-capped before the edit-distance theta join
+    "q11_important_stock",  # 1-row global-total scalar (HAVING threshold)
+    "q15_top_supplier",  # 1-row MAX-revenue scalar
+    "q22_global_sales_opportunity",  # 1-row (sum, count) average scalar
 }
 
 # The deliberately-Python surface: the real UDTF twin of the native
