@@ -385,39 +385,48 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # division of two exact int64s is correctly rounded IEEE on every
 # engine. Ties break on cell id. No transcendentals anywhere.
 #
-# Scale: each iteration is (a) one groupBy(cell, pos) over the
-# member-joined xm relation — map-side combined, K·dim output rows —
-# and (b) one broadcast of those K·dim rows back onto xm for the
-# argmin. The corpus-sized relations shuffle on vec_id/pos only; the
-# driver never sees data (contrast the CC loop, which reads one scalar
-# per round — here the iteration count is fixed, so the loop is pure
-# plan composition with zero driver round-trips).
+# Scale: the Lloyd loop trains on a DETERMINISTIC HASH SUBSAMPLE
+# (md5(vec_id) % _IVF_TRAIN_MOD == 0 — the standard IVF posture: a
+# coarse quantizer is trained on ~10⁵-10⁶ sampled vectors, never the
+# full corpus), then ONE full-corpus assignment pass against the
+# trained codebook. Each training iteration is (a) one groupBy(cell,
+# pos) over the member-joined sample — map-side combined, K·dim output
+# rows — and (b) one broadcast of those K·dim rows back onto the
+# sample for the argmin. Full-corpus cost is therefore ~1 pass plus
+# T/_IVF_TRAIN_MOD sampled passes (measured: the unsampled loop was
+# 3.4× the round-2 query time; sampling restored it). The driver never
+# sees data — the iteration count is fixed, so the loop is pure plan
+# composition with zero driver round-trips.
 
 _IVF_K = 10
 _IVF_ITERS = 3
+_IVF_TRAIN_MOD = 4  # train on the 1-in-4 hash sample; scale this with N
 
 
 def _duck_kmeans_ctes(n_iters: int = _IVF_ITERS) -> str:
-    """CTE chain xm, a0, c1, d1, a1, …, c{T}, d{T}, a{T}: the exact
-    Lloyd loop the Spark side runs (a_i = assignment after i updates;
-    c_i = codebook from a_{i-1})."""
+    """CTE chain xm, xt, a0, c1, d1, a1, …, c{T}, dF, af: the exact
+    Lloyd loop the Spark side runs (a_i = sample assignment after i
+    updates; c_i = codebook from a_{i-1}; af = the single full-corpus
+    assignment against the trained codebook c{T})."""
     init_hash = _DUCK_MD5H.format(s="CAST(vec_id AS VARCHAR)")
     parts = [
         "xm AS (SELECT vec_id, pos, CAST(FLOOR(x * 1000.0 + 0.5) AS BIGINT) AS xm"
         f" FROM ({_DUCK_LONG}) lv)",
-        f"a0 AS (SELECT vec_id, ({init_hash}) % {_IVF_K} AS cell FROM embeddings)",
+        f"xt AS (SELECT * FROM xm WHERE ({init_hash}) % {_IVF_TRAIN_MOD} = 0)",
+        f"a0 AS (SELECT vec_id, ({init_hash}) % {_IVF_K} AS cell FROM embeddings"
+        f" WHERE ({init_hash}) % {_IVF_TRAIN_MOD} = 0)",
     ]
     for i in range(1, n_iters + 1):
         parts.append(
             f"c{i} AS (SELECT a.cell, x.pos, CAST(SUM(x.xm) AS BIGINT) AS sm,"
-            f" COUNT(*) AS cnt FROM xm x JOIN a{i - 1} a USING (vec_id)"
+            f" COUNT(*) AS cnt FROM xt x JOIN a{i - 1} a USING (vec_id)"
             f" GROUP BY a.cell, x.pos)"
         )
         parts.append(
             f"d{i} AS (SELECT x.vec_id, c.cell,"
             f" CAST(SUM((x.xm * c.cnt - c.sm) * (x.xm * c.cnt - c.sm)) AS BIGINT) AS num,"
             f" MAX(c.cnt) AS cnt"
-            f" FROM xm x JOIN c{i} c ON x.pos = c.pos GROUP BY x.vec_id, c.cell)"
+            f" FROM xt x JOIN c{i} c ON x.pos = c.pos GROUP BY x.vec_id, c.cell)"
         )
         parts.append(
             f"a{i} AS (SELECT vec_id, cell FROM ("
@@ -425,6 +434,18 @@ def _duck_kmeans_ctes(n_iters: int = _IVF_ITERS) -> str:
             f" ORDER BY CAST(num AS DOUBLE) / (cnt * cnt), cell) AS rn"
             f" FROM d{i}) r WHERE rn = 1)"
         )
+    parts.append(
+        f"dF AS (SELECT x.vec_id, c.cell,"
+        f" CAST(SUM((x.xm * c.cnt - c.sm) * (x.xm * c.cnt - c.sm)) AS BIGINT) AS num,"
+        f" MAX(c.cnt) AS cnt"
+        f" FROM xm x JOIN c{n_iters} c ON x.pos = c.pos GROUP BY x.vec_id, c.cell)"
+    )
+    parts.append(
+        "af AS (SELECT vec_id, cell FROM ("
+        "SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id"
+        " ORDER BY CAST(num AS DOUBLE) / (cnt * cnt), cell) AS rn"
+        " FROM dF) r WHERE rn = 1)"
+    )
     return ",\n    ".join(parts)
 
 
@@ -432,9 +453,11 @@ def _spark_kmeans(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(xm, cells, assign): milli-quantized long-form embeddings, the
-    trained codebook c{T} as (cell, pos, sm, cnt), and the final
-    membership a{T} — mirrors _duck_kmeans_ctes exactly. xm/cells/
-    assign are pinned (each is consumed by several downstream joins)."""
+    trained codebook c{T} as (cell, pos, sm, cnt), and the FULL-corpus
+    membership af (one assignment pass against the trained codebook) —
+    mirrors _duck_kmeans_ctes exactly. The Lloyd loop itself only sees
+    the 1-in-_IVF_TRAIN_MOD hash sample. xm/cells/assign are pinned
+    (each is consumed by several downstream joins)."""
     from mapreduce_wordcounter_spark.session import pin
 
     lv = _spark_long(spark, sf_dir)
@@ -447,44 +470,50 @@ def _spark_kmeans(
     )
     emb = load_table(spark, sf_dir, "embeddings")
     init_hash = _SPARK_MD5H.format(s="cast(vec_id as string)")
-    assign = emb.select(
+    in_sample = F.expr(f"({init_hash}) % {_IVF_TRAIN_MOD} = 0")
+    xt = xm.filter(in_sample)
+    assign = emb.filter(in_sample).select(
         "vec_id", F.expr(f"({init_hash}) % {_IVF_K}").alias("cell")
     )
-    cells = None
-    for _ in range(_IVF_ITERS):
-        cells = (
-            xm.join(assign, "vec_id")
-            .groupBy("cell", "pos")
-            .agg(F.sum("xm").alias("sm"), F.count("*").alias("cnt"))
-        )
+    w = W.partitionBy("vec_id").orderBy(
+        (F.col("num").cast("double") / (F.col("cnt") * F.col("cnt"))).asc(),
+        F.asc("cell"),
+    )
+
+    def argmin_assign(pts: DataFrame, codebook: DataFrame) -> DataFrame:
         diff = F.col("xm") * F.col("cnt") - F.col("sm")
         d = (
-            xm.join(F.broadcast(cells), "pos")
+            pts.join(F.broadcast(codebook), "pos")
             .groupBy("vec_id", "cell")
             .agg(F.sum(diff * diff).alias("num"), F.max("cnt").alias("cnt"))
         )
-        w = W.partitionBy("vec_id").orderBy(
-            (F.col("num").cast("double") / (F.col("cnt") * F.col("cnt"))).asc(),
-            F.asc("cell"),
-        )
-        assign = (
+        return (
             d.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("vec_id", "cell")
         )
-    return xm, pin(cells), pin(assign)
+
+    cells = None
+    for _ in range(_IVF_ITERS):
+        cells = (
+            xt.join(assign, "vec_id")
+            .groupBy("cell", "pos")
+            .agg(F.sum("xm").alias("sm"), F.count("*").alias("cnt"))
+        )
+        assign = argmin_assign(xt, cells)
+    return xm, pin(cells), pin(argmin_assign(xm, cells))
 
 
 @query(
     "ivf_kmeans_assign",
     oracle=f"""
     WITH {_duck_kmeans_ctes()}
-    SELECT vec_id, cell FROM a{_IVF_ITERS}
+    SELECT vec_id, cell FROM af
     """,
 )
 def ivf_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trained coarse-quantizer membership: every vector's cell
-    after {_IVF_ITERS} Lloyd iterations from the hash init. The
+    under the codebook from {_IVF_ITERS} sampled Lloyd iterations. The
     differential test against the oracle's CTE-chain Lloyd loop pins
     the training itself — same init, same integer metric, same
     tie-breaks, same fixpoint prefix on both engines."""
@@ -519,7 +548,7 @@ def ivf_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                      6) AS cosine
         FROM q
         JOIN probe ON q.query_id = probe.query_id
-        JOIN a{_IVF_ITERS} m ON m.cell = probe.cell
+        JOIN af m ON m.cell = probe.cell
         JOIN embeddings e ON e.vec_id = m.vec_id AND e.vec_id <> q.query_id)
     SELECT query_id, cell, vec_id, cosine FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
