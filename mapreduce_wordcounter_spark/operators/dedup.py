@@ -922,6 +922,43 @@ _DUCK_PARAGRAPHS = f"""
 """
 
 
+def paragraph_relation(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos_in_doc, seg): the trimmed-line → bounded-token-
+    window segmentation described in the module note — shared by
+    dedup_paragraphs and the C4-style line filter (text.py), and the
+    exact Spark mirror of _DUCK_PARAGRAPHS."""
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    with_lines = docs.select(
+        "doc_id", F.posexplode(lines).alias("line_idx", "line")
+    ).select(
+        "doc_id",
+        (F.col("line_idx") + 1).alias("line_no"),
+        F.filter(
+            F.split(F.lower(F.col("line")), r"[^\p{L}]+"), lambda x: x != ""
+        ).alias("t"),
+    ).filter(F.size("t") > 0)
+    segs_arr = F.expr(
+        f"transform(sequence(1, size(t), {_PARA_TOKENS}),"
+        f" i -> array_join(slice(t, i, {_PARA_TOKENS}), ' '))"
+    )
+    return (
+        with_lines.select(
+            "doc_id", "line_no", F.posexplode(segs_arr).alias("seg_idx", "seg")
+        )
+        .filter(F.col("seg") != "")
+        .select(
+            "doc_id",
+            (
+                (F.col("line_no") - 1) * _POS_PACK + F.col("seg_idx") + 1
+            ).alias("pos_in_doc"),
+            "seg",
+        )
+    )
+
+
 @query(
     "dedup_paragraphs",
     oracle=f"""
@@ -958,37 +995,7 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     256-bit-derived key, no skew), one doc_id rollup. See module note
     for the segmentation semantics and SCALE.md §4 for the 100 TB
     posture."""
-    docs = load_table(spark, sf_dir, "documents")
-    lines = F.filter(
-        F.transform(F.split(F.col("text"), "\n"), lambda s: F.trim(s)),
-        lambda s: s != "",
-    )
-    with_lines = docs.select(
-        "doc_id", F.posexplode(lines).alias("line_idx", "line")
-    ).select(
-        "doc_id",
-        (F.col("line_idx") + 1).alias("line_no"),
-        F.filter(
-            F.split(F.lower(F.col("line")), r"[^\p{L}]+"), lambda x: x != ""
-        ).alias("t"),
-    ).filter(F.size("t") > 0)
-    segs_arr = F.expr(
-        f"transform(sequence(1, size(t), {_PARA_TOKENS}),"
-        f" i -> array_join(slice(t, i, {_PARA_TOKENS}), ' '))"
-    )
-    para = (
-        with_lines.select(
-            "doc_id", "line_no", F.posexplode(segs_arr).alias("seg_idx", "seg")
-        )
-        .filter(F.col("seg") != "")
-        .select(
-            "doc_id",
-            (
-                (F.col("line_no") - 1) * _POS_PACK + F.col("seg_idx") + 1
-            ).alias("pos_in_doc"),
-            "seg",
-        )
-    )
+    para = paragraph_relation(load_table(spark, sf_dir, "documents"))
     from pyspark.sql import Window as W
 
     pos_key = F.col("doc_id") * (_POS_PACK * _POS_PACK) + F.col("pos_in_doc")
@@ -1003,4 +1010,102 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_paragraphs"),
         kept.cast("long").alias("n_kept"),
         F.round(kept.cast("double") / F.count("*"), 6).alias("kept_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span dedup (character-window grain)
+# ---------------------------------------------------------------------------
+#
+# The exact-substring pass of "Deduplicating Training Data Makes
+# Language Models Better" (Lee et al. 2022) removes any character span
+# that occurs verbatim elsewhere in the corpus. The paper builds a
+# suffix array; the distributed equivalent here samples fixed-width
+# character windows on a stride (every duplicated region >= _SPAN_W +
+# _SPAN_STRIDE chars is guaranteed to contain at least one aligned
+# duplicated window, so window-grain detection bounds span-grain
+# recall), hashes each window, and keeps the corpus-wide first
+# occurrence — the paragraph-dedup profile at character grain.
+#
+# Scale: window extraction is a per-row projection (bounded fan-out:
+# len/stride windows per doc); the only corpus-scale exchange is the
+# window-hash shuffle for the COUNT/MIN — uniform 128-bit-derived key,
+# no skew. Position keys pack (doc_id, char_pos) into one BIGINT
+# (char_pos < 1e6: documents over a million characters should be
+# chunked upstream — mm_chunk_dedup's posture).
+
+_SPAN_W = 40  # window width (chars)
+_SPAN_STRIDE = 10  # stride between window starts
+_SPAN_PACK = 1_000_000  # per-doc capacity of the packed position key
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, i AS win_pos, substring(lower(text), i, {_SPAN_W}) AS span
+        FROM documents,
+             LATERAL (SELECT unnest(generate_series(
+                 1, len(lower(text)) - {_SPAN_W - 1}, {_SPAN_STRIDE})) AS i) g
+        WHERE len(lower(text)) >= {_SPAN_W}),
+    k AS (
+        SELECT doc_id,
+               doc_id * {_SPAN_PACK} + win_pos AS pos_key,
+               COUNT(*) OVER (PARTITION BY md5(span)) AS cnt,
+               MIN(doc_id * {_SPAN_PACK} + win_pos)
+                   OVER (PARTITION BY md5(span)) AS min_pos
+        FROM w)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans,
+           CAST(SUM(CASE WHEN pos_key <> min_pos THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+           ROUND(CAST(SUM(CASE WHEN pos_key <> min_pos THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS dup_frac
+    FROM k GROUP BY doc_id
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup audit: strided {_SPAN_W}-char windows
+    over the normalized text, duplicated corpus-wide iff the identical
+    window occurs anywhere else (including the same document); keep the
+    first occurrence by packed (doc_id, char_pos). Per document:
+    window count, windows duplicated anywhere, non-first occurrences
+    (what span-removal would cut), and the removed fraction. The
+    removal projection is the span set at pos_key = min_pos merged back
+    by position; the audit shape keeps the oracle order-free."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = "lower(text)"
+    spans = F.expr(
+        f"transform(sequence(1, length({norm}) - {_SPAN_W - 1}, {_SPAN_STRIDE}),"
+        f" i -> substring({norm}, i, {_SPAN_W}))"
+    )
+    w = (
+        docs.filter(F.length(F.expr(norm)) >= _SPAN_W)
+        .select("doc_id", F.posexplode(spans).alias("win_idx", "span"))
+        .select(
+            "doc_id",
+            (F.lit(1) + F.col("win_idx") * _SPAN_STRIDE).alias("win_pos"),
+            "span",
+        )
+    )
+    pos_key = F.col("doc_id") * _SPAN_PACK + F.col("win_pos")
+    wh = W.partitionBy(F.md5("span"))
+    k = w.select(
+        "doc_id",
+        pos_key.alias("pos_key"),
+        F.count("*").over(wh).alias("cnt"),
+        F.min(pos_key).over(wh).alias("min_pos"),
+    )
+    removed = F.sum(F.when(F.col("pos_key") != F.col("min_pos"), 1).otherwise(0))
+    return k.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_windows"),
+        F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_spans"),
+        removed.cast("long").alias("n_removed"),
+        F.round(removed.cast("double") / F.count("*"), 6).alias("dup_frac"),
     )
