@@ -267,3 +267,104 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic display (Appendix B.2 — the reference's output is
     unordered only because Go map iteration is)."""
     return wc_counts(spark, sf_dir).orderBy(F.desc("cnt"), F.asc("word"))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+#
+# The mergeable frequency summary the HLL vocabulary sketches
+# (wc_vocab_hll_merge) are not: a count-min sketch answers "how often
+# does word w occur" from d×w fixed counters regardless of vocabulary
+# size. At 100 TB the sketch is built STREAMING from the token
+# relation — a 4-row per-token fan-out into a groupBy over exactly
+# _CMS_D × _CMS_W keys, map-side combined to constant state per task,
+# no vocabulary-cardinality shuffle anywhere; per-source sketches add
+# by bucket (sketch merge = vector sum), which is what makes it the
+# incremental/streaming path. Here the fan-out runs over the already-
+# aggregated (word, cnt) relation — numerically identical, one corpus
+# scan cheaper.
+#
+# Unlike library sketches, the hash rows are the engine-portable md5
+# construction (row j hashes 'j:word'), so the WHOLE sketch is
+# deterministic and the query is DuckDB-oracle-checked EXACTLY — plus
+# the classic invariants (estimate never undercounts; overcount
+# bounded by N/_CMS_W per row) are pinned in tests/test_estimators.py.
+# The audit joins the sketch against the exact top-_CMS_TOPK words so
+# the overcount is visible per heavy hitter.
+
+_CMS_D = 4  # hash rows
+_CMS_W = 1024  # buckets per row
+_CMS_TOPK = 50
+
+_SPARK_MD5H = "cast(conv(substring(md5({s}), 1, 15), 16, 10) as bigint)"
+_DUCK_MD5H = "CAST(('0x' || substring(md5({s}), 1, 15)) AS BIGINT)"
+
+
+@query(
+    "wc_cms_heavy_hitters",
+    oracle=f"""
+    WITH wc AS (
+        SELECT word, COUNT(*) AS n
+        FROM ({_ORACLE_TOKENS}) t WHERE word <> '' GROUP BY word),
+    wj AS (
+        SELECT word, n, j,
+               ({_DUCK_MD5H.format(s="CAST(j AS VARCHAR) || ':' || word")})
+                   % {_CMS_W} AS bucket
+        FROM wc, (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS j) rows),
+    sk AS (
+        SELECT j, bucket, CAST(SUM(n) AS BIGINT) AS bucket_count
+        FROM wj GROUP BY j, bucket),
+    top AS (
+        SELECT word, n FROM (
+            SELECT word, n,
+                   ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rn
+            FROM wc) r
+        WHERE rn <= {_CMS_TOPK})
+    SELECT t.word,
+           CAST(t.n AS BIGINT) AS n_exact,
+           CAST(MIN(sk.bucket_count) AS BIGINT) AS est_cms,
+           CAST(MIN(sk.bucket_count) - t.n AS BIGINT) AS overcount
+    FROM top t
+    JOIN wj ON t.word = wj.word
+    JOIN sk ON wj.j = sk.j AND wj.bucket = sk.bucket
+    GROUP BY t.word, t.n
+    """,
+)
+def wc_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch audit for the exact top-{_CMS_TOPK} words:
+    exact count, sketch estimate (min over the {_CMS_D} hash rows of
+    the bucket sums), and the overcount the bucket collisions added.
+    Deterministic md5 hash rows make the sketch itself engine-exact."""
+    wc = (
+        tokens(spark, sf_dir).groupBy("word").agg(F.count("*").alias("n"))
+    )
+    js = F.array([F.lit(j) for j in range(_CMS_D)])
+    bucket = (
+        F.expr(_SPARK_MD5H.format(s="concat(cast(j as string), ':', word)"))
+        % _CMS_W
+    )
+    wj = wc.select(
+        "word", "n", F.explode(js).alias("j")
+    ).withColumn("bucket", bucket)
+    sk = wj.groupBy("j", "bucket").agg(F.sum("n").alias("bucket_count"))
+    # Total order (n desc, word) + limit: TakeOrderedAndProject, the
+    # distributed top-k — no single-partition global window.
+    top = (
+        wc.orderBy(F.desc("n"), F.asc("word"))
+        .limit(_CMS_TOPK)
+        .select("word", F.col("n").alias("n_exact"))
+    )
+    return (
+        top.join(wj, "word")
+        .join(F.broadcast(sk), ["j", "bucket"])
+        .groupBy("word", "n_exact")
+        .agg(
+            F.min("bucket_count").cast("long").alias("est_cms"),
+            (F.min("bucket_count") - F.first("n_exact")).cast("long").alias(
+                "overcount"
+            ),
+        )
+        .select("word", F.col("n_exact").cast("long").alias("n_exact"),
+                "est_cms", "overcount")
+    )

@@ -95,3 +95,18 @@ def test_sample_bernoulli_rate_and_reproducibility(spark):
     assert abs(len(rows_a) - n * p) < 5 * sigma, (len(rows_a), n * p, sigma)
     rows_b = {tuple(r) for r in _QUERIES["sample_bernoulli"](spark, SF_ORACLE).collect()}
     assert rows_a == rows_b
+
+
+def test_cms_never_undercounts_and_bound(spark):
+    """Count-min guarantees: the estimate NEVER undercounts (every
+    occurrence lands in every row's counted bucket), and the min-row
+    overcount stays within the standard e·N/w bound (deterministic
+    here: fixed corpus, fixed md5 hash rows)."""
+    rows = _QUERIES["wc_cms_heavy_hitters"](spark, SF_ORACLE).collect()
+    assert rows, "top-k audit is empty"
+    n_tokens = tokens(spark, SF_ORACLE).count()
+    bound = math.e * n_tokens / 1024  # _CMS_W
+    for r in rows:
+        assert r["overcount"] >= 0, r
+        assert r["est_cms"] == r["n_exact"] + r["overcount"], r
+        assert r["overcount"] <= bound, (r, bound)
