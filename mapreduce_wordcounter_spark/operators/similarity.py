@@ -899,3 +899,343 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "   + 0.5D) AS INT)) END"
     )
     return emb.select("vec_id", scale.alias("scale"), qvec.alias("qvec"))
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized ANN (trained sub-codebooks, ADC scoring)
+# ---------------------------------------------------------------------------
+#
+# The next rung above ann_ivf_topk: candidates are still routed through
+# the trained coarse quantizer, but scoring uses ASYMMETRIC DISTANCE
+# COMPUTATION over product-quantized codes — each vector is compressed
+# to _PQ_M sub-codebook ids (here 8×4 bits), and a query scores a
+# candidate by summing its precomputed query-to-code distance table
+# entries, never touching the candidate's floats. This is FAISS's
+# IVFPQ with by_residual=False (codes over raw subvectors, not
+# coarse-residuals — the residual variant needs a float subtraction
+# that would break the exact-integer training metric; noted, not
+# hidden).
+#
+# Exactness: sub-codebooks reuse the sampled integer Lloyd machinery
+# (same metric, per-subspace positions, seeded init). The ADC term for
+# (query, code) is num/cnt² quantized to micro-units; num ≤
+# (|xm|·cnt)²·16 stays below 2^53 while the TRAINING SAMPLE per cell
+# is ≤ ~5·10⁴ vectors (the sample modulus scales with N to keep it
+# so), making the int64→double conversion exact and the division
+# correctly rounded on both engines; the per-subspace micro terms are
+# exact int64s whose sum is order-free.
+#
+# Scale: codebooks are 16 rows × 16 positions per subspace —
+# broadcast-sized by construction; codes are 4 small ints per vector
+# (the 97%-compression point of PQ); the ADC join touches only probed
+# cells' members and a 5×8×16-row broadcast distance table. The
+# subspace training loops run on the same 1-in-_IVF_TRAIN_MOD sample
+# as the coarse quantizer.
+
+_PQ_M = 8  # subspaces
+_PQ_K = 16  # codes per sub-codebook (4-bit)
+_PQ_DIM = 8  # positions per subspace (64-dim corpus / 8)
+_PQ_SHORTLIST = 60  # ADC shortlist re-ranked exactly (6×TOP_K)
+
+
+def _duck_pq_lloyd(m: int, n_iters: int = _IVF_ITERS) -> str:
+    """CTE chain for subspace m: {p}t, {p}a0, {p}c1..{p}c{T}, {p}dF,
+    {p}af — the sampled Lloyd loop + full assignment, exactly the
+    coarse generator's shape restricted to the subspace positions of
+    the NORMALIZED relation xn (PQ for cosine retrieval quantizes the
+    unit sphere, where L2 is monotone in cosine) and seeded 'pq{m}:'
+    so sub-inits decorrelate."""
+    p = f"p{m}"
+    lo, hi = m * _PQ_DIM, (m + 1) * _PQ_DIM
+    init_hash = _DUCK_MD5H.format(s=f"'pq{m}:' || CAST(vec_id AS VARCHAR)")
+    sample_hash = _DUCK_MD5H.format(s="CAST(vec_id AS VARCHAR)")
+    parts = [
+        f"{p}t AS (SELECT * FROM xn WHERE pos >= {lo} AND pos < {hi}"
+        f" AND ({sample_hash}) % {_IVF_TRAIN_MOD} = 0)",
+        f"{p}a0 AS (SELECT vec_id, ({init_hash}) % {_PQ_K} AS cell"
+        f" FROM embeddings WHERE ({sample_hash}) % {_IVF_TRAIN_MOD} = 0)",
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f"{p}c{i} AS (SELECT a.cell, x.pos, CAST(SUM(x.xm) AS BIGINT) AS sm,"
+            f" COUNT(*) AS cnt FROM {p}t x JOIN {p}a{i - 1} a USING (vec_id)"
+            f" GROUP BY a.cell, x.pos)"
+        )
+        parts.append(
+            f"{p}d{i} AS (SELECT x.vec_id, c.cell,"
+            f" CAST(SUM((x.xm * c.cnt - c.sm) * (x.xm * c.cnt - c.sm)) AS BIGINT) AS num,"
+            f" MAX(c.cnt) AS cnt"
+            f" FROM {p}t x JOIN {p}c{i} c ON x.pos = c.pos GROUP BY x.vec_id, c.cell)"
+        )
+        parts.append(
+            f"{p}a{i} AS (SELECT vec_id, cell FROM ("
+            f"SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id"
+            f" ORDER BY CAST(num AS DOUBLE) / (cnt * cnt), cell) AS rn"
+            f" FROM {p}d{i}) r WHERE rn = 1)"
+        )
+    parts.append(
+        f"{p}dF AS (SELECT x.vec_id, c.cell,"
+        f" CAST(SUM((x.xm * c.cnt - c.sm) * (x.xm * c.cnt - c.sm)) AS BIGINT) AS num,"
+        f" MAX(c.cnt) AS cnt"
+        f" FROM xn x JOIN {p}c{n_iters} c ON x.pos = c.pos GROUP BY x.vec_id, c.cell)"
+    )
+    parts.append(
+        f"{p}af AS (SELECT vec_id, cell FROM ("
+        f"SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id"
+        f" ORDER BY CAST(num AS DOUBLE) / (cnt * cnt), cell) AS rn"
+        f" FROM {p}dF) r WHERE rn = 1)"
+    )
+    return ",\n    ".join(parts)
+
+
+def _duck_pq_ctes() -> str:
+    """xn (normalized milli-quantized long form) + all subspace Lloyd
+    chains + the unioned code and query-distance-table relations."""
+    norm = _DUCK_NORM.format(v="embedding")
+    xn = (
+        "xn AS (SELECT vec_id, i - 1 AS pos,"
+        f" CAST(FLOOR(embedding[i]::DOUBLE / ({norm}) * 1000.0 + 0.5)"
+        " AS BIGINT) AS xm"
+        " FROM embeddings,"
+        " LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) ix)"
+    )
+    chains = xn + ",\n    " + ",\n    ".join(
+        _duck_pq_lloyd(m) for m in range(_PQ_M)
+    )
+    codes = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, cell AS code FROM p{m}af"
+        for m in range(_PQ_M)
+    )
+    dts = " UNION ALL ".join(
+        f"SELECT x.vec_id AS query_id, {m} AS m, c.cell AS code,"
+        f" CAST(FLOOR(CAST(SUM((x.xm * c.cnt - c.sm) * (x.xm * c.cnt - c.sm)) AS BIGINT)"
+        f" / (MAX(c.cnt) * MAX(c.cnt)) * 1000000.0 + 0.5) AS BIGINT) AS term_micro"
+        f" FROM xn x JOIN p{m}c{_IVF_ITERS} c ON x.pos = c.pos"
+        f" WHERE x.vec_id < {N_QUERIES} GROUP BY x.vec_id, c.cell"
+        for m in range(_PQ_M)
+    )
+    return chains + f",\n    pqcode AS ({codes}),\n    dt AS ({dts})"
+
+
+def _spark_pq(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(pqcode, dt): per-vector sub-codebook codes (vec_id, m, code)
+    and the query ADC distance table (query_id, m, code, term_micro) —
+    the exact Spark mirror of _duck_pq_ctes. Quantizes the NORMALIZED
+    vectors (unit sphere: L2 monotone in cosine), built here as its
+    own pinned long-form relation xn."""
+    from mapreduce_wordcounter_spark.session import pin
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = f"sqrt({_SPARK_DOT.format(a='embedding', b='embedding')})"
+    xm = pin(
+        emb.select(
+            "vec_id",
+            F.expr(norm).alias("nrm"),
+            F.posexplode("embedding").alias("pos", "xf"),
+        ).select(
+            "vec_id",
+            "pos",
+            F.floor(
+                F.col("xf").cast("double") / F.col("nrm") * 1000.0 + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("xm"),
+        )
+    )
+    sample_hash = _SPARK_MD5H.format(s="cast(vec_id as string)")
+    in_sample = F.expr(f"({sample_hash}) % {_IVF_TRAIN_MOD} = 0")
+    w = W.partitionBy("vec_id").orderBy(
+        (F.col("num").cast("double") / (F.col("cnt") * F.col("cnt"))).asc(),
+        F.asc("cell"),
+    )
+
+    def argmin_assign(pts: DataFrame, codebook: DataFrame) -> DataFrame:
+        diff = F.col("xm") * F.col("cnt") - F.col("sm")
+        d = (
+            pts.join(F.broadcast(codebook), "pos")
+            .groupBy("vec_id", "cell")
+            .agg(F.sum(diff * diff).alias("num"), F.max("cnt").alias("cnt"))
+        )
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cell")
+        )
+
+    code_parts, dt_parts = [], []
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_DIM, (m + 1) * _PQ_DIM
+        xs = xm.filter((F.col("pos") >= lo) & (F.col("pos") < hi))
+        xt = xs.filter(in_sample)
+        init_hash = _SPARK_MD5H.format(s=f"'pq{m}:' || cast(vec_id as string)")
+        assign = emb.filter(in_sample).select(
+            "vec_id", F.expr(f"({init_hash}) % {_PQ_K}").alias("cell")
+        )
+        cb = None
+        for _ in range(_IVF_ITERS):
+            cb = (
+                xt.join(assign, "vec_id")
+                .groupBy("cell", "pos")
+                .agg(F.sum("xm").alias("sm"), F.count("*").alias("cnt"))
+            )
+            assign = argmin_assign(xt, cb)
+        cb = pin(cb)
+        code_parts.append(
+            argmin_assign(xs, cb).select(
+                "vec_id", F.lit(m).alias("m"), F.col("cell").alias("code")
+            )
+        )
+        diff = F.col("xm") * F.col("cnt") - F.col("sm")
+        dt_parts.append(
+            xs.filter(F.col("vec_id") < N_QUERIES)
+            .join(F.broadcast(cb), "pos")
+            .groupBy(F.col("vec_id").alias("query_id"), "cell")
+            .agg(F.sum(diff * diff).alias("num"), F.max("cnt").alias("cnt"))
+            .select(
+                "query_id",
+                F.lit(m).alias("m"),
+                F.col("cell").alias("code"),
+                F.floor(
+                    F.col("num") / (F.col("cnt") * F.col("cnt")) * 1_000_000
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("term_micro"),
+            )
+        )
+    codes = code_parts[0]
+    for p in code_parts[1:]:
+        codes = codes.unionAll(p)
+    dt = dt_parts[0]
+    for p in dt_parts[1:]:
+        dt = dt.unionAll(p)
+    return codes, dt
+
+
+@query(
+    "ann_ivfpq_topk",
+    oracle=f"""
+    WITH {_duck_kmeans_ctes()},
+    {_duck_pq_ctes()},
+    qd AS (
+        SELECT x.vec_id AS query_id, c.cell,
+               CAST(SUM((x.xm * c.cnt - c.sm) * (x.xm * c.cnt - c.sm)) AS BIGINT) AS num,
+               MAX(c.cnt) AS cnt
+        FROM xm x JOIN c{_IVF_ITERS} c ON x.pos = c.pos
+        WHERE x.vec_id < {N_QUERIES}
+        GROUP BY 1, 2),
+    probe AS (
+        SELECT query_id, cell FROM (
+            SELECT query_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY CAST(num AS DOUBLE) / (cnt * cnt), cell) AS rn
+            FROM qd) t
+        WHERE rn <= {N_PROBE}),
+    cand AS (
+        SELECT p.query_id, a.vec_id
+        FROM probe p JOIN af a ON a.cell = p.cell
+        WHERE a.vec_id <> p.query_id),
+    adc AS (
+        SELECT c.query_id, c.vec_id,
+               CAST(SUM(dt.term_micro) AS BIGINT) AS adc_micro
+        FROM cand c
+        JOIN pqcode pc ON pc.vec_id = c.vec_id
+        JOIN dt ON dt.query_id = c.query_id AND dt.m = pc.m
+               AND dt.code = pc.code
+        GROUP BY c.query_id, c.vec_id),
+    short AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY adc_micro, vec_id) AS rn
+            FROM adc) t
+        WHERE rn <= {_PQ_SHORTLIST}),
+    rer AS (
+        SELECT s.query_id, s.vec_id,
+               ROUND({_DUCK_DOT.format(a='q.embedding', b='e.embedding')}
+                     / ({_DUCK_NORM.format(v='q.embedding')}
+                        * {_DUCK_NORM.format(v='e.embedding')}),
+                     6) AS cosine
+        FROM short s
+        JOIN embeddings q ON q.vec_id = s.query_id
+        JOIN embeddings e ON e.vec_id = s.vec_id)
+    SELECT query_id, vec_id, cosine FROM (
+        SELECT query_id, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rn
+        FROM rer) t
+    WHERE rn <= {TOP_K}
+    """,
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN, the production two-stage shape: coarse-quantizer
+    routing (trained, sampled Lloyd), asymmetric-distance scoring over
+    {_PQ_M}×{_PQ_K}-code product quantization to cut the probed
+    candidates to a {_PQ_SHORTLIST}-deep shortlist (the stage that
+    never touches candidate floats — at scale it runs entirely on the
+    {_PQ_M}-byte codes), then exact cosine re-ranking of the shortlist
+    alone. Returns (query_id, vec_id, cosine) top-{TOP_K}."""
+    xm, cells, members = _spark_kmeans(spark, sf_dir)
+    codes, dt = _spark_pq(spark, sf_dir)
+    diff = F.col("xm") * F.col("cnt") - F.col("sm")
+    qd = (
+        xm.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cells), "pos")
+        .groupBy(F.col("vec_id").alias("query_id"), "cell")
+        .agg(F.sum(diff * diff).alias("num"), F.max("cnt").alias("cnt"))
+    )
+    wprobe = W.partitionBy("query_id").orderBy(
+        (F.col("num").cast("double") / (F.col("cnt") * F.col("cnt"))).asc(),
+        F.asc("cell"),
+    )
+    probe = (
+        qd.withColumn("rn", F.row_number().over(wprobe))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", "cell")
+    )
+    cand = (
+        probe.join(members, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(dt), ["query_id", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("term_micro").cast("long").alias("adc_micro"))
+    )
+    wadc = W.partitionBy("query_id").orderBy(F.asc("adc_micro"), F.asc("vec_id"))
+    short = (
+        adc.withColumn("rn", F.row_number().over(wadc))
+        .filter(F.col("rn") <= _PQ_SHORTLIST)
+        .select("query_id", "vec_id")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Query subset only — broadcasting the unfiltered corpus-sized
+    # relation is the scale bug the round-3 advice caught in
+    # ann_lsh_topk.
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    ev = emb.select("vec_id", F.col("embedding").alias("ce"))
+    cos = F.round(
+        F.expr(_SPARK_DOT.format(a="qe", b="ce"))
+        / (
+            F.expr(f"sqrt({_SPARK_DOT.format(a='qe', b='qe')})")
+            * F.expr(f"sqrt({_SPARK_DOT.format(a='ce', b='ce')})")
+        ),
+        6,
+    )
+    rer = (
+        short.join(F.broadcast(qv), "query_id")
+        .join(ev, "vec_id")
+        .select("query_id", "vec_id", cos.alias("cosine"))
+    )
+    wtop = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        rer.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", "cosine")
+    )

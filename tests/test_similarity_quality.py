@@ -219,3 +219,15 @@ def test_kmeans_recovers_planted_clusters(spark, clustered_sf):
         assign.groupby("true").cell.agg(lambda s: s.value_counts().iloc[0] / len(s))
     )
     assert purity.mean() >= 0.9, purity.to_dict()
+
+
+def test_ivfpq_recall_on_clustered_data(spark, clustered_sf):
+    """The two-stage IVF-PQ path (8×4-bit codes, ADC shortlist, exact
+    re-rank) on clustered data: recall is bounded above by the coarse
+    probe and below by what the PQ shortlist preserves. Gate at ≥0.8 —
+    tighter than the corpus regime (the planted clusters separate far
+    beyond the PQ distortion) but below the pure-IVF 0.9 gate, because
+    the 60-deep shortlist can clip dense same-cluster neighborhoods."""
+    brute = _QUERIES["knn_brute_cosine"](spark, clustered_sf).toPandas()
+    pq = _QUERIES["ann_ivfpq_topk"](spark, clustered_sf).toPandas()
+    assert _recall(brute, pq) >= 0.8
