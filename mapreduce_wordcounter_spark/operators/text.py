@@ -1964,3 +1964,57 @@ def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (kept >= _C4_MIN_LINES).alias("doc_kept"),
         )
     )
+
+
+@query(
+    "mixture_temperature_weights",
+    oracle="""
+    WITH slice_tokens AS (
+        SELECT lang, COUNT(*) AS n_tokens
+        FROM (SELECT lang, unnest(list_filter(
+                  regexp_split_to_array(lower(text), '[^\\p{L}]+'), x -> x <> '')) AS w
+              FROM documents) t
+        GROUP BY lang),
+    sq AS (
+        SELECT lang, n_tokens,
+               CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5)
+                    AS BIGINT) AS sq_micro
+        FROM slice_tokens)
+    SELECT lang, n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE)
+                 / (SELECT SUM(n_tokens) FROM sq), 6) AS raw_weight,
+           ROUND(CAST(sq_micro AS DOUBLE)
+                 / (SELECT SUM(sq_micro) FROM sq), 6) AS temp_weight
+    FROM sq
+    """,
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights per language — the
+    multilingual balancing recipe (mT5/XLM-R): sample language i with
+    probability ∝ p_i^α instead of p_i, flattening the head and
+    boosting the tail. α is fixed at 0.5 so the power is sqrt — a
+    correctly-rounded IEEE op on any engine (a general α needs
+    transcendental pow, the zipf_slope caveat); each sqrt is
+    micro-quantized before summing so the normalizer is an exact
+    BIGINT. Reports the raw share next to the temperature share.
+
+    Plan: one token pass → per-lang counts (map-side combined), then
+    scalar normalizers over the tiny slice relation via an
+    empty-partition window — zero extra corpus shuffles."""
+    from pyspark.sql import Window as W
+
+    t = tokens(spark, sf_dir)
+    slices = t.groupBy("lang").agg(F.count("*").alias("n_tokens"))
+    sq = slices.withColumn(
+        "sq_micro",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1_000_000 + F.lit(0.5))
+        .cast("long"),
+    )
+    total_n = F.sum("n_tokens").over(W.partitionBy())
+    total_sq = F.sum("sq_micro").over(W.partitionBy())
+    return sq.select(
+        "lang",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / total_n, 6).alias("raw_weight"),
+        F.round(F.col("sq_micro").cast("double") / total_sq, 6).alias("temp_weight"),
+    )

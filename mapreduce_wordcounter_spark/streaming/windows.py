@@ -725,3 +725,98 @@ def stream_wc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
     return spark.table(name)
+
+
+@query(
+    "stream_cms_heavy_hitters",
+    oracle=None,  # set below: identical to the batch twin's oracle
+)
+def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min sketch built LIVE: every streamed token fans out
+    to its _CMS_D (row, bucket) cells and the streaming aggregation
+    holds exactly _CMS_D × _CMS_W counters — the poster child for
+    bounded streaming state (the sketch never grows with vocabulary or
+    volume, and per-source/per-epoch sketches merge by vector sum).
+    The drained sketch is then joined against the batch exact top-k
+    audit, so the streaming result must EQUAL the batch twin
+    wc_cms_heavy_hitters cell for cell — batch-equivalence plus the
+    same DuckDB oracle is the correctness contract."""
+    from mapreduce_wordcounter_spark.operators.wordcount import (
+        _CMS_D,
+        _CMS_TOPK,
+        _CMS_W,
+        _SPARK_MD5H,
+        TOKEN_SEP,
+        tokens,
+    )
+
+    ensure_utc(spark)
+    docs = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    toks = (
+        docs.select(F.explode(F.split(F.lower(F.col("text")), TOKEN_SEP)).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    js = F.array([F.lit(j) for j in range(_CMS_D)])
+    bucket = (
+        F.expr(_SPARK_MD5H.format(s="concat(cast(j as string), ':', word)"))
+        % _CMS_W
+    )
+    sk_stream = (
+        toks.select("word", F.explode(js).alias("j"))
+        .withColumn("bucket", bucket)
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("bucket_count"))
+    )
+    name = "stream_cms_" + uuid.uuid4().hex[:8]
+    with stream_shuffle_partitions(spark):
+        q = (
+            sk_stream.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    sk = spark.table(name)
+    # Batch audit side (exact top-k words + their sketch buckets).
+    wc = tokens(spark, sf_dir).groupBy("word").agg(F.count("*").alias("n"))
+    wj = wc.select("word", "n", F.explode(js).alias("j")).withColumn(
+        "bucket", bucket
+    )
+    top = (
+        wc.orderBy(F.desc("n"), F.asc("word"))
+        .limit(_CMS_TOPK)
+        .select("word", F.col("n").alias("n_exact"))
+    )
+    return (
+        top.join(wj, "word")
+        .join(F.broadcast(sk), ["j", "bucket"])
+        .groupBy("word", "n_exact")
+        .agg(
+            F.min("bucket_count").cast("long").alias("est_cms"),
+            (F.min("bucket_count") - F.first("n_exact")).cast("long").alias(
+                "overcount"
+            ),
+        )
+        .select("word", F.col("n_exact").cast("long").alias("n_exact"),
+                "est_cms", "overcount")
+    )
+
+
+def _share_cms_oracle() -> None:
+    # Importing the batch twin first guarantees its oracle is
+    # registered even when this module is imported standalone.
+    from mapreduce_wordcounter_spark.operators import wordcount  # noqa: F401
+    from mapreduce_wordcounter_spark.registry import ORACLE
+
+    ORACLE["stream_cms_heavy_hitters"] = ORACLE["wc_cms_heavy_hitters"]
+
+
+_share_cms_oracle()
