@@ -64,6 +64,17 @@ HEADLINE = [
     "semantic_dedup_components",
     "dedup_incremental_new",
     "pipeline_curate",
+    # round 4 additions
+    "q9_product_profit",
+    "q21_waiting_orders",
+    "dedup_paragraphs",
+    "dedup_substring_spans",
+    "c4_line_filter",
+    "pii_redacted_stats",
+    "quality_classifier_score",
+    "mixture_temperature_weights",
+    "ann_ivfpq_topk",
+    "stream_cms_heavy_hitters",
 ]
 
 

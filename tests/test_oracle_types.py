@@ -12,9 +12,11 @@ categories, and additionally rejects any HUGEINT oracle column outright.
 
 Mostly plan-time: batch queries only build a DataFrame (no jobs).
 The exceptions are the stream_* entries and snapshot-writing ops
-(dedup_incremental_new), whose query functions execute a full
-availableNow drain / table write at *build* time — those names run
-real (small, sf0.01) jobs inside this sweep.
+(dedup_incremental_new; the ANN index builders ivf_kmeans_assign /
+ann_ivf_topk / ann_ivfpq_topk on their first call per session), whose
+query functions execute a full availableNow drain / table write at
+*build* time — those names run real (small, sf0.01) jobs inside this
+sweep.
 """
 
 from __future__ import annotations
