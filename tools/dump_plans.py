@@ -72,6 +72,22 @@ SHOWCASE = [
     "mixture_weights",
     "ev_ohlc_hourly",
     "mm_chunk_dedup",
+    # round 4
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q21_waiting_orders",
+    "q22_global_sales_opportunity",
+    "dedup_paragraphs",
+    "dedup_substring_spans",
+    "c4_line_filter",
+    "pii_redacted_stats",
+    "quality_classifier_score",
+    "wc_cms_heavy_hitters",
+    "mixture_temperature_weights",
+    "ann_ivfpq_topk",
 ]
 
 SF = "/root/testdata/sf0.01"
