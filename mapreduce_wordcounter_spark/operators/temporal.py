@@ -405,3 +405,146 @@ def ev_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("duration_s").alias("min_duration_s"),
         F.max("duration_s").alias("max_duration_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Slowly-changing dimension (type 2) and funnel analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ev_scd2_user_state",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events),
+    changes AS (
+        SELECT user_id, event_type AS state, ts
+        FROM ordered
+        WHERE prev_type IS NULL OR prev_type <> event_type),
+    intervals AS (
+        SELECT user_id, state, ts,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS next_ts
+        FROM changes)
+    SELECT user_id, state,
+           strftime(ts, '{_DUCK_TS_FMT}') AS valid_from,
+           strftime(next_ts, '{_DUCK_TS_FMT}') AS valid_to,
+           (next_ts IS NULL) AS is_current
+    FROM intervals
+    """,
+)
+def ev_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension build: each user's event_type
+    treated as a mutating state — consecutive-equal runs collapse to
+    one row with [valid_from, valid_to) validity and an is_current
+    flag on the open interval. The warehouse-standard history table,
+    derived in two windows (LAG to find change points, LEAD to close
+    intervals) over one shuffle on user_id; change rows are ≪ events,
+    so the second window is nearly free. At 100 TB this is the
+    "rebuild the dimension from the event log" batch shape; the
+    foreachBatch upsert sink (stream_foreach_batch_upsert) is its
+    incremental twin."""
+    ensure_utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w_ord).alias("prev_type"),
+    )
+    changes = ordered.filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    ).select("user_id", F.col("event_type").alias("state"), "ts")
+    w_iv = W.partitionBy("user_id").orderBy("ts")
+    intervals = changes.withColumn("next_ts", F.lead("ts").over(w_iv))
+    return intervals.select(
+        "user_id",
+        "state",
+        F.date_format("ts", _TS_FMT).alias("valid_from"),
+        F.date_format("next_ts", _TS_FMT).alias("valid_to"),
+        F.col("next_ts").isNull().alias("is_current"),
+    )
+
+
+@query(
+    "ev_funnel_conversion",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2
+          GROUP BY e.user_id)
+    SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS users_total,
+           (SELECT COUNT(*) FROM v) AS users_view,
+           (SELECT COUNT(*) FROM c) AS users_click_after_view,
+           (SELECT COUNT(*) FROM p) AS users_purchase_after_click,
+           ROUND(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM v), 6) AS rate_view_to_click,
+           ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM c), 6) AS rate_click_to_purchase
+    """,
+)
+def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase, strictly increasing
+    timestamps): per-user first-view, first-click-after-view,
+    first-purchase-after-click, rolled up to one conversion row. The
+    product-analytics staple. Three user_id-keyed aggregates whose
+    joins all reuse the same hash partitioning (AQE coalesces the
+    exchanges); the final counts are scalar aggregates over
+    user-cardinality relations. Rates divide two exact BIGINTs —
+    engine-identical."""
+    ensure_utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    totals = e.agg(F.count_distinct("user_id").alias("users_total"))
+    nv = v.agg(F.count("*").alias("users_view"))
+    nc = c.agg(F.count("*").alias("users_click_after_view"))
+    np_ = p.agg(F.count("*").alias("users_purchase_after_click"))
+    return (
+        totals.join(F.broadcast(nv))
+        .join(F.broadcast(nc))
+        .join(F.broadcast(np_))
+        .select(
+            "users_total",
+            "users_view",
+            "users_click_after_view",
+            "users_purchase_after_click",
+            F.round(
+                F.col("users_click_after_view").cast("double")
+                / F.col("users_view"),
+                6,
+            ).alias("rate_view_to_click"),
+            F.round(
+                F.col("users_purchase_after_click").cast("double")
+                / F.col("users_click_after_view"),
+                6,
+            ).alias("rate_click_to_purchase"),
+        )
+    )

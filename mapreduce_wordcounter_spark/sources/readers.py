@@ -135,3 +135,24 @@ def read_parquet(
         if got != want:
             raise TypeError(f"schema drift at {path}: {got} != {want}")
     return df
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    *,
+    expected_schema: T.StructType | None = None,
+) -> DataFrame:
+    """ORC scan (Spark-native columnar alternative to parquet — common
+    in Hive-lineage warehouses); same drift guard as read_parquet.
+    ORC scans support the same predicate pushdown / column pruning,
+    asserted in tests/test_sources.py. DuckDB cannot read ORC, so the
+    round-trip test oracles against the parquet-sourced original
+    rather than a SQL string."""
+    df = spark.read.orc(path)
+    if expected_schema is not None:
+        got = {f.name: f.dataType for f in df.schema.fields}
+        want = {f.name: f.dataType for f in expected_schema.fields}
+        if got != want:
+            raise TypeError(f"schema drift at {path}: {got} != {want}")
+    return df

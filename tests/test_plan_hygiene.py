@@ -51,6 +51,7 @@ _ALLOWED_BOUNDED_BNLJ = {
     "q11_important_stock",  # 1-row global-total scalar (HAVING threshold)
     "q15_top_supplier",  # 1-row MAX-revenue scalar
     "q22_global_sales_opportunity",  # 1-row (sum, count) average scalar
+    "ev_funnel_conversion",  # joins of four 1-row funnel-stage counts
 }
 
 # The deliberately-Python surface: the real UDTF twin of the native

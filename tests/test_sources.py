@@ -300,3 +300,41 @@ def test_scratch_snapshot_tables_are_dropped_at_cleanup(spark):
     _cleanup_scratch_dirs()
     assert not spark.catalog.tableExists(table)
     assert not _SCRATCH_TABLES
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC as a first-class source: parquet → ORC → read back must be
+    content-identical (orderless), the drift guard must fire on a
+    wrong schema, and a filtered ORC scan must show pushed filters +
+    a pruned read schema — the same scan hygiene the parquet readers
+    are held to."""
+    from pyspark.sql import types as T
+
+    from mapreduce_wordcounter_spark.sources.readers import read_orc
+
+    src = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    dest = str(tmp_path / "documents_orc")
+    src.write.orc(dest)
+
+    back = read_orc(spark, dest, expected_schema=src.schema)
+    a = sorted(tuple(r) for r in src.collect())
+    b = sorted(tuple(r) for r in back.collect())
+    assert a == b
+
+    with pytest.raises(TypeError, match="schema drift"):
+        read_orc(
+            spark,
+            dest,
+            expected_schema=T.StructType([T.StructField("nope", T.LongType())]),
+        )
+
+    plan = (
+        read_orc(spark, dest)
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "lang")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    assert "struct<doc_id:bigint,lang:string>" in plan.replace("ReadSchema: ", "")
