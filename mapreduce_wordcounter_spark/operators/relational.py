@@ -1957,3 +1957,90 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 7.0
         ).alias("avg_yearly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 surface: VARIANT semi-structured type, recursive CTEs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "variant_props_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def variant_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured aggregation through Spark 4's VARIANT type:
+    parse_json ONCE into the binary variant encoding, then typed
+    variant_get extraction — the engine-native path for JSON-heavy
+    event tables (repeated get_json_object re-parses the string per
+    extraction; variant parses once per row and shreds lazily, the
+    difference between scan-bound and parse-bound at 100 TB).
+    json_extract (relational.py) keeps the classic string-path twin."""
+    e = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@query(
+    "sql_recursive_calendar",
+    oracle="""
+    WITH RECURSIVE cal(month_start) AS (
+        SELECT (SELECT date_trunc('month', MIN(o_orderdate)) FROM orders)
+        UNION ALL
+        SELECT month_start + INTERVAL 1 MONTH FROM cal
+        WHERE month_start < (SELECT date_trunc('month', MAX(o_orderdate))
+                             FROM orders)
+    )
+    SELECT strftime(c.month_start, '%Y-%m') AS month,
+           COUNT(o.o_orderkey) AS n_orders
+    FROM cal c
+    LEFT JOIN orders o
+           ON date_trunc('month', o.o_orderdate) = c.month_start
+    GROUP BY c.month_start
+    """,
+)
+def sql_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4): generate the contiguous month spine of
+    the order history recursively, then LEFT JOIN monthly order counts
+    — the gaps-included time series every dashboard needs (a plain
+    GROUP BY silently drops empty months). The recursion is
+    driver-free plan composition; the spine is dozens of rows, so the
+    join broadcasts it. DuckDB runs the identical WITH RECURSIVE."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_rc_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE cal(month_start) AS (
+            SELECT (SELECT date_trunc('month', MIN(o_orderdate))
+                    FROM orders_rc_v)
+            UNION ALL
+            SELECT month_start + INTERVAL 1 MONTH FROM cal
+            WHERE month_start < (SELECT date_trunc('month', MAX(o_orderdate))
+                                 FROM orders_rc_v)
+        )
+        SELECT date_format(c.month_start, 'yyyy-MM') AS month,
+               COUNT(o.o_orderkey) AS n_orders
+        FROM cal c
+        LEFT JOIN orders_rc_v o
+               ON date_trunc('month', o.o_orderdate) = c.month_start
+        GROUP BY c.month_start
+        """
+    )
