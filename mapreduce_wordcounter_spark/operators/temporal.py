@@ -548,3 +548,52 @@ def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rate_click_to_purchase"),
         )
     )
+
+
+@query(
+    "ev_retention_cohorts",
+    oracle="""
+    WITH first_d AS (
+        SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+        FROM events GROUP BY user_id),
+    activity AS (
+        SELECT DISTINCT e.user_id, date_trunc('day', e.ts) AS active_day
+        FROM events e)
+    SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort,
+           CAST(datediff('day', f.cohort_day, a.active_day)
+                AS BIGINT) AS day_offset,
+           COUNT(DISTINCT a.user_id) AS active_users
+    FROM first_d f
+    JOIN activity a ON f.user_id = a.user_id
+    GROUP BY f.cohort_day, datediff('day', f.cohort_day, a.active_day)
+    """,
+)
+def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day,
+    counted as active at each day offset — the canonical product-
+    analytics table (day grain because this corpus spans one month;
+    the month-grain variant is the same query with 'month' truncation).
+    Two user_id-keyed aggregates (first day, distinct active days)
+    joined on user_id — the join reuses the aggregation partitioning —
+    then a (cohort, offset) rollup whose output is days² rows.
+    day_offset via calendar day diff, identical on both engines."""
+    ensure_utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    first_d = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("active_day")
+    ).distinct()
+    return (
+        first_d.join(activity, "user_id")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            F.datediff(F.col("active_day"), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort", "day_offset")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )

@@ -2018,3 +2018,52 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_tokens").cast("double") / total_n, 6).alias("raw_weight"),
         F.round(F.col("sq_micro").cast("double") / total_sq, 6).alias("temp_weight"),
     )
+
+
+@query(
+    "doc_mean_word_rank",
+    oracle=f"""
+    WITH tok AS ({_SQL_TOKEN_ROWS}),
+    freq AS (
+        SELECT word, COUNT(*) AS n FROM tok WHERE word <> '' GROUP BY word),
+    ranked AS (
+        SELECT word, ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rank
+        FROM freq)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(r.rank) AS BIGINT) AS rank_sum,
+           ROUND(CAST(SUM(r.rank) AS DOUBLE) / COUNT(*), 6) AS mean_rank
+    FROM tok t JOIN ranked r ON t.word = r.word
+    WHERE t.word <> ''
+    GROUP BY t.doc_id
+    """,
+)
+def doc_mean_word_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-word density signal: each document's mean corpus frequency
+    RANK of its tokens — a high mean rank means the document leans on
+    rare vocabulary (OCR noise, code, jargon), a classic cheap quality
+    feature next to the Gopher gates. Rank is a total order
+    (count desc, word), so the integer rank sums are engine-exact.
+
+    Plan: the frequency ranking is vocabulary-sized and broadcast back
+    onto the token stream (tf_idf's df-broadcast posture); one doc_id
+    rollup."""
+    t = tokens(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    freq = t.groupBy("word").agg(F.count("*").alias("n"))
+    ranked = freq.select(
+        "word",
+        F.row_number().over(W.orderBy(F.desc("n"), F.asc("word"))).alias("rank"),
+    )
+    return (
+        t.join(F.broadcast(ranked), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("rank").cast("long").alias("rank_sum"),
+            F.round(
+                F.sum("rank").cast("double") / F.count("*"), 6
+            ).alias("mean_rank"),
+        )
+    )

@@ -368,3 +368,65 @@ def wc_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("word", F.col("n_exact").cast("long").alias("n_exact"),
                 "est_cms", "overcount")
     )
+
+
+def theta_vocab_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra over per-language vocabularies: the
+    mergeable way to answer "how many distinct words do en and zh
+    share / not share" WITHOUT re-scanning either corpus — per-slice
+    sketches are built once (map-side, fixed KB of state) and
+    union/intersect/difference in constant time. Sketch estimates are
+    engine-specific randomized summaries, so no SQL oracle: the
+    estimator suite bounds each estimate against the exact distinct
+    counts."""
+    t = tokens(spark, sf_dir)
+    sk = t.filter(F.col("lang").isin("en", "zh")).groupBy("lang").agg(
+        F.theta_sketch_agg("word").alias("sk")
+    )
+    # Pivot the two per-lang sketches into ONE row via conditional
+    # first() aggregates — no 1-row cross join needed — then do all
+    # the set algebra in a single projection.
+    one = sk.agg(
+        F.theta_union_agg("sk").alias("sk_union"),
+        F.theta_intersection_agg("sk").alias("sk_inter"),
+        F.first(F.when(F.col("lang") == "en", F.col("sk")), ignorenulls=True)
+        .alias("sk_en"),
+        F.first(F.when(F.col("lang") == "zh", F.col("sk")), ignorenulls=True)
+        .alias("sk_zh"),
+    )
+    return one.select(
+        F.theta_sketch_estimate("sk_union").alias("est_union"),
+        F.theta_sketch_estimate("sk_inter").alias("est_intersection"),
+        F.theta_sketch_estimate("sk_en").alias("est_en"),
+        F.theta_sketch_estimate("sk_zh").alias("est_zh"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("sk_en"), F.col("sk_zh"))
+        ).alias("est_en_minus_zh"),
+    )
+
+
+query("theta_vocab_ops")(theta_vocab_ops)
+
+
+def value_quantiles_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketch over events.value, built as per-event-type
+    partial sketches MERGED into one — the mergeable/streaming path to
+    quantiles (percentile_approx re-aggregates raw values; KLL
+    partials are fixed-size and add, so per-day/per-source sketches
+    roll up for free). Randomized summary → no SQL oracle; the
+    estimator suite bounds each estimate's rank error against exact
+    percentiles."""
+    e = load_table(spark, sf_dir, "events")
+    partials = e.groupBy("event_type").agg(
+        F.kll_sketch_agg_double("value").alias("sk")
+    )
+    merged = partials.agg(F.kll_merge_agg_double("sk").alias("msk"))
+    return merged.select(
+        F.kll_sketch_get_quantile_double(F.col("msk"), F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double(F.col("msk"), F.lit(0.9)).alias("p90"),
+        F.kll_sketch_get_quantile_double(F.col("msk"), F.lit(0.99)).alias("p99"),
+        F.kll_sketch_get_n_double(F.col("msk")).alias("n"),
+    )
+
+
+query("value_quantiles_kll")(value_quantiles_kll)

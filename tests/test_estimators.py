@@ -110,3 +110,53 @@ def test_cms_never_undercounts_and_bound(spark):
         assert r["overcount"] >= 0, r
         assert r["est_cms"] == r["n_exact"] + r["overcount"], r
         assert r["overcount"] <= bound, (r, bound)
+
+
+def test_theta_set_ops_bounds(spark):
+    """Theta-sketch union/intersection/difference estimates stay within
+    5% of the exact distinct counts (k=4096 default → ~1.6% rse; the
+    corpus's shared synthetic vocabulary makes intersection == union,
+    which the sketch must reproduce)."""
+    row = _QUERIES["theta_vocab_ops"](spark, SF_ORACLE).collect()[0]
+    t = tokens(spark, SF_ORACLE).filter(F.col("lang").isin("en", "zh"))
+    exact_union = t.select("word").distinct().count()
+    exact_en = t.filter(F.col("lang") == "en").select("word").distinct().count()
+    exact_zh = t.filter(F.col("lang") == "zh").select("word").distinct().count()
+    inter = (
+        t.filter(F.col("lang") == "en").select("word").distinct()
+        .intersect(t.filter(F.col("lang") == "zh").select("word").distinct())
+        .count()
+    )
+    for est, exact in [
+        (row["est_union"], exact_union),
+        (row["est_en"], exact_en),
+        (row["est_zh"], exact_zh),
+        (row["est_intersection"], inter),
+        (row["est_en_minus_zh"], exact_en - inter),
+    ]:
+        assert abs(est - exact) <= max(1, 0.05 * exact), (est, exact)
+
+
+def test_kll_quantiles_bracket_exact(spark):
+    """Merged-KLL quantile estimates land within the sketch's rank
+    error of the exact percentiles: the VALUE at rank p must sit
+    between the exact values at ranks p±2% (default k=200 → ~1.65%
+    normalized rank error, 2% ≈ headroom)."""
+    row = _QUERIES["value_quantiles_kll"](spark, SF_ORACLE).collect()[0]
+    from mapreduce_wordcounter_spark.tables import load_table
+
+    vals = sorted(
+        r["value"]
+        for r in load_table(spark, SF_ORACLE, "events").select("value").collect()
+    )
+    n = len(vals)
+    assert row["n"] == n
+
+    def bracket(p, est):
+        lo = vals[max(0, int((p - 0.02) * n) - 1)]
+        hi = vals[min(n - 1, int((p + 0.02) * n))]
+        assert lo <= est <= hi, (p, est, lo, hi)
+
+    bracket(0.5, row["p50"])
+    bracket(0.9, row["p90"])
+    bracket(0.99, row["p99"])
