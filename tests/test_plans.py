@@ -138,3 +138,26 @@ def test_paragraph_dedup_shuffles_hash_not_text(spark):
             break
     else:
         raise AssertionError("window exchange not found in plan:\n" + plan)
+
+
+def test_substring_spans_shuffle_hash_not_text(spark):
+    """dedup_substring_spans' window exchange must carry md5(span) +
+    the packed position, never the 40-char span string itself — same
+    pruning pin as the paragraph-dedup twin (the shuffle payload
+    would otherwise be ~4x the corpus text at stride 10)."""
+    from mapreduce_wordcounter_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(_QUERIES["dedup_substring_spans"](spark, SF_ORACLE))
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange hashpartitioning(_w" in line:
+            project = lines[i + 1]
+            assert "md5(" in project, project
+            # The projection's OUTPUT columns must not include the raw
+            # span (it may appear inside the md5(...) argument only).
+            outputs = project.split("Project [", 1)[1]
+            stripped = outputs.replace("md5(cast(span", "md5(cast(_", 1)
+            assert "span#" not in stripped, project
+            break
+    else:
+        raise AssertionError("window exchange not found in plan:\n" + plan)
