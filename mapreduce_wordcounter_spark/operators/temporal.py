@@ -597,3 +597,126 @@ def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", "day_offset")
         .agg(F.count_distinct("user_id").alias("active_users"))
     )
+
+
+@query(
+    "ev_value_outliers",
+    oracle="""
+    WITH q AS (
+        SELECT event_type, value,
+               CAST(FLOOR(value * 1000.0 + 0.5) AS BIGINT) AS vq
+        FROM events),
+    st AS (
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(vq) AS BIGINT) AS s,
+               CAST(SUM(vq * vq) AS BIGINT) AS ss
+        FROM q GROUP BY event_type)
+    SELECT q.event_type, st.n,
+           ROUND(CAST(st.s AS DOUBLE) / st.n / 1000.0, 6) AS mean_v,
+           ROUND(sqrt(CAST(st.ss AS DOUBLE) / st.n
+                      - (CAST(st.s AS DOUBLE) / st.n)
+                        * (CAST(st.s AS DOUBLE) / st.n)) / 1000.0, 6)
+               AS std_v,
+           CAST(SUM(CASE WHEN abs((CAST(q.vq AS DOUBLE)
+                                   - CAST(st.s AS DOUBLE) / st.n)
+                             / sqrt(CAST(st.ss AS DOUBLE) / st.n
+                                    - (CAST(st.s AS DOUBLE) / st.n)
+                                      * (CAST(st.s AS DOUBLE) / st.n))) > 3.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM q JOIN st ON q.event_type = st.event_type
+    GROUP BY q.event_type, st.n, st.s, st.ss
+    """,
+)
+def ev_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outlier count (|z| > 3) with mean/std —
+    the monitoring staple. Moments come from exact milli-quantized
+    integer sums (population variance via E[x²]−E[x]²); every
+    subsequent double op (casts, divisions, sqrt) is correctly-rounded
+    IEEE and written in the SAME order on both engines, so the z
+    comparison never diverges. One stats aggregate broadcast back onto
+    the stream (5 rows), one rollup."""
+    ensure_utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    q = e.select(
+        "event_type",
+        F.floor(F.col("value") * 1000.0 + F.lit(0.5)).cast("long").alias("vq"),
+    )
+    st = q.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("vq").alias("s"),
+        F.sum(F.col("vq") * F.col("vq")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.col("ss").cast("double") / F.col("n") - mean * mean
+    z = (F.col("vq").cast("double") - mean) / F.sqrt(var)
+    return (
+        q.join(F.broadcast(st), "event_type")
+        .groupBy("event_type", "n", "s", "ss")
+        .agg(
+            F.sum(F.when(F.abs(z) > 3.0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round(mean / 1000.0, 6).alias("mean_v"),
+            F.round(F.sqrt(var) / 1000.0, 6).alias("std_v"),
+            "n_outliers",
+        )
+    )
+
+
+@query(
+    "ev_value_histogram",
+    oracle="""
+    WITH mm AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+    counts AS (
+        SELECT LEAST(CAST(FLOOR((e.value - mm.lo)
+                                / ((mm.hi - mm.lo) / 20.0)) AS BIGINT),
+                     19) AS bin,
+               COUNT(*) AS n
+        FROM events e, mm
+        GROUP BY 1),
+    spine AS (
+        SELECT CAST(unnest(generate_series(0, 19)) AS BIGINT) AS bin)
+    SELECT s.bin,
+           ROUND(mm.lo + s.bin * ((mm.hi - mm.lo) / 20.0), 6) AS bin_lo,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+    FROM spine s
+    CROSS JOIN mm
+    LEFT JOIN counts c ON s.bin = c.bin
+    """,
+)
+def ev_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin equi-width histogram of events.value, EMPTY BINS
+    INCLUDED (counts left-join a generated bin spine — a histogram
+    that silently drops empty bins misreads as a different
+    distribution). Bin edges come from the global MIN/MAX scalar
+    (1-row broadcast, whitelisted bounded BNLJ); per-row assignment is
+    pure IEEE arithmetic written identically on both engines (MIN/MAX
+    are selected values, not accumulations, so no quantization is
+    needed). The top edge folds into the last bin via LEAST(..., 19)."""
+    ensure_utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    mm = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / 20.0
+    bin_ = F.least(
+        F.floor((F.col("value") - F.col("lo")) / width).cast("long"), F.lit(19)
+    )
+    counts = (
+        e.join(F.broadcast(mm))
+        .select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    spine = spark.range(20).select(F.col("id").alias("bin"))
+    return (
+        spine.join(F.broadcast(mm))
+        .join(counts, "bin", "left")
+        .select(
+            "bin",
+            F.round(F.col("lo") + F.col("bin") * width, 6).alias("bin_lo"),
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("n"),
+        )
+    )
