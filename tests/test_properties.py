@@ -63,3 +63,63 @@ def test_spark_matches_python_reference(spark, texts):
     }
     want = dict(_py_reference_counts(texts if texts else [""]))
     assert got == want
+
+
+# --- substring-span dedup vs a pure-Python reference ------------------------
+
+_SPAN_W, _SPAN_STRIDE = 40, 10  # mirrors operators/dedup.py
+
+_span_docs_strategy = st.lists(
+    st.text(alphabet="ab A", min_size=0, max_size=120), min_size=0, max_size=6
+)
+
+
+def _py_span_reference(texts: list[str]) -> dict[int, tuple[int, int, int]]:
+    """(n_windows, n_dup_spans, n_removed) per doc, from the obvious
+    quadratic-free Python: strided windows over lower(text), global
+    occurrence counts, first-occurrence by (doc, pos)."""
+    wins: list[tuple[int, int, str]] = []
+    for d, t in enumerate(texts):
+        t = t.lower()
+        for i in range(0, len(t) - _SPAN_W + 1, _SPAN_STRIDE):
+            wins.append((d, i + 1, t[i : i + _SPAN_W]))
+    occ: Counter = Counter(s for _, _, s in wins)
+    first: dict[str, tuple[int, int]] = {}
+    for d, p, s in sorted(wins):
+        first.setdefault(s, (d, p))
+    out: dict[int, tuple[int, int, int]] = {}
+    for d, p, s in wins:
+        n, dup, rem = out.get(d, (0, 0, 0))
+        out[d] = (
+            n + 1,
+            dup + (occ[s] > 1),
+            rem + (first[s] != (d, p)),
+        )
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_span_docs_strategy)
+def test_span_dedup_matches_python_reference(spark, texts, tmp_path_factory):
+    """dedup_substring_spans on Hypothesis corpora (tiny alphabet →
+    dense genuine duplicates, including within-document repeats and
+    sub-window docs) must match the pure-Python window accounting."""
+    from mapreduce_wordcounter_spark.registry import all_queries
+
+    d = tmp_path_factory.mktemp("span_sf")
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+        or [(0, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(d / "documents.parquet"))
+    rows = all_queries()["dedup_substring_spans"](spark, str(d)).collect()
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_spans"], r["n_removed"])
+        for r in rows
+    }
+    want = _py_span_reference(texts if texts else [""])
+    assert got == want
