@@ -75,6 +75,10 @@ HEADLINE = [
     "mixture_temperature_weights",
     "ann_ivfpq_topk",
     "stream_cms_heavy_hitters",
+    "ev_scd2_user_state",
+    "ev_retention_cohorts",
+    "variant_props_agg",
+    "doc_mean_word_rank",
 ]
 
 

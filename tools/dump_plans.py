@@ -88,6 +88,14 @@ SHOWCASE = [
     "wc_cms_heavy_hitters",
     "mixture_temperature_weights",
     "ann_ivfpq_topk",
+    "ev_scd2_user_state",
+    "ev_funnel_conversion",
+    "ev_retention_cohorts",
+    "ev_value_outliers",
+    "ev_value_histogram",
+    "variant_props_agg",
+    "sql_recursive_calendar",
+    "doc_mean_word_rank",
 ]
 
 SF = "/root/testdata/sf0.01"
