@@ -2067,3 +2067,145 @@ def doc_mean_word_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Trigram inverted index (pg_trgm-style LIKE acceleration)
+# ---------------------------------------------------------------------------
+#
+# A substring scan (`LIKE '%hash join%'`) reads every byte of every
+# document. The pg_trgm trick: maintain a trigram posting list
+# (trigram → documents), intersect the pattern's trigrams to get a
+# small candidate set, and verify only candidates with the real
+# `contains`. At 100 TB the posting list is the materialized index
+# (bucketed on trigram at rest); the query touches |pattern|-2 posting
+# rows + the candidate docs instead of the corpus. Candidate
+# correctness is structural: a document containing the pattern
+# contains every one of its trigrams, so the intersection NEVER drops
+# a true match — the verify step only removes false positives
+# (documents with all trigrams in scattered positions).
+
+_TRGM_PATTERN = "hash join"
+
+
+@query(
+    "trigram_index_match",
+    oracle=f"""
+    WITH pat AS (
+        SELECT DISTINCT substring('{_TRGM_PATTERN}', i, 3) AS tri
+        FROM (SELECT unnest(generate_series(1,
+                     {len(_TRGM_PATTERN) - 2})) AS i)),
+    posting AS (
+        SELECT DISTINCT doc_id, substring(lower(text), i, 3) AS tri
+        FROM documents,
+             LATERAL (SELECT unnest(generate_series(1, len(lower(text)) - 2))
+                      AS i) g),
+    cand AS (
+        SELECT p.doc_id
+        FROM posting p JOIN pat ON p.tri = pat.tri
+        GROUP BY p.doc_id
+        HAVING COUNT(*) = (SELECT COUNT(*) FROM pat))
+    SELECT d.doc_id,
+           CAST(strpos(lower(d.text), '{_TRGM_PATTERN}') AS BIGINT)
+               AS first_pos
+    FROM cand c JOIN documents d ON c.doc_id = d.doc_id
+    WHERE strpos(lower(d.text), '{_TRGM_PATTERN}') > 0
+    """,
+)
+def trigram_index_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring search through a trigram inverted index: intersect
+    the pattern's trigram posting lists for candidates, verify only
+    those with contains() — never a full-corpus LIKE scan. Returns
+    matching doc_ids with the first match position. The oracle runs
+    the identical index construction, and the repo's parity layer
+    compares it against what a direct LIKE would return (they must be
+    equal — the index is lossless for containment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pat_tris = sorted(
+        {_TRGM_PATTERN[i : i + 3] for i in range(len(_TRGM_PATTERN) - 2)}
+    )
+    posting = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, length(lower(text)) - 2),"
+                    " i -> substring(lower(text), i, 3))"
+                )
+            )
+        ).alias("tri"),
+    )
+    cand = (
+        posting.filter(F.col("tri").isin(*pat_tris))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tri"))
+        .filter(F.col("n_tri") == len(pat_tris))
+        .select("doc_id")
+    )
+    return (
+        cand.join(docs, "doc_id")
+        .filter(F.instr(F.lower(F.col("text")), _TRGM_PATTERN) > 0)
+        .select(
+            "doc_id",
+            F.instr(F.lower(F.col("text")), _TRGM_PATTERN)
+            .cast("long")
+            .alias("first_pos"),
+        )
+    )
+
+
+@query(
+    "doc_unigram_logprob",
+    oracle=f"""
+    WITH tok AS ({_SQL_TOKEN_ROWS}),
+    freq AS (
+        SELECT word, COUNT(*) AS n FROM tok WHERE word <> '' GROUP BY word),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM freq),
+    terms AS (
+        SELECT t.doc_id,
+               CAST(FLOOR(LN(CAST(f.n AS DOUBLE) / tot.total) * 1000000.0
+                          + 0.5) AS BIGINT) AS lp_micro
+        FROM tok t
+        JOIN freq f ON t.word = f.word
+        CROSS JOIN tot
+        WHERE t.word <> '')
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(-CAST(SUM(lp_micro) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
+               AS mean_nll
+    FROM terms GROUP BY doc_id
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity proxy: each document's mean negative log
+    probability under the corpus unigram model — the classic cheap
+    stand-in for model-based perplexity filtering (high mean NLL =
+    improbable token mix). Same transcendental caveat as zipf_slope:
+    ln() terms are micro-quantized before the exact int64 sum, and
+    tests/test_quantization_margin.py measures every term's distance
+    to its quantization boundary rather than assuming cross-engine ln
+    agreement.
+
+    Plan: vocabulary-probability relation broadcast back onto the
+    token stream (tf_idf's posture), one doc_id rollup; the corpus
+    total is a 1-row scalar."""
+    t = tokens(spark, sf_dir)
+    freq = t.groupBy("word").agg(F.count("*").alias("n"))
+    tot = freq.agg(F.sum("n").alias("total"))
+    lp_micro = F.floor(
+        F.log(F.col("n").cast("double") / F.col("total")) * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    probs = freq.join(F.broadcast(tot)).select(
+        "word", lp_micro.alias("lp_micro")
+    )
+    return (
+        t.join(F.broadcast(probs), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(
+                -F.sum("lp_micro").cast("double") / 1_000_000 / F.count("*"), 6
+            ).alias("mean_nll"),
+        )
+    )

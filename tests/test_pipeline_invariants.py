@@ -146,3 +146,27 @@ def test_boilerplate_ngrams_doc_frequency_floor(spark):
     assert all(r["n_docs"] >= 2 for r in rows)
     ndocs = [r["n_docs"] for r in rows]
     assert ndocs == sorted(ndocs, reverse=True)
+
+
+def test_trigram_index_is_lossless(spark):
+    """The trigram-index path must return EXACTLY the documents a
+    direct contains() scan finds — candidate pruning can only remove
+    false positives, never true matches (a doc containing the pattern
+    contains all its trigrams)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_wordcounter_spark.operators.text import _TRGM_PATTERN
+    from mapreduce_wordcounter_spark.registry import all_queries
+    from mapreduce_wordcounter_spark.tables import load_table
+
+    via_index = {
+        r["doc_id"]
+        for r in all_queries()["trigram_index_match"](spark, SF_ORACLE).collect()
+    }
+    direct = {
+        r["doc_id"]
+        for r in load_table(spark, SF_ORACLE, "documents")
+        .filter(F.instr(F.lower(F.col("text")), _TRGM_PATTERN) > 0)
+        .collect()
+    }
+    assert via_index == direct and direct

@@ -53,6 +53,7 @@ _ALLOWED_BOUNDED_BNLJ = {
     "q22_global_sales_opportunity",  # 1-row (sum, count) average scalar
     "ev_funnel_conversion",  # joins of four 1-row funnel-stage counts
     "ev_value_histogram",  # 1-row global MIN/MAX bin-edge scalar
+    "doc_unigram_logprob",  # 1-row corpus-token-total scalar onto the vocab
 }
 
 # The deliberately-Python surface: the real UDTF twin of the native

@@ -124,3 +124,20 @@ def test_margin_detector_detects_a_boundary_hit():
     assert _min_margin(on_boundary * 1e6) < 1.0
     assert _min_margin(exact * 1e6 + 0.0) > 0.0  # sanity: finite
     assert math.isfinite(_min_margin(exact))
+
+
+def test_unigram_logprob_terms_clear_quantization_boundaries(duck):
+    rows = duck.execute(
+        """
+        WITH freq AS (
+            SELECT word, COUNT(*) AS n FROM (
+                SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                    '[^\\p{L}]+'), x -> x <> '')) AS word FROM documents) t
+            GROUP BY word)
+        SELECT n, (SELECT SUM(n) FROM freq) AS total FROM freq
+        """
+    ).fetchnumpy()
+    term = np.log(
+        rows["n"].astype(np.float64) / rows["total"].astype(np.float64)
+    )
+    assert _min_margin(term * 1e6) > 1.0
