@@ -2044,3 +2044,62 @@ def sql_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.month_start
         """
     )
+
+
+@query(
+    "merge_upsert_orders",
+    oracle=f"""
+    WITH source AS (
+        SELECT o_orderkey, o_totalprice * 1.1 AS new_price
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, 100.0 FROM orders
+        WHERE o_orderkey % 100 = 0),
+    merged AS (
+        SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+               CASE WHEN s.o_orderkey IS NULL THEN t.o_totalprice
+                    ELSE s.new_price END AS price,
+               CASE WHEN t.o_orderkey IS NULL THEN 'inserted'
+                    WHEN s.o_orderkey IS NULL THEN 'unchanged'
+                    ELSE 'updated' END AS action
+        FROM orders t FULL OUTER JOIN source s
+          ON t.o_orderkey = s.o_orderkey)
+    SELECT action, COUNT(*) AS n, {sql_dsum('price', 'sum_price')}
+    FROM merged GROUP BY action
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics in plain batch Spark: a deterministic
+    source (10% price bump for every 10th order, plus synthetic new
+    rows) full-outer-joined with the target — matched rows update,
+    unmatched-source rows insert, unmatched-target rows pass through —
+    audited as per-action counts and price mass. This is what a Delta/
+    Iceberg MERGE compiles to underneath (minus the transactional
+    commit, which is table-format territory); the streaming
+    foreachBatch upsert sink is the incremental twin. One shuffle on
+    the join key; at 100 TB both sides bucket on o_orderkey at rest
+    and the join is exchange-free (write_bucketed_table)."""
+    o = _t(spark, sf_dir, "orders")
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("s_key"),
+        (F.col("o_totalprice") * 1.1).alias("new_price"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 100 == 0).select(
+        (F.col("o_orderkey") + 100_000_000).alias("s_key"),
+        F.lit(100.0).alias("new_price"),
+    )
+    source = updates.unionAll(inserts)
+    merged = o.join(
+        source, F.col("o_orderkey") == F.col("s_key"), "full_outer"
+    ).select(
+        F.when(F.col("s_key").isNull(), F.col("o_totalprice"))
+        .otherwise(F.col("new_price"))
+        .alias("price"),
+        F.when(F.col("o_orderkey").isNull(), "inserted")
+        .when(F.col("s_key").isNull(), "unchanged")
+        .otherwise("updated")
+        .alias("action"),
+    )
+    return merged.groupBy("action").agg(
+        F.count("*").alias("n"), dsum(F.col("price"), "sum_price")
+    )

@@ -161,3 +161,42 @@ def test_substring_spans_shuffle_hash_not_text(spark):
             break
     else:
         raise AssertionError("window exchange not found in plan:\n" + plan)
+
+
+def test_runtime_bloom_filter_injects_when_broadcast_impossible(spark):
+    """At 100 TB a selective dimension side often exceeds the broadcast
+    threshold; Spark's runtime bloom filter then prunes the fact scan
+    instead (a bloom built from the filtered side is pushed into the
+    probe side's scan). At test scale AQE broadcasts everything, so
+    this pins the behavior in the exact regime that matters: broadcast
+    disabled → InjectRuntimeFilter adds bloom_filter_agg/might_contain
+    around the fact scan."""
+    from pyspark.sql import functions as F
+
+    saved_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    saved_scan = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        opt = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "might_contain" in opt and "bloom_filter_agg" in opt, opt
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_thresh)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            saved_scan,
+        )
