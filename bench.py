@@ -79,6 +79,9 @@ HEADLINE = [
     "ev_retention_cohorts",
     "variant_props_agg",
     "doc_mean_word_rank",
+    "trigram_index_match",
+    "doc_unigram_logprob",
+    "merge_upsert_orders",
 ]
 
 
