@@ -65,7 +65,22 @@ def main(argv: Sequence[str] | None = None, spark: SparkSession | None = None) -
         action="store_true",
         help="also print the formatted physical plan (profiling analog)",
     )
+    parser.add_argument(
+        "--run",
+        metavar="QUERY",
+        help="run a registered engine query by name instead of counting "
+        "words (see registry; e.g. q1_pricing_summary)",
+    )
+    parser.add_argument(
+        "--sf-dir",
+        default="/root/testdata/sf0.01",
+        metavar="DIR",
+        help="table directory for --run (default: %(default)s)",
+    )
     args = parser.parse_args(argv)
+
+    if args.run:
+        return _run_registered(args, spark)
 
     if not args.files:
         # Reference: log.Error("No files to process") + exit (main.go:61-64).
@@ -108,6 +123,48 @@ def main(argv: Sequence[str] | None = None, spark: SparkSession | None = None) -
     print(f"Processing took: {elapsed:.3f}s")
     print(f"Total words: {total}")
 
+    if own_session:
+        spark.stop()
+    return 0
+
+
+def _run_registered(args, spark: SparkSession | None) -> int:
+    """``--run NAME``: execute any registered engine query against
+    --sf-dir and stream its rows — the whole 190-query surface through
+    the reference's CLI shape (unknown names list the registry instead
+    of stack-tracing)."""
+    from mapreduce_wordcounter_spark.registry import all_queries
+
+    queries = all_queries()
+    if args.run not in queries:
+        print(f"error: unknown query {args.run!r}; available:", file=sys.stderr)
+        for name in sorted(queries):
+            print(f"  {name}", file=sys.stderr)
+        return 2
+
+    started = time.monotonic()
+    own_session = spark is None
+    if own_session:
+        from mapreduce_wordcounter_spark.session import get_spark
+
+        spark = get_spark("wordcounter-cli")
+    df = queries[args.run](spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+    cols = df.columns
+    print("\t".join(cols))
+    n = 0
+    limit = args.top if args.top > 0 else None
+    # Same streaming discipline as the count path: toLocalIterator,
+    # never an unbounded collect.
+    for r in df.toLocalIterator():
+        print("\t".join(str(r[c]) for c in cols))
+        n += 1
+        if limit is not None and n >= limit:
+            break
+    elapsed = time.monotonic() - started
+    print(f"Processing took: {elapsed:.3f}s")
+    print(f"Rows: {n}")
     if own_session:
         spark.stop()
     return 0

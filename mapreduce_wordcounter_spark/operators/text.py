@@ -1516,7 +1516,14 @@ _DUCK_PII_AUG = """
 
 def _spark_pii_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, aug): text with the planted PII spans appended."""
-    docs = load_table(spark, sf_dir, "documents")
+    return pii_aug_of(load_table(spark, sf_dir, "documents"))
+
+
+def pii_aug_of(docs: DataFrame) -> DataFrame:
+    """The augmentation as a pure projection over any (doc_id, text)
+    relation — shared by the batch PII queries and the streaming scrub
+    twin (streaming/windows.py), which applies it to an unbounded
+    source."""
     did = F.col("doc_id")
     email = F.when(
         did % 3 == 0,

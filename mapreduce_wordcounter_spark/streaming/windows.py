@@ -820,3 +820,75 @@ def _share_cms_oracle() -> None:
 
 
 _share_cms_oracle()
+
+
+@query(
+    "stream_pii_redacted",
+    oracle=None,  # set below: identical to the batch twin's oracle
+)
+def stream_pii_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub ON INGEST: the redaction stage run over an unbounded
+    document stream — a STATELESS streaming projection (per-row regex
+    count + replace, no aggregation state at all), drained append-mode.
+    This is the production posture for privacy scrubbing: documents
+    are redacted before they ever land at rest, not in a later batch
+    sweep. Must equal the batch twin pii_redacted_stats row for row —
+    same DuckDB oracle."""
+    from mapreduce_wordcounter_spark.operators.text import (
+        _PII_EMAIL,
+        _PII_IPV4,
+        _PII_PHONE,
+        pii_aug_of,
+    )
+
+    ensure_utc(spark)
+    docs = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    aug = pii_aug_of(docs)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("aug"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IPV4,
+        "<IP>",
+    )
+    n_pii = (
+        F.regexp_count(F.col("aug"), F.lit(_PII_EMAIL))
+        + F.regexp_count(F.col("aug"), F.lit(_PII_PHONE))
+        + F.regexp_count(F.col("aug"), F.lit(_PII_IPV4))
+    ).cast("long")
+    stats = aug.select(
+        "doc_id",
+        n_pii.alias("n_pii"),
+        F.length("aug").cast("long").alias("len_before"),
+        F.length(redacted).cast("long").alias("len_after"),
+    )
+    name = "stream_pii_" + uuid.uuid4().hex[:8]
+    with stream_shuffle_partitions(spark):
+        q = (
+            stats.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    return spark.table(name)
+
+
+def _share_pii_oracle() -> None:
+    from mapreduce_wordcounter_spark.operators import text  # noqa: F401
+    from mapreduce_wordcounter_spark.registry import ORACLE
+
+    ORACLE["stream_pii_redacted"] = ORACLE["pii_redacted_stats"]
+
+
+_share_pii_oracle()

@@ -58,3 +58,26 @@ def test_cli_no_files_errors(capsys):
     err = capsys.readouterr().err
     assert rc != 0
     assert "no files" in err.lower()
+
+
+def test_cli_run_registered_query(spark, capsys):
+    """--run exposes the whole registered surface through the CLI:
+    rows stream tab-separated with a header, --top caps output."""
+    from tests.conftest import SF_ORACLE
+
+    rc = main(
+        ["--run", "q1_pricing_summary", "--sf-dir", SF_ORACLE, "--top", "2"],
+        spark=spark,
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    header = out.splitlines()[0].split("\t")
+    assert "l_returnflag" in header and "sum_qty" in header
+    assert "Rows: 2" in out
+
+
+def test_cli_run_unknown_query_lists_registry(spark, capsys):
+    rc = main(["--run", "no_such_query"], spark=spark)
+    err = capsys.readouterr().err
+    assert rc == 2
+    assert "unknown query" in err and "q1_pricing_summary" in err

@@ -338,3 +338,45 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
     )
     assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
     assert "struct<doc_id:bigint,lang:string>" in plan.replace("ReadSchema: ", "")
+
+
+def test_python_datasource_partitioned_read(spark):
+    """The Spark 4 Python DataSource API as a first-class connector:
+    register, read with options, and verify the content is exactly the
+    deterministic generator's output AND that the work split into the
+    declared partitions (one task each — the property that makes a
+    custom source scale instead of funneling through the driver)."""
+    from mapreduce_wordcounter_spark.sources.pydatasource import (
+        _WORDS,
+        register,
+    )
+
+    register(spark)
+    df = (
+        spark.read.format("synthetic_corpus")
+        .option("n_docs", 50)
+        .option("partitions", 5)
+        .option("words_per_doc", 7)
+        .load()
+    )
+    assert df.schema.simpleString() == (
+        "struct<doc_id:bigint,text:string,n_words:int>"
+    )
+    assert df.rdd.getNumPartitions() == 5
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert len(rows) == 50
+    for doc_id in (0, 17, 49):
+        want = " ".join(
+            _WORDS[(doc_id * 31 + j * 17) % len(_WORDS)] for j in range(7)
+        )
+        assert rows[doc_id]["text"] == want
+        assert rows[doc_id]["n_words"] == 7
+    # And it composes with the engine: the flagship word count runs
+    # over the custom source like any other relation.
+    n = (
+        df.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("w")
+        .count()
+        .count()
+    )
+    assert n == len(set(_WORDS))  # 50 affine seeds cover the vocabulary
