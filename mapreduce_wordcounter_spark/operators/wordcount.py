@@ -430,3 +430,45 @@ def value_quantiles_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 query("value_quantiles_kll")(value_quantiles_kll)
+
+
+@query(
+    "pyds_wordcount",
+    oracle="""
+    WITH vocab AS (
+        SELECT string_split(
+            'spark scan table join hash row batch value part key '
+            || 'filter sort window group query fast slow big small data',
+            ' ') AS words),
+    toks AS (
+        SELECT words[((d * 31 + j * 17) % 20) + 1] AS word
+        FROM vocab,
+             (SELECT unnest(generate_series(0, 199)) AS d) ds,
+             (SELECT unnest(generate_series(0, 19)) AS j) js)
+    SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word
+    """,
+)
+def pyds_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship count over the CUSTOM Python data source
+    (sources/pydatasource.py, Spark 4 DataSource API) — the connector
+    itself is oracle-checked, because the generator is a deterministic
+    affine pick the oracle replays in SQL. sf_dir is unused: the
+    source synthesizes its partitions executor-side."""
+    from mapreduce_wordcounter_spark.sources.pydatasource import register
+
+    try:
+        register(spark)
+    except Exception:
+        pass  # already registered in this session
+    docs = (
+        spark.read.format("synthetic_corpus")
+        .option("n_docs", 200)
+        .option("partitions", 4)
+        .option("words_per_doc", 20)
+        .load()
+    )
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )

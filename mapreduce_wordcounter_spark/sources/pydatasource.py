@@ -14,61 +14,74 @@ driver-side after planning), so a production adaptation (an HTTP
 paginated API, a proprietary scanner) parallelizes by partitioning its
 key range exactly like this. Rows stream out of ``read()`` as tuples;
 Arrow batching happens in the runner.
+
+Serialization note: the classes are defined INSIDE the factory so
+cloudpickle ships them to executors BY VALUE — a module-level class
+pickles by reference and the executor worker would have to import this
+package, which the external driver's sys.path bootstrap does not
+guarantee (observed: ModuleNotFoundError from a /tmp-rooted driver).
 """
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
-
-_WORDS = (
+_WORDS = tuple(
     "spark scan table join hash row batch value part key "
-    "filter sort window group query fast slow big small data"
-).split()
+    "filter sort window group query fast slow big small data".split()
+)
 
 
-class CorpusPartition(InputPartition):
-    def __init__(self, start: int, end: int):
-        self.start = start
-        self.end = end
+def make_datasource(words: tuple[str, ...] = _WORDS):
+    """Build the DataSource class with every dependency captured in the
+    closure (pickled by value — see module note)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
 
+    class CorpusPartition(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start = start
+            self.end = end
 
-class SyntheticCorpusReader(DataSourceReader):
-    def __init__(self, options):
-        self.n_docs = int(options.get("n_docs", 100))
-        self.n_parts = int(options.get("partitions", 4))
-        self.words_per_doc = int(options.get("words_per_doc", 20))
+    class SyntheticCorpusReader(DataSourceReader):
+        def __init__(self, options):
+            self.n_docs = int(options.get("n_docs", 100))
+            self.n_parts = int(options.get("partitions", 4))
+            self.words_per_doc = int(options.get("words_per_doc", 20))
 
-    def partitions(self):
-        step = (self.n_docs + self.n_parts - 1) // self.n_parts
-        return [
-            CorpusPartition(i, min(i + step, self.n_docs))
-            for i in range(0, self.n_docs, step)
-        ]
-
-    def read(self, partition):
-        # Deterministic affine word picks — reproducible across runs
-        # and engines, no RNG state to serialize.
-        for doc_id in range(partition.start, partition.end):
-            words = [
-                _WORDS[(doc_id * 31 + j * 17) % len(_WORDS)]
-                for j in range(self.words_per_doc)
+        def partitions(self):
+            step = (self.n_docs + self.n_parts - 1) // self.n_parts
+            return [
+                CorpusPartition(i, min(i + step, self.n_docs))
+                for i in range(0, self.n_docs, step)
             ]
-            yield (doc_id, " ".join(words), len(words))
 
+        def read(self, partition):
+            # Deterministic affine word picks — reproducible across
+            # runs and engines, no RNG state to serialize.
+            for doc_id in range(partition.start, partition.end):
+                picked = [
+                    words[(doc_id * 31 + j * 17) % len(words)]
+                    for j in range(self.words_per_doc)
+                ]
+                yield (doc_id, " ".join(picked), len(picked))
 
-class SyntheticCorpusDataSource(DataSource):
-    """spark.read.format("synthetic_corpus").option("n_docs", N)"""
+    class SyntheticCorpusDataSource(DataSource):
+        """spark.read.format("synthetic_corpus").option("n_docs", N)"""
 
-    @classmethod
-    def name(cls) -> str:
-        return "synthetic_corpus"
+        @classmethod
+        def name(cls) -> str:
+            return "synthetic_corpus"
 
-    def schema(self) -> str:
-        return "doc_id bigint, text string, n_words int"
+        def schema(self) -> str:
+            return "doc_id bigint, text string, n_words int"
 
-    def reader(self, schema) -> DataSourceReader:
-        return SyntheticCorpusReader(self.options)
+        def reader(self, schema) -> DataSourceReader:
+            return SyntheticCorpusReader(self.options)
+
+    return SyntheticCorpusDataSource
 
 
 def register(spark) -> None:
-    spark.dataSource.register(SyntheticCorpusDataSource)
+    spark.dataSource.register(make_datasource())
