@@ -2103,3 +2103,120 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("action").agg(
         F.count("*").alias("n"), dsum(F.col("price"), "sum_price")
     )
+
+
+@query(
+    "table_quality_audit",
+    oracle="""
+    SELECT 'orders_key_unique' AS check_name,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+               AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_custkey_not_null',
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'orders_fk_customer',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'lineitem_qty_positive',
+           CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def table_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit over the warehouse tables — the Deequ/dbt-test
+    shape: key uniqueness, non-null keys, referential integrity
+    (anti-join counts), and a value-domain rule, one row per check
+    with its violation count (all zero on this corpus — the audit
+    proves it, it doesn't assume it). Each check is one aggregate or
+    one anti join on the natural key; a nightly 100 TB audit runs them
+    all in a single pass per table with the FK anti joins sharing the
+    fact partitioning."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+
+    def one(name: str, agg_df: DataFrame) -> DataFrame:
+        return agg_df.select(
+            F.lit(name).alias("check_name"),
+            F.col("v").cast("long").alias("n_violations"),
+        )
+
+    checks = [
+        one(
+            "orders_key_unique",
+            o.agg((F.count("*") - F.count_distinct("o_orderkey")).alias("v")),
+        ),
+        one(
+            "orders_custkey_not_null",
+            o.agg(
+                F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("v")
+            ),
+        ),
+        one(
+            "lineitem_fk_orders",
+            li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").agg(
+                F.count("*").alias("v")
+            ),
+        ),
+        one(
+            "orders_fk_customer",
+            o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(
+                F.count("*").alias("v")
+            ),
+        ),
+        one(
+            "lineitem_qty_positive",
+            li.agg(
+                F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias("v")
+            ),
+        ),
+    ]
+    out = checks[0]
+    for chk in checks[1:]:
+        out = out.unionAll(chk)
+    return out
+
+
+@query(
+    "skew_top_keys",
+    oracle="""
+    WITH per_key AS (
+        SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM per_key)
+    SELECT user_id, n,
+           ROUND(CAST(n AS DOUBLE) / tot.total, 6) AS share
+    FROM (SELECT user_id, n,
+                 ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rn
+          FROM per_key) r, tot
+    WHERE rn <= 5
+    """,
+)
+def skew_top_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnosis: the 5 heaviest grouping keys and their
+    share of the total — the report you read BEFORE deciding whether a
+    join needs salting or AQE skew-split will do (SCALE.md §2). The
+    top-k is TakeOrderedAndProject over the per-key aggregate; the
+    share divides two exact BIGINTs."""
+    e = _t(spark, sf_dir, "events")
+    per_key = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    tot = per_key.agg(F.sum("n").alias("total"))
+    return (
+        per_key.orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(5)
+        .join(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+        )
+    )
