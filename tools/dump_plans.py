@@ -96,6 +96,12 @@ SHOWCASE = [
     "variant_props_agg",
     "sql_recursive_calendar",
     "doc_mean_word_rank",
+    "trigram_index_match",
+    "doc_unigram_logprob",
+    "merge_upsert_orders",
+    "table_quality_audit",
+    "skew_top_keys",
+    "pyds_wordcount",
 ]
 
 SF = "/root/testdata/sf0.01"
