@@ -123,3 +123,62 @@ def test_span_dedup_matches_python_reference(spark, texts, tmp_path_factory):
     }
     want = _py_span_reference(texts if texts else [""])
     assert got == want
+
+
+# --- C4 line filter vs a pure-Python reference ------------------------------
+
+_c4_docs_strategy = st.lists(
+    st.text(alphabet="ab dup\nX ", min_size=0, max_size=150),
+    min_size=0,
+    max_size=6,
+)
+
+
+def _py_c4_reference(texts: list[str]) -> dict[int, tuple[int, int, int]]:
+    """(n_lines, n_kept, kept_words) per doc: trimmed newline lines →
+    [a-z]+ tokens (lowercased) → 25-token windows → keep iff >= 5
+    words and no 'dup' token (mirrors operators/text.py constants)."""
+    out: dict[int, tuple[int, int, int]] = {}
+    for d, t in enumerate(texts):
+        segs: list[list[str]] = []
+        for line in (s.strip() for s in t.split("\n")):
+            if not line:
+                continue
+            toks = [w.lower() for w in re.findall(r"[a-zA-Z]+", line)]
+            if not toks:
+                continue
+            for i in range(0, len(toks), 25):
+                seg = toks[i : i + 25]
+                if seg:
+                    segs.append(seg)
+        if not segs:
+            continue
+        kept = [s for s in segs if len(s) >= 5 and "dup" not in s]
+        out[d] = (len(segs), len(kept), sum(len(s) for s in kept))
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_c4_docs_strategy)
+def test_c4_filter_matches_python_reference(spark, texts, tmp_path_factory):
+    """c4_line_filter on Hypothesis corpora (planted 'dup' blocklist
+    hits, short trailing windows, whitespace-only and empty docs) must
+    match the pure-Python rule evaluation."""
+    from mapreduce_wordcounter_spark.registry import all_queries
+
+    d = tmp_path_factory.mktemp("c4_sf")
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+        or [(0, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(d / "documents.parquet"))
+    rows = all_queries()["c4_line_filter"](spark, str(d)).collect()
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["kept_words"]) for r in rows
+    }
+    want = _py_c4_reference(texts)
+    assert got == want
