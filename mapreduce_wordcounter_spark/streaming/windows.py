@@ -892,3 +892,99 @@ def _share_pii_oracle() -> None:
 
 
 _share_pii_oracle()
+
+
+@query(
+    "stream_quality_score_live",
+    oracle=None,  # set below: identical to the batch twin's oracle
+)
+def stream_quality_score_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-model scoring ON INGEST: each micro-batch of documents
+    is scored by the linear quality classifier INSIDE foreachBatch —
+    the apply-batch-logic-per-batch pattern that sidesteps streaming-
+    aggregation state entirely (the score is doc-local: hash-derived
+    per-word weights make every micro-batch's result independent of
+    batching, so per-batch application is EXACT, not approximate).
+    Scores append to a parquet target; the drained sink must equal the
+    batch twin quality_classifier_score row for row — same oracle.
+
+    This is the third foreachBatch posture next to the epoch-stamped
+    upsert (aggregates) and the stateless projection (PII scrub):
+    per-row model application with a broadcast weight artifact."""
+    from mapreduce_wordcounter_spark.operators.wordcount import TOKEN_SEP
+    from mapreduce_wordcounter_spark.operators.dedup import _SPARK_MD5H
+    from mapreduce_wordcounter_spark.session import scratch_dir
+
+    ensure_utc(spark)
+    docs = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    target = scratch_dir("sqs_") + "/scores"
+
+    def score_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        t = batch_df.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), TOKEN_SEP)).alias("word"),
+        ).filter(F.col("word") != "")
+        tf = t.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+        w = tf.select("word").distinct().select(
+            "word",
+            F.expr(f"(({_SPARK_MD5H.format(s='word')}) % 2001) - 1000").alias(
+                "w_milli"
+            ),
+        )
+        s = (
+            tf.join(F.broadcast(w), "word")
+            .groupBy("doc_id")
+            .agg(
+                F.sum("tf").cast("long").alias("n_tokens"),
+                F.sum(F.col("tf") * F.col("w_milli")).cast("long").alias(
+                    "score_milli"
+                ),
+            )
+        )
+        micro = F.floor(
+            F.col("score_milli") * 1000.0 / F.col("n_tokens") + 0.5
+        ).cast("long")
+        out = s.select(
+            "doc_id",
+            "n_tokens",
+            micro.alias("score_micro"),
+            (micro / 1_000_000.0).alias("quality_score"),
+            F.when(F.col("score_milli") >= 0, "keep").otherwise("drop").alias(
+                "label"
+            ),
+        )
+        out.write.mode("append").parquet(target)
+
+    with stream_shuffle_partitions(spark):
+        q = (
+            docs.writeStream.foreachBatch(score_batch)
+            .option("checkpointLocation", target + "_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    if not os.path.isdir(target):
+        # Zero micro-batches: legitimately empty sink.
+        return spark.createDataFrame(
+            [],
+            "doc_id long, n_tokens long, score_micro long,"
+            " quality_score double, label string",
+        )
+    return spark.read.parquet(target)
+
+
+def _share_quality_oracle() -> None:
+    from mapreduce_wordcounter_spark.operators import text  # noqa: F401
+    from mapreduce_wordcounter_spark.registry import ORACLE
+
+    ORACLE["stream_quality_score_live"] = ORACLE["quality_classifier_score"]
+
+
+_share_quality_oracle()
