@@ -1,0 +1,283 @@
+"""Graph operators over the ``events`` interaction graph.
+
+Two graphs are derived from the event stream, both linear in the input
+(never an all-pairs construction):
+
+- the **weighted bipartite graph** user ↔ event_type (edge weight =
+  interaction count) — the "entity ↔ category" shape of web-scale
+  click/engagement graphs, and
+- the **lag-adjacency graph**: consecutive distinct users inside each
+  event_type stream (one edge per event row via a lag window) — a
+  sparse temporal co-occurrence graph whose edge count is bounded by
+  the event count, unlike the usual same-window self-join which is
+  quadratic in window occupancy.
+
+On top: weighted PageRank (the canonical iterative MapReduce algorithm
+— fitting company for a word counter) and per-node triangle counts
+(the canonical multi-way-join one).
+
+Cross-engine exactness: PageRank is computed entirely in **int64
+micro-rank units** (1.0 ≡ 10⁹). Every step is integer arithmetic —
+``(rank * w) div wsum`` contributions, ``(85 * sum) div 100`` damping —
+so the result is bit-identical on any engine and the int64 sums are
+accumulation-order-independent (the BM25/zipf quantization posture, but
+with no transcendental anywhere: exactness holds universally, not just
+corpus-measured).
+
+The reference repo has no graph surface at all (single-input word-count
+pipeline, SURVEY.md §2.2; main.go:115-171) — this is extension surface
+with exact oracle parity, motivated by the link-graph / co-citation
+passes of a web-scale training-data pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_wordcounter_spark.registry import query
+from mapreduce_wordcounter_spark.tables import load_table
+
+# PageRank constants. Damping 0.85 is expressed as the integer pair
+# (85, 100); ONE is the micro-rank unit scale. K is a fixed iteration
+# count (not a convergence read) so the oracle can state the same K
+# iterations as unrolled CTEs and the Spark plan stays fully lazy.
+_ONE = 1_000_000_000
+_K = 5
+
+# Weighted bipartite edges, symmetric. Node ids are strings with a
+# one-letter namespace ('u' = user, 't' = event type) so the two node
+# families can never collide.
+_SQL_BIPARTITE = """
+    SELECT 'u' || CAST(user_id AS VARCHAR) AS src,
+           't' || event_type AS dst,
+           CAST(COUNT(*) AS BIGINT) AS w
+    FROM events GROUP BY user_id, event_type
+    UNION ALL
+    SELECT 't' || event_type AS src,
+           'u' || CAST(user_id AS VARCHAR) AS dst,
+           CAST(COUNT(*) AS BIGINT) AS w
+    FROM events GROUP BY user_id, event_type
+"""
+
+
+def _bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("w"))
+    )
+    u = F.concat(F.lit("u"), F.col("user_id").cast("string"))
+    t = F.concat(F.lit("t"), F.col("event_type"))
+    fwd = ev.select(u.alias("src"), t.alias("dst"), "w")
+    rev = ev.select(t.alias("src"), u.alias("dst"), "w")
+    return fwd.unionAll(rev)
+
+
+@query(
+    "graph_degree_stats",
+    oracle=f"""
+    WITH edges AS ({_SQL_BIPARTITE})
+    SELECT src AS node,
+           CAST(COUNT(*) AS BIGINT) AS degree,
+           CAST(SUM(w) AS BIGINT) AS weighted_degree
+    FROM edges GROUP BY src
+    """,
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node degree and weighted degree of the bipartite interaction
+    graph — the first diagnostic of any graph pipeline (degree skew is
+    what decides salting/pre-aggregation strategy for the iterative
+    algorithms below).
+
+    Scale: one map-combined groupBy over the edge relation, which is
+    itself one groupBy over events — no joins."""
+    return _bipartite_edges(spark, sf_dir).groupBy(
+        F.col("src").alias("node")
+    ).agg(
+        F.count("*").alias("degree"),
+        F.sum("w").alias("weighted_degree"),
+    )
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled-K weighted-PageRank oracle. Each iteration is one CTE;
+    DuckDB's SUM(BIGINT) widens to HUGEINT, so every sum is cast back
+    to BIGINT to keep the arithmetic (and the result schema) int64 like
+    Spark's."""
+    iters = []
+    prev = "r0"
+    for i in range(1, _K + 1):
+        iters.append(
+            f"""
+    r{i} AS (
+        SELECT nd.node,
+               base.base + (85 * COALESCE(CAST(s.s AS BIGINT), 0)) // 100
+                   AS rank
+        FROM nodes nd
+        CROSS JOIN base
+        LEFT JOIN (
+            SELECT e.dst AS node, SUM((r.rank * e.w) // d.wsum) AS s
+            FROM edges e
+            JOIN {prev} r ON e.src = r.node
+            JOIN deg d ON e.src = d.src
+            GROUP BY e.dst) s ON nd.node = s.node)"""
+        )
+        prev = f"r{i}"
+    return f"""
+    WITH edges AS ({_SQL_BIPARTITE}),
+    deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wsum
+            FROM edges GROUP BY src),
+    nodes AS (SELECT src AS node FROM deg),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    base AS (SELECT (({_ONE} // n) * 15) // 100 AS base FROM n),
+    r0 AS (SELECT node, {_ONE} // (SELECT n FROM n) AS rank FROM nodes),
+    {",".join(iters)}
+    SELECT node, rank AS rank_micro FROM {prev}
+    """
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the user↔type bipartite graph, K=5
+    iterations, damping 0.85, all arithmetic in int64 micro-rank units
+    (1.0 ≡ 10⁹): init 10⁹ div N; per-edge contribution
+    ``(rank · w) div wsum``; update ``base + (85 · Σcontrib) div 100``.
+    Integer div is floor on both engines (operands are non-negative),
+    int64 sums are order-independent, so parity is exact by
+    construction — no transcendental caveat.
+
+    Scale: the loop is K fixed joins of the rank relation (one row per
+    node) with the edge relation on src — each iteration shuffles once
+    on src and once on dst (the groupBy), the textbook distributed-
+    PageRank profile. The edge+degree relation is pinned since every
+    iteration reads it; contributions are map-side combined by the
+    groupBy, so a hub's fan-in aggregates before the exchange. N is the
+    only driver-side read (one scalar count, the connected-components
+    posture, dedup.py:653). Plans stay bounded because K is a constant:
+    no checkpoint needed at K=5; a convergence-driven variant would
+    localCheckpoint per iteration exactly like connected_components."""
+    from mapreduce_wordcounter_spark.session import pin
+
+    edges = _bipartite_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.sum("w").alias("wsum"))
+    e = pin(edges.join(deg, "src"))  # src, dst, w, wsum — read K times
+    nodes = deg.select(F.col("src").alias("node"))
+    n = nodes.count()
+    init = _ONE // n
+    base = (init * 15) // 100
+    ranks = nodes.select("node", F.lit(init).alias("rank"))
+    for _ in range(_K):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .select("dst", F.expr("(rank * w) div wsum").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(
+            contrib, nodes["node"] == contrib["dst"], "left"
+        ).select(
+            "node",
+            (
+                F.lit(base) + F.expr("(85 * coalesce(s, 0)) div 100")
+            ).alias("rank"),
+        )
+    return ranks.select("node", F.col("rank").alias("rank_micro"))
+
+
+# Lag-adjacency edges: consecutive DISTINCT users inside each
+# event_type stream, ordered by (ts, event_id) — event_id breaks
+# timestamp ties so the sequence (and therefore the edge set) is
+# deterministic on both engines.
+_SQL_ADJ = """
+    SELECT LEAST(user_id, prev_u) AS user_a,
+           GREATEST(user_id, prev_u) AS user_b,
+           CAST(COUNT(*) AS BIGINT) AS n_obs
+    FROM (
+        SELECT user_id,
+               LAG(user_id) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS prev_u
+        FROM events) s
+    WHERE prev_u IS NOT NULL AND prev_u <> user_id
+    GROUP BY LEAST(user_id, prev_u), GREATEST(user_id, prev_u)
+"""
+
+
+@query("graph_adjacent_users", oracle=_SQL_ADJ)
+def graph_adjacent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal co-occurrence edges: users adjacent in the same
+    event_type stream (lag window), canonicalized a<b, with observation
+    counts. This is the scale-safe way to build a co-occurrence graph:
+    one edge per event row (lag), O(N) total — the naive
+    same-time-window self-join is quadratic in window occupancy and
+    melts on hot windows.
+
+    Scale: one window shuffle on event_type (5 partitions here — at
+    real scale the stream key would be (event_type, shard) with edges
+    unioned across shard boundaries), then a map-combined groupBy on
+    the canonical pair."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", F.lag("user_id").over(w).alias("prev_u")
+    ).filter(F.col("prev_u").isNotNull() & (F.col("prev_u") != F.col("user_id")))
+    return (
+        seq.select(
+            F.least("user_id", "prev_u").alias("user_a"),
+            F.greatest("user_id", "prev_u").alias("user_b"),
+        )
+        .groupBy("user_a", "user_b")
+        .agg(F.count("*").alias("n_obs"))
+    )
+
+
+@query(
+    "graph_triangle_counts",
+    oracle=f"""
+    WITH adj AS ({_SQL_ADJ}),
+    edges AS (SELECT user_a AS a, user_b AS b FROM adj),
+    tri AS (
+        SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.a = e1.b
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (SELECT a AS user_id FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri) x
+    GROUP BY user_id
+    """,
+)
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the lag-adjacency graph — the
+    local-clustering signal (spam/bot subgraphs are triangle-dense;
+    crawl frontiers are triangle-sparse). Each triangle a<b<c is
+    enumerated exactly once from canonically-oriented edges:
+    e1=(a,b), e2=(b,c), e3=(a,c) with a<b<c by construction, then
+    credited to all three corners.
+
+    Scale: the two joins are equi-joins on node id (shuffle, or
+    broadcast if the edge list fits). The a<b orientation is the
+    standard degree-ordering trick's cheap cousin: each wedge is
+    generated from its smallest corner only, so path fan-out is
+    bounded by Σ deg²_oriented, not Σ deg² — on skewed graphs the full
+    degree-ordering (orient low-degree → high-degree) drops it
+    further and would slot in here as an extra ORDER BY degree on the
+    canonicalization."""
+    E = graph_adjacent_users(spark, sf_dir).select("user_a", "user_b")
+    e1 = E.select(F.col("user_a").alias("a"), F.col("user_b").alias("b"))
+    e2 = E.select(F.col("user_a").alias("a2"), F.col("user_b").alias("c"))
+    e3 = E.select(F.col("user_a").alias("a3"), F.col("user_b").alias("b3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("a2"))
+        .join(e3, (F.col("a3") == F.col("a")) & (F.col("b3") == F.col("c")))
+        .select("a", "b", "c")
+    )
+    corners = (
+        tri.select(F.col("a").alias("user_id"))
+        .unionAll(tri.select(F.col("b").alias("user_id")))
+        .unionAll(tri.select(F.col("c").alias("user_id")))
+    )
+    return corners.groupBy("user_id").agg(F.count("*").alias("n_triangles"))

@@ -114,6 +114,7 @@ def all_queries() -> dict[str, QueryFn]:
     from mapreduce_wordcounter_spark.functions import udaf, udtf  # noqa: F401
     from mapreduce_wordcounter_spark.operators import (  # noqa: F401
         dedup,
+        graph,
         multimodal,
         relational,
         similarity,
