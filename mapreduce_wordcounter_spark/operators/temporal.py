@@ -720,3 +720,57 @@ def ev_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("n"),
         )
     )
+
+
+@query(
+    "ev_type_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events),
+    c AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type)
+    SELECT prev_type, next_type, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM c
+    """,
+)
+def ev_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the per-user event
+    sequence: for each (prev_type → next_type) pair, the observation
+    count and the row-normalized transition probability — the sequence
+    model behind session-replay anomaly detection and next-event
+    prediction baselines. Ordering is (ts, event_id) so timestamp ties
+    can't make the sequence engine-dependent; p is an exact int/int
+    double division rounded once (both engines perform the identical
+    IEEE ops on identical integers).
+
+    Scale: one lag window shuffled on user_id (the natural stream
+    partitioning — co-located with every other per-user pass), then a
+    5×5-cardinality groupBy and a window over that tiny relation."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    seq = e.select(
+        "event_type",
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    c = (
+        seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = W.partitionBy("prev_type")
+    return c.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(tot), 6).alias("p"),
+    )

@@ -2216,3 +2216,193 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_nll"),
         )
     )
+
+
+# --- Source-level (domain-level) curation -----------------------------------
+#
+# CCNet/RefinedWeb gate whole DOMAINS, not just documents: a source whose
+# documents are mostly junk is dropped wholesale (its good-looking pages
+# are usually templated flukes). Here "source" plays the domain role.
+
+
+@query(
+    "source_quality_stats",
+    oracle=f"""
+    WITH q AS ({{q}})
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN q.quality_score >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pass,
+           ROUND(CAST(SUM(CASE WHEN q.quality_score >= 2 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS pass_share,
+           CAST(2 * SUM(CASE WHEN q.quality_score >= 2 THEN 1 ELSE 0 END)
+                >= COUNT(*) AS BOOLEAN) AS keep_source
+    FROM q JOIN documents d ON q.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def source_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality rollup: document count, docs passing the
+    rule-based gate (quality_score ≥ 2 of 3), pass share, and the
+    domain-level keep decision (≥ half the docs pass — stated as the
+    integer comparison ``2·n_pass ≥ n_docs`` so the threshold is exact,
+    no float boundary).
+
+    Scale: quality_score is one token-stream pass keyed on doc_id; this
+    adds a doc_id join to recover source (at scale, source would be
+    carried through the aggregate instead) and a groupBy on source —
+    domain cardinality, tiny next to the corpus."""
+    q = quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    passing = F.sum(
+        F.when(F.col("quality_score") >= 2, 1).otherwise(0)
+    )
+    return (
+        q.join(d, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            passing.alias("n_pass"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_pass",
+            F.round(
+                F.col("n_pass").cast("double") / F.col("n_docs"), 6
+            ).alias("pass_share"),
+            (2 * F.col("n_pass") >= F.col("n_docs")).alias("keep_source"),
+        )
+    )
+
+
+ORACLE["source_quality_stats"] = ORACLE["source_quality_stats"].format(
+    q=ORACLE["quality_score"]
+)
+
+
+@query(
+    "source_gated_docs",
+    oracle=f"""
+    WITH stats AS ({{stats}})
+    SELECT d.doc_id, d.source, stats.keep_source AS kept
+    FROM documents d JOIN stats ON d.source = stats.source
+    """,
+)
+def source_gated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level projection of the domain gate: every doc tagged
+    with its source's keep decision — the relation a curation pipeline
+    semi-joins against before the expensive per-doc stages.
+
+    Scale: the stats side is domain-cardinality → broadcast; the corpus
+    side never shuffles."""
+    stats = source_quality_stats(spark, sf_dir).select(
+        "source", F.col("keep_source").alias("kept")
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return d.join(F.broadcast(stats), "source").select(
+        "doc_id", "source", "kept"
+    )
+
+
+ORACLE["source_gated_docs"] = ORACLE["source_gated_docs"].format(
+    stats=ORACLE["source_quality_stats"]
+)
+
+
+# --- Bigram language model ---------------------------------------------------
+
+
+@query(
+    "doc_bigram_logprob",
+    oracle=f"""
+    WITH bg AS (
+        SELECT doc_id,
+               split_part(gram, ' ', 1) AS w1,
+               split_part(gram, ' ', 2) AS w2
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(toks) - 1),
+                                         i -> toks[i] || ' ' || toks[i + 1]))
+                       AS gram
+            FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents) d) g),
+    bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+           FROM bg GROUP BY w1, w2),
+    cc AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1),
+    v AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v
+          FROM ({_SQL_TOKEN_ROWS}) t),
+    probs AS (
+        SELECT bc.w1, bc.w2,
+               CAST(FLOOR(LN(CAST(bc.c12 + 1 AS DOUBLE) / (cc.c1 + v.v))
+                          * 1000000.0 + 0.5) AS BIGINT) AS lp_micro
+        FROM bc JOIN cc ON bc.w1 = cc.w1 CROSS JOIN v)
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(-CAST(SUM(p.lp_micro) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
+               AS mean_nll
+    FROM bg JOIN probs p ON bg.w1 = p.w1 AND bg.w2 = p.w2
+    GROUP BY bg.doc_id
+    """,
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity proxy with add-one smoothing: each doc's
+    mean negative log probability under the corpus bigram model,
+    P(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V) — one order up from
+    doc_unigram_logprob, and the filter that catches word-salad
+    documents whose unigram mix looks normal. Same quantization
+    posture: ln terms are micro-quantized before the exact int64 sum;
+    tests/test_quantization_margin.py measures every term's boundary
+    margin instead of assuming cross-engine ln agreement.
+
+    Plan: the bigram stream is derived once per consumer from the doc
+    token arrays (no corpus self-join anywhere); the model relations
+    (bigram counts, context counts) are vocabulary²-bounded, joined
+    back onto the stream; V is a 1-row scalar (bounded BNLJ,
+    whitelisted)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # sequence(1, k) is DESCENDING in Spark when k < 1 (the ngram
+    # factory's trap, and ANSI element_at(toks, 0) would throw) — guard
+    # short documents with an explicit empty array, exactly matching
+    # DuckDB's empty generate_series(1, len - 1).
+    bg = (
+        docs.select("doc_id", _toks_col().alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("toks") >= 2,
+                    F.expr(
+                        "transform(sequence(1, size(toks) - 1),"
+                        " i -> struct(element_at(toks, i) AS w1,"
+                        "             element_at(toks, i + 1) AS w2))"
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<w1:string,w2:string>>")
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.w1", "g.w2")
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    cc = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = tokens(spark, sf_dir).agg(
+        F.countDistinct("word").alias("v")
+    )
+    lp = F.floor(
+        F.log((F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v")))
+        * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    probs = (
+        bc.join(cc, "w1").join(F.broadcast(v)).select("w1", "w2", lp.alias("lp_micro"))
+    )
+    return (
+        bg.join(probs, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                -F.sum("lp_micro").cast("double") / 1_000_000 / F.count("*"), 6
+            ).alias("mean_nll"),
+        )
+    )

@@ -54,6 +54,7 @@ _ALLOWED_BOUNDED_BNLJ = {
     "ev_funnel_conversion",  # joins of four 1-row funnel-stage counts
     "ev_value_histogram",  # 1-row global MIN/MAX bin-edge scalar
     "doc_unigram_logprob",  # 1-row corpus-token-total scalar onto the vocab
+    "doc_bigram_logprob",  # 1-row vocab-size scalar onto the bigram model
     "skew_top_keys",  # 1-row total scalar onto the 5-row top-k
 }
 

@@ -141,3 +141,32 @@ def test_unigram_logprob_terms_clear_quantization_boundaries(duck):
         rows["n"].astype(np.float64) / rows["total"].astype(np.float64)
     )
     assert _min_margin(term * 1e6) > 1.0
+
+
+def test_bigram_logprob_terms_clear_quantization_boundaries(duck):
+    rows = duck.execute(
+        """
+        WITH bg AS (
+            SELECT split_part(gram, ' ', 1) AS w1,
+                   split_part(gram, ' ', 2) AS w2
+            FROM (
+                SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS gram
+                FROM (SELECT list_filter(regexp_split_to_array(lower(text),
+                          '[^\\p{L}]+'), x -> x <> '') AS toks
+                      FROM documents) d) g),
+        bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+        cc AS (SELECT w1, SUM(c12) AS c1 FROM bc GROUP BY w1)
+        SELECT bc.c12, cc.c1,
+               (SELECT COUNT(DISTINCT word) FROM (
+                   SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                       '[^\\p{L}]+'), x -> x <> '')) AS word
+                   FROM documents) t) AS v
+        FROM bc JOIN cc ON bc.w1 = cc.w1
+        """
+    ).fetchnumpy()
+    c12 = rows["c12"].astype(np.float64)
+    c1 = rows["c1"].astype(np.float64)
+    v = rows["v"].astype(np.float64)
+    term = np.log((c12 + 1.0) / (c1 + v))
+    assert _min_margin(term * 1e6) > 1.0
