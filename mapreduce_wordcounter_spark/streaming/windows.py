@@ -988,3 +988,79 @@ def _share_quality_oracle() -> None:
 
 
 _share_quality_oracle()
+
+
+# --- Exact distinct users per window (chained stateful operators) -----------
+
+_DISTINCT_ORACLE = f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_DFMT}')
+               AS window_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1
+"""
+
+
+@query("ev_distinct_users_hourly", oracle=_DISTINCT_ORACLE)
+def ev_distinct_users_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin: exact distinct users per hour — the DAU/HAU
+    primitive. Expressed as dedup-then-count (distinct on
+    (hour, user), then a plain count per hour) rather than
+    countDistinct so the batch plan is the same two-stage shape the
+    streaming version runs: Spark rewrites both into a partial
+    aggregate on (hour, user) + final count, one logical shuffle."""
+    ensure_utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    hours = e.select(
+        F.date_format(F.date_trunc("hour", "ts"), _FMT).alias("window_start"),
+        "user_id",
+    ).distinct()
+    return hours.groupBy("window_start").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+
+
+@query("stream_distinct_users_live", oracle=_DISTINCT_ORACLE)
+def stream_distinct_users_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per hour as a LIVE stream — two CHAINED
+    stateful operators (Spark 4 capability; 3.x forbade this): a
+    streaming dropDuplicates on (window, user) feeding a windowed
+    count. Streaming aggregations cannot hold COUNT(DISTINCT) state
+    directly; dedup-then-count is the production pattern, with dedup
+    state keyed on (window, user).
+
+    State posture: the dedup store holds one empty-value entry per
+    (window, user) and the count store one long per window. Here the
+    drain is bounded (availableNow over a finite corpus) so no
+    watermark is attached and output is complete-per-drain; a 24/7
+    deployment bounds both stores with
+    ``withWatermark("ts", ...)`` + dropDuplicatesWithinWatermark —
+    exercised in tests/test_streaming.py — and RocksDB state stores
+    (session.py opt-in) once (window × user) state exceeds heap."""
+    ensure_utc(spark)
+    dedup = (
+        events_stream(spark, sf_dir)
+        .select(F.window("ts", "1 hour").alias("w"), "user_id")
+        .dropDuplicates(["w", "user_id"])
+    )
+    agg = (
+        dedup.groupBy("w")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .select(
+            F.date_format("w.start", _FMT).alias("window_start"), "n_users"
+        )
+    )
+    name = "stream_distinct_" + uuid.uuid4().hex[:8]
+    with stream_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    return spark.table(name)
