@@ -281,3 +281,44 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("user_id")))
     )
     return corners.groupBy("user_id").agg(F.count("*").alias("n_triangles"))
+
+
+@query(
+    "graph_user_components",
+    oracle=f"""
+    WITH RECURSIVE
+    adj AS ({_SQL_ADJ}),
+    sym AS (SELECT user_a AS a, user_b AS b FROM adj
+            UNION SELECT user_b, user_a FROM adj),
+    nodes AS (SELECT DISTINCT a FROM sym),
+    reach(src, dst) AS (
+        SELECT a, a FROM nodes
+        UNION
+        SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a)
+    SELECT src AS user_id, MIN(dst) AS component_id,
+           CAST(src = MIN(dst) AS BOOLEAN) AS is_canonical
+    FROM reach GROUP BY src
+    """,
+)
+def graph_user_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the user co-occurrence graph — the
+    community-seed / bot-ring primitive, reusing the iterative
+    min-label CC core that near-dup clustering uses (one loop, two
+    graph domains: operators compose across modules by design).
+
+    Scale: see dedup.connected_components — rounds ∝ component
+    diameter, localCheckpoint per round, scalar-only driver reads. The
+    oracle states the fixpoint as a recursive CTE (affordable at test
+    scale only)."""
+    from mapreduce_wordcounter_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = graph_adjacent_users(spark, sf_dir).select(
+        F.col("user_a").alias("doc_a"), F.col("user_b").alias("doc_b")
+    )
+    return connected_components(edges).select(
+        F.col("doc_id").alias("user_id"),
+        F.col("canonical_id").alias("component_id"),
+        "is_canonical",
+    )

@@ -2406,3 +2406,54 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_nll"),
         )
     )
+
+
+@query(
+    "bpe_top_pairs",
+    oracle=f"""
+    WITH wc AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM ({_SQL_TOKEN_ROWS}) t GROUP BY word),
+    pairs AS (
+        SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+                                     i -> word[i:i+1])) AS pair,
+               cnt
+        FROM wc WHERE length(word) >= 2)
+    SELECT pair, CAST(SUM(cnt) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair
+    LIMIT 50
+    """,
+)
+def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of byte-pair-encoding tokenizer training:
+    corpus-weighted adjacent-symbol-pair frequencies (top 50, total
+    order). A full BPE trainer is this count → merge argmax → re-pair
+    loop; the count table is the distributed-heavy step — the merge
+    itself touches only the vocabulary.
+
+    Scale: pairs are generated from the VOCABULARY relation (word,
+    count), not the token stream — each distinct word fans out to
+    len-1 pairs once and carries its corpus count, so the explode is
+    vocab-sized. One groupBy on pair (≤ alphabet² keys)."""
+    wc = (
+        tokens(spark, sf_dir)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = wc.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(50)
+    )
