@@ -82,6 +82,13 @@ HEADLINE = [
     "trigram_index_match",
     "doc_unigram_logprob",
     "merge_upsert_orders",
+    # round 4, second wave: graph + LM + chained-stateful streaming
+    "graph_pagerank",
+    "graph_triangle_counts",
+    "doc_bigram_logprob",
+    "bpe_top_pairs",
+    "ev_type_transitions",
+    "stream_distinct_users_live",
 ]
 
 

@@ -62,7 +62,13 @@ _SQL_BIPARTITE = """
 
 
 def _bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = (
+    from mapreduce_wordcounter_spark.session import pin
+
+    # Pin the (user, type, count) aggregate: the symmetric union's two
+    # branches — and every degree/edge derivation downstream — would
+    # otherwise each replay the corpus scan (Catalyst does not dedupe
+    # common subplans). One corpus scan, graph-sized cache.
+    ev = pin(
         load_table(spark, sf_dir, "events")
         .groupBy("user_id", "event_type")
         .agg(F.count("*").alias("w"))
@@ -151,19 +157,33 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     node) with the edge relation on src — each iteration shuffles once
     on src and once on dst (the groupBy), the textbook distributed-
     PageRank profile. The edge+degree relation is pinned since every
-    iteration reads it; contributions are map-side combined by the
-    groupBy, so a hub's fan-in aggregates before the exchange. N is the
-    only driver-side read (one scalar count, the connected-components
-    posture, dedup.py:653). Plans stay bounded because K is a constant:
-    no checkpoint needed at K=5; a convergence-driven variant would
-    localCheckpoint per iteration exactly like connected_components."""
+    iteration reads it, and — the load-bearing detail — it is
+    repartitioned to ~500k edges/partition BEFORE the pin: a cached
+    relation freezes its partition layout (AQE cannot re-coalesce
+    inside InMemoryRelation), so pinning at the corpus scan's width
+    makes every iteration pay scan-width task overhead on a
+    graph-sized relation. Partitioning must track |E|, not |corpus|
+    (measured 1.9× on the bench graph, 6.2 s → 3.3 s at sf0.1). Contributions are map-side
+    combined by the groupBy, so a hub's fan-in aggregates before the
+    exchange; the rank relation is left unhinted — AQE broadcasts it
+    at test scale, shuffles it at 10⁹ nodes where a node-sized
+    broadcast would OOM. One scalar (m, n) driver read (the
+    connected-components posture, dedup.py:653). Plans stay bounded
+    because K is a constant: no checkpoint needed at K=5; a
+    convergence-driven variant would localCheckpoint per iteration
+    exactly like connected_components."""
     from mapreduce_wordcounter_spark.session import pin
 
     edges = _bipartite_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.sum("w").alias("wsum"))
-    e = pin(edges.join(deg, "src"))  # src, dst, w, wsum — read K times
-    nodes = deg.select(F.col("src").alias("node"))
-    n = nodes.count()
+    e0 = edges.join(deg, "src")  # src, dst, w, wsum — read K times
+    row = e0.agg(
+        F.count("*").alias("m"), F.countDistinct("src").alias("n")
+    ).first()
+    m, n = row["m"], row["n"]
+    npart = max(4, m // 500_000 + 1)
+    e = pin(e0.repartition(npart, "src"))
+    nodes = e.select(F.col("src").alias("node")).distinct()
     init = _ONE // n
     base = (init * 15) // 100
     ranks = nodes.select("node", F.lit(init).alias("rank"))
@@ -266,7 +286,11 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree-ordering (orient low-degree → high-degree) drops it
     further and would slot in here as an extra ORDER BY degree on the
     canonicalization."""
-    E = graph_adjacent_users(spark, sf_dir).select("user_a", "user_b")
+    from mapreduce_wordcounter_spark.session import pin
+
+    # Pin the edge list: e1/e2/e3 are three branches over the SAME
+    # relation — unpinned, each replays the corpus scan + lag window.
+    E = pin(graph_adjacent_users(spark, sf_dir).select("user_a", "user_b"))
     e1 = E.select(F.col("user_a").alias("a"), F.col("user_b").alias("b"))
     e2 = E.select(F.col("user_a").alias("a2"), F.col("user_b").alias("c"))
     e3 = E.select(F.col("user_a").alias("a3"), F.col("user_b").alias("b3"))

@@ -102,6 +102,15 @@ SHOWCASE = [
     "table_quality_audit",
     "skew_top_keys",
     "pyds_wordcount",
+    # round 4, second wave
+    "graph_pagerank",
+    "graph_triangle_counts",
+    "graph_adjacent_users",
+    "doc_bigram_logprob",
+    "bpe_top_pairs",
+    "ev_type_transitions",
+    "ev_distinct_users_hourly",
+    "source_gated_docs",
 ]
 
 SF = "/root/testdata/sf0.01"
