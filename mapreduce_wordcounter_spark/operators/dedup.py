@@ -1109,3 +1109,38 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         removed.cast("long").alias("n_removed"),
         F.round(removed.cast("double") / F.count("*"), 6).alias("dup_frac"),
     )
+
+
+@query(
+    "dedup_cluster_sizes",
+    oracle="""
+    WITH comp AS ({comp})
+    SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM (SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM comp GROUP BY canonical_id) c
+    GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram — the dedup QA dashboard number
+    (a long tail of giant clusters means boilerplate or a broken
+    shingle config; healthy corpora show mostly 2-3-doc clusters).
+    Composes the audited connected-components labeling; two
+    constant-output aggregates on top.
+
+    Scale: groupBy canonical_id over the label relation (one row per
+    clustered doc), then a histogram over cluster counts."""
+    comp = dedup_components_canonical(spark, sf_dir)
+    sizes = comp.groupBy("canonical_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters")
+    )
+
+
+from mapreduce_wordcounter_spark.registry import ORACLE as _ORACLE_D  # noqa: E402
+
+_ORACLE_D["dedup_cluster_sizes"] = _ORACLE_D["dedup_cluster_sizes"].format(
+    comp=_ORACLE_D["dedup_components_canonical"]
+)

@@ -346,3 +346,93 @@ def graph_user_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("canonical_id").alias("component_id"),
         "is_canonical",
     )
+
+
+def _lpa_oracle(k: int) -> str:
+    """Unrolled-K label-propagation oracle. Each round: every node
+    adopts the label with the highest total incident edge weight among
+    its neighbors' current labels (ties → smallest label). Integer
+    weights + total-order tie-break = engine-exact."""
+    rounds = []
+    prev = "l0"
+    for i in range(1, k + 1):
+        rounds.append(
+            f"""
+    l{i} AS (
+        SELECT node, label FROM (
+            SELECT e.b AS node, l.label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.b
+                       ORDER BY SUM(e.w) DESC, l.label) AS rk
+            FROM sym e JOIN {prev} l ON e.a = l.node
+            GROUP BY e.b, l.label) x
+        WHERE rk = 1)"""
+        )
+        prev = f"l{i}"
+    return f"""
+    WITH adj AS ({_SQL_ADJ}),
+    sym AS (SELECT user_a AS a, user_b AS b, n_obs AS w FROM adj
+            UNION ALL SELECT user_b, user_a, n_obs FROM adj),
+    l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
+    {",".join(rounds)}
+    SELECT node AS user_id, label AS community_id FROM {prev}
+    """
+
+
+_LPA_K = 3
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle(_LPA_K))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    weighted co-occurrence graph, K=3 rounds: each round every node
+    adopts its neighborhood's weight-dominant label (argmax by summed
+    edge weight, ties broken toward the smaller label, stated as a
+    rank window so the choice is total-ordered and engine-exact).
+    Synchronous LPA is the determinism-friendly variant — the
+    asynchronous classic converges faster but is update-order-defined,
+    which no cross-engine oracle could pin.
+
+    Scale: per round, one join of the label relation (|V| rows) onto
+    the symmetrized edge list and one (node, label) aggregate + rank
+    window partitioned by node — two shuffles per round, K constant.
+    The edge relation is pinned across rounds (the PageRank posture);
+    label skew (a community absorbing the graph) pre-aggregates in the
+    partial (node, label) combine before the exchange."""
+    from pyspark.sql import Window as W
+
+    from mapreduce_wordcounter_spark.session import pin
+
+    adj = graph_adjacent_users(spark, sf_dir)
+    sym = pin(
+        adj.select(
+            F.col("user_a").alias("a"),
+            F.col("user_b").alias("b"),
+            F.col("n_obs").alias("w"),
+        ).unionAll(
+            adj.select(
+                F.col("user_b").alias("a"),
+                F.col("user_a").alias("b"),
+                F.col("n_obs").alias("w"),
+            )
+        )
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    rk_w = W.partitionBy("node").orderBy(F.desc("wsum"), F.asc("label"))
+    for _ in range(_LPA_K):
+        votes = (
+            sym.join(labels, sym["a"] == labels["node"])
+            .groupBy(sym["b"].alias("node2"), "label")
+            .agg(F.sum("w").alias("wsum"))
+            .withColumnRenamed("node2", "node")
+        )
+        labels = (
+            votes.withColumn("rk", F.row_number().over(rk_w))
+            .filter(F.col("rk") == 1)
+            .select("node", "label")
+        )
+    return labels.select(
+        F.col("node").alias("user_id"), F.col("label").alias("community_id")
+    )

@@ -2457,3 +2457,77 @@ def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(50)
     )
+
+
+@query(
+    "doc_keywords_top3",
+    oracle="""
+    WITH ti AS ({ti})
+    SELECT doc_id, word, tf_idf, rk
+    FROM (
+        SELECT doc_id, word, tf_idf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY tf_idf DESC, word) AS rk
+        FROM ti) r
+    WHERE rk <= 3
+    """,
+)
+def doc_keywords_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: each document's top-3 terms by TF-IDF with a
+    total tie-break (score desc, word asc) — the summarization /
+    faceting primitive layered on the already-audited tf_idf relation.
+
+    Scale: one rank window partitioned by doc_id over the (doc, word)
+    relation — same key as the tf aggregate, so at scale the window
+    reuses the tf shuffle's partitioning (no extra exchange of the
+    corpus)."""
+    from pyspark.sql import Window as W
+
+    ti = tf_idf(spark, sf_dir).select("doc_id", "word", "tf_idf")
+    w = W.partitionBy("doc_id").orderBy(F.desc("tf_idf"), F.asc("word"))
+    return (
+        ti.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "word", "tf_idf", "rk")
+    )
+
+
+ORACLE["doc_keywords_top3"] = ORACLE["doc_keywords_top3"].format(
+    ti=ORACLE["tf_idf"]
+)
+
+
+@query(
+    "lang_confusion_matrix",
+    oracle="""
+    WITH la AS ({la})
+    SELECT d.lang AS meta_lang, la.assigned_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM la JOIN documents d ON la.doc_id = d.doc_id
+    GROUP BY d.lang, la.assigned_lang
+    """,
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix between the corpus' lang metadata and the
+    marker-based language assignment — the audit that catches both a
+    drifting classifier and mislabeled upstream metadata (on this
+    synthetic corpus the two are independent by construction, so the
+    matrix is near-uniform: the machinery, not linguistic truth, is
+    what's verified).
+
+    Scale: doc-cardinality join on doc_id + a |langs|²-cardinality
+    groupBy."""
+    la = lang_assign(spark, sf_dir).select("doc_id", "assigned_lang")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("meta_lang")
+    )
+    return (
+        la.join(d, "doc_id")
+        .groupBy("meta_lang", "assigned_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+ORACLE["lang_confusion_matrix"] = ORACLE["lang_confusion_matrix"].format(
+    la=ORACLE["lang_assign"]
+)

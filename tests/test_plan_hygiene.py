@@ -30,6 +30,7 @@ _ALLOWED_QUADRATIC = {
     "embedding_top_pairs",  # all-pairs theta join; twin: embedding_top_pairs_bucketed
     "jaccard_near_dup_pairs",  # exact shingle self-join; twin: lsh_* pipeline
     "dedup_components_canonical",  # reuses the jaccard exact baseline as edge input
+    "dedup_cluster_sizes",  # histogram over the same CC labeling
     "knn_brute_cosine",  # broadcast-queries x corpus scan: the exactness oracle
     "lsh_verified_pairs",  # verification reuses the jaccard-pair shape on candidates
 }
@@ -44,6 +45,7 @@ _ALLOWED_BOUNDED_BNLJ = {
     "ann_lsh_topk",  # plane cross + 9-row constant probe-flip table
     "scalar_subquery",  # 1-row aggregate scalar as the build side
     "tf_idf",  # 1-row corpus-size scalar joined onto df counts
+    "doc_keywords_top3",  # rank window over the tf_idf relation (same scalar)
     "bm25_topk",  # 1-row (N, avgdl) scalar stats joined onto the tf relation
     "source_unigram_kl",  # 1-row corpus-token-total scalar onto (source, word)
     "corpus_health_report",  # one-row dashboard: joins of 1-row aggregates only
