@@ -774,3 +774,47 @@ def ev_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(tot), 6).alias("p"),
     )
+
+
+@query(
+    "ev_rolling_stats",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+                    OVER w AS DOUBLE) / 1000000.0 AS roll_sum,
+           MAX(value) OVER w AS roll_max,
+           CAST(COUNT(*) OVER w AS BIGINT) AS roll_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def ev_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling statistics over the last 5 events (rows-frame):
+    sum, max, count — the feature-engineering window behind
+    rate-limiting and anomaly features. The rolling SUM goes through
+    the micro-quantized int64 path (functions/numeric.py): a raw
+    double window-sum is accumulation-shape-dependent (DuckDB's
+    segment tree vs Spark's running frame) and would diverge in the
+    last ulp; the quantized sum is exact under any evaluation order.
+
+    Scale: one window shuffle on user_id — the stream's natural key,
+    co-located with every other per-user pass."""
+    from pyspark.sql import Window as W
+
+    from mapreduce_wordcounter_spark.functions.numeric import quantize
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.sum(quantize(F.col("value"))).over(w).cast("double") / 1_000_000)
+        .alias("roll_sum"),
+        F.max("value").over(w).alias("roll_max"),
+        F.count("*").over(w).cast("long").alias("roll_n"),
+    )

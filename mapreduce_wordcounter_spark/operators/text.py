@@ -2531,3 +2531,163 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["lang_confusion_matrix"] = ORACLE["lang_confusion_matrix"].format(
     la=ORACLE["lang_assign"]
 )
+
+
+@query(
+    "source_lang_chisq",
+    oracle="""
+    WITH c AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+        FROM documents GROUP BY source, lang),
+    t AS (
+        SELECT o,
+               CAST(SUM(o) OVER (PARTITION BY source) AS BIGINT) AS rs,
+               CAST(SUM(o) OVER (PARTITION BY lang) AS BIGINT) AS cs,
+               CAST(SUM(o) OVER () AS BIGINT) AS n
+        FROM c),
+    terms AS (
+        SELECT CAST(FLOOR(
+            (CAST(o AS DOUBLE) - CAST(rs AS DOUBLE) * cs / n)
+            * (CAST(o AS DOUBLE) - CAST(rs AS DOUBLE) * cs / n)
+            / (CAST(rs AS DOUBLE) * cs / n)
+            * 1000000.0 + 0.5) AS BIGINT) AS q
+        FROM t),
+    dims AS (
+        SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS nr,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS nc
+        FROM documents)
+    SELECT ROUND(CAST((SELECT SUM(q) FROM terms) AS DOUBLE) / 1000000.0, 6)
+               AS chisq,
+           (nr - 1) * (nc - 1) AS dof
+    FROM dims
+    """,
+)
+def source_lang_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between source and language — the
+    statistical form of the drift question behind
+    lang_confusion_matrix (is the language mix the same across
+    sources?). All cell terms derive from exact integer counts through
+    identical correctly-rounded IEEE ops on both engines, so — unlike
+    the ln()-based scores — the micro-quantized per-cell terms carry
+    NO boundary risk at all: divisions are deterministic, only the
+    cross-cell sum needed ordering protection (int64 sum).
+
+    Scale: one groupBy over documents metadata to a |sources|×|langs|
+    relation; everything after runs on ≤ dozens of rows (the window
+    sums are over the contingency table, not the corpus)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count("*").alias("o"))
+    rs = F.sum("o").over(W.partitionBy("source"))
+    cs = F.sum("o").over(W.partitionBy("lang"))
+    n = F.sum("o").over(W.partitionBy())
+    e = rs.cast("double") * cs / n
+    term = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    q = F.floor(term * 1_000_000 + F.lit(0.5)).cast("long")
+    chisq = c.select(q.alias("q")).agg(
+        F.round(F.sum("q").cast("double") / 1_000_000, 6).alias("chisq")
+    )
+    dims = d.agg(
+        F.countDistinct("source").alias("nr"),
+        F.countDistinct("lang").alias("nc"),
+    )
+    return dims.join(F.broadcast(chisq)).select(
+        "chisq", ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof")
+    )
+
+
+@query(
+    "source_vocab_overlap",
+    oracle=f"""
+    WITH v AS (SELECT DISTINCT source, word FROM ({_SQL_TOKEN_ROWS}) t),
+    sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM v
+           GROUP BY source),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM v a JOIN v b ON a.word = b.word AND a.source < b.source
+        GROUP BY a.source, b.source)
+    SELECT i.source_a, i.source_b, i.n_common,
+           ROUND(CAST(i.n_common AS DOUBLE)
+                 / (sa.n + sb.n - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sz sa ON i.source_a = sa.source
+    JOIN sz sb ON i.source_b = sb.source
+    """,
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the corpus-drift
+    diagnostic that tells "new crawl slice speaks a different language"
+    apart from "same distribution, more of it" (pairs with KL drift,
+    source_unigram_kl, which compares frequencies rather than sets).
+
+    Scale: the join is on WORD over per-source vocabularies — each
+    word joins across ≤ |sources| rows, so output is bounded by
+    |vocab| · |sources|², never corpus-quadratic. Per-source sizes are
+    |sources| rows (broadcast)."""
+    v = (
+        tokens(spark, sf_dir).select("source", "word").distinct()
+    )
+    sz = v.groupBy("source").agg(F.count("*").alias("n"))
+    a = v.select(F.col("source").alias("source_a"), "word")
+    b = v.select(F.col("source").alias("source_b"), "word")
+    inter = (
+        a.join(b, "word")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sz.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "stratified_topk_sample",
+    oracle="""
+    SELECT doc_id, source, rk FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents) r
+    WHERE rk <= 20
+    """,
+)
+def stratified_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum sampling: 20 docs per source, chosen by
+    md5 rank — the eval-set construction that needs a FIXED size per
+    stratum (the hash-threshold sampler, stratified_sample_hash, gives
+    binomial counts). Deterministic: the hash is the random key, doc_id
+    breaks ties, so the sample is reproducible on any engine.
+
+    Scale: one rank window per source partition. For strata too large
+    for a single partition's sort, the production form pre-filters
+    with a hash threshold bounding the candidate set (~10k per
+    stratum) before ranking — composition of the two registered
+    samplers."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("doc_id", "source", "rk")
+    )

@@ -58,6 +58,7 @@ _ALLOWED_BOUNDED_BNLJ = {
     "doc_unigram_logprob",  # 1-row corpus-token-total scalar onto the vocab
     "doc_bigram_logprob",  # 1-row vocab-size scalar onto the bigram model
     "skew_top_keys",  # 1-row total scalar onto the 5-row top-k
+    "source_lang_chisq",  # 1-row chi-square scalar joined onto 1-row dims
 }
 
 # The deliberately-Python surface: the real UDTF twin of the native
