@@ -375,3 +375,59 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize,
         schema="doc_id long, n_bytes long, resized_len int, resized_sum long",
     )
+
+
+@query(
+    "mm_features_arrow",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           list_reduce(list_prepend(0::BIGINT,
+               list_transform(generate_series(1, length(text)),
+                              i -> ascii(substr(text, i, 1))::BIGINT)),
+               (acc, c) -> acc + c) AS byte_sum,
+           CAST(list_max(list_transform(generate_series(1, length(text)),
+                              i -> ascii(substr(text, i, 1)))) AS INT) AS max_byte
+    FROM documents
+    """,
+)
+def mm_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mm_features_pandas' twin on ``mapInArrow`` — the third Python
+    execution mode (row-Python < Arrow-pandas < raw Arrow): batches
+    arrive as pyarrow RecordBatches with NO pandas materialization, the
+    right tier for payloads where even a pandas Series wrapper per cell
+    is waste (large binary blobs, zero-copy slicing into decoders).
+    Same oracle as the pandas twin, so the two execution modes are
+    pinned to identical results.
+
+    Scale: identical to mapInPandas — one map-only Arrow stage,
+    executor memory bounded by the Arrow batch, not the partition."""
+
+    def extract(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for rb in batches:
+            doc_id = rb.column(rb.schema.get_field_index("doc_id"))
+            contents = rb.column(rb.schema.get_field_index("content"))
+            arrs = [
+                np.frombuffer(c.as_py(), dtype=np.uint8) for c in contents
+            ]
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "doc_id": doc_id,
+                    "n_bytes": pa.array(
+                        [int(a.size) for a in arrs], type=pa.int64()
+                    ),
+                    "byte_sum": pa.array(
+                        [int(a.sum()) for a in arrs], type=pa.int64()
+                    ),
+                    "max_byte": pa.array(
+                        [int(a.max()) if a.size else 0 for a in arrs],
+                        type=pa.int32(),
+                    ),
+                }
+            )
+
+    b = attach_binary(spark, sf_dir).select("doc_id", "content")
+    return b.mapInArrow(extract, schema=_FEATURES_SCHEMA)

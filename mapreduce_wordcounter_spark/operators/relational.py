@@ -2220,3 +2220,72 @@ def skew_top_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
         )
     )
+
+
+def _write_colocated_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders and customer as custkey-bucketed scratch tables
+    (same bucket count) — the at-rest layout that lets their join run
+    with zero exchanges. Shared by join_bucketed_colocated and its plan
+    test."""
+    import os
+    import uuid
+
+    from mapreduce_wordcounter_spark.session import (
+        register_scratch_table,
+        scratch_dir,
+    )
+    from mapreduce_wordcounter_spark.sources.writers import (
+        write_bucketed_table,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    to = register_scratch_table("orders_bk_" + uuid.uuid4().hex[:8])
+    tc = register_scratch_table("customer_bk_" + uuid.uuid4().hex[:8])
+    base = scratch_dir()
+    write_bucketed_table(
+        o, to, ["o_custkey"], 8, sort_by=["o_custkey"],
+        path=os.path.join(base, to),
+    )
+    write_bucketed_table(
+        c, tc, ["c_custkey"], 8, sort_by=["c_custkey"],
+        path=os.path.join(base, tc),
+    )
+    return to, tc
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle=f"""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum('o_totalprice', 'total_revenue')}
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed CO-LOCATED join: both sides written bucketed on the
+    join key with the same bucket count, so the fact⋈dim join plans
+    ZERO exchanges on BOTH inputs — the at-rest layout that turns the
+    nightly big⋈big join from the cluster's largest shuffle into a
+    per-bucket local zipper (dedup_incremental_new buckets one side;
+    this is the two-sided form). Pinned at plan time by
+    tests/test_sources.py::test_colocated_join_no_exchange (broadcast
+    disabled there to force the path a 100 TB fact table would take;
+    at test scale AQE rightly broadcasts instead).
+
+    The write-then-join inside one query stands in for tables that are
+    ALREADY at rest in this layout — production pays the bucketed
+    write once at ingest, then every co-keyed join and groupBy rides
+    it free."""
+    to, tc = _write_colocated_pair(spark, sf_dir)
+    o = spark.table(to)
+    c = spark.table(tc)
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice"), "total_revenue"),
+        )
+    )

@@ -380,3 +380,28 @@ def test_python_datasource_partitioned_read(spark):
         .count()
     )
     assert n == len(set(_WORDS))  # 50 affine seeds cover the vocabulary
+
+
+def test_colocated_join_no_exchange(spark):
+    """join_bucketed_colocated must plan ZERO exchanges on BOTH join
+    inputs: each side is bucketed on its join key with the same bucket
+    count, so the sort-merge join zips buckets locally and the only
+    shuffle left is the final segment aggregate. Broadcast is disabled
+    to force the path a fact-sized pair would take."""
+    from mapreduce_wordcounter_spark.operators.relational import (
+        join_bucketed_colocated,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = join_bucketed_colocated(spark, SF_ORACLE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        import re
+
+        # Exactly one shuffle: the c_mktsegment aggregate. Neither join
+        # input may see an Exchange — bucketing feeds the join alone.
+        assert len(re.findall(r"Exchange hash", plan)) == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
