@@ -472,3 +472,62 @@ def pyds_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+from mapreduce_wordcounter_spark.registry import ORACLE as _ORACLE  # noqa: E402
+
+
+@query("stream_pyds_wordcount", oracle=_ORACLE["pyds_wordcount"])
+def stream_pyds_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same flagship count fed by the custom source's STREAMING
+    reader (Spark 4 SimpleDataSourceStreamReader): 200 docs arrive as
+    micro-batches of 50 driven by the source's own offset log, into a
+    complete-mode aggregate — batch/stream parity for a from-scratch
+    Python connector, pinned by sharing pyds_wordcount's oracle. The
+    drain polls the sink to the known corpus total (the bounded-stream
+    harness; availableNow is a file-source trigger, not a Python-source
+    one). sf_dir is unused: the source synthesizes its batches."""
+    import time
+    import uuid
+
+    from mapreduce_wordcounter_spark.sources.pydatasource import register
+
+    try:
+        register(spark)
+    except Exception:
+        pass  # already registered in this session
+    docs = (
+        spark.readStream.format("synthetic_corpus")
+        .option("n_docs", 200)
+        .option("batch_docs", 50)
+        .option("words_per_doc", 20)
+        .load()
+    )
+    agg = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    name = "pyds_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        expect = 200 * 20
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            got = (
+                spark.table(name).agg(F.sum("cnt").alias("s")).first()["s"]
+            )
+            if got == expect:
+                break
+            time.sleep(0.2)
+        else:
+            raise TimeoutError(f"stream drained only {got}/{expect} tokens")
+    finally:
+        q.stop()
+    return spark.table(name)

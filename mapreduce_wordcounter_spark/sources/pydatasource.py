@@ -37,6 +37,7 @@ def make_datasource(words: tuple[str, ...] = _WORDS):
         DataSource,
         DataSourceReader,
         InputPartition,
+        SimpleDataSourceStreamReader,
     )
 
     class CorpusPartition(InputPartition):
@@ -79,6 +80,51 @@ def make_datasource(words: tuple[str, ...] = _WORDS):
 
         def reader(self, schema) -> DataSourceReader:
             return SyntheticCorpusReader(self.options)
+
+        def simpleStreamReader(self, schema):
+            return SyntheticCorpusStreamReader(self.options)
+
+    class SyntheticCorpusStreamReader(SimpleDataSourceStreamReader):
+        """Micro-batch form of the same deterministic generator: the
+        offset is the next doc_id, each batch emits up to ``batch_docs``
+        documents, and ``readBetweenOffsets`` replays any committed
+        range exactly (the affine formula IS the WAL) — giving the
+        source exactly-once replay semantics with zero external state,
+        which is precisely the contract a production stream source must
+        implement against its upstream's offsets (Kafka offsets, change
+        streams, paginated cursors)."""
+
+        def __init__(self, options):
+            self.n_docs = int(options.get("n_docs", 100))
+            self.batch = int(options.get("batch_docs", 50))
+            self.words_per_doc = int(options.get("words_per_doc", 20))
+
+        def initialOffset(self):
+            return {"doc": 0}
+
+        def _rows(self, start: int, end: int):
+            # A LIST, not a generator: the runner's prefetch cache
+            # copy.copy()s the returned rows, and generators don't
+            # pickle/copy.
+            return [
+                (
+                    doc_id,
+                    " ".join(
+                        words[(doc_id * 31 + j * 17) % len(words)]
+                        for j in range(self.words_per_doc)
+                    ),
+                    self.words_per_doc,
+                )
+                for doc_id in range(start, end)
+            ]
+
+        def read(self, start):
+            s = start["doc"]
+            e = min(s + self.batch, self.n_docs)
+            return (self._rows(s, e), {"doc": e})
+
+        def readBetweenOffsets(self, start, end):
+            return self._rows(start["doc"], end["doc"])
 
     return SyntheticCorpusDataSource
 
