@@ -436,3 +436,69 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("user_id"), F.col("label").alias("community_id")
     )
+
+
+@query(
+    "graph_common_neighbors",
+    oracle=f"""
+    WITH adj AS ({_SQL_ADJ}),
+    sym AS (SELECT user_a AS a, user_b AS b FROM adj
+            UNION SELECT user_b, user_a FROM adj),
+    wedges AS (
+        SELECT s1.a AS x, s2.b AS y,
+               CAST(COUNT(DISTINCT s1.b) AS BIGINT) AS n_common
+        FROM sym s1 JOIN sym s2 ON s1.b = s2.a
+        WHERE s1.a < s2.b
+        GROUP BY s1.a, s2.b),
+    cand AS (
+        SELECT w.x, w.y, w.n_common FROM wedges w
+        WHERE NOT EXISTS (SELECT 1 FROM adj e
+                          WHERE e.user_a = w.x AND e.user_b = w.y))
+    SELECT x AS user_a, y AS user_b, n_common
+    FROM cand
+    ORDER BY n_common DESC, user_a, user_b
+    LIMIT 20
+    """,
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by common-neighbor counting: the 20
+    highest-scoring NON-edges (x, y) ranked by how many neighbors they
+    share — the integer-exact core of Adamic-Adar/Jaccard link scores
+    (those add a transcendental or ratio on top of this count). The
+    candidate set is wedge-generated, so only pairs at distance 2 are
+    ever scored — never the |V|² candidate space.
+
+    Scale: one equi-join on the wedge midpoint (fan-out Σ deg_b², the
+    quantity degree-capping bounds on power-law graphs: drop or sample
+    midpoints above a degree ceiling — hubs contribute noise to CN
+    scores anyway), a distinct-count per pair, and an anti-join
+    against the edge list. Top-k is a TakeOrdered, no global sort."""
+    from mapreduce_wordcounter_spark.session import pin
+
+    adj = pin(graph_adjacent_users(spark, sf_dir))
+    sym = adj.select(
+        F.col("user_a").alias("a"), F.col("user_b").alias("b")
+    ).union(
+        adj.select(F.col("user_b").alias("a"), F.col("user_a").alias("b"))
+    ).distinct()
+    s1 = sym.select(F.col("a").alias("x"), F.col("b").alias("mid"))
+    s2 = sym.select(F.col("a").alias("mid2"), F.col("b").alias("y"))
+    wedges = (
+        s1.join(s2, F.col("mid") == F.col("mid2"))
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.countDistinct("mid").alias("n_common"))
+    )
+    edges = adj.select(
+        F.col("user_a").alias("x"), F.col("user_b").alias("y")
+    )
+    return (
+        wedges.join(edges, ["x", "y"], "left_anti")
+        .select(
+            F.col("x").alias("user_a"),
+            F.col("y").alias("user_b"),
+            "n_common",
+        )
+        .orderBy(F.desc("n_common"), F.asc("user_a"), F.asc("user_b"))
+        .limit(20)
+    )

@@ -818,3 +818,113 @@ def ev_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").over(w).alias("roll_max"),
         F.count("*").over(w).cast("long").alias("roll_n"),
     )
+
+
+@query(
+    "ev_anomaly_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type),
+    mad AS (
+        SELECT e.event_type,
+               quantile_cont(ABS(e.value - m.med), 0.5) AS mad
+        FROM events e JOIN med m ON e.event_type = m.event_type
+        GROUP BY e.event_type)
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND(ABS(e.value - m.med) / d.mad, 6) AS dev_ratio
+    FROM events e
+    JOIN med m ON e.event_type = m.event_type
+    JOIN mad d ON e.event_type = d.event_type
+    WHERE ABS(e.value - m.med) > 3 * d.mad
+    """,
+)
+def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: events whose value deviates from
+    their type's MEDIAN by more than 3 median-absolute-deviations —
+    the estimator that, unlike the z-score twin (ev_value_outliers),
+    doesn't let the outliers inflate their own threshold. Both
+    medians are exact interpolated percentiles (the agg_median
+    pairing: quantile_cont ≡ Spark percentile).
+
+    Scale: two grouped exact percentiles over (type)-keyed aggregates
+    with the 5-row results broadcast back — at 100 TB swap exact
+    percentile for percentile_approx (t-digest) exactly as
+    agg_p90_approx documents; the plan shape is unchanged."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    with_med = e.join(F.broadcast(med), "event_type")
+    mad = (
+        with_med.groupBy("event_type")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    flagged = (
+        with_med.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"))
+    )
+    return flagged.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(
+            F.abs(F.col("value") - F.col("med")) / F.col("mad"), 6
+        ).alias("dev_ratio"),
+    )
+
+
+@query(
+    "ev_top_paths",
+    oracle="""
+    WITH paths AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM events GROUP BY user_id, date_trunc('hour', ts))
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_journeys
+    FROM paths GROUP BY path
+    ORDER BY n_journeys DESC, path
+    LIMIT 20
+    """,
+)
+def ev_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Journey mining: the 20 most common per-user-hour event-type
+    paths ('click>click>purchase'), ordered by (ts, event_id) so the
+    concatenation is deterministic — the sequence-pattern primitive
+    behind funnel discovery (ev_funnel_conversion checks ONE known
+    path; this surfaces the paths worth checking).
+
+    Scale: one window shuffle on (user, hour) — the journey grain —
+    with the path built by an ordered in-partition collect; group
+    sizes are bounded by per-user-hour activity, so no collect grows
+    with the corpus. Top-k is a TakeOrdered over the path-count
+    aggregate."""
+    from pyspark.sql import Window as W
+
+    ensure_utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id", "h")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    paths = (
+        e.withColumn("h", F.date_trunc("hour", "ts"))
+        .withColumn(
+            "path", F.array_join(F.collect_list("event_type").over(w), ">")
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id", "h").orderBy("ts", "event_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_journeys"))
+        .orderBy(F.desc("n_journeys"), F.asc("path"))
+        .limit(20)
+    )
