@@ -509,3 +509,51 @@ def test_rocksdb_state_store_equals_batch(spark, tmp_path):
         for f in fs
     ]
     assert any(f.endswith(".zip") for f in state_files), state_files[:10]
+
+
+def test_chained_stateful_distinct_with_watermark(spark, tmp_path):
+    """Chained stateful operators under a watermark (the production
+    form of stream_distinct_users_live): dropDuplicates on
+    (window, user) feeding an append-mode windowed count. Pinned:
+    (a) a same-window duplicate arriving in a LATER micro-batch is
+    still deduplicated (dedup state spans batches), and (b) each
+    sealed window emits exactly once with the distinct count.
+    Spark 3.x rejected this plan (multiple stateful operators);
+    Spark 4 watermark propagation makes it legal — this test is the
+    capability pin."""
+    src = _write_batches(
+        spark,
+        tmp_path,
+        [
+            # batch 0: two distinct users + a same-batch duplicate
+            [
+                _ev(1, "2024-01-01 10:00:00", user_id=1),
+                _ev(2, "2024-01-01 10:05:00", user_id=2),
+                _ev(3, "2024-01-01 10:06:00", user_id=1),
+            ],
+            # batch 1: cross-batch duplicate of user 2 in the 10:00
+            # window + a new user — state must remember batch 0.
+            [
+                _ev(4, "2024-01-01 10:20:00", user_id=2),
+                _ev(5, "2024-01-01 10:25:00", user_id=3),
+            ],
+            # batch 2: advance watermark far enough to seal 10:00.
+            [_ev(6, "2024-01-01 12:10:00", user_id=9)],
+            [_ev(7, "2024-01-01 13:30:00", user_id=9)],
+        ],
+    )
+    dedup = (
+        _event_stream_from_json(spark, src)
+        .withWatermark("ts", "10 minutes")
+        .select(F.window("ts", "1 hour").alias("w"), "user_id")
+        .dropDuplicates(["w", "user_id"])
+    )
+    agg = (
+        dedup.groupBy("w")
+        .agg(F.count("*").alias("n_users"))
+        .select(F.date_format("w.start", "HH:mm").alias("ws"), "n_users")
+    )
+    got = {r["ws"]: r["n_users"] for r in _drain(agg, output_mode="append").collect()}
+    # 10:00 window: users {1, 2, 3} — both duplicates collapsed.
+    # 12:00 sealed by the 13:30 event. 13:00 unsealed → not emitted.
+    assert got == {"10:00": 3, "12:00": 1}
