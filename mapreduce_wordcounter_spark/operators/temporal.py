@@ -928,3 +928,57 @@ def ev_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_journeys"), F.asc("path"))
         .limit(20)
     )
+
+
+@query(
+    "ev_gap_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id)) AS gap_us
+        FROM events)
+    SELECT event_type,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           ROUND(quantile_cont(gap_us, 0.5) / 1000000.0, 6) AS p50_gap_s,
+           ROUND(quantile_cont(gap_us, 0.9) / 1000000.0, 6) AS p90_gap_s,
+           ROUND(CAST(MAX(gap_us) AS DOUBLE) / 1000000.0, 6) AS max_gap_s
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def ev_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap distribution per (user, type) stream, rolled up
+    by type: median/p90/max gap in seconds — the stream-health
+    diagnostic that sizes session timeouts and watermark delays from
+    DATA instead of folklore (a watermark below the p90 arrival gap
+    drops real events; a session gap below the p50 shreds sessions).
+    Gaps are computed in integer microseconds (lag of epoch_us), so
+    the percentile inputs are exact integers on both engines.
+
+    Scale: one lag window on the (user, type) stream key, then a
+    |types|-cardinality exact percentile — at 100 TB swap for
+    percentile_approx, plan unchanged (agg_p90_approx posture)."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.round(F.expr("percentile(gap_us, 0.5)") / 1_000_000, 6).alias(
+            "p50_gap_s"
+        ),
+        F.round(F.expr("percentile(gap_us, 0.9)") / 1_000_000, 6).alias(
+            "p90_gap_s"
+        ),
+        F.round(F.max("gap_us").cast("double") / 1_000_000, 6).alias(
+            "max_gap_s"
+        ),
+    )

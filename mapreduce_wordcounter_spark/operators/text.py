@@ -2691,3 +2691,97 @@ def stratified_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .select("doc_id", "source", "rk")
     )
+
+
+@query(
+    "bigram_pmi_top50",
+    oracle=f"""
+    WITH tok AS ({_SQL_TOKEN_ROWS}),
+    uni AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c1
+            FROM tok GROUP BY word),
+    tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n FROM uni),
+    bg AS (
+        SELECT split_part(gram, ' ', 1) AS w1,
+               split_part(gram, ' ', 2) AS w2
+        FROM (
+            SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                         i -> toks[i] || ' ' || toks[i + 1]))
+                       AS gram
+            FROM (SELECT {_SQL_TOKS} AS toks FROM documents) d) g),
+    bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+           FROM bg GROUP BY w1, w2),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbg FROM bg),
+    top AS (
+        SELECT w1, w2, c12 FROM bc
+        ORDER BY c12 DESC, w1, w2 LIMIT 50)
+    SELECT t.w1, t.w2, t.c12,
+           ROUND(CAST(CAST(FLOOR(LN((CAST(t.c12 AS DOUBLE) / nb.nbg)
+                               / ((CAST(u1.c1 AS DOUBLE) / tot.n)
+                                  * (CAST(u2.c1 AS DOUBLE) / tot.n)))
+                            * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE)
+                 / 1000000.0, 6) AS pmi
+    FROM top t
+    JOIN uni u1 ON t.w1 = u1.word
+    JOIN uni u2 ON t.w2 = u2.word
+    CROSS JOIN tot CROSS JOIN nb
+    """,
+)
+def bigram_pmi_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information for the 50 most frequent bigrams:
+    PMI = ln(p(w1,w2) / (p(w1)·p(w2))) — the lexical-association score
+    that separates collocations ('machine learning') from coincidences
+    of two frequent words. The ln is applied AFTER the top-50 cut, so
+    the transcendental touches 50 rows; each value is micro-quantized
+    (the zipf posture, margin measured by
+    tests/test_quantization_margin.py).
+
+    Scale: unigram and bigram count relations are vocab-bounded; the
+    top-50 is a TakeOrdered over the bigram counts; the PMI join
+    touches 50 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    uni = tokens(spark, sf_dir).groupBy("word").agg(
+        F.count("*").alias("c1")
+    )
+    tot = uni.agg(F.sum("c1").alias("n"))
+    bg = (
+        docs.select(_toks_col().alias("toks"))
+        .select(
+            F.explode(
+                F.when(
+                    F.size("toks") >= 2,
+                    F.expr(
+                        "transform(sequence(1, size(toks) - 1),"
+                        " i -> struct(element_at(toks, i) AS w1,"
+                        "             element_at(toks, i + 1) AS w2))"
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<w1:string,w2:string>>")
+                )
+            ).alias("g")
+        )
+        .select("g.w1", "g.w2")
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    nb = bc.agg(F.sum("c12").alias("nbg"))
+    top = bc.orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2")).limit(50)
+    u1 = uni.select(F.col("word").alias("w1"), F.col("c1").alias("ca"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("c1").alias("cb"))
+    pmi_raw = F.log(
+        (F.col("c12").cast("double") / F.col("nbg"))
+        / (
+            (F.col("ca").cast("double") / F.col("n"))
+            * (F.col("cb").cast("double") / F.col("n"))
+        )
+    )
+    pmi = F.round(
+        F.floor(pmi_raw * 1_000_000 + F.lit(0.5)).cast("long").cast("double")
+        / 1_000_000,
+        6,
+    )
+    return (
+        top.join(u1, "w1")
+        .join(u2, "w2")
+        .join(F.broadcast(tot))
+        .join(F.broadcast(nb))
+        .select("w1", "w2", "c12", pmi.alias("pmi"))
+    )

@@ -59,6 +59,7 @@ _ALLOWED_BOUNDED_BNLJ = {
     "doc_bigram_logprob",  # 1-row vocab-size scalar onto the bigram model
     "skew_top_keys",  # 1-row total scalar onto the 5-row top-k
     "source_lang_chisq",  # 1-row chi-square scalar joined onto 1-row dims
+    "bigram_pmi_top50",  # two 1-row totals scalars onto the 50-row top list
 }
 
 # The deliberately-Python surface: the real UDTF twin of the native

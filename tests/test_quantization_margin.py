@@ -170,3 +170,37 @@ def test_bigram_logprob_terms_clear_quantization_boundaries(duck):
     v = rows["v"].astype(np.float64)
     term = np.log((c12 + 1.0) / (c1 + v))
     assert _min_margin(term * 1e6) > 1.0
+
+
+def test_pmi_terms_clear_quantization_boundaries(duck):
+    rows = duck.execute(
+        """
+        WITH tok AS (
+            SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                '[^\\p{L}]+'), x -> x <> '')) AS word FROM documents),
+        uni AS (SELECT word, COUNT(*) AS c1 FROM tok GROUP BY word),
+        tot AS (SELECT SUM(c1) AS n FROM uni),
+        bg AS (
+            SELECT split_part(gram, ' ', 1) AS w1,
+                   split_part(gram, ' ', 2) AS w2
+            FROM (
+                SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS gram
+                FROM (SELECT list_filter(regexp_split_to_array(lower(text),
+                          '[^\\p{L}]+'), x -> x <> '') AS toks
+                      FROM documents) d) g),
+        bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+        nb AS (SELECT COUNT(*) AS nbg FROM bg),
+        top AS (SELECT w1, w2, c12 FROM bc ORDER BY c12 DESC, w1, w2 LIMIT 50)
+        SELECT t.c12, u1.c1 AS ca, u2.c1 AS cb,
+               (SELECT n FROM tot) AS n, (SELECT nbg FROM nb) AS nbg
+        FROM top t JOIN uni u1 ON t.w1 = u1.word JOIN uni u2 ON t.w2 = u2.word
+        """
+    ).fetchnumpy()
+    c12 = rows["c12"].astype(np.float64)
+    ca = rows["ca"].astype(np.float64)
+    cb = rows["cb"].astype(np.float64)
+    n = rows["n"].astype(np.float64)
+    nbg = rows["nbg"].astype(np.float64)
+    term = np.log((c12 / nbg) / ((ca / n) * (cb / n)))
+    assert _min_margin(term * 1e6) > 1.0
