@@ -2289,3 +2289,97 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice"), "total_revenue"),
         )
     )
+
+
+@query(
+    "sql_pipe_q",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_pipe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sql_api_q restated in Spark 4's SQL PIPE syntax (`|>`): the
+    linear FROM → WHERE → AGGREGATE form that reads in execution order
+    — same Catalyst plan, third authoring surface (DataFrame, classic
+    SQL, pipe SQL) pinned to one oracle."""
+    ensure_utc(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_pv")
+    return spark.sql(
+        """
+        FROM orders_pv
+        |> WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 1000000.0 + 0.5)
+                                   AS BIGINT)) AS DOUBLE) / 1000000.0
+                         AS sum_price
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n_orders, sum_price
+        """
+    )
+
+
+@query(
+    "join_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey
+             LIMIT 2) o
+    """,
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer via a correlated LATERAL subquery —
+    the SQL form of the per-group top-k that window_topk_per_group
+    states with row_number. Catalyst decorrelates the LIMIT into a
+    rank-based plan, so the two surfaces converge to the same
+    physical shape (no per-customer re-execution).
+
+    Scale: decorrelation rewrites this to join + windowed rank on
+    o_custkey — one shuffle on the correlation key."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_lv"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_lv")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer_lv c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lv o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 LIMIT 2) o
+        """
+    )
+
+
+@query(
+    "sql_parameterized",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    WHERE value >= 150.0
+    GROUP BY event_type
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4 named-parameter binding): the
+    threshold arrives as a bound `:minv` parameter, not a formatted
+    literal — the injection-safe templating a query service needs.
+    Plan-identical to the literal form: the binder substitutes before
+    Catalyst sees the query."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_pv")
+    return spark.sql(
+        """
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events_pv
+        WHERE value >= :minv
+        GROUP BY event_type
+        """,
+        args={"minv": 150.0},
+    )
