@@ -2131,20 +2131,27 @@ def trigram_index_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     pat_tris = sorted(
         {_TRGM_PATTERN[i : i + 3] for i in range(len(_TRGM_PATTERN) - 2)}
     )
+    # array_intersect BEFORE the explode: the probe only ever reads
+    # the pattern's posting rows, so generate exactly those — ≤
+    # |pattern|-2 rows per doc instead of ~|text| (1.2× on the whole
+    # query at sf0.1 — trigram STRING construction, not the explode,
+    # is the remaining cost; an at-rest index pays it once at build).
+    # array_intersect also dedups, matching the DISTINCT posting grain.
+    pat_arr = F.array(*[F.lit(t) for t in pat_tris])
     posting = docs.select(
         "doc_id",
         F.explode(
-            F.array_distinct(
+            F.array_intersect(
                 F.expr(
                     "transform(sequence(1, length(lower(text)) - 2),"
                     " i -> substring(lower(text), i, 3))"
-                )
+                ),
+                pat_arr,
             )
         ).alias("tri"),
     )
     cand = (
-        posting.filter(F.col("tri").isin(*pat_tris))
-        .groupBy("doc_id")
+        posting.groupBy("doc_id")
         .agg(F.count("*").alias("n_tri"))
         .filter(F.col("n_tri") == len(pat_tris))
         .select("doc_id")
