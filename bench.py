@@ -89,6 +89,13 @@ HEADLINE = [
     "bpe_top_pairs",
     "ev_type_transitions",
     "stream_distinct_users_live",
+    # round 4, third wave: communities, link prediction, journeys, SQL surfaces
+    "graph_label_propagation",
+    "graph_common_neighbors",
+    "ev_top_paths",
+    "ev_anomaly_mad",
+    "bigram_pmi_top50",
+    "stream_pyds_wordcount",
 ]
 
 
