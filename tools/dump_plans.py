@@ -111,6 +111,21 @@ SHOWCASE = [
     "ev_type_transitions",
     "ev_distinct_users_hourly",
     "source_gated_docs",
+    # round 4, third wave
+    "graph_label_propagation",
+    "graph_common_neighbors",
+    "ev_top_paths",
+    "ev_anomaly_mad",
+    "ev_gap_stats",
+    "ev_rolling_stats",
+    "bigram_pmi_top50",
+    "doc_keywords_top3",
+    "join_bucketed_colocated",
+    "join_lateral_topn",
+    "sql_pipe_q",
+    "mm_features_arrow",
+    "source_lang_chisq",
+    "stratified_topk_sample",
 ]
 
 SF = "/root/testdata/sf0.01"
