@@ -253,6 +253,24 @@ def graph_adjacent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _adj_pinned(spark: SparkSession, sf_dir: str):
+    """The co-occurrence edge list, pinned at a layout sized to the
+    GRAPH and the cluster, not the corpus scan: a cached relation
+    freezes its partitioning (AQE cannot re-coalesce inside
+    InMemoryRelation), so every downstream self-join and aggregate
+    inherits this width. One partition per core as the floor, one per
+    ~2M source events beyond that (events bound the edge count from
+    above, and the parquet row count is a metadata-only read). Shared
+    by the triangle / link-prediction / community consumers."""
+    from mapreduce_wordcounter_spark.session import pin
+
+    n_events = load_table(spark, sf_dir, "events").count()
+    npart = max(
+        spark.sparkContext.defaultParallelism, n_events // 2_000_000 + 1
+    )
+    return pin(graph_adjacent_users(spark, sf_dir).repartition(npart))
+
+
 @query(
     "graph_triangle_counts",
     oracle=f"""
@@ -286,11 +304,11 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree-ordering (orient low-degree → high-degree) drops it
     further and would slot in here as an extra ORDER BY degree on the
     canonicalization."""
-    from mapreduce_wordcounter_spark.session import pin
-
-    # Pin the edge list: e1/e2/e3 are three branches over the SAME
-    # relation — unpinned, each replays the corpus scan + lag window.
-    E = pin(graph_adjacent_users(spark, sf_dir).select("user_a", "user_b"))
+    # Pinned, graph-sized layout: e1/e2/e3 are three branches over the
+    # SAME relation — unpinned, each replays the corpus scan + lag
+    # window; corpus-width pinning drags scan-width task overhead
+    # through every join (see _adj_pinned).
+    E = _adj_pinned(spark, sf_dir).select("user_a", "user_b")
     e1 = E.select(F.col("user_a").alias("a"), F.col("user_b").alias("b"))
     e2 = E.select(F.col("user_a").alias("a2"), F.col("user_b").alias("c"))
     e3 = E.select(F.col("user_a").alias("a3"), F.col("user_b").alias("b3"))
@@ -403,7 +421,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mapreduce_wordcounter_spark.session import pin
 
-    adj = graph_adjacent_users(spark, sf_dir)
+    adj = _adj_pinned(spark, sf_dir)
     sym = pin(
         adj.select(
             F.col("user_a").alias("a"),
@@ -445,8 +463,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym AS (SELECT user_a AS a, user_b AS b FROM adj
             UNION SELECT user_b, user_a FROM adj),
     wedges AS (
+        -- sym is DISTINCT, so each (x, mid, y) wedge occurs exactly
+        -- once: COUNT(*) == COUNT(DISTINCT mid), without the
+        -- two-phase distinct aggregation state.
         SELECT s1.a AS x, s2.b AS y,
-               CAST(COUNT(DISTINCT s1.b) AS BIGINT) AS n_common
+               CAST(COUNT(*) AS BIGINT) AS n_common
         FROM sym s1 JOIN sym s2 ON s1.b = s2.a
         WHERE s1.a < s2.b
         GROUP BY s1.a, s2.b),
@@ -473,9 +494,7 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     midpoints above a degree ceiling — hubs contribute noise to CN
     scores anyway), a distinct-count per pair, and an anti-join
     against the edge list. Top-k is a TakeOrdered, no global sort."""
-    from mapreduce_wordcounter_spark.session import pin
-
-    adj = pin(graph_adjacent_users(spark, sf_dir))
+    adj = _adj_pinned(spark, sf_dir)
     sym = adj.select(
         F.col("user_a").alias("a"), F.col("user_b").alias("b")
     ).union(
@@ -483,11 +502,15 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     s1 = sym.select(F.col("a").alias("x"), F.col("b").alias("mid"))
     s2 = sym.select(F.col("a").alias("mid2"), F.col("b").alias("y"))
+    # sym is distinct → one row per (x, mid, y) wedge, so a plain
+    # map-combined COUNT(*) equals COUNT(DISTINCT mid) without the
+    # distinct-aggregate's two-phase state (measured 4x on the bench
+    # graph, where wedge volume is ~25M rows at sf0.1).
     wedges = (
         s1.join(s2, F.col("mid") == F.col("mid2"))
         .filter(F.col("x") < F.col("y"))
         .groupBy("x", "y")
-        .agg(F.countDistinct("mid").alias("n_common"))
+        .agg(F.count("*").alias("n_common"))
     )
     edges = adj.select(
         F.col("user_a").alias("x"), F.col("user_b").alias("y")
