@@ -41,7 +41,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from mapreduce_wordcounter_spark.operators.dedup import _DUCK_MD5H, _SPARK_MD5H
-from mapreduce_wordcounter_spark.registry import query
+from mapreduce_wordcounter_spark.registry import ORACLE, query
 from mapreduce_wordcounter_spark.tables import load_table
 
 N_QUERIES = 5  # vec_id < 5 are the benchmark query vectors
@@ -1322,3 +1322,124 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "vec_id", "cosine")
     )
+
+
+@query(
+    "embedding_centroid_shift",
+    oracle=f"""
+    WITH lv AS ({_DUCK_LONG}),
+    ca AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1000000.0 / COUNT(*) AS c
+        FROM lv WHERE vec_id % 2 = 0 GROUP BY label, pos),
+    cb AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1000000.0 / COUNT(*) AS c
+        FROM lv WHERE vec_id % 2 = 1 GROUP BY label, pos),
+    d AS (
+        SELECT ca.label,
+               CAST(FLOOR((ca.c - cb.c) * (ca.c - cb.c) * 1000000.0 + 0.5)
+                    AS BIGINT) AS q
+        FROM ca JOIN cb ON ca.label = cb.label AND ca.pos = cb.pos)
+    SELECT label,
+           ROUND(sqrt(CAST(SUM(q) AS BIGINT) / 1000000.0), 6) AS l2_shift
+    FROM d GROUP BY label
+    """,
+)
+def embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-drift monitor: per-label L2 distance between the
+    centroids of two deterministic halves of the corpus (vec_id
+    parity stands in for yesterday/today snapshots) — the check that
+    catches a silently retrained or corrupted embedding model before
+    it poisons the ANN index. Means are micro-quantized sums
+    (order-exact); the squared diffs are again quantized before the
+    per-label sum; sqrt is a correctly-rounded IEEE op, so parity is
+    exact with no margin caveat.
+
+    Scale: two passes over the long-form relation keyed on (label,
+    pos) — dimension×label cardinality aggregates, broadcast-sized
+    everywhere."""
+    lv = _spark_long(spark, sf_dir)
+
+    def centroid(par: int) -> DataFrame:
+        return (
+            lv.filter(F.col("vec_id") % 2 == par)
+            .groupBy("label", "pos")
+            .agg(
+                (
+                    F.sum(
+                        F.floor(F.col("x") * 1_000_000 + F.lit(0.5)).cast(
+                            "long"
+                        )
+                    ).cast("double")
+                    / 1_000_000
+                    / F.count("*")
+                ).alias("c")
+            )
+        )
+
+    ca = centroid(0).select("label", "pos", F.col("c").alias("c_a"))
+    cb = centroid(1).select("label", "pos", F.col("c").alias("c_b"))
+    diff = F.col("c_a") - F.col("c_b")
+    q = F.floor(diff * diff * 1_000_000 + F.lit(0.5)).cast("long")
+    return (
+        ca.join(cb, ["label", "pos"])
+        .select("label", q.alias("q"))
+        .groupBy("label")
+        .agg(
+            F.round(
+                F.sqrt(F.sum("q").cast("double") / 1_000_000), 6
+            ).alias("l2_shift")
+        )
+    )
+
+
+@query(
+    "ann_ivf_recall",
+    oracle="""
+    WITH brute AS ({b}),
+    ivf AS ({i}),
+    hits AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM brute b JOIN ivf i
+          ON b.query_id = i.query_id AND b.vec_id = i.vec_id),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_brute FROM brute)
+    SELECT n_hits, n_brute,
+           ROUND(CAST(n_hits AS DOUBLE) / n_brute, 6) AS recall
+    FROM hits CROSS JOIN tot
+    """,
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality as a first-class query: recall of the trained-IVF
+    index against the exact brute-force baseline over the registered
+    query set — the eval every production ANN deployment runs on a
+    sampled query stream before/after each index rebuild
+    (tests/test_similarity_quality.py gates the same number ≥ 0.9 at
+    test time; this exposes it to the pipeline).
+
+    Scale: both sides are top-k relations (|queries|·k rows); the
+    intersection join and the scalars are trivial next to the index
+    probe itself."""
+    brute = knn_brute_cosine(spark, sf_dir).select("query_id", "vec_id")
+    ivf = ann_ivf_topk(spark, sf_dir).select("query_id", "vec_id")
+    hits = brute.join(ivf, ["query_id", "vec_id"]).agg(
+        F.count("*").alias("n_hits")
+    )
+    tot = brute.agg(F.count("*").alias("n_brute"))
+    return (
+        hits.join(F.broadcast(tot))
+        .select(
+            "n_hits",
+            "n_brute",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_brute"), 6
+            ).alias("recall"),
+        )
+    )
+
+
+ORACLE["ann_ivf_recall"] = ORACLE["ann_ivf_recall"].format(
+    b=ORACLE["knn_brute_cosine"], i=ORACLE["ann_ivf_topk"]
+)

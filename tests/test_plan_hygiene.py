@@ -32,6 +32,7 @@ _ALLOWED_QUADRATIC = {
     "dedup_components_canonical",  # reuses the jaccard exact baseline as edge input
     "dedup_cluster_sizes",  # histogram over the same CC labeling
     "knn_brute_cosine",  # broadcast-queries x corpus scan: the exactness oracle
+    "ann_ivf_recall",  # contains the brute baseline by definition (recall eval)
     "lsh_verified_pairs",  # verification reuses the jaccard-pair shape on candidates
 }
 
