@@ -2383,3 +2383,174 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"minv": 150.0},
     )
+
+
+@query(
+    "orders_rfm_segments",
+    oracle=f"""
+    WITH m AS (
+        SELECT o_custkey,
+               MAX(o_orderdate) AS last_order,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               {sql_dsum('o_totalprice', 'monetary')}
+        FROM orders GROUP BY o_custkey),
+    scored AS (
+        SELECT o_custkey, frequency, monetary,
+               NTILE(5) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+               NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+               NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS mny
+        FROM m)
+    SELECT o_custkey, frequency, monetary, r, f, mny,
+           CASE WHEN r = 1 AND f = 1 THEN 'champion'
+                WHEN r = 1 THEN 'recent'
+                WHEN f = 1 THEN 'loyal'
+                WHEN r = 5 AND f = 5 THEN 'lost'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency / frequency / monetary
+    quintiles (NTILE over a TOTAL order — custkey breaks every tie, so
+    bucket boundaries are engine-exact) plus the classic segment
+    labels. The monetary sum rides the micro-quantized path.
+
+    Scale: one groupBy over orders to customer grain, then three rank
+    windows over the customer relation. Unpartitioned NTILE serializes
+    at 10⁹ customers — production splits the quintile computation into
+    a two-pass approx-percentile cut (same labels, no total sort);
+    registered form keeps the exact semantics the oracle can state."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    m = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        dsum(F.col("o_totalprice"), "monetary"),
+    )
+    r = F.ntile(5).over(W.orderBy(F.desc("last_order"), F.asc("o_custkey")))
+    f_ = F.ntile(5).over(W.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+    mny = F.ntile(5).over(W.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+    scored = m.select(
+        "o_custkey", "frequency", "monetary",
+        r.alias("r"), f_.alias("f"), mny.alias("mny"),
+    )
+    seg = (
+        F.when((F.col("r") == 1) & (F.col("f") == 1), "champion")
+        .when(F.col("r") == 1, "recent")
+        .when(F.col("f") == 1, "loyal")
+        .when((F.col("r") == 5) & (F.col("f") == 5), "lost")
+        .otherwise("regular")
+    )
+    return scored.select(
+        "o_custkey", "frequency", "monetary", "r", "f", "mny",
+        seg.alias("segment"),
+    )
+
+
+@query(
+    "lineitem_abc_analysis",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                   * 1000000.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_micro
+        FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT CAST(SUM(rev_micro) AS BIGINT) AS t FROM rev),
+    ranked AS (
+        SELECT l_partkey, rev_micro,
+               SUM(rev_micro) OVER (ORDER BY rev_micro DESC, l_partkey
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+        FROM rev)
+    SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(CAST(SUM(rev_micro) AS BIGINT) / 1000000.0, 6) AS revenue
+    FROM (
+        SELECT l_partkey, rev_micro,
+               CASE WHEN 100 * cum <= 80 * (SELECT t FROM tot) THEN 'A'
+                    WHEN 100 * cum <= 95 * (SELECT t FROM tot) THEN 'B'
+                    ELSE 'C' END AS cls
+        FROM ranked) c
+    GROUP BY cls
+    """,
+)
+def lineitem_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) revenue classification of parts: cumulative-share
+    cutoffs at 80% / 95%, computed entirely in integer micro-units —
+    the running sum, the total, and the threshold comparisons
+    (100·cum ≤ 80·t) are all int64, so the class boundaries cannot
+    drift between engines.
+
+    Scale: part-grain aggregate, then one unpartitioned running-sum
+    window over the PART relation (parts ≪ lineitems; at larger part
+    counts the standard fix is a two-pass range-partitioned cumsum)."""
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            quantize(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("rev_micro")
+    )
+    tot = rev.agg(F.sum("rev_micro").alias("t"))
+    w = W.orderBy(F.desc("rev_micro"), F.asc("l_partkey")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ranked = rev.withColumn("cum", F.sum("rev_micro").over(w))
+    cls = (
+        F.when(100 * F.col("cum") <= 80 * F.col("t"), "A")
+        .when(100 * F.col("cum") <= 95 * F.col("t"), "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.join(F.broadcast(tot))
+        .select(cls.alias("cls"), "rev_micro")
+        .groupBy("cls")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.sum("rev_micro").cast("double") / 1_000_000, 6).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@query(
+    "experiment_assignment_lift",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT event_type, value,
+               CASE WHEN (CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                1, 15)) AS BIGINT)) % 2 = 0
+                    THEN 'A' ELSE 'B' END AS arm
+        FROM events)
+    SELECT event_type, arm, CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_davg('value', 'mean_value')}
+    FROM assigned GROUP BY event_type, arm
+    """,
+)
+def experiment_assignment_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based A/B assignment + per-arm outcome means: the
+    product-analytics primitive — deterministic unit-of-randomization
+    hashing (user_id → arm via the repo's portable md5-prefix
+    construction, dedup.py's _SPARK_MD5H/_DUCK_MD5H pair) followed by
+    guardrail metrics per arm. Engine-native hashes (xxhash64 vs
+    DuckDB hash()) deliberately avoided: they disagree across engines,
+    which is exactly the bug this portable split exists to prevent.
+
+    Scale: per-row hash projection + one map-combined groupBy — the
+    assignment never shuffles the corpus."""
+    e = load_table(spark, sf_dir, "events")
+    arm_hash = F.expr(
+        "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10)"
+        " as bigint)"
+    )
+    arm = F.when(arm_hash % 2 == 0, "A").otherwise("B")
+    return (
+        e.select("event_type", "value", arm.alias("arm"))
+        .groupBy("event_type", "arm")
+        .agg(
+            F.count("*").alias("n"),
+            davg(F.col("value"), "mean_value"),
+        )
+    )

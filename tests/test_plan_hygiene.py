@@ -61,6 +61,7 @@ _ALLOWED_BOUNDED_BNLJ = {
     "skew_top_keys",  # 1-row total scalar onto the 5-row top-k
     "source_lang_chisq",  # 1-row chi-square scalar joined onto 1-row dims
     "bigram_pmi_top50",  # two 1-row totals scalars onto the 50-row top list
+    "lineitem_abc_analysis",  # 1-row revenue-total scalar onto the part ranks
 }
 
 # The deliberately-Python surface: the real UDTF twin of the native
