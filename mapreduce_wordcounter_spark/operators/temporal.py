@@ -982,3 +982,144 @@ def ev_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_gap_s"
         ),
     )
+
+
+@query(
+    "ev_rolling_zscore",
+    oracle="""
+    WITH q AS (
+        SELECT event_id, user_id,
+               CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS v,
+               CAST(FLOOR(value * value * 1000000.0 + 0.5) AS BIGINT) AS v2
+        FROM events),
+    w AS (
+        SELECT event_id, user_id,
+               CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS v,
+               SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) OVER win
+                   AS s1,
+               SUM(CAST(FLOOR(value * value * 1000000.0 + 0.5) AS BIGINT))
+                   OVER win AS s2,
+               COUNT(*) OVER win AS n
+        FROM events
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id,
+           ROUND((CAST(v AS DOUBLE) / 1000000.0
+                  - CAST(s1 AS DOUBLE) / 1000000.0 / n)
+                 / sqrt(CAST(s2 AS DOUBLE) / 1000000.0 / n
+                        - (CAST(s1 AS DOUBLE) / 1000000.0 / n)
+                          * (CAST(s1 AS DOUBLE) / 1000000.0 / n)), 6)
+               AS zscore
+    FROM w
+    WHERE n >= 2
+      AND CAST(s2 AS DOUBLE) / 1000000.0 / n
+          - (CAST(s1 AS DOUBLE) / 1000000.0 / n)
+            * (CAST(s1 AS DOUBLE) / 1000000.0 / n) > 0
+    """,
+)
+def ev_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score over the last 5 events per user — the online
+    anomaly feature (is THIS value unusual for THIS user lately?).
+    Rolling mean and variance come from micro-quantized Σx and Σx²
+    int64 window sums (order-exact); the downstream mean/variance/
+    sqrt arithmetic is identical correctly-rounded IEEE on both
+    engines, so parity is exact. Degenerate windows (n<2 or zero
+    variance) are excluded by the same integer-derived predicate on
+    both sides.
+
+    Scale: one window shuffle on user_id, two int64 running sums —
+    the ev_rolling_stats plan with one more accumulator."""
+    from pyspark.sql import Window as W
+
+    from mapreduce_wordcounter_spark.functions.numeric import quantize
+
+    e = load_table(spark, sf_dir, "events")
+    win = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, W.currentRow)
+    )
+    v = quantize(F.col("value"))
+    v2 = quantize(F.col("value") * F.col("value"))
+    w = e.select(
+        "event_id",
+        "user_id",
+        v.alias("v"),
+        F.sum(v).over(win).alias("s1"),
+        F.sum(v2).over(win).alias("s2"),
+        F.count("*").over(win).alias("n"),
+    )
+    mean = F.col("s1").cast("double") / 1_000_000 / F.col("n")
+    var = F.col("s2").cast("double") / 1_000_000 / F.col("n") - mean * mean
+    return (
+        w.filter((F.col("n") >= 2) & (var > 0))
+        .select(
+            "event_id",
+            "user_id",
+            F.round(
+                (F.col("v").cast("double") / 1_000_000 - mean) / F.sqrt(var),
+                6,
+            ).alias("zscore"),
+        )
+    )
+
+
+@query(
+    "ev_first_touch",
+    oracle="""
+    WITH f AS (
+        SELECT user_id,
+               arg_min(event_type,
+                       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '-'
+                       || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+                   AS first_type
+        FROM events GROUP BY user_id),
+    conv AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT f.first_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_converted,
+           ROUND(CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS conv_rate
+    FROM f LEFT JOIN conv c ON f.user_id = c.user_id
+    GROUP BY f.first_type
+    """,
+)
+def ev_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each user's earliest event type
+    ((ts, event_id)-deterministic argmin) crossed with whether they
+    ever purchased — the marketing-analytics rollup that assigns
+    conversions to acquisition channels.
+
+    Scale: one min_by aggregate per user + a distinct-purchasers
+    semi-relation joined at user grain — both user-cardinality; the
+    event stream is read once each."""
+    ensure_utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    # Composite chronological key as a lexicographic string: DuckDB's
+    # arg_min has no struct-key overload, and zero-padded
+    # "timestamp-event_id" sorts identically on both engines.
+    f = e.groupBy("user_id").agg(
+        F.expr(
+            "min_by(event_type, concat(date_format(ts,"
+            " 'yyyy-MM-dd HH:mm:ss.SSSSSS'), '-',"
+            " lpad(cast(event_id as string), 12, '0')))"
+        ).alias("first_type")
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    joined = f.join(conv, "user_id", "left")
+    return joined.groupBy("first_type").agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.coalesce(F.col("converted"), F.lit(0))).alias("n_converted"),
+        F.round(
+            F.sum(F.coalesce(F.col("converted"), F.lit(0))).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("conv_rate"),
+    )
