@@ -525,3 +525,70 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_common"), F.asc("user_a"), F.asc("user_b"))
         .limit(20)
     )
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH adj AS ({_SQL_ADJ}),
+    sym AS (SELECT user_a AS a, user_b AS b FROM adj
+            UNION SELECT user_b, user_a FROM adj),
+    deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY a),
+    ed AS (
+        SELECT da.d AS x, db.d AS y
+        FROM sym e JOIN deg da ON e.a = da.a JOIN deg db ON e.b = db.a),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM ed)
+    SELECT m,
+           ROUND((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(m AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)), 6) AS assortativity
+    FROM s
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity: Pearson correlation of (deg(u), deg(v))
+    over directed edge endpoints — one scalar separating hub-to-hub
+    graphs (positive, social networks) from hub-to-leaf (negative,
+    web/bot topologies). Every moment is an exact int64 sum of integer
+    degrees; the final formula is identical correctly-rounded IEEE
+    arithmetic on both engines — exact parity, no margin caveat.
+
+    Scale: two broadcast-able joins of the degree relation onto the
+    edge list, then a single map-combined moment aggregate — one pass
+    over edges."""
+    adj = _adj_pinned(spark, sf_dir)
+    sym = adj.select(
+        F.col("user_a").alias("a"), F.col("user_b").alias("b")
+    ).union(
+        adj.select(F.col("user_b").alias("a"), F.col("user_a").alias("b"))
+    ).distinct()
+    deg = sym.groupBy("a").agg(F.count("*").alias("d"))
+    da = deg.select(F.col("a"), F.col("d").alias("x"))
+    db = deg.select(F.col("a").alias("b2"), F.col("d").alias("y"))
+    ed = sym.join(da, "a").join(db, sym["b"] == db["b2"]).select("x", "y")
+    s = ed.agg(
+        F.count("*").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("m").cast("double") * F.col("sxy") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    den = F.sqrt(
+        F.col("m").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    ) * F.sqrt(
+        F.col("m").cast("double") * F.col("syy")
+        - F.col("sy").cast("double") * F.col("sy")
+    )
+    return s.select("m", F.round(num / den, 6).alias("assortativity"))

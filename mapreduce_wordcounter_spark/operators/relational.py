@@ -2554,3 +2554,86 @@ def experiment_assignment_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg(F.col("value"), "mean_value"),
         )
     )
+
+
+@query(
+    "part_affinity_lift",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM lineitem),
+    pk AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_ord
+           FROM li GROUP BY l_partkey),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING COUNT(*) >= 2)
+    SELECT p.part_a, p.part_b, p.n_both,
+           ROUND(CAST(p.n_both AS DOUBLE) * n.n_orders
+                 / (pa.n_ord * pb.n_ord), 6) AS lift
+    FROM pairs p
+    JOIN pk pa ON p.part_a = pa.l_partkey
+    JOIN pk pb ON p.part_b = pb.l_partkey
+    CROSS JOIN n
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: the 20 part pairs with the
+    highest lift (P(A∧B) / P(A)·P(B)) among pairs co-ordered at least
+    twice — the recommendation primitive. The pair join is WITHIN
+    order (a.l_orderkey = b.l_orderkey, a < b), so fan-out is bounded
+    by basket size² (≤ 7 items per TPC-H order), linear in lineitems —
+    never a part×part cross.
+
+    Scale: one distinct projection, the basket-bounded self-join on
+    orderkey (co-partitioned — one shuffle), vocabulary-sized support
+    relations broadcast back, TakeOrdered top-k. The min-support
+    HAVING is what keeps the pair relation sparse at scale (classic
+    a-priori pruning)."""
+    from pyspark.sql import Window as W  # noqa: F401  (module convention)
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = _t(spark, sf_dir, "lineitem").agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    pk = li.groupBy("l_partkey").agg(F.count("*").alias("n_ord"))
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, (F.col("l_orderkey") == F.col("ok2")))
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    pa = pk.select(F.col("l_partkey").alias("part_a"), F.col("n_ord").alias("na"))
+    pb = pk.select(F.col("l_partkey").alias("part_b"), F.col("n_ord").alias("nb"))
+    return (
+        pairs.join(pa, "part_a")
+        .join(pb, "part_b")
+        .join(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("n_orders")
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )

@@ -62,6 +62,7 @@ _ALLOWED_BOUNDED_BNLJ = {
     "source_lang_chisq",  # 1-row chi-square scalar joined onto 1-row dims
     "bigram_pmi_top50",  # two 1-row totals scalars onto the 50-row top list
     "lineitem_abc_analysis",  # 1-row revenue-total scalar onto the part ranks
+    "part_affinity_lift",  # 1-row order-count scalar onto the pair lifts
 }
 
 # The deliberately-Python surface: the real UDTF twin of the native
