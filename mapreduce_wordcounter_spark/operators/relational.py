@@ -2637,3 +2637,34 @@ def part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
         .limit(20)
     )
+
+
+@query(
+    "join_hinted_shuffle_hash",
+    oracle=f"""
+    SELECT o_orderstatus, {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+           COUNT(*) AS n_items
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def join_hinted_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join_fact_revenue under an explicit SHUFFLE_HASH hint — the
+    fourth join strategy (broadcast-hash, sort-merge, and the bounded
+    nested-loop cases are showcased elsewhere). Shuffled-hash beats
+    sort-merge when one side is much smaller than the other but too
+    big to broadcast: it skips both sort phases and builds a hash map
+    per partition. The trade is memory — the build side PARTITION must
+    fit in executor memory (no graceful sort-merge spill), which is
+    why Spark doesn't pick it by default and why the hint exists.
+    Pinned to ShuffledHashJoin at plan time by tests/test_plans.py."""
+    o = _t(spark, sf_dir, "orders").hint("shuffle_hash")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )

@@ -111,7 +111,11 @@ def all_queries() -> dict[str, QueryFn]:
     """Import every operator module (side effect: registration) and
     return the full query dict, DRIVER_WINDOW entries first."""
     # Imports deferred so `import mapreduce_wordcounter_spark` stays cheap.
-    from mapreduce_wordcounter_spark.functions import udaf, udtf  # noqa: F401
+    from mapreduce_wordcounter_spark.functions import (  # noqa: F401
+        arrow_udf,
+        udaf,
+        udtf,
+    )
     from mapreduce_wordcounter_spark.operators import (  # noqa: F401
         dedup,
         graph,

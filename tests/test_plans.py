@@ -200,3 +200,30 @@ def test_runtime_bloom_filter_injects_when_broadcast_impossible(spark):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             saved_scan,
         )
+
+
+def test_shuffle_hash_hint_is_honored(spark):
+    """join_hinted_shuffle_hash must plan a ShuffledHashJoin — the
+    hint, not the optimizer's default (SMJ or broadcast), decides."""
+    from mapreduce_wordcounter_spark.operators.relational import (
+        join_hinted_shuffle_hash,
+    )
+    from mapreduce_wordcounter_spark.plans.inspect import physical_plan
+    from tests.conftest import SF_ORACLE
+
+    plan = physical_plan(join_hinted_shuffle_hash(spark, SF_ORACLE))
+    assert "ShuffledHashJoin" in plan, plan
+
+
+def test_arrow_udf_plans_arrow_not_row_python(spark):
+    """udf_arrow_vowel_ratio must run as ArrowEvalPython — the scalar
+    useArrow path — never the row-at-a-time BatchEvalPython."""
+    from mapreduce_wordcounter_spark.functions.arrow_udf import (
+        udf_arrow_vowel_ratio,
+    )
+    from mapreduce_wordcounter_spark.plans.inspect import physical_plan
+    from tests.conftest import SF_ORACLE
+
+    plan = physical_plan(udf_arrow_vowel_ratio(spark, SF_ORACLE))
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
