@@ -38,6 +38,19 @@ _GUARDED = [
     "minhash_signatures",
     "ev_resample_ffill",
     "ev_interpolate_linear",
+    # round 4, later waves: short-doc bigram guards, sparse-graph
+    # degenerate cases (empty wedge/triangle sets), tiny rank windows
+    "doc_bigram_logprob",
+    "bigram_pmi_top50",
+    "bpe_top_pairs",
+    "graph_pagerank",
+    "graph_triangle_counts",
+    "graph_common_neighbors",
+    "graph_label_propagation",
+    "ev_rolling_zscore",
+    "ev_top_paths",
+    "ev_first_touch",
+    "part_affinity_lift",
 ]
 
 
