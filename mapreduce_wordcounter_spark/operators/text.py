@@ -2792,3 +2792,71 @@ def bigram_pmi_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nb))
         .select("w1", "w2", "c12", pmi.alias("pmi"))
     )
+
+
+@query(
+    "doc_token_ids",
+    oracle=f"""
+    WITH vocab AS (
+        SELECT word, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, word)
+                          AS BIGINT) AS id
+        FROM (SELECT word, COUNT(*) AS cnt FROM ({_SQL_TOKEN_ROWS}) t
+              GROUP BY word ORDER BY cnt DESC, word LIMIT 1000) v),
+    pos AS (
+        SELECT d.doc_id, i AS pos, d.toks[i] AS word
+        FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents) d,
+             LATERAL (SELECT unnest(generate_series(1,
+                          LEAST(len(d.toks), 32))) AS i) g),
+    mapped AS (
+        SELECT p.doc_id, p.pos, COALESCE(v.id, 0) AS id
+        FROM pos p LEFT JOIN vocab v ON p.word = v.word)
+    SELECT doc_id,
+           list(id ORDER BY pos) AS ids,
+           CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+    FROM mapped GROUP BY doc_id
+    """,
+)
+def doc_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer application — the bridge between text curation and
+    training: map each document's first 32 tokens to integer ids from
+    the frequency-ranked top-1k vocabulary (OOV → 0), preserving
+    order. Downstream, pack_sequences takes relations exactly like
+    this one into fixed-length training rows.
+
+    Scale: the vocabulary is rank-built once (vocab_top1k's plan) and
+    broadcast onto the positional token stream; order is restored by
+    an engine-portable sort_array over (pos, id) structs — no window,
+    no driver collect. Sequence truncation (32 here) bounds the
+    per-doc fan-out exactly as a real tokenizer's max_length does."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        tokens(spark, sf_dir)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(1000)
+        .select(
+            "word",
+            F.row_number()
+            .over(W.orderBy(F.desc("cnt"), F.asc("word")))
+            .cast("long")
+            .alias("id"),
+        )
+    )
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(F.slice(_toks_col(), 1, 32)).alias("pos0", "word"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    mapped = pos.join(F.broadcast(vocab), "word", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("id"), F.lit(0)).alias("id")
+    )
+    return mapped.groupBy("doc_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, id))), s -> s.id)"
+        ).alias("ids"),
+        F.sum(F.when(F.col("id") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+    )
