@@ -1064,3 +1064,55 @@ def stream_distinct_users_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
     return spark.table(name)
+
+
+@query(
+    "stream_first_touch_live",
+    oracle="""
+    SELECT user_id,
+           arg_min(event_type,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '-'
+                   || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+               AS first_type
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_first_touch_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution as a LIVE stream: per-user min_by state
+    (one (key, value) pair per user — the OHLC candlestick's state
+    shape) keeps each user's earliest event type as events arrive, so
+    the attribution table is continuously current instead of rebuilt
+    nightly. Complete-mode drain equals the batch ev_first_touch
+    per-user relation (same lexicographic chronological key — DuckDB's
+    arg_min takes no struct key).
+
+    Scale: state is one short string per user, partitioned on
+    user_id; no watermark needed (the aggregate is monotone — a min
+    only tightens), though a production stream still attaches one to
+    bound late-data reprocessing."""
+    ensure_utc(spark)
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "min_by(event_type, concat(date_format(ts,"
+                " 'yyyy-MM-dd HH:mm:ss.SSSSSS'), '-',"
+                " lpad(cast(event_id as string), 12, '0')))"
+            ).alias("first_type")
+        )
+    )
+    name = "stream_ftouch_" + uuid.uuid4().hex[:8]
+    with stream_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    return spark.table(name)
