@@ -2860,3 +2860,105 @@ def doc_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_oov"),
     )
+
+
+@query(
+    "pipeline_tokenize_pack",
+    # Same survivor predicate as pipeline_curate (composed from the
+    # independently-verified stage oracles), then token counts and the
+    # pack_sequences window over SURVIVORS only — curation before
+    # tokenization, the production order.
+    oracle=f"""
+    WITH keep AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+    surv AS (
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d
+        JOIN keep k ON d.doc_id = k.doc_id
+        JOIN (SELECT * FROM ({{qsg}}) q) qsg ON qsg.doc_id = d.doc_id
+        JOIN (SELECT * FROM ({{contam}}) c) ct ON ct.doc_id = d.doc_id
+        WHERE qsg.gopher_score >= {_CURATE_MIN_SCORE} AND NOT ct.contaminated
+          AND NOT regexp_matches(d.text, '{{email}}')
+          AND NOT regexp_matches(d.text, '{{phone}}')
+          AND NOT regexp_matches(d.text, '{{ipv4}}')),
+    tok AS (
+        SELECT t.doc_id, t.lang, t.source, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM ({_SQL_TOKEN_ROWS}) t
+        JOIN surv s ON t.doc_id = s.doc_id
+        GROUP BY t.doc_id, t.lang, t.source),
+    packed AS (
+        SELECT lang, source, n_tokens,
+               CAST((SUM(n_tokens) OVER (PARTITION BY lang, source
+                                         ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) - n_tokens)
+                    // {_PACK_CAPACITY} AS BIGINT) AS pack_id
+        FROM tok)
+    SELECT lang, source, pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM packed GROUP BY lang, source, pack_id
+    """.replace("{qsg}", ORACLE["quality_score_gopher"])
+    .replace("{contam}", _DUCK_CONTAM)
+    .replace("{email}", _PII_EMAIL)
+    .replace("{phone}", _PII_PHONE)
+    .replace("{ipv4}", _PII_IPV4),
+)
+def pipeline_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-shard manifest: curation survivors (pipeline_curate's
+    exact gate — dedup ∧ Gopher ∧ decontaminate ∧ no-PII) tokenized and
+    greedily packed into 2048-token contexts per (lang, source) shard,
+    reported as docs/tokens per pack. With doc_token_ids this closes
+    the full pre-training path: curate → tokenize → pack → manifest,
+    every stage independently oracle-verified and the composition
+    verified end-to-end.
+
+    Scale: the curation joins are per-doc on doc_id (pipeline_curate's
+    audited shapes); packing is per-(lang, source) shard — one shuffle
+    on the shard key, never a global window."""
+    from pyspark.sql import Window as W
+
+    from mapreduce_wordcounter_spark.operators.dedup import dedup_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = dedup_exact(spark, sf_dir).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    qsg = quality_score_gopher(spark, sf_dir).select("doc_id", "gopher_score")
+    contam = benchmark_contamination(spark, sf_dir).select(
+        "doc_id", "contaminated"
+    )
+    surv = (
+        docs.join(keep, "doc_id")
+        .join(qsg, "doc_id")
+        .join(contam, "doc_id")
+        .filter(
+            (F.col("gopher_score") >= _CURATE_MIN_SCORE)
+            & ~F.col("contaminated")
+            & ~F.col("text").rlike(_PII_EMAIL)
+            & ~F.col("text").rlike(_PII_PHONE)
+            & ~F.col("text").rlike(_PII_IPV4)
+        )
+        .select("doc_id")
+    )
+    tok = (
+        tokens(spark, sf_dir)
+        .join(surv, "doc_id")
+        .groupBy("doc_id", "lang", "source")
+        .agg(F.count("*").alias("n_tokens"))
+    )
+    w = (
+        W.partitionBy("lang", "source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    running = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    packed = tok.select(
+        "lang",
+        "source",
+        "n_tokens",
+        (running / _PACK_CAPACITY).cast("long").alias("pack_id"),
+    )
+    return packed.groupBy("lang", "source", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )
