@@ -2668,3 +2668,62 @@ def join_hinted_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+@query(
+    "orders_open_backlog",
+    oracle="""
+    WITH bounds AS (
+        SELECT o.o_orderkey,
+               date_trunc('month', o.o_orderdate) AS m_open,
+               date_trunc('month', MAX(l.l_shipdate)) AS m_close
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, date_trunc('month', o.o_orderdate)),
+    deltas AS (
+        SELECT m_open AS m, 1 AS d FROM bounds
+        UNION ALL
+        SELECT m_close + INTERVAL 1 MONTH, -1 FROM bounds),
+    monthly AS (
+        SELECT m, CAST(SUM(d) AS BIGINT) AS delta FROM deltas GROUP BY m)
+    SELECT strftime(m, '%Y-%m') AS month,
+           CAST(SUM(delta) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS open_orders
+    FROM monthly
+    """,
+)
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog time series by interval event-ization: each
+    order contributes +1 at its open month and −1 the month after its
+    last shipment, and a running sum over the month axis yields the
+    concurrent-open count — the O(N) sweep-line that replaces the
+    O(N·months) month×interval overlap join (the same trick computes
+    peak concurrency for sessions, licenses, connections).
+
+    Scale: order-grain aggregate for the close bound (co-keyed join),
+    a 2-row-per-order delta fan-out, a month-grain aggregate — and
+    only THEN the running sum, over the tiny month axis (the
+    unpartitioned window is months-cardinality, not order-cardinality,
+    which is what makes the global cumsum safe)."""
+    from pyspark.sql import Window as W
+
+    ensure_utc(spark)
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    bounds = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", F.date_trunc("month", "o_orderdate").alias("m_open"))
+        .agg(F.date_trunc("month", F.max("l_shipdate")).alias("m_close"))
+    )
+    deltas = bounds.select(
+        F.col("m_open").alias("m"), F.lit(1).alias("d")
+    ).unionAll(
+        bounds.select(
+            F.add_months(F.col("m_close"), 1).alias("m"), F.lit(-1).alias("d")
+        )
+    )
+    monthly = deltas.groupBy("m").agg(F.sum("d").alias("delta"))
+    w = W.orderBy("m").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return monthly.select(
+        F.date_format("m", "yyyy-MM").alias("month"),
+        F.sum("delta").over(w).cast("long").alias("open_orders"),
+    )
