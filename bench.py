@@ -96,6 +96,14 @@ HEADLINE = [
     "ev_anomaly_mad",
     "bigram_pmi_top50",
     "stream_pyds_wordcount",
+    # round 4, fourth wave: pipeline completion + analytics
+    "pipeline_tokenize_pack",
+    "doc_token_ids",
+    "part_affinity_lift",
+    "orders_rfm_segments",
+    "orders_open_backlog",
+    "graph_degree_assortativity",
+    "ann_ivf_recall",
 ]
 
 

@@ -126,6 +126,22 @@ SHOWCASE = [
     "mm_features_arrow",
     "source_lang_chisq",
     "stratified_topk_sample",
+    # round 4, fourth wave
+    "pipeline_tokenize_pack",
+    "doc_token_ids",
+    "part_affinity_lift",
+    "orders_rfm_segments",
+    "lineitem_abc_analysis",
+    "orders_open_backlog",
+    "experiment_assignment_lift",
+    "graph_degree_assortativity",
+    "embedding_centroid_shift",
+    "ann_ivf_recall",
+    "join_hinted_shuffle_hash",
+    "udf_arrow_vowel_ratio",
+    "ev_rolling_zscore",
+    "ev_first_touch",
+    "ev_gap_stats",
 ]
 
 SF = "/root/testdata/sf0.01"
