@@ -2962,3 +2962,30 @@ def pipeline_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("pack_tokens"),
     )
+
+
+@query(
+    "hashed_features",
+    oracle=f"""
+    SELECT doc_id,
+           ({{md5h}}) % 256 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM ({_SQL_TOKEN_ROWS}) t
+    GROUP BY doc_id, ({{md5h}}) % 256
+    """.replace("{md5h}", _DUCK_MD5H.format(s="word")),
+)
+def hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: per-document sparse feature vector over 256
+    hash buckets (portable md5 prefix, the repo's cross-engine hash) —
+    the fixed-width featurizer behind fastText/Vowpal-style linear
+    models, and the input shape quality_classifier_score consumes.
+    No vocabulary relation at all: the feature space is fixed at plan
+    time, which is the trick's entire point at 100 TB (no vocab build,
+    no OOV, no broadcast).
+
+    Scale: one map-side projection on the token stream + a
+    (doc, bucket) groupBy — the wc_per_source plan with a hashed
+    grouping key."""
+    t = tokens(spark, sf_dir)
+    bucket = (F.expr(_SPARK_MD5H.format(s="word")) % 256).alias("bucket")
+    return t.groupBy("doc_id", bucket).agg(F.count("*").alias("cnt"))

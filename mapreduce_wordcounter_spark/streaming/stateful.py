@@ -220,3 +220,75 @@ if _tws_available():  # pragma: no cover - absent in this container
         GROUP BY user_id
         """,
     )(stream_tws_user_profile)
+
+
+_MAX_OUT_SCHEMA = "user_id bigint, cur_max double"
+_MAX_STATE_SCHEMA = "mx double"
+
+
+def user_max_cdc(stream: DataFrame) -> DataFrame:
+    """Change-data-capture shape: per-user running MAX(value), emitting
+    a row ONLY in micro-batches where the max increased — the
+    threshold-crossing / high-watermark alerting pattern (downstream
+    consumers see a change stream, not a per-batch snapshot). Nested
+    for by-value pickling (module rule)."""
+
+    def update_max(key, pdfs, state):
+        import pandas as pd
+
+        mx = state.get[0] if state.exists else None
+        new_mx = mx
+        for pdf in pdfs:
+            if len(pdf):
+                batch_max = float(pdf["value"].max())
+                if new_mx is None or batch_max > new_mx:
+                    new_mx = batch_max
+        if new_mx is not None and (mx is None or new_mx > mx):
+            state.update((new_mx,))
+            yield pd.DataFrame({"user_id": [key[0]], "cur_max": [new_mx]})
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update_max,
+        outputStructType=_MAX_OUT_SCHEMA,
+        stateStructType=_MAX_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@query(
+    "stream_stateful_max_cdc",
+    oracle="""
+    SELECT user_id, MAX(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_max_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC operator drained over the finite corpus: the LAST
+    emitted max per user must equal the batch MAX — final-state
+    equivalence is the oracle; the change-only emission semantics
+    (which only exist across micro-batches) are pinned by
+    tests/test_streaming.py::test_stateful_max_emits_changes_only.
+
+    Scale: one double per user of state; emission volume ∝ number of
+    actual high-watermark changes, not stream length — the property
+    that makes the change stream cheap to sink."""
+    out = user_max_cdc(events_stream(spark, sf_dir))
+    name = "stream_maxcdc_" + uuid.uuid4().hex[:8]
+    with stream_shuffle_partitions(spark):
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("cur_max").alias("max_value"))
+    )

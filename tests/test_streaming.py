@@ -557,3 +557,32 @@ def test_chained_stateful_distinct_with_watermark(spark, tmp_path):
     # 10:00 window: users {1, 2, 3} — both duplicates collapsed.
     # 12:00 sealed by the 13:30 event. 13:00 unsealed → not emitted.
     assert got == {"10:00": 3, "12:00": 1}
+
+
+def test_stateful_max_emits_changes_only(spark, tmp_path):
+    """user_max_cdc must emit one row per (user, micro-batch) ONLY
+    when that user's running max increased: batch 1's lower value for
+    user 1 emits nothing; user 2's higher value emits again."""
+    from mapreduce_wordcounter_spark.streaming.stateful import user_max_cdc
+
+    src = _write_batches(
+        spark,
+        tmp_path,
+        [
+            [
+                _ev(1, "2024-01-01 10:00:00", user_id=1, value=5.0),
+                _ev(2, "2024-01-01 10:01:00", user_id=2, value=1.0),
+            ],
+            # user 1: 3.0 < 5.0 → silent; user 2: 7.0 > 1.0 → emits.
+            [
+                _ev(3, "2024-01-01 10:10:00", user_id=1, value=3.0),
+                _ev(4, "2024-01-01 10:11:00", user_id=2, value=7.0),
+            ],
+        ],
+    )
+    out = user_max_cdc(_event_stream_from_json(spark, src))
+    rows = sorted(
+        (r["user_id"], r["cur_max"])
+        for r in _drain(out, output_mode="update").collect()
+    )
+    assert rows == [(1, 5.0), (2, 1.0), (2, 7.0)]
