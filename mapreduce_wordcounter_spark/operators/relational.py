@@ -2727,3 +2727,43 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("m", "yyyy-MM").alias("month"),
         F.sum("delta").over(w).cast("long").alias("open_orders"),
     )
+
+
+@query(
+    "supplier_lead_time",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_shipments,
+           ROUND(quantile_cont(date_diff('day', o_orderdate, l_shipdate),
+                               0.5), 6) AS p50_days,
+           ROUND(quantile_cont(date_diff('day', o_orderdate, l_shipdate),
+                               0.9), 6) AS p90_days,
+           CAST(MAX(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT)
+               AS max_days
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_suppkey
+    """,
+)
+def supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier order→ship latency distribution (median / p90 /
+    max days) — the supply-chain SLA rollup. Day differences are exact
+    integers; the interpolated percentiles are the agg_median pairing.
+
+    Scale: the fact⋈fact join on orderkey (co-partitionable via
+    bucketing, join_bucketed_colocated's layout), then one
+    supplier-keyed exact-percentile aggregate; swap for
+    percentile_approx beyond memory (agg_p90_approx posture)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    days = F.datediff("l_shipdate", "o_orderdate")
+    return j.groupBy("l_suppkey").agg(
+        F.count("*").alias("n_shipments"),
+        F.round(
+            F.expr("percentile(datediff(l_shipdate, o_orderdate), 0.5)"), 6
+        ).alias("p50_days"),
+        F.round(
+            F.expr("percentile(datediff(l_shipdate, o_orderdate), 0.9)"), 6
+        ).alias("p90_days"),
+        F.max(days).cast("long").alias("max_days"),
+    )

@@ -1123,3 +1123,40 @@ def ev_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("conv_rate"),
     )
+
+
+@query(
+    "ev_seasonality_dow_hour",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+               CAST(hour(ts) AS BIGINT) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY dayofweek(ts), hour(ts)),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+    SELECT c.dow, c.hr, c.n,
+           ROUND(CAST(c.n AS DOUBLE) / t.total, 6) AS share
+    FROM c CROSS JOIN t
+    """,
+)
+def ev_seasonality_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic seasonality grid: event share by (day-of-week, hour) —
+    the load-shape fingerprint behind capacity planning and
+    anomaly-baseline models. DuckDB's dayofweek is 0=Sunday while
+    Spark's dayofweek is 1=Sunday, so Spark subtracts 1 to pin the
+    same numbering.
+
+    Scale: one map-combined calendar groupBy to a ≤168-row grid."""
+    ensure_utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy(
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hr"),
+    ).agg(F.count("*").alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    return c.join(F.broadcast(t)).select(
+        "dow",
+        "hr",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+    )

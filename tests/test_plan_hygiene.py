@@ -63,6 +63,8 @@ _ALLOWED_BOUNDED_BNLJ = {
     "bigram_pmi_top50",  # two 1-row totals scalars onto the 50-row top list
     "lineitem_abc_analysis",  # 1-row revenue-total scalar onto the part ranks
     "part_affinity_lift",  # 1-row order-count scalar onto the pair lifts
+    "ev_seasonality_dow_hour",  # 1-row total scalar onto the ≤168-row grid
+    "graph_modularity",  # joins of three 1-row aggregate scalars
 }
 
 # The deliberately-Python surface: the real UDTF twin of the native
