@@ -103,9 +103,9 @@ def make_datasource(words: tuple[str, ...] = _WORDS):
             return {"doc": 0}
 
         def _rows(self, start: int, end: int):
-            # A LIST, not a generator: the runner's prefetch cache
-            # copy.copy()s the returned rows, and generators don't
-            # pickle/copy.
+            # Materialized list under a LIST-ITERATOR (see read()):
+            # the runner's prefetch cache copy.copy()s the rows for
+            # replay, and generators don't copy.
             return [
                 (
                     doc_id,
@@ -121,10 +121,14 @@ def make_datasource(words: tuple[str, ...] = _WORDS):
         def read(self, start):
             s = start["doc"]
             e = min(s + self.batch, self.n_docs)
-            return (self._rows(s, e), {"doc": e})
+            # iter(list): the runner needs BOTH copy.copy (replay of a
+            # prefetched batch) and next() (the terminal empty-batch
+            # check when the offset stops advancing) — a bare list
+            # satisfies only the first, a generator neither.
+            return (iter(self._rows(s, e)), {"doc": e})
 
         def readBetweenOffsets(self, start, end):
-            return self._rows(start["doc"], end["doc"])
+            return iter(self._rows(start["doc"], end["doc"]))
 
     return SyntheticCorpusDataSource
 
