@@ -1160,3 +1160,140 @@ def ev_seasonality_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
     )
+
+
+@query(
+    "ev_autocorr_lag1",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 1000.0 + 0.5) AS BIGINT) AS v,
+               LAG(CAST(FLOOR(value * 1000.0 + 0.5) AS BIGINT)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) AS pv
+        FROM events),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS sx,
+               CAST(SUM(pv) AS BIGINT) AS sy,
+               CAST(SUM(v * pv) AS BIGINT) AS sxy,
+               CAST(SUM(v * v) AS BIGINT) AS sxx,
+               CAST(SUM(pv * pv) AS BIGINT) AS syy
+        FROM q WHERE pv IS NOT NULL
+        GROUP BY event_type)
+    SELECT event_type, n,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)), 6) AS autocorr
+    FROM s
+    """,
+)
+def ev_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of event values per type (within each
+    user's stream): Pearson r of (vₜ, vₜ₋₁) — near zero for
+    independent draws, high for sticky metrics; the one-number test of
+    whether "previous value" belongs in a feature set. Values are
+    milli-quantized to int64 BEFORE the moment sums (the metric is
+    defined over quantized values), so every sum is exact and the
+    closing formula is identical IEEE arithmetic — exact parity, no
+    margin caveat (the degree-assortativity construction on a
+    continuous column).
+
+    Scale: one lag window on the (user, type) stream key, one
+    map-combined moment aggregate per type."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    q = e.select(
+        "event_type", v.alias("v"), F.lag(v).over(w).alias("pv")
+    ).filter(F.col("pv").isNotNull())
+    s = q.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("sx"),
+        F.sum("pv").alias("sy"),
+        F.sum(F.col("v") * F.col("pv")).alias("sxy"),
+        F.sum(F.col("v") * F.col("v")).alias("sxx"),
+        F.sum(F.col("pv") * F.col("pv")).alias("syy"),
+    )
+    num = F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    den = F.sqrt(
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    ) * F.sqrt(
+        F.col("n").cast("double") * F.col("syy")
+        - F.col("sy").cast("double") * F.col("sy")
+    )
+    return s.select("event_type", "n", F.round(num / den, 6).alias("autocorr"))
+
+
+# Benford expected first-digit shares, log10(1 + 1/d), as LITERALS so
+# neither engine evaluates a transcendental (9 published constants).
+_BENFORD = {
+    1: 0.301030, 2: 0.176091, 3: 0.124939, 4: 0.096910, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+
+
+@query(
+    "ev_benford_deviation",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substring(CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR),
+                              1, 1) AS BIGINT) AS d
+        FROM events WHERE value >= 1),
+    c AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+    exp AS (
+        SELECT d, CAST(benford_share AS DOUBLE) AS benford_share
+        FROM (VALUES {", ".join(f"({d}, {p})" for d, p in _BENFORD.items())})
+            AS e(d, benford_share))
+    SELECT e.d AS digit, COALESCE(c.n, 0) AS n,
+           ROUND(CAST(COALESCE(c.n, 0) AS DOUBLE) / t.total, 6) AS share,
+           e.benford_share,
+           ROUND(ABS(CAST(COALESCE(c.n, 0) AS DOUBLE) / t.total
+                     - e.benford_share), 6) AS abs_dev
+    FROM exp e LEFT JOIN c ON e.d = c.d CROSS JOIN t
+    """,
+)
+def ev_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of the value column: observed first-digit
+    shares against the published log10(1+1/d) expectations (hardcoded
+    9 constants — no engine evaluates a transcendental), with absolute
+    deviations. Fabricated or unit-mixed numeric columns drift from
+    Benford; the synthetic uniform-ish values here deviate strongly —
+    which is itself the correct reading, and the machinery is what's
+    verified.
+
+    Scale: per-row digit projection + a 9-bucket groupBy; the
+    expectation table is a 9-row literal."""
+    e = load_table(spark, sf_dir, "events")
+    digits = e.filter(F.col("value") >= 1).select(
+        F.substring(
+            F.floor(F.col("value")).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("d")
+    )
+    c = digits.groupBy("d").agg(F.count("*").alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    exp = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD.items()], "d long, benford_share double"
+    )
+    share = F.coalesce(F.col("n"), F.lit(0)).cast("double") / F.col("total")
+    return (
+        exp.join(c, "d", "left")
+        .join(F.broadcast(t))
+        .select(
+            F.col("d").alias("digit"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.round(share, 6).alias("share"),
+            "benford_share",
+            F.round(F.abs(share - F.col("benford_share")), 6).alias("abs_dev"),
+        )
+    )

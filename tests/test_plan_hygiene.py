@@ -65,6 +65,7 @@ _ALLOWED_BOUNDED_BNLJ = {
     "part_affinity_lift",  # 1-row order-count scalar onto the pair lifts
     "ev_seasonality_dow_hour",  # 1-row total scalar onto the ≤168-row grid
     "graph_modularity",  # joins of three 1-row aggregate scalars
+    "ev_benford_deviation",  # 1-row total scalar onto the 9-row digit grid
 }
 
 # The deliberately-Python surface: the real UDTF twin of the native
