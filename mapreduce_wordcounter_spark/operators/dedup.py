@@ -1144,3 +1144,76 @@ from mapreduce_wordcounter_spark.registry import ORACLE as _ORACLE_D  # noqa: E4
 _ORACLE_D["dedup_cluster_sizes"] = _ORACLE_D["dedup_cluster_sizes"].format(
     comp=_ORACLE_D["dedup_components_canonical"]
 )
+
+
+@query(
+    "lsh_containment_pairs",
+    oracle=f"""
+    WITH cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ({_DUCK_BANDS}) a
+        JOIN ({_DUCK_BANDS}) b
+          ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+    sh AS ({_DUCK_SHINGLES}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
+        GROUP BY 1, 2)
+    SELECT i.doc_a, i.doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / sa.n, 6) AS containment_ab,
+           ROUND(CAST(n_common AS DOUBLE) / sb.n, 6) AS containment_ba
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / sa.n >= 0.8
+       OR CAST(n_common AS DOUBLE) / sb.n >= 0.8
+    """,
+)
+def lsh_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (asymmetric Jaccard) verification on the LSH
+    candidates: |A∩B|/|A| and |A∩B|/|B| — the detector for
+    NEAR-SUPERSET duplication (a document wholly embedded in a longer
+    one), which symmetric Jaccard under-scores precisely when the size
+    ratio is large. Pairs where either direction ≥ 0.8 survive; a
+    production pass drops the contained (smaller) side.
+
+    Scale: identical plan to lsh_verified_pairs (candidates from band
+    collisions, exact set intersection only on candidates) — the
+    verify metric is the only change. Caveat shared with all
+    MinHash-LSH recall arguments: candidates are recalled by
+    symmetric-Jaccard banding, so extreme-ratio containments may not
+    be candidates at all; dedicated containment search would band
+    over bottom-k sketches instead."""
+    cand = lsh_candidate_pairs(spark, sf_dir)
+    sh = _spark_shingles(spark, sf_dir).select("doc_id", "s")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa_s"))
+    b = sh.select(F.col("doc_id").alias("b_doc"), F.col("s").alias("sb_s"))
+    inter = (
+        cand.join(a, "doc_a")
+        .join(
+            b,
+            (F.col("doc_b") == F.col("b_doc"))
+            & (F.col("sa_s") == F.col("sb_s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    c_ab = F.col("n_common").cast("double") / F.col("na")
+    c_ba = F.col("n_common").cast("double") / F.col("nb")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter((c_ab >= 0.8) | (c_ba >= 0.8))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(c_ab, 6).alias("containment_ab"),
+            F.round(c_ba, 6).alias("containment_ba"),
+        )
+    )
