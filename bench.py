@@ -104,6 +104,14 @@ HEADLINE = [
     "orders_open_backlog",
     "graph_degree_assortativity",
     "ann_ivf_recall",
+    # round 4, fifth wave
+    "graph_modularity",
+    "hashed_features",
+    "lsh_containment_pairs",
+    "supplier_lead_time",
+    "ev_benford_deviation",
+    "ev_autocorr_lag1",
+    "stream_stateful_max_cdc",
 ]
 
 

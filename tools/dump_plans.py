@@ -142,6 +142,15 @@ SHOWCASE = [
     "ev_rolling_zscore",
     "ev_first_touch",
     "ev_gap_stats",
+    # round 4, fifth wave
+    "graph_modularity",
+    "hashed_features",
+    "lsh_containment_pairs",
+    "supplier_lead_time",
+    "ev_benford_deviation",
+    "ev_autocorr_lag1",
+    "ev_seasonality_dow_hour",
+    "pipeline_tokenize_pack",
 ]
 
 SF = "/root/testdata/sf0.01"
