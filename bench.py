@@ -147,14 +147,53 @@ def main() -> None:
             timings[name] = min(timings.get(name, dt), dt)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+
+    # The driver captures only the TAIL of stdout; in round 4 the full
+    # 76-query map outgrew that buffer and the round's bench signal was
+    # lost ("parsed": null). The full per-query map therefore goes to a
+    # FILE (BENCH_local.json, committed alongside), and the one printed
+    # JSON line stays short: total + a small fixed flagship subset that
+    # spans the operator families, always well under any tail buffer.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+            },
+            f,
+        )
+
+    flagship = [
+        "wc_counts",
+        "wc_top100",
+        "q1_pricing_summary",
+        "q5_regional_revenue",
+        "tf_idf",
+        "dedup_exact",
+        "lsh_verified_pairs",
+        "ann_ivf_topk",
+        "graph_pagerank",
+        "stream_stateful_user_counts",
+        "pipeline_curate",
+    ]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": {
+                    k: timings[k] for k in flagship if k in timings
+                },
+                "n_queries": len(timings),
+                "sf": float(sf),
+                "detail": "BENCH_local.json",
             }
         )
     )

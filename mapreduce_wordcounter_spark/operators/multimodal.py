@@ -77,8 +77,13 @@ _FEATURES_SCHEMA = "doc_id long, n_bytes long, byte_sum long, max_byte int"
                list_transform(generate_series(1, length(text)),
                               i -> ascii(substr(text, i, 1))::BIGINT)),
                (acc, c) -> acc + c) AS byte_sum,
-           CAST(list_max(list_transform(generate_series(1, length(text)),
-                              i -> ascii(substr(text, i, 1)))) AS INT) AS max_byte
+           -- COALESCE pins the zero-length-payload convention to the
+           -- extractor's (max of empty = 0, like byte_sum): list_max
+           -- over an empty list is NULL, and the corpus having no
+           -- empty docs today must not be what keeps the two sides
+           -- agreeing.
+           CAST(COALESCE(list_max(list_transform(generate_series(1, length(text)),
+                              i -> ascii(substr(text, i, 1)))), 0) AS INT) AS max_byte
     FROM documents
     """,
 )
@@ -386,8 +391,10 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_transform(generate_series(1, length(text)),
                               i -> ascii(substr(text, i, 1))::BIGINT)),
                (acc, c) -> acc + c) AS byte_sum,
-           CAST(list_max(list_transform(generate_series(1, length(text)),
-                              i -> ascii(substr(text, i, 1)))) AS INT) AS max_byte
+           -- COALESCE: empty payload → 0, matching the extractor (see
+           -- mm_features_pandas).
+           CAST(COALESCE(list_max(list_transform(generate_series(1, length(text)),
+                              i -> ascii(substr(text, i, 1)))), 0) AS INT) AS max_byte
     FROM documents
     """,
 )

@@ -830,13 +830,24 @@ def ev_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT e.event_type,
                quantile_cont(ABS(e.value - m.med), 0.5) AS mad
         FROM events e JOIN med m ON e.event_type = m.event_type
-        GROUP BY e.event_type)
-    SELECT e.event_id, e.event_type, e.value,
-           ROUND(ABS(e.value - m.med) / d.mad, 6) AS dev_ratio
-    FROM events e
-    JOIN med m ON e.event_type = m.event_type
-    JOIN mad d ON e.event_type = d.event_type
-    WHERE ABS(e.value - m.med) > 3 * d.mad
+        GROUP BY e.event_type),
+    -- Quantize value/median/MAD to int64 micro-units BEFORE the
+    -- 3xMAD predicate and the ratio (the ev_rolling_zscore posture):
+    -- quantile_cont vs Spark percentile() agree only to the last ulp
+    -- of the interpolation, and an unquantized boundary comparison
+    -- could flip a borderline row at some SF.
+    q AS (
+        SELECT e.event_id, e.event_type, e.value,
+               CAST(floor(e.value * 1000000 + 0.5) AS BIGINT) AS vq,
+               CAST(floor(m.med * 1000000 + 0.5) AS BIGINT) AS mq,
+               CAST(floor(d.mad * 1000000 + 0.5) AS BIGINT) AS dq
+        FROM events e
+        JOIN med m ON e.event_type = m.event_type
+        JOIN mad d ON e.event_type = d.event_type)
+    SELECT event_id, event_type, value,
+           ROUND(CAST(ABS(vq - mq) AS DOUBLE) / dq, 6) AS dev_ratio
+    FROM q
+    WHERE ABS(vq - mq) > 3 * dq
     """,
 )
 def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -845,7 +856,11 @@ def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     the estimator that, unlike the z-score twin (ev_value_outliers),
     doesn't let the outliers inflate their own threshold. Both
     medians are exact interpolated percentiles (the agg_median
-    pairing: quantile_cont ≡ Spark percentile).
+    pairing: quantile_cont ≡ Spark percentile); value, median and MAD
+    are all quantized to int64 micro-units before the 3×MAD boundary
+    predicate and the reported ratio (the ev_rolling_zscore posture),
+    so a last-ulp interpolation difference between the engines can
+    never flip a borderline row.
 
     Scale: two grouped exact percentiles over (type)-keyed aggregates
     with the 5-row results broadcast back — at 100 TB swap exact
@@ -860,16 +875,26 @@ def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_med.groupBy("event_type")
         .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
     )
-    flagged = (
-        with_med.join(F.broadcast(mad), "event_type")
-        .filter(F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"))
+
+    def micro(c):
+        return F.floor(c * 1_000_000 + F.lit(0.5)).cast("long")
+
+    q = with_med.join(F.broadcast(mad), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        micro(F.col("value")).alias("vq"),
+        micro(F.col("med")).alias("mq"),
+        micro(F.col("mad")).alias("dq"),
     )
-    return flagged.select(
+    return q.filter(
+        F.abs(F.col("vq") - F.col("mq")) > 3 * F.col("dq")
+    ).select(
         "event_id",
         "event_type",
         "value",
         F.round(
-            F.abs(F.col("value") - F.col("med")) / F.col("mad"), 6
+            F.abs(F.col("vq") - F.col("mq")).cast("double") / F.col("dq"), 6
         ).alias("dev_ratio"),
     )
 

@@ -477,12 +477,15 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     running = F.sum("n_tokens").over(w) - F.col("n_tokens")
-    return tok.select(
+    # Integer `div`, matching the oracle's BIGINT `//` at any
+    # magnitude (double division drifts past ~2^53 running tokens —
+    # see pipeline_tokenize_pack).
+    return tok.withColumn("running", running).select(
         "doc_id",
         "lang",
         "source",
         "n_tokens",
-        (running / _PACK_CAPACITY).cast("long").alias("pack_id"),
+        F.expr(f"running div {_PACK_CAPACITY}").alias("pack_id"),
     )
 
 
@@ -2952,11 +2955,15 @@ def pipeline_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     running = F.sum("n_tokens").over(w) - F.col("n_tokens")
-    packed = tok.select(
+    # Integer floor-division (div), matching the oracle's BIGINT `//`
+    # exactly at ANY magnitude: a double-division round-trip is only
+    # equivalent below ~2^53 accumulated tokens — a boundary a 100 TB
+    # shard can actually cross.
+    packed = tok.withColumn("running", running).select(
         "lang",
         "source",
         "n_tokens",
-        (running / _PACK_CAPACITY).cast("long").alias("pack_id"),
+        F.expr(f"running div {_PACK_CAPACITY}").alias("pack_id"),
     )
     return packed.groupBy("lang", "source", "pack_id").agg(
         F.count("*").alias("n_docs"),

@@ -141,7 +141,6 @@ SHOWCASE = [
     "udf_arrow_vowel_ratio",
     "ev_rolling_zscore",
     "ev_first_touch",
-    "ev_gap_stats",
     # round 4, fifth wave
     "graph_modularity",
     "hashed_features",
@@ -150,8 +149,12 @@ SHOWCASE = [
     "ev_benford_deviation",
     "ev_autocorr_lag1",
     "ev_seasonality_dow_hour",
-    "pipeline_tokenize_pack",
 ]
+
+# Belt-and-braces: a duplicated SHOWCASE entry (it has happened) would
+# silently double plan-dump work and produce two identical PLANS.md
+# sections — dedupe preserving first-occurrence order.
+SHOWCASE = list(dict.fromkeys(SHOWCASE))
 
 SF = "/root/testdata/sf0.01"
 
