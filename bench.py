@@ -112,6 +112,10 @@ HEADLINE = [
     "ev_benford_deviation",
     "ev_autocorr_lag1",
     "stream_stateful_max_cdc",
+    # round 5: full BPE tokenizer training + application
+    "bpe_learn_merges",
+    "bpe_subword_vocab",
+    "bpe_tokenize",
 ]
 
 

@@ -38,6 +38,12 @@ def test_driver_window_covers_every_family() -> None:
         "q1_pricing_summary",
         "simhash32",
         "agg_conditional",
+        # r5 swap-ins: graph / PII / paragraph-dedup / quality-classifier
+        # representatives so the driver window spans every family.
+        "graph_pagerank",
+        "pii_counts",
+        "dedup_paragraphs",
+        "quality_classifier_score",
     }
     assert must_have <= window
 

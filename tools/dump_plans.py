@@ -149,6 +149,10 @@ SHOWCASE = [
     "ev_benford_deviation",
     "ev_autocorr_lag1",
     "ev_seasonality_dow_hour",
+    # round 5
+    "bpe_learn_merges",
+    "bpe_subword_vocab",
+    "bpe_tokenize",
 ]
 
 # Belt-and-braces: a duplicated SHOWCASE entry (it has happened) would
