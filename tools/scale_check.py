@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Measured scaling spot-check: sf0.1 vs a seeded ~10x blow-up.
+
+The 100 TB claims in SCALE.md argue from plan shape (bounded fan-out,
+single-shuffle profiles, broadcast-able sides). This script adds one
+measured point: it builds a deterministic 10x replication of the two
+growing tables (events, documents — entity ids offset per replica so
+entity cardinality scales with the data; every other table symlinked),
+runs the heaviest headline queries at both scales with the bench
+harness discipline (untimed warm-up, then min of two timed passes,
+cache cleared per pass), and records wall-time ratios and log10
+scaling exponents in SCALE_CHECK.json.
+
+Usage: python tools/scale_check.py [blowup_dir]
+(default blowup dir: /tmp/scale10, built on demand)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mapreduce_wordcounter_spark import get_spark
+from mapreduce_wordcounter_spark.registry import all_queries
+from mapreduce_wordcounter_spark.session import release_pinned
+
+BASE = "/root/testdata/sf0.1"
+REPLICAS = 10
+
+# The heaviest headline queries per BENCH_local.json, plus wc_counts
+# as the near-linear control every other exponent is read against.
+# Only queries whose INPUT tables grow in the blow-up (events /
+# documents) belong here — embeddings-driven queries would measure
+# nothing (that table is symlinked unchanged).
+TARGETS = [
+    "wc_counts",
+    "graph_pagerank",
+    "graph_common_neighbors",
+    "graph_modularity",
+    "trigram_index_match",
+    "pipeline_curate",
+    "lsh_verified_pairs",
+    "stream_cms_heavy_hitters",
+]
+
+
+def build_blowup(dst: str) -> None:
+    import duckdb
+
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    con.execute("SET threads TO 8")
+    if not os.path.exists(f"{dst}/events.parquet"):
+        con.execute(
+            f"""
+            COPY (
+              SELECT e.event_id + r.r * 100000 AS event_id, e.ts,
+                     e.user_id + r.r * 1500 AS user_id,
+                     e.event_type, e.value, e.props
+              FROM read_parquet('{BASE}/events.parquet') e,
+                   (SELECT unnest(generate_series(0, {REPLICAS - 1})) AS r) r
+            ) TO '{dst}/events.parquet' (FORMAT PARQUET)
+            """
+        )
+    if not os.path.exists(f"{dst}/documents.parquet"):
+        con.execute(
+            f"""
+            COPY (
+              SELECT d.doc_id + r.r * 5000 AS doc_id, d.text, d.lang,
+                     d.source, d.n_chars
+              FROM read_parquet('{BASE}/documents.parquet') d,
+                   (SELECT unnest(generate_series(0, {REPLICAS - 1})) AS r) r
+            ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+            """
+        )
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "embeddings",
+    ]:
+        p = f"{dst}/{t}.parquet"
+        if not os.path.exists(p):
+            os.symlink(f"{BASE}/{t}.parquet", p)
+
+
+def timed(spark, queries, sf_dir: str) -> dict[str, float]:
+    for name in TARGETS:  # untimed warm-up (JIT/codegen + at-rest training)
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    out: dict[str, float] = {}
+    for _ in range(2):
+        spark.catalog.clearCache()
+        release_pinned()
+        for name in TARGETS:
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            out[name] = min(out.get(name, dt), dt)
+    return out
+
+
+def main() -> None:
+    blowup = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale10"
+    build_blowup(blowup)
+    spark = get_spark("scale-check")
+    queries = all_queries()
+    t_base = timed(spark, queries, BASE)
+    t_big = timed(spark, queries, blowup)
+    rows = {}
+    for name in TARGETS:
+        ratio = round(t_big[name] / t_base[name], 2)
+        rows[name] = {
+            "sf0.1_sec": t_base[name],
+            "x10_sec": t_big[name],
+            "ratio": ratio,
+            "exponent": round(math.log10(max(ratio, 1e-9)), 2),
+        }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE_CHECK.json",
+    )
+    with open(path, "w") as f:
+        json.dump({"replicas": REPLICAS, "base": BASE, "queries": rows}, f, indent=1)
+    print(json.dumps(rows, indent=1))
+
+
+if __name__ == "__main__":
+    main()
