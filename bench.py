@@ -116,6 +116,10 @@ HEADLINE = [
     "bpe_learn_merges",
     "bpe_subword_vocab",
     "bpe_tokenize",
+    "bpe_pack_sequences",
+    "trigram_index_probe",
+    "graph_kcore_peel",
+    "graph_jaccard_neighbors",
 ]
 
 

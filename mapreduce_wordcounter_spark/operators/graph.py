@@ -253,6 +253,30 @@ def graph_adjacent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sym_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTINCT symmetrized (a, b) edge relation, pinned. Five
+    consumers (common-neighbors, jaccard link scores, k-core peeling,
+    modularity, assortativity) each need the undirected adjacency in
+    both orientations; without the pin every branch — and every round
+    of an iterative consumer — replays the union+distinct over the
+    cached adj (Spark's cache manager dedups by logical plan, so one
+    pin here is shared across all of them within a session)."""
+    from mapreduce_wordcounter_spark.session import pin
+
+    adj = _adj_pinned(spark, sf_dir)
+    return pin(
+        adj.select(
+            F.col("user_a").alias("a"), F.col("user_b").alias("b")
+        )
+        .union(
+            adj.select(
+                F.col("user_b").alias("a"), F.col("user_a").alias("b")
+            )
+        )
+        .distinct()
+    )
+
+
 def _adj_pinned(spark: SparkSession, sf_dir: str):
     """The co-occurrence edge list, pinned at a layout sized to the
     GRAPH and the cluster, not the corpus scan: a cached relation
@@ -560,11 +584,7 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Measured at sf0.1: 7.96 s → see BENCH_local.json (wedge volume
     11.2M → 0.6M rows)."""
     adj = _adj_pinned(spark, sf_dir)
-    sym = adj.select(
-        F.col("user_a").alias("a"), F.col("user_b").alias("b")
-    ).union(
-        adj.select(F.col("user_b").alias("a"), F.col("user_a").alias("b"))
-    ).distinct()
+    sym = _sym_pinned(spark, sf_dir)
     deg = sym.groupBy("a").agg(F.count("*").alias("d"))
     mid_ok = deg.filter(F.col("d") <= _CN_DEG_CAP).select(
         F.col("a").alias("mid_ok")
@@ -637,11 +657,7 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge list, then a single map-combined moment aggregate — one pass
     over edges."""
     adj = _adj_pinned(spark, sf_dir)
-    sym = adj.select(
-        F.col("user_a").alias("a"), F.col("user_b").alias("b")
-    ).union(
-        adj.select(F.col("user_b").alias("a"), F.col("user_a").alias("b"))
-    ).distinct()
+    sym = _sym_pinned(spark, sf_dir)
     deg = sym.groupBy("a").agg(F.count("*").alias("d"))
     da = deg.select(F.col("a"), F.col("d").alias("x"))
     db = deg.select(F.col("a").alias("b2"), F.col("d").alias("y"))
@@ -719,11 +735,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branches → one in-memory scan instead of four file reads.
     labels = pin(_lpa_labels(spark, sf_dir))
     adj = _adj_pinned(spark, sf_dir)
-    sym = adj.select(
-        F.col("user_a").alias("a"), F.col("user_b").alias("b")
-    ).union(
-        adj.select(F.col("user_b").alias("a"), F.col("user_a").alias("b"))
-    ).distinct()
+    sym = _sym_pinned(spark, sf_dir)
     deg = sym.groupBy("a").agg(F.count("*").alias("d"))
     la = labels.select(
         F.col("user_id").alias("a"), F.col("community_id").alias("ca")
@@ -758,4 +770,191 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dterm))
         .join(F.broadcast(ncomm))
         .select("n_communities", q.alias("modularity"))
+    )
+
+
+# k-core peeling: fixed number of peel rounds (the PageRank/LPA
+# fixed-K posture — a convergence-driven variant would localCheckpoint
+# per round like connected_components). The threshold adapts to the
+# graph: k = ceil(mean degree), computed in pure integer arithmetic
+# ((Σd + n − 1) div n) so both engines derive the identical constant.
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle(rounds: int) -> str:
+    parts = [
+        f"adj AS ({_SQL_ADJ})",
+        """sym AS (SELECT user_a AS a, user_b AS b FROM adj
+            UNION SELECT user_b, user_a FROM adj)""",
+        "deg0 AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY a)",
+        """kk AS (SELECT CAST((CAST(SUM(d) AS BIGINT) + COUNT(*) - 1)
+                             // COUNT(*) AS BIGINT) AS k FROM deg0)""",
+        "n1 AS (SELECT a FROM deg0 CROSS JOIN kk WHERE d >= k)",
+    ]
+    for i in range(1, rounds):
+        parts.append(
+            f"""e{i} AS (SELECT s.a, s.b FROM sym s
+             JOIN n{i} x ON s.a = x.a JOIN n{i} y ON s.b = y.a)"""
+        )
+        parts.append(
+            f"d{i} AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d"
+            f" FROM e{i} GROUP BY a)"
+        )
+        parts.append(
+            f"n{i + 1} AS (SELECT a FROM d{i} CROSS JOIN kk WHERE d >= k)"
+        )
+    r = rounds
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined},
+    ef AS (SELECT s.a, s.b FROM sym s
+           JOIN n{r} x ON s.a = x.a JOIN n{r} y ON s.b = y.a)
+    SELECT a AS user_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM ef GROUP BY a
+    """
+
+
+@query("graph_kcore_peel", oracle=_kcore_oracle(_KCORE_ROUNDS))
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-core extraction by iterative peeling: K=3 rounds of
+    "drop every node whose degree within the surviving subgraph is
+    below k", k = ceil(mean degree) of the original graph — the
+    bounded-round approximation of the k-core (true k-core iterates
+    to fixpoint; fixed K keeps the plan finite and the oracle
+    unrollable, and in practice a handful of rounds removes almost
+    everything a fixpoint would). Output: surviving nodes with their
+    final in-core degree — the spam-ring / dense-community seed the
+    triangle and LPA passes refine.
+
+    Scale: each round is two node-set semi-joins onto the pinned edge
+    list + one map-combined degree count — same per-round shuffle
+    profile as LPA, K constant. The node set only shrinks, so round
+    cost is monotonically non-increasing; the k constant is one
+    scalar driver read (the CC counter posture)."""
+    adj = _adj_pinned(spark, sf_dir)
+    sym = _sym_pinned(spark, sf_dir)
+    deg = sym.groupBy("a").agg(F.count("*").alias("d"))
+    row = deg.agg(
+        F.sum("d").alias("sd"), F.count("*").alias("n")
+    ).first()
+    k = (int(row["sd"]) + int(row["n"]) - 1) // int(row["n"])
+    from mapreduce_wordcounter_spark.session import pin
+
+    # Each round references the surviving node set TWICE (once per
+    # join side): left as lazy lineage, the prior round's subtree
+    # executes 2x per round — 2^K blowup by round K (measured 7.2 s
+    # at sf0.1). The node set is node-sized, so pin it per round:
+    # every round then starts from a materialized relation (4.2 s
+    # standalone — the residue is the shared adjacency build — and
+    # 2.9 s inside a bench pass where that pin is already warm).
+    nodes = pin(deg.filter(F.col("d") >= k).select("a"))
+    for _ in range(_KCORE_ROUNDS - 1):
+        na = nodes.select(F.col("a").alias("xa"))
+        nb = nodes.select(F.col("a").alias("xb"))
+        e = sym.join(na, F.col("a") == F.col("xa")).join(
+            nb, F.col("b") == F.col("xb")
+        )
+        d2 = e.groupBy("a").agg(F.count("*").alias("d"))
+        nodes = pin(d2.filter(F.col("d") >= k).select("a"))
+    na = nodes.select(F.col("a").alias("xa"))
+    nb = nodes.select(F.col("a").alias("xb"))
+    ef = sym.join(na, F.col("a") == F.col("xa")).join(
+        nb, F.col("b") == F.col("xb")
+    )
+    return ef.groupBy("a").agg(F.count("*").alias("core_degree")).select(
+        F.col("a").alias("user_id"), "core_degree"
+    )
+
+
+@query(
+    "graph_jaccard_neighbors",
+    oracle=f"""
+    WITH adj AS ({_SQL_ADJ}),
+    sym AS (SELECT user_a AS a, user_b AS b FROM adj
+            UNION SELECT user_b, user_a FROM adj),
+    deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY a),
+    mid_ok AS (SELECT a FROM deg WHERE d <= {_CN_DEG_CAP}),
+    wedges AS (
+        SELECT s1.a AS x, s2.b AS y,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM sym s1
+        JOIN mid_ok m ON s1.b = m.a
+        JOIN sym s2 ON s1.b = s2.a
+        WHERE s1.a < s2.b
+        GROUP BY s1.a, s2.b),
+    cand AS (
+        SELECT w.x, w.y, w.n_common FROM wedges w
+        WHERE NOT EXISTS (SELECT 1 FROM adj e
+                          WHERE e.user_a = w.x AND e.user_b = w.y))
+    SELECT c.x AS user_a, c.y AS user_b, c.n_common,
+           ROUND(CAST(c.n_common AS DOUBLE)
+                 / (dx.d + dy.d - c.n_common), 6) AS jaccard
+    FROM cand c
+    JOIN deg dx ON c.x = dx.a
+    JOIN deg dy ON c.y = dy.a
+    ORDER BY jaccard DESC, c.n_common DESC, user_a, user_b
+    LIMIT 20
+    """,
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction, normalized tier: Jaccard similarity of
+    neighbor sets — n_common / (deg(x) + deg(y) − n_common) — over
+    the same degree-capped wedge candidates as
+    graph_common_neighbors. The normalization is what makes scores
+    comparable across degree scales (raw CN favors high-degree
+    pairs); arithmetic is exact int64 counts with one closing IEEE
+    division + ROUND on both engines, so no transcendental caveat
+    (the denominator approximates |N(x) ∪ N(y)| with FULL degrees
+    while n_common counts sub-ceiling midpoints only — a documented,
+    oracle-matched convention: capped intersection, uncapped union,
+    i.e. a lower bound on true Jaccard).
+
+    Scale: identical wedge profile to graph_common_neighbors
+    (fan-out bounded by the midpoint degree ceiling) plus two
+    node-grain degree joins — the degree relation is node-sized, so
+    AQE broadcasts it at test scale and shuffles at 10⁹ nodes.
+    Top-k is a TakeOrdered with a total-order tie-break."""
+    adj = _adj_pinned(spark, sf_dir)
+    sym = _sym_pinned(spark, sf_dir)
+    deg = sym.groupBy("a").agg(F.count("*").alias("d"))
+    mid_ok = deg.filter(F.col("d") <= _CN_DEG_CAP).select(
+        F.col("a").alias("mid_ok")
+    )
+    s1 = sym.select(F.col("a").alias("x"), F.col("b").alias("mid")).join(
+        F.broadcast(mid_ok), F.col("mid") == F.col("mid_ok")
+    )
+    s2 = sym.select(F.col("a").alias("mid2"), F.col("b").alias("y"))
+    wedges = (
+        s1.join(s2, F.col("mid") == F.col("mid2"))
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("n_common"))
+    )
+    edges = adj.select(
+        F.col("user_a").alias("x"), F.col("user_b").alias("y")
+    )
+    cand = wedges.join(edges, ["x", "y"], "left_anti")
+    dx = deg.select(F.col("a").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("a").alias("y"), F.col("d").alias("dy"))
+    jac = F.round(
+        F.col("n_common").cast("double")
+        / (F.col("dx") + F.col("dy") - F.col("n_common")),
+        6,
+    )
+    return (
+        cand.join(dx, "x")
+        .join(dy, "y")
+        .select(
+            F.col("x").alias("user_a"),
+            F.col("y").alias("user_b"),
+            "n_common",
+            jac.alias("jaccard"),
+        )
+        .orderBy(
+            F.desc("jaccard"),
+            F.desc("n_common"),
+            F.asc("user_a"),
+            F.asc("user_b"),
+        )
+        .limit(20)
     )

@@ -153,6 +153,10 @@ SHOWCASE = [
     "bpe_learn_merges",
     "bpe_subword_vocab",
     "bpe_tokenize",
+    "bpe_pack_sequences",
+    "trigram_index_probe",
+    "graph_kcore_peel",
+    "graph_jaccard_neighbors",
 ]
 
 # Belt-and-braces: a duplicated SHOWCASE entry (it has happened) would
