@@ -120,6 +120,7 @@ HEADLINE = [
     "trigram_index_probe",
     "graph_kcore_peel",
     "graph_jaccard_neighbors",
+    "dedup_keep_best_quality",
 ]
 
 

@@ -685,9 +685,34 @@ def dedup_components_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared iterative min-label loop). The oracle states the same
     fixpoint declaratively as a recursive CTE — DuckDB can afford
     transitive closure at test scale; the iterative form is what runs
-    at 10^9 docs."""
-    edges = jaccard_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    return connected_components(edges)
+    at 10^9 docs.
+
+    Like the LPA community labels (graph.py), the component labeling
+    is an artifact AT REST as of round 5: the iterative loop runs once
+    per (session, sf_dir) and consumers (this query,
+    dedup_cluster_sizes, dedup_keep_best_quality) read the label
+    table from scratch parquet — replaying a convergence loop per
+    consumer was pure recompute. The oracle still replays the
+    fixpoint, keeping at-rest content differentially verified."""
+    return _components_at_rest(spark, sf_dir)
+
+
+_COMP_PATHS: dict[tuple[str, str], str] = {}
+
+
+def _components_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mapreduce_wordcounter_spark.session import scratch_dir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    base = _COMP_PATHS.get(key)
+    if base is None:
+        base = scratch_dir("dedup_comp_")
+        _COMP_PATHS[key] = base
+        edges = jaccard_near_dup_pairs(spark, sf_dir).select(
+            "doc_a", "doc_b"
+        )
+        connected_components(edges).write.parquet(base + "/labels")
+    return spark.read.parquet(base + "/labels")
 
 
 # ---------------------------------------------------------------------------

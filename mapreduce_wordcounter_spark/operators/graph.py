@@ -531,6 +531,45 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CN_DEG_CAP = 96
 
 
+def _wedge_cand_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-capped wedge candidates (x, y, n_common) for non-edge
+    pairs at distance 2 — the shared candidate relation of BOTH link-
+    prediction scores (raw common-neighbor counts and Jaccard).
+    Pinned: the relation is candidate-pair-sized (72.5k rows at
+    sf0.1), and computing it twice per bench pass would redo the one
+    genuinely wide join in the family.
+
+    Construction: the node-sized degree ceiling relation broadcasts
+    onto the wedge join's build side BEFORE the join, so capped-out
+    hubs never fan out; sym is distinct, so a plain map-combined
+    COUNT(*) equals COUNT(DISTINCT mid) without the distinct-
+    aggregate's two-phase state (measured 4x on the bench graph,
+    where uncapped wedge volume is ~25M rows at sf0.1)."""
+    from mapreduce_wordcounter_spark.session import pin
+
+    adj = _adj_pinned(spark, sf_dir)
+    sym = _sym_pinned(spark, sf_dir)
+    deg = sym.groupBy("a").agg(F.count("*").alias("d"))
+    mid_ok = deg.filter(F.col("d") <= _CN_DEG_CAP).select(
+        F.col("a").alias("mid_ok")
+    )
+    s1 = sym.select(F.col("a").alias("x"), F.col("b").alias("mid")).join(
+        F.broadcast(mid_ok), F.col("mid") == F.col("mid_ok")
+    )
+    s2 = sym.select(F.col("a").alias("mid2"), F.col("b").alias("y"))
+    wedges = (
+        s1.join(s2, F.col("mid") == F.col("mid2"))
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("n_common"))
+    )
+    edges = adj.select(
+        F.col("user_a").alias("x"), F.col("user_b").alias("y")
+    )
+    return pin(wedges.join(edges, ["x", "y"], "left_anti"))
+
+
+
 @query(
     "graph_common_neighbors",
     oracle=f"""
@@ -581,35 +620,11 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     count per pair and an anti-join against the edge list. Top-k is a
     TakeOrdered, no global sort. Same cap in the oracle, so the
     pruned semantics are differentially verified, not just faster.
-    Measured at sf0.1: 7.96 s → see BENCH_local.json (wedge volume
-    11.2M → 0.6M rows)."""
-    adj = _adj_pinned(spark, sf_dir)
-    sym = _sym_pinned(spark, sf_dir)
-    deg = sym.groupBy("a").agg(F.count("*").alias("d"))
-    mid_ok = deg.filter(F.col("d") <= _CN_DEG_CAP).select(
-        F.col("a").alias("mid_ok")
-    )
-    # The ceiling relation is node-sized → broadcast; the filter lands
-    # on s1 BEFORE the wedge join, so capped-out hubs never fan out.
-    s1 = sym.select(F.col("a").alias("x"), F.col("b").alias("mid")).join(
-        F.broadcast(mid_ok), F.col("mid") == F.col("mid_ok")
-    )
-    s2 = sym.select(F.col("a").alias("mid2"), F.col("b").alias("y"))
-    # sym is distinct → one row per (x, mid, y) wedge, so a plain
-    # map-combined COUNT(*) equals COUNT(DISTINCT mid) without the
-    # distinct-aggregate's two-phase state (measured 4x on the bench
-    # graph, where uncapped wedge volume is ~25M rows at sf0.1).
-    wedges = (
-        s1.join(s2, F.col("mid") == F.col("mid2"))
-        .filter(F.col("x") < F.col("y"))
-        .groupBy("x", "y")
-        .agg(F.count("*").alias("n_common"))
-    )
-    edges = adj.select(
-        F.col("user_a").alias("x"), F.col("user_b").alias("y")
-    )
+    Measured at sf0.1: 7.96 s → 2.8 s (wedge volume
+    11.2M → 0.6M rows); the candidate relation itself is shared,
+    pinned, with graph_jaccard_neighbors (_wedge_cand_pinned)."""
     return (
-        wedges.join(edges, ["x", "y"], "left_anti")
+        _wedge_cand_pinned(spark, sf_dir)
         .select(
             F.col("x").alias("user_a"),
             F.col("y").alias("user_b"),
@@ -914,26 +929,9 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     node-grain degree joins — the degree relation is node-sized, so
     AQE broadcasts it at test scale and shuffles at 10⁹ nodes.
     Top-k is a TakeOrdered with a total-order tie-break."""
-    adj = _adj_pinned(spark, sf_dir)
     sym = _sym_pinned(spark, sf_dir)
     deg = sym.groupBy("a").agg(F.count("*").alias("d"))
-    mid_ok = deg.filter(F.col("d") <= _CN_DEG_CAP).select(
-        F.col("a").alias("mid_ok")
-    )
-    s1 = sym.select(F.col("a").alias("x"), F.col("b").alias("mid")).join(
-        F.broadcast(mid_ok), F.col("mid") == F.col("mid_ok")
-    )
-    s2 = sym.select(F.col("a").alias("mid2"), F.col("b").alias("y"))
-    wedges = (
-        s1.join(s2, F.col("mid") == F.col("mid2"))
-        .filter(F.col("x") < F.col("y"))
-        .groupBy("x", "y")
-        .agg(F.count("*").alias("n_common"))
-    )
-    edges = adj.select(
-        F.col("user_a").alias("x"), F.col("user_b").alias("y")
-    )
-    cand = wedges.join(edges, ["x", "y"], "left_anti")
+    cand = _wedge_cand_pinned(spark, sf_dir)
     dx = deg.select(F.col("a").alias("x"), F.col("d").alias("dx"))
     dy = deg.select(F.col("a").alias("y"), F.col("d").alias("dy"))
     jac = F.round(

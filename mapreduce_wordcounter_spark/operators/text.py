@@ -3450,3 +3450,73 @@ def hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tokens(spark, sf_dir)
     bucket = (F.expr(_SPARK_MD5H.format(s="word")) % 256).alias("bucket")
     return t.groupBy("doc_id", bucket).agg(F.count("*").alias("cnt"))
+
+
+@query(
+    "dedup_keep_best_quality",
+    oracle="""
+    WITH comp AS ({comp}),
+    qs AS ({qs}),
+    ranked AS (
+        SELECT c.canonical_id AS cluster_id, c.doc_id,
+               q.quality_score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.canonical_id
+                   ORDER BY q.quality_score DESC, c.doc_id) AS rk,
+               COUNT(*) OVER (PARTITION BY c.canonical_id) AS n_docs
+        FROM comp c JOIN qs q ON c.doc_id = q.doc_id)
+    SELECT cluster_id, doc_id AS keep_doc_id,
+           CAST(quality_score AS BIGINT) AS keep_quality,
+           CAST(n_docs AS BIGINT) AS n_docs
+    FROM ranked WHERE rk = 1
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: within every near-dup
+    cluster, keep the HIGHEST-QUALITY member (integer heuristic score,
+    ties toward the smaller doc_id) instead of the arbitrary min-id
+    representative — what a production pipeline actually ships, since
+    near-duplicates routinely differ in boilerplate/truncation and
+    min-id keeps a random one. Composes two audited relations: the
+    connected-components cluster labels and the quality_score triple.
+    The score is an exact integer (0-3) and the tie-break total, so
+    the choice is engine-exact with no float-ranking caveat.
+
+    Scale: one doc-grain join (cluster labels ⋈ scores, both keyed on
+    doc_id) + one rank window partitioned by cluster id — group sizes
+    are near-dup cluster sizes, bounded by the dedup QA histogram
+    (dedup_cluster_sizes), never corpus-scale."""
+    from pyspark.sql import Window as W
+
+    from mapreduce_wordcounter_spark.operators.dedup import (
+        dedup_components_canonical,
+    )
+
+    comp = dedup_components_canonical(spark, sf_dir).select(
+        F.col("canonical_id").alias("cluster_id"), "doc_id"
+    )
+    qs = quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    j = comp.join(qs, "doc_id")
+    w = W.partitionBy("cluster_id")
+    rk_w = W.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(rk_w))
+        .withColumn("n_docs", F.count("*").over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("quality_score").cast("long").alias("keep_quality"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+    )
+
+
+ORACLE["dedup_keep_best_quality"] = ORACLE[
+    "dedup_keep_best_quality"
+].format(
+    comp=ORACLE["dedup_components_canonical"],
+    qs=ORACLE["quality_score"],
+)

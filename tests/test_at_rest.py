@@ -1,0 +1,88 @@
+"""Train-once semantics of the at-rest artifacts (round 5).
+
+The LPA label table, the learned BPE tokenizer and the trigram posting
+index are trained once per (session, sf_dir) and served from scratch
+parquet; their DuckDB oracles replay training, so *content* is covered
+by the parity layer. These tests pin the at-rest *mechanics* the
+oracles cannot see:
+
+- a second invocation reads the same artifact instead of retraining
+  (path-cache hit), and returns identical rows;
+- the artifact's internal invariants hold (merge ranks dense, pair
+  counts monotonically learnable, index lossless vs the on-the-fly
+  twin).
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_ORACLE
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_lpa_labels_train_once(spark):
+    from mapreduce_wordcounter_spark.operators import graph
+
+    first = _rows(graph.graph_label_propagation(spark, SF_ORACLE))
+    key = (spark.sparkContext.applicationId, SF_ORACLE)
+    path = graph._LPA_PATHS[key]
+    second = _rows(graph.graph_label_propagation(spark, SF_ORACLE))
+    assert graph._LPA_PATHS[key] == path  # no retrain
+    assert first == second
+    assert len(first) > 0
+
+
+def test_bpe_trains_once_and_merges_are_dense(spark):
+    from mapreduce_wordcounter_spark.operators import text
+
+    merges = _rows(text.bpe_learn_merges(spark, SF_ORACLE))
+    key = (spark.sparkContext.applicationId, SF_ORACLE)
+    path = text._BPE_PATHS[key]
+    again = _rows(text.bpe_learn_merges(spark, SF_ORACLE))
+    assert text._BPE_PATHS[key] == path
+    assert merges == again
+    # Dense 1..K ranks; every merged symbol is the concatenation of
+    # its pair; counts positive.
+    ranks = [m[0] for m in sorted(merges)]
+    assert ranks == list(range(1, text._BPE_MERGES + 1))
+    for _rank, a, b, merged, cnt in merges:
+        assert merged == a + b
+        assert cnt > 0
+
+
+def test_bpe_subword_vocab_consistent_with_merges(spark):
+    from mapreduce_wordcounter_spark.operators import text
+
+    merges = {m[3] for m in text.bpe_learn_merges(spark, SF_ORACLE).collect()}
+    vocab = {
+        r["subword"] for r in text.bpe_subword_vocab(spark, SF_ORACLE).collect()
+    }
+    # Multi-char subwords can only come from merges (chars are the
+    # base alphabet). Not every merged symbol must survive (it may be
+    # consumed by a later merge), but every surviving multi-char
+    # subword must be a learned merge.
+    multi = {s for s in vocab if len(s) > 1}
+    assert multi <= merges
+
+
+def test_trigram_probe_equals_on_the_fly(spark):
+    from mapreduce_wordcounter_spark.operators import text
+
+    probe = _rows(text.trigram_index_probe(spark, SF_ORACLE))
+    direct = _rows(text.trigram_index_match(spark, SF_ORACLE))
+    assert probe == direct
+    assert len(probe) > 0
+
+
+def test_dedup_components_train_once(spark):
+    from mapreduce_wordcounter_spark.operators import dedup
+
+    first = _rows(dedup.dedup_components_canonical(spark, SF_ORACLE))
+    key = (spark.sparkContext.applicationId, SF_ORACLE)
+    path = dedup._COMP_PATHS[key]
+    second = _rows(dedup.dedup_components_canonical(spark, SF_ORACLE))
+    assert dedup._COMP_PATHS[key] == path
+    assert first == second
+    assert len(first) > 0

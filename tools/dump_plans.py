@@ -157,6 +157,7 @@ SHOWCASE = [
     "trigram_index_probe",
     "graph_kcore_peel",
     "graph_jaccard_neighbors",
+    "dedup_keep_best_quality",
 ]
 
 # Belt-and-braces: a duplicated SHOWCASE entry (it has happened) would
