@@ -41,11 +41,14 @@ TARGETS = [
     "wc_counts",
     "graph_pagerank",
     "graph_common_neighbors",
+    "graph_kcore_peel",
     "graph_modularity",
     "trigram_index_match",
+    "trigram_index_probe",
     "pipeline_curate",
     "lsh_verified_pairs",
     "stream_cms_heavy_hitters",
+    "bpe_learn_merges",
 ]
 
 
