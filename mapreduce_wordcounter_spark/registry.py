@@ -128,6 +128,7 @@ def all_queries() -> dict[str, QueryFn]:
     from mapreduce_wordcounter_spark.operators import (  # noqa: F401
         dedup,
         graph,
+        layout,
         multimodal,
         relational,
         similarity,

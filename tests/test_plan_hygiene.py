@@ -66,6 +66,10 @@ _ALLOWED_BOUNDED_BNLJ = {
     "ev_seasonality_dow_hour",  # 1-row total scalar onto the ≤168-row grid
     "graph_modularity",  # joins of three 1-row aggregate scalars
     "ev_benford_deviation",  # 1-row total scalar onto the 9-row digit grid
+    "zorder_layout",  # 1-row min/max bounds scalar (bit-budget normalization)
+    "layout_span_compare",  # same 1-row bounds scalar, both layouts
+    "zorder_probe",  # 1-row corpus-start-hour scalar onto the probe scan
+    "ann_rp_topk",  # 16-row constant projection-dim table (the lsh-plane shape)
 }
 
 # The deliberately-Python surface: the real UDTF twin of the native
