@@ -1443,3 +1443,188 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["ann_ivf_recall"] = ORACLE["ann_ivf_recall"].format(
     b=ORACLE["knn_brute_cosine"], i=ORACLE["ann_ivf_topk"]
 )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (Rademacher sketch)
+# ---------------------------------------------------------------------------
+
+# Deterministic ±1 projection matrix, 16 output dims x 64 input dims,
+# encoded as a 1024-char bit string shared VERBATIM by the Spark
+# expression and the DuckDB oracle (the md5 derivation is a pure
+# function of the row/col constants — no RNG, no seed state). A
+# Rademacher matrix satisfies the JL lemma the same as Gaussian
+# (Achlioptas 2001, database-friendly random projections) and needs
+# only substring + CASE in SQL.
+import hashlib as _hashlib
+
+_JL_DIMS = 16
+_JL_BITS = "".join(
+    format(int(_hashlib.md5(f"jl:{j}".encode()).hexdigest(), 16), "0128b")[:64]
+    for j in range(_JL_DIMS)
+)
+_JL_Q = 100_000  # per-term quantization for order-free integer sums
+_JL_CAND = 5 * TOP_K  # candidate pool verified with exact cosine
+
+_JL_SIGN_SQL = (
+    f"CASE WHEN substring('{_JL_BITS}', j * 64 + pos + 1, 1) = '1' "
+    "THEN 1.0 ELSE -1.0 END"
+)
+
+
+def _jl_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form projected vectors (vec_id, j, qp): qp is the j-th
+    Rademacher component as a quantized integer sum — grouped sums of
+    bigints are order-free, so the projection is bit-identical across
+    engines and across partitionings (the lsh qdot convention).
+
+    All 16 components are computed as a WIDE aggregate in one
+    map-combined groupBy(vec_id) pass over the long form (each sign is
+    a literal 64-char substring lookup for that j), then unpivoted to
+    long with stack() — a projection on the |corpus|-row result. The
+    crossJoin-with-j variant computes the same thing but shuffles a
+    16×-expanded row stream; measured ~3× slower."""
+    lv = _spark_long(spark, sf_dir)
+    aggs = []
+    for j in range(_JL_DIMS):
+        row = _JL_BITS[j * 64 : (j + 1) * 64]
+        sign = (
+            f"CASE WHEN substring('{row}', pos + 1, 1) = '1' "
+            "THEN 1.0 ELSE -1.0 END"
+        )
+        aggs.append(
+            F.sum(
+                F.floor(F.col("x") * F.expr(sign) * _JL_Q + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias(f"qp{j}")
+        )
+    wide = lv.groupBy("vec_id").agg(*aggs)
+    stack_args = ", ".join(f"{j}, qp{j}" for j in range(_JL_DIMS))
+    return wide.select(
+        "vec_id", F.expr(f"stack({_JL_DIMS}, {stack_args}) AS (j, qp)")
+    )
+
+
+_DUCK_JL_PROJ = f"""
+    SELECT vec_id, j,
+           SUM(CAST(FLOOR(x * ({_JL_SIGN_SQL}) * {_JL_Q}.0 + 0.5) AS BIGINT)) AS qp
+    FROM ({_DUCK_LONG}) lv
+    CROSS JOIN (SELECT unnest(generate_series(0, {_JL_DIMS - 1})) AS j) js
+    GROUP BY vec_id, j
+"""
+
+
+@query(
+    "ann_rp_topk",
+    oracle=f"""
+    WITH proj AS ({_DUCK_JL_PROJ}),
+    n2 AS (SELECT vec_id, SUM(qp * qp) AS n2 FROM proj GROUP BY vec_id),
+    pd AS (
+        SELECT q.vec_id AS query_id, c.vec_id, SUM(q.qp * c.qp) AS pd
+        FROM proj q JOIN proj c ON c.j = q.j AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+        GROUP BY q.vec_id, c.vec_id),
+    pscored AS (
+        SELECT pd.query_id, pd.vec_id,
+               ROUND(CAST(pd.pd AS DOUBLE)
+                     / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))),
+                     6) AS pscore
+        FROM pd
+        JOIN n2 nq ON nq.vec_id = pd.query_id
+        JOIN n2 nc ON nc.vec_id = pd.vec_id),
+    cand AS (
+        SELECT query_id, vec_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY pscore DESC, vec_id) AS rn
+            FROM pscored) t
+        WHERE rn <= {_JL_CAND}),
+    verified AS (
+        SELECT cand.query_id, cand.vec_id,
+               ROUND({_DUCK_DOT.format(a='qe.embedding', b='ce.embedding')}
+                     / ({_DUCK_NORM.format(v='qe.embedding')} * {_DUCK_NORM.format(v='ce.embedding')}),
+                     6) AS cosine
+        FROM cand
+        JOIN embeddings qe ON qe.vec_id = cand.query_id
+        JOIN embeddings ce ON ce.vec_id = cand.vec_id)
+    SELECT query_id, vec_id, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS rn
+        FROM verified) t
+    WHERE rn <= {TOP_K}
+    """,
+)
+def ann_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via Johnson-Lindenstrauss random projection: rank the
+    corpus in a 16-dim Rademacher sketch of the 64-dim embeddings,
+    keep the top 5k sketch candidates per query, then verify with
+    exact cosine in the original space and emit the top k.
+
+    Unlike the LSH/IVF paths (which SHRINK the candidate set), JL
+    shrinks the PER-COMPARISON cost: the sketch scan touches 4x fewer
+    dimensions — and integer ones — so the full-corpus pass costs ~1/4
+    of brute force, and the exact 64-dim math runs on 5k rows per
+    query instead of |corpus|. The right tool when candidates cannot
+    be localized (no cluster structure for IVF cells to exploit) but
+    the scan itself is the bottleneck; composes with IVF (sketch
+    inside each probed cell) in real systems.
+
+    Scale: queries' sketches broadcast (N_QUERIES x 16 ints); the
+    corpus-side sketch is computed in one map-combined groupBy and the
+    score is a grouped integer dot — single shuffle on (query_id,
+    vec_id), no corpus broadcast, candidate-then-verify end-to-end."""
+    proj = _jl_proj(spark, sf_dir)
+    n2 = proj.groupBy("vec_id").agg(F.sum(F.col("qp") * F.col("qp")).alias("n2"))
+    pq = proj.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "j", F.col("qp").alias("qpq")
+    )
+    pd = (
+        proj.join(F.broadcast(pq), "j")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum(F.col("qp") * F.col("qpq")).alias("pd"))
+    )
+    nq = n2.select(F.col("vec_id").alias("query_id"), F.col("n2").alias("n2q"))
+    pscored = (
+        pd.join(F.broadcast(nq), "query_id")
+        .join(n2, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                F.col("pd").cast("double")
+                / (
+                    F.expr("sqrt(cast(n2q as double))")
+                    * F.expr("sqrt(cast(n2 as double))")
+                ),
+                6,
+            ).alias("pscore"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("pscore"), F.asc("vec_id"))
+    cand = (
+        pscored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _JL_CAND)
+        .select("query_id", "vec_id")
+    )
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"), "embedding", "nrm")
+    qe = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    ce = emb.select("vec_id", F.col("embedding").alias("cv"), F.col("nrm").alias("cn"))
+    cos = F.round(
+        F.expr(_SPARK_DOT.format(a="qv", b="cv")) / (F.col("qn") * F.col("cn")), 6
+    )
+    verified = (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ce, "vec_id")
+        .select("query_id", "vec_id", cos.alias("cosine"))
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        verified.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", "cosine")
+    )

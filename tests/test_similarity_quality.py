@@ -231,3 +231,51 @@ def test_ivfpq_recall_on_clustered_data(spark, clustered_sf):
     brute = _QUERIES["knn_brute_cosine"](spark, clustered_sf).toPandas()
     pq = _QUERIES["ann_ivfpq_topk"](spark, clustered_sf).toPandas()
     assert _recall(brute, pq) >= 0.8
+
+
+def test_rp_topk_recall_on_clustered_data(spark, clustered_sf):
+    """JL random projection: a 16-dim Rademacher sketch of 64-dim
+    vectors distorts pairwise angles by O(1/sqrt(16)), so on clustered
+    data (intra-cluster cosine ~0.99 vs cross-cluster ~0) the sketch
+    ranking must put essentially all true top-10 inside the 5k
+    candidate pool — and the exact-cosine verification then restores
+    the true order. Gate at 0.9."""
+    brute = _QUERIES["knn_brute_cosine"](spark, clustered_sf).toPandas()
+    rp = _QUERIES["ann_rp_topk"](spark, clustered_sf).toPandas()
+    assert _recall(brute, rp) >= 0.9, _recall(brute, rp)
+
+
+def test_rp_topk_scores_are_exact(spark):
+    """The approximation lives in candidate generation only: every
+    (query, candidate) the RP path reports must carry the identical
+    rounded cosine the brute-force scan computes for that pair."""
+    brute = _QUERIES["knn_brute_cosine"](spark, "/root/testdata/sf0.001").toPandas()
+    rp = _QUERIES["ann_rp_topk"](spark, "/root/testdata/sf0.001").toPandas()
+    exact = {(q, v): c for q, v, c in zip(brute.query_id, brute.vec_id, brute.cosine)}
+    hits = 0
+    for q, v, c in zip(rp.query_id, rp.vec_id, rp.cosine):
+        if (q, v) in exact:
+            assert abs(exact[(q, v)] - c) < 1e-9
+            hits += 1
+    assert hits > 0
+
+
+def test_prefix_join_equals_exact_baseline(spark, nearly_dup_sf):
+    """Prefix filtering is LOSSLESS: on planted duplicate structure the
+    prefix-join must return exactly the exact baseline's pair set (not
+    a subset — this is what separates it from the LSH/df-cap tiers)."""
+    sf, _, _ = nearly_dup_sf
+    exact = (
+        _QUERIES["jaccard_near_dup_pairs"](spark, sf)
+        .toPandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    pref = (
+        _QUERIES["jaccard_prefix_join"](spark, sf)
+        .toPandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert len(exact) > 0
+    assert exact.equals(pref), (exact, pref)
