@@ -121,6 +121,14 @@ HEADLINE = [
     "graph_kcore_peel",
     "graph_jaccard_neighbors",
     "dedup_keep_best_quality",
+    # round 5: data layout + JL sketch ANN
+    "zorder_layout",
+    "layout_span_compare",
+    "zorder_probe",
+    "dpp_partitioned_join",
+    "ann_rp_topk",
+    "jaccard_prefix_join",
+    "sample_weighted_topk",
 ]
 
 

@@ -158,6 +158,12 @@ SHOWCASE = [
     "graph_kcore_peel",
     "graph_jaccard_neighbors",
     "dedup_keep_best_quality",
+    "zorder_layout",
+    "zorder_probe",
+    "dpp_partitioned_join",
+    "ann_rp_topk",
+    "jaccard_prefix_join",
+    "sample_weighted_topk",
 ]
 
 # Belt-and-braces: a duplicated SHOWCASE entry (it has happened) would
