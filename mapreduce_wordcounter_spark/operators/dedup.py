@@ -1359,3 +1359,51 @@ def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@query(
+    "lsh_recall_vs_exact",
+    oracle="""
+    WITH exact AS ({e}),
+    lsh AS ({l}),
+    hits AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM exact e JOIN lsh l
+          ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact)
+    SELECT n_hits, n_exact,
+           ROUND(CAST(n_hits AS DOUBLE) / n_exact, 6) AS recall
+    FROM hits CROSS JOIN tot
+    """,
+)
+def lsh_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous recall audit of the probabilistic dedup tier against
+    the EXACT tier (the ann_ivf_recall pattern applied to dedup): what
+    fraction of true J >= 0.5 pairs does the banded-MinHash pipeline
+    recover? Before round 5 the exact reference was the quadratic
+    all-pairs baseline — affordable only offline; jaccard_prefix_join
+    makes the exact side a scale path too, so this audit can run at
+    production cadence (the number every LSH parameter choice — bands
+    x rows — is tuned against).
+
+    Scale: both sides are verified-pair relations (candidates only,
+    never all-pairs); the audit join is pair-grain and the scalars are
+    1-row."""
+    exact = jaccard_prefix_join(spark, sf_dir).select("doc_a", "doc_b")
+    lsh = lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    hits = exact.join(lsh, ["doc_a", "doc_b"]).agg(
+        F.count("*").cast("bigint").alias("n_hits")
+    )
+    tot = exact.agg(F.count("*").cast("bigint").alias("n_exact"))
+    return hits.crossJoin(F.broadcast(tot)).select(
+        "n_hits",
+        "n_exact",
+        F.round(F.col("n_hits").cast("double") / F.col("n_exact"), 6).alias(
+            "recall"
+        ),
+    )
+
+
+ORACLE["lsh_recall_vs_exact"] = ORACLE["lsh_recall_vs_exact"].format(
+    e=ORACLE["jaccard_prefix_join"], l=ORACLE["lsh_verified_pairs"]
+)

@@ -3589,3 +3589,66 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.orderBy(F.desc("priority_pico"), F.asc("doc_id"))
         .limit(_WS_K)
     )
+
+
+_WS_K_GROUP = 20  # per-language sample size
+
+
+@query(
+    "sample_weighted_per_lang",
+    oracle=f"""
+    WITH u AS (
+        SELECT doc_id, lang, n_chars,
+               CAST((({_DUCK_MD5H.format(s='text')}) % {_WS_P} + 1) AS DOUBLE)
+                   / {_WS_P + 1}.0 AS u
+        FROM documents),
+    keyed AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(FLOOR(LN(u) / GREATEST(n_chars, 1) * 1000000000000.0
+                          + 0.5) AS BIGINT) AS priority_pico
+        FROM u)
+    SELECT doc_id, lang, n_chars, priority_pico FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY priority_pico DESC, doc_id) AS rn
+        FROM keyed) t
+    WHERE rn <= {_WS_K_GROUP}
+    """,
+)
+def sample_weighted_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified weighted sampling: the A-ES priority construction of
+    sample_weighted_topk, but top-K WITHIN each language — the
+    "balanced multilingual subset, weighted by document size" recipe
+    (each stratum gets an independent weighted WOR sample from one
+    shared key computation, because A-ES priorities are independent
+    across strata by construction).
+
+    Scale: per-row keys (no shuffle), then ONE window shuffle on lang;
+    per-stratum state is a K-row heap equivalent. When stratum
+    cardinality is huge and K small, swap the window for a
+    groupBy(lang) + per-group TakeOrdered via the same priority — the
+    window form keeps the plan one exchange here."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.expr(
+        f"cast(({_SPARK_MD5H.format(s='text')}) % {_WS_P} + 1 as double)"
+        f" / {_WS_P + 1}.0"
+    )
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.floor(
+            F.log(u) / F.expr("greatest(n_chars, 1)") * 1e12 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("priority_pico"),
+    )
+    w = W.partitionBy("lang").orderBy(
+        F.desc("priority_pico"), F.asc("doc_id")
+    )
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _WS_K_GROUP)
+        .select("doc_id", "lang", "n_chars", "priority_pico")
+    )

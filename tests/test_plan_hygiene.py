@@ -70,6 +70,7 @@ _ALLOWED_BOUNDED_BNLJ = {
     "layout_span_compare",  # same 1-row bounds scalar, both layouts
     "zorder_probe",  # 1-row corpus-start-hour scalar onto the probe scan
     "ann_rp_topk",  # 16-row constant projection-dim table (the lsh-plane shape)
+    "lsh_recall_vs_exact",  # 1-row exact-pair-count scalar onto the 1-row hits
 }
 
 # The deliberately-Python surface: the real UDTF twin of the native
