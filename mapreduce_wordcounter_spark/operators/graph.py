@@ -327,7 +327,12 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by Σ deg²_oriented, not Σ deg² — on skewed graphs the full
     degree-ordering (orient low-degree → high-degree) drops it
     further and would slot in here as an extra ORDER BY degree on the
-    canonicalization."""
+    canonicalization. Measured (round 5): on THIS near-uniform lag
+    graph the degree-ordered variant is ~2.7x SLOWER (4.3 s -> 11.6 s
+    at sf0.1, identical output) — the two extra degree joins cost more
+    than the wedge reduction saves when no hubs exist; adopt it only
+    when the degree histogram says so (the skew_top_keys audit is the
+    trigger)."""
     # Pinned, graph-sized layout: e1/e2/e3 are three branches over the
     # SAME relation — unpinned, each replays the corpus scan + lag
     # window; corpus-width pinning drags scan-width task overhead

@@ -182,3 +182,42 @@ def test_c4_filter_matches_python_reference(spark, texts, tmp_path_factory):
     }
     want = _py_c4_reference(texts)
     assert got == want
+
+
+def _py_morton(x: int, y: int) -> int:
+    z = 0
+    for b in range(16):
+        z |= ((x >> b) & 1) << (2 * b)
+        z |= ((y >> b) & 1) << (2 * b + 1)
+    return z
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_morton_expression_matches_python(spark, pts):
+    """The unrolled div/% z-value expression must equal the obviously-
+    correct Python bit interleave on adversarial coordinates (all-ones,
+    alternating bits, boundary values — hypothesis finds them)."""
+    from mapreduce_wordcounter_spark.operators.layout import _SPARK_Z
+
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)], "i long, x long, y long"
+    )
+    got = {
+        r["i"]: r["z"]
+        for r in df.withColumn(
+            "z", F.expr(_SPARK_Z.format(x="x", y="y"))
+        ).collect()
+    }
+    for i, (x, y) in enumerate(pts):
+        assert got[i] == _py_morton(x, y), (x, y)
