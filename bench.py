@@ -129,6 +129,8 @@ HEADLINE = [
     "ann_rp_topk",
     "jaccard_prefix_join",
     "sample_weighted_topk",
+    "sample_weighted_per_lang",
+    "lsh_recall_vs_exact",
 ]
 
 
