@@ -51,6 +51,14 @@ _GUARDED = [
     "ev_top_paths",
     "ev_first_touch",
     "part_affinity_lift",
+    # round 5: degenerate-layout cases (n < N_FILES tiles, single-hour
+    # corpora collapse the normalization span to the greatest(,1)
+    # guard), short-doc prefixes, tiny strata
+    "zorder_layout",
+    "layout_span_compare",
+    "dpp_partitioned_join",
+    "jaccard_prefix_join",
+    "sample_weighted_per_lang",
 ]
 
 
