@@ -76,11 +76,14 @@ DRIVER_WINDOW: list[str] = [
     "ev_resample_ffill",
     # similarity / ANN (the quadratic exactness baseline
     # embedding_top_pairs sits past slot 50 since r5 — its
-    # scale-shaped bucketed twin represents the family here)
+    # scale-shaped bucketed twin represents the family here; late r5,
+    # lsh_bucket_candidates — an intermediate subsumed by the
+    # bucket-join consumers — ceded its slot to the new data-layout
+    # family's zorder_layout, green across sf0.001/0.01/0.1 first)
     "knn_brute_cosine",
     "ann_ivf_topk",
     "lsh_hyperplane_buckets",
-    "lsh_bucket_candidates",
+    "zorder_layout",
     "embedding_top_pairs_bucketed",
     # graph
     "graph_pagerank",
@@ -94,7 +97,10 @@ DRIVER_WINDOW: list[str] = [
     "dedup_paragraphs",
     "jaccard_near_dup_pairs",
     "minhash_signatures",
-    "lsh_candidate_pairs",
+    # late r5: lsh_candidate_pairs (subsumed by lsh_verified_pairs,
+    # which replays candidates before verifying) ceded its slot to the
+    # lossless prefix-filtered exact join
+    "jaccard_prefix_join",
     "lsh_verified_pairs",
     "simhash32",
     "dedup_components_canonical",

@@ -44,6 +44,11 @@ def test_driver_window_covers_every_family() -> None:
         "pii_counts",
         "dedup_paragraphs",
         "quality_classifier_score",
+        # late-r5 swap-ins: data-layout family + the lossless exact
+        # prefix join (each replaced an intermediate subsumed by a
+        # downstream window query)
+        "zorder_layout",
+        "jaccard_prefix_join",
     }
     assert must_have <= window
 
