@@ -221,3 +221,58 @@ def test_morton_expression_matches_python(spark, pts):
     }
     for i, (x, y) in enumerate(pts):
         assert got[i] == _py_morton(x, y), (x, y)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.data(),
+)
+def test_prefix_join_lossless_on_random_corpora(spark, data, tmp_path_factory):
+    """The AllPairs/PPJoin losslessness claim, fuzzed: on arbitrary
+    small corpora (random words, random duplication structure) the
+    prefix-filtered join must return EXACTLY the all-pairs baseline's
+    result — same pairs, same jaccard values."""
+    from mapreduce_wordcounter_spark.registry import all_queries
+
+    rng_words = data.draw(
+        st.lists(
+            st.text(alphabet="abcdefg", min_size=1, max_size=4),
+            min_size=4,
+            max_size=12,
+            unique=True,
+        )
+    )
+    n_docs = data.draw(st.integers(2, 8))
+    docs = []
+    for i in range(n_docs):
+        n_w = data.draw(st.integers(3, 12))
+        words = [
+            rng_words[data.draw(st.integers(0, len(rng_words) - 1))]
+            for _ in range(n_w)
+        ]
+        docs.append((i, " ".join(words), "en", "synth", len(" ".join(words))))
+    # duplicate one doc exactly so the J >= 0.5 result is non-trivial
+    # on most draws
+    docs.append((n_docs, docs[0][1], "en", "synth", docs[0][4]))
+    d = tmp_path_factory.mktemp("ppjoin_fuzz")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    qs = all_queries()
+    exact = (
+        qs["jaccard_near_dup_pairs"](spark, str(d))
+        .toPandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    pref = (
+        qs["jaccard_prefix_join"](spark, str(d))
+        .toPandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert exact.equals(pref), (exact, pref)
