@@ -474,3 +474,122 @@ def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").cast("bigint").alias("n_events"))
     )
+
+
+# ---------------------------------------------------------------------------
+# k-dimensional generalization: 3-column Z-order
+# ---------------------------------------------------------------------------
+
+# 10 bits per dimension -> 30-bit z3. The bit budget per dimension
+# shrinks as dimensions are added (the classic z-order trade: each
+# extra clustered column dilutes every column's per-file span), which
+# is why production guidance caps ZORDER BY at 2-4 columns.
+_BITS3 = 10
+_MASK3 = 2**_BITS3
+_COARSE3_SHIFT = 2 ** (3 * _BITS3 - 6)
+
+_SPARK_Z3 = " + ".join(
+    f"((({{x}}) div {2**b}) % 2) * {2 ** (3 * b)}L"
+    f" + ((({{y}}) div {2**b}) % 2) * {2 ** (3 * b + 1)}L"
+    f" + ((({{t}}) div {2**b}) % 2) * {2 ** (3 * b + 2)}L"
+    for b in range(_BITS3)
+)
+_DUCK_Z3 = "CAST(" + " + ".join(
+    f"((({{x}}) // {2**b}) % 2) * {2 ** (3 * b)}"
+    f" + ((({{y}}) // {2**b}) % 2) * {2 ** (3 * b + 1)}"
+    f" + ((({{t}}) // {2**b}) % 2) * {2 ** (3 * b + 2)}"
+    for b in range(_BITS3)
+) + " AS BIGINT)"
+
+# third dimension: a deterministic portable code for event_type (no
+# semantic order needed for clustering — only that equal types share
+# a code)
+from mapreduce_wordcounter_spark.operators.dedup import (  # noqa: E402
+    _DUCK_MD5H,
+    _SPARK_MD5H,
+)
+
+_SPARK_T = f"({_SPARK_MD5H.format(s='event_type')}) % {_MASK3}"
+_DUCK_T = f"({_DUCK_MD5H.format(s='event_type')}) % {_MASK3}"
+
+
+@query(
+    "zorder3_layout",
+    oracle=f"""
+    WITH pts AS (
+        SELECT event_id, {_DUCK_X} AS x, {_DUCK_Y} AS y, {_DUCK_T} AS t
+        FROM events),
+    zed AS (
+        SELECT event_id, x, y, t,
+               {_DUCK_Z3.format(x='xn', y='yn', t='t')} AS z
+        FROM (
+            SELECT pts.*,
+                   {_DUCK_NORM2.format(v='x', lo='b.xlo', hi='b.xhi', top=_MASK3 - 1)} AS xn,
+                   {_DUCK_NORM2.format(v='y', lo='b.ylo', hi='b.yhi', top=_MASK3 - 1)} AS yn
+            FROM pts CROSS JOIN (
+                SELECT MIN(x) AS xlo, MAX(x) AS xhi,
+                       MIN(y) AS ylo, MAX(y) AS yhi FROM pts) b) n),
+    tiled AS (
+        SELECT *, NTILE({N_FILES}) OVER (ORDER BY z, event_id) AS file_id
+        FROM zed)
+    SELECT CAST(file_id AS BIGINT) AS file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(x) AS u_min, MAX(x) AS u_max,
+           MIN(y) AS h_min, MAX(y) AS h_max,
+           MIN(t) AS t_min, MAX(t) AS t_max
+    FROM tiled GROUP BY file_id
+    """,
+)
+def zorder3_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-column Z-order (user, hour, event-type code): the k-dim
+    generalization of zorder_layout — interleave stride 3, 10 bits
+    per dimension. Demonstrates the construction is k-ary, and the
+    trade that comes with it: the per-dimension bit budget (and so
+    per-file span tightness) dilutes as columns are added, which is
+    why production ZORDER BY guidance caps at 2-4 columns. The type
+    dimension uses a portable content-hash code — clustering needs
+    equal values co-located, not a semantic order.
+
+    Scale: identical profile to zorder_layout — per-row integer
+    projection, distributed exact NTILE on z3 high-bit buckets,
+    map-combined per-file stats."""
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_id",
+        F.expr(_SPARK_X).alias("x"),
+        F.expr(_SPARK_Y).alias("y"),
+        F.expr(_SPARK_T).alias("t"),
+    )
+    bounds = pts.agg(
+        F.min("x").alias("xlo"),
+        F.max("x").alias("xhi"),
+        F.min("y").alias("ylo"),
+        F.max("y").alias("yhi"),
+    )
+    from mapreduce_wordcounter_spark.session import pin
+
+    top = _MASK3 - 1
+    # pinned for the same reason as _zed: the NTILE construction reads
+    # this relation three times (count, bucket histogram, rank join)
+    zed = pin(
+        pts.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "xn", F.expr(_NORM.format(v="x", lo="xlo", hi="xhi", top=top))
+        )
+        .withColumn(
+            "yn", F.expr(_NORM.format(v="y", lo="ylo", hi="yhi", top=top))
+        )
+        .withColumn("z", F.expr(_SPARK_Z3.format(x="xn", y="yn", t="t")))
+        .drop("xlo", "xhi", "ylo", "yhi", "xn", "yn")
+        .withColumn("zbucket", F.expr(f"z div {_COARSE3_SHIFT}"))
+    )
+    tiled = _distributed_ntile(zed, "zbucket", ["z", "event_id"], N_FILES)
+    return tiled.groupBy("file_id").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("x").alias("u_min"),
+        F.max("x").alias("u_max"),
+        F.min("y").alias("h_min"),
+        F.max("y").alias("h_max"),
+        F.min("t").alias("t_min"),
+        F.max("t").alias("t_max"),
+    )

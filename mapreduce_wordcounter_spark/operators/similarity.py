@@ -1628,3 +1628,61 @@ def ann_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "vec_id", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Adaptive index maintenance: drift + recall -> rebuild decision
+# ---------------------------------------------------------------------------
+
+# Rebuild triggers, shared verbatim with the oracle. The recall floor
+# is the same 0.9 the quality suite gates; the shift ceiling is sized
+# to this corpus's stable-halves baseline (~0.05-0.15 measured) so a
+# retrained/corrupted embedding model (shift >> 1) trips it.
+_REBUILD_MIN_RECALL = 0.9
+_REBUILD_MAX_SHIFT = 0.5
+
+
+@query(
+    "ann_rebuild_decision",
+    oracle=f"""
+    WITH shift AS ({{s}}),
+    rec AS ({{r}}),
+    agg AS (SELECT MAX(l2_shift) AS max_shift FROM shift)
+    SELECT agg.max_shift, rec.recall,
+           CAST(rec.recall < {_REBUILD_MIN_RECALL}
+                OR agg.max_shift > {_REBUILD_MAX_SHIFT} AS BOOLEAN)
+               AS rebuild
+    FROM agg CROSS JOIN rec
+    """,
+)
+def ann_rebuild_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The adaptive-index control loop (the shape of Continuously
+    Adaptive Similarity Search, SIGMOD 2020 — monitor the workload
+    and data, re-index only when the measurements say so): combine
+    the two monitors this module already serves — embedding drift
+    (centroid shift between corpus halves) and live IVF recall vs the
+    exact baseline — into a single 1-row rebuild verdict that a
+    nightly pipeline gates its expensive OPTIMIZE/retrain job on.
+
+    Scale: both inputs are already scalar-sized relations (per-label
+    shifts, one recall row); the decision adds two 1-row joins. The
+    expensive thing this query EXISTS to avoid — retraining the IVF
+    codebook and rewriting the at-rest index — only runs when rebuild
+    is true, which is the entire point of measuring instead of
+    rebuilding on a timer."""
+    shift = embedding_centroid_shift(spark, sf_dir)
+    rec = ann_ivf_recall(spark, sf_dir).select("recall")
+    mx = shift.agg(F.max("l2_shift").alias("max_shift"))
+    return mx.crossJoin(F.broadcast(rec)).select(
+        "max_shift",
+        "recall",
+        (
+            (F.col("recall") < _REBUILD_MIN_RECALL)
+            | (F.col("max_shift") > _REBUILD_MAX_SHIFT)
+        ).alias("rebuild"),
+    )
+
+
+ORACLE["ann_rebuild_decision"] = ORACLE["ann_rebuild_decision"].format(
+    s=ORACLE["embedding_centroid_shift"], r=ORACLE["ann_ivf_recall"]
+)

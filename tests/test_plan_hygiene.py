@@ -33,6 +33,7 @@ _ALLOWED_QUADRATIC = {
     "dedup_cluster_sizes",  # histogram over the same CC labeling
     "knn_brute_cosine",  # broadcast-queries x corpus scan: the exactness oracle
     "ann_ivf_recall",  # contains the brute baseline by definition (recall eval)
+    "ann_rebuild_decision",  # composes ann_ivf_recall (same brute baseline)
     "lsh_verified_pairs",  # verification reuses the jaccard-pair shape on candidates
 }
 
@@ -67,6 +68,7 @@ _ALLOWED_BOUNDED_BNLJ = {
     "graph_modularity",  # joins of three 1-row aggregate scalars
     "ev_benford_deviation",  # 1-row total scalar onto the 9-row digit grid
     "zorder_layout",  # 1-row min/max bounds scalar (bit-budget normalization)
+    "zorder3_layout",  # same 1-row bounds scalar, 3-dim interleave
     "layout_span_compare",  # same 1-row bounds scalar, both layouts
     "zorder_probe",  # 1-row corpus-start-hour scalar onto the probe scan
     "ann_rp_topk",  # 16-row constant projection-dim table (the lsh-plane shape)
