@@ -131,6 +131,8 @@ HEADLINE = [
     "sample_weighted_topk",
     "sample_weighted_per_lang",
     "lsh_recall_vs_exact",
+    "ann_rebuild_decision",
+    "zorder3_layout",
 ]
 
 
