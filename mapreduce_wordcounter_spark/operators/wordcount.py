@@ -531,3 +531,64 @@ def stream_pyds_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+_PYDS_SINK_PATHS: dict[tuple[str, str], str] = {}
+
+
+@query(
+    "pyds_roundtrip_wordcount",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(cnt) AS BIGINT) AS total_tokens
+    FROM (SELECT word, COUNT(*) AS cnt
+          FROM ({_ORACLE_TOKENS}) t
+          WHERE word <> ''
+          GROUP BY word)
+    """,
+)
+def pyds_roundtrip_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the CUSTOM Python data source WRITER
+    (sources/pydatasource.py make_sink_datasource — the two-phase-
+    commit JSONL sink): the flagship word counts are written through
+    the sink once per (session, sf_dir), read back from the committed
+    part files, and re-aggregated — and the result must equal the
+    oracle's direct aggregate, which proves the writer lost, gained,
+    and mangled nothing. With the reader, stream-reader, and writer
+    demos this closes the full Spark 4 Python connector API surface.
+
+    Scale: the sink write is task-parallel (one part file + commit
+    message per partition; driver sees only the bounded manifest);
+    the read-back is a plain partition-parallel JSON scan."""
+    import os
+
+    from mapreduce_wordcounter_spark.session import scratch_dir
+    from mapreduce_wordcounter_spark.sources.pydatasource import (
+        make_sink_datasource,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _PYDS_SINK_PATHS.get(key)
+    if path is None:
+        try:
+            spark.dataSource.register(make_sink_datasource())
+        except Exception:
+            pass  # already registered in this session
+        path = os.path.join(scratch_dir("pyds_sink_"), "wc")
+        _PYDS_SINK_PATHS[key] = path
+        (
+            wc_counts(spark, sf_dir)
+            # repartition, not coalesce: AQE coalesces the tiny
+            # aggregate to one partition and coalesce cannot split,
+            # so this pins exactly 4 writer tasks at any sf
+            .repartition(4)
+            .write.format("jsonl_manifest")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+    back = spark.read.schema("word string, cnt long").json(path + "/part-*.jsonl")
+    return back.agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.sum("cnt").cast("bigint").alias("total_tokens"),
+    )

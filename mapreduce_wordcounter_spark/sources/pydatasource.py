@@ -135,3 +135,83 @@ def make_datasource(words: tuple[str, ...] = _WORDS):
 
 def register(spark) -> None:
     spark.dataSource.register(make_datasource())
+
+
+def make_sink_datasource():
+    """Python DataSource WRITER (the other half of the Spark 4
+    connector API): a JSON-lines sink with a two-phase commit — each
+    task writes one part file and returns a commit message (path, row
+    count); the driver-side commit() materializes _MANIFEST.json only
+    after every task succeeded, and abort() removes the orphans. This
+    is the task-commit protocol every real sink (object stores,
+    warehouses without transactions) must implement; files are staged
+    under task-unique names so speculative/retried tasks can never
+    corrupt a committed manifest.
+
+    Same by-value pickling posture as the reader above."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class JsonlCommit(WriterCommitMessage):
+        def __init__(self, path: str, n_rows: int):
+            self.path = path
+            self.n_rows = n_rows
+
+    class JsonlManifestWriter(DataSourceWriter):
+        def __init__(self, options):
+            self.path = options.get("path")
+
+        def write(self, iterator):
+            import json
+            import os
+
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            # task-unique staging name: partition id + attempt number,
+            # so a retried task never collides with its zombie
+            fname = f"part-{ctx.partitionId():05d}-{ctx.taskAttemptId()}.jsonl"
+            os.makedirs(self.path, exist_ok=True)
+            full = os.path.join(self.path, fname)
+            n = 0
+            with open(full, "w") as fh:
+                for row in iterator:
+                    fh.write(json.dumps(row.asDict()) + "\n")
+                    n += 1
+            return JsonlCommit(full, n)
+
+        def commit(self, messages):
+            import json
+            import os
+
+            manifest = {
+                "files": [
+                    {"path": os.path.basename(m.path), "n_rows": m.n_rows}
+                    for m in messages
+                ],
+                "total_rows": sum(m.n_rows for m in messages),
+            }
+            with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+                json.dump(manifest, fh)
+
+        def abort(self, messages):
+            import os
+
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+
+    class JsonlManifestSink(DataSource):
+        """df.write.format("jsonl_manifest").option("path", P).save()"""
+
+        @classmethod
+        def name(cls) -> str:
+            return "jsonl_manifest"
+
+        def writer(self, schema, overwrite: bool):
+            return JsonlManifestWriter(self.options)
+
+    return JsonlManifestSink

@@ -405,3 +405,28 @@ def test_colocated_join_no_exchange(spark):
         assert len(re.findall(r"Exchange hash", plan)) == 1, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_pyds_sink_commit_protocol(spark):
+    """The Python DataSource writer's two-phase commit: after the
+    round-trip query runs, the target dir must hold exactly the
+    committed part files plus a _MANIFEST.json whose per-file counts
+    sum to the total, and the total must equal the distinct-word
+    count the query itself returns."""
+    import glob
+    import json as _json
+
+    from mapreduce_wordcounter_spark.operators.wordcount import (
+        _PYDS_SINK_PATHS,
+        pyds_roundtrip_wordcount,
+    )
+
+    row = pyds_roundtrip_wordcount(spark, "/root/testdata/sf0.001").collect()[0]
+    key = (spark.sparkContext.applicationId, "/root/testdata/sf0.001")
+    path = _PYDS_SINK_PATHS[key]
+    manifest = _json.load(open(path + "/_MANIFEST.json"))
+    parts = sorted(glob.glob(path + "/part-*.jsonl"))
+    assert len(parts) == 4  # repartition(4): one committed file per task
+    assert len(manifest["files"]) == 4
+    assert manifest["total_rows"] == sum(f["n_rows"] for f in manifest["files"])
+    assert manifest["total_rows"] == row["n_words"]
