@@ -133,6 +133,7 @@ HEADLINE = [
     "lsh_recall_vs_exact",
     "ann_rebuild_decision",
     "zorder3_layout",
+    "pyds_roundtrip_wordcount",
 ]
 
 
