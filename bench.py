@@ -134,6 +134,7 @@ HEADLINE = [
     "ann_rebuild_decision",
     "zorder3_layout",
     "pyds_roundtrip_wordcount",
+    "stream_pyds_sink_roundtrip",
 ]
 
 

@@ -567,8 +567,12 @@ def pyds_roundtrip_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_sink_datasource,
     )
 
+    import glob as _glob
+
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _PYDS_SINK_PATHS.get(key)
+    if path is not None and not _glob.glob(path + "/part-*.jsonl"):
+        path = None  # at-rest artifact evicted externally -> rebuild
     if path is None:
         try:
             spark.dataSource.register(make_sink_datasource())
@@ -591,4 +595,91 @@ def pyds_roundtrip_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.agg(
         F.count("*").cast("bigint").alias("n_words"),
         F.sum("cnt").cast("bigint").alias("total_tokens"),
+    )
+
+
+_PYDS_STREAM_SINK_PATHS: dict[str, str] = {}
+
+
+@query("stream_pyds_sink_roundtrip", oracle=_ORACLE["pyds_wordcount"])
+def stream_pyds_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Python-connector loop: the custom STREAM READER feeds
+    raw documents micro-batch by micro-batch into the custom STREAM
+    WRITER (append mode — rows, not aggregates, cross the sink), and
+    the word count then runs in batch over the files the sink
+    committed. Pinned to pyds_wordcount's oracle: the result is only
+    right if every document crossed the stream sink exactly once —
+    the end-to-end exactly-once test for both connector halves
+    (reader offset replay + writer idempotent per-batch commit).
+    sf_dir is unused: the source synthesizes its batches.
+
+    Scale: each micro-batch writes task-parallel part files and a
+    bounded per-batch manifest; the read-back is a plain parallel
+    JSON scan. The drain is availableNow-style: the source's offset
+    log is finite (200 docs), so the query stops at the last batch."""
+    import os
+    import time
+
+    from mapreduce_wordcounter_spark.session import scratch_dir
+    from mapreduce_wordcounter_spark.sources.pydatasource import (
+        make_sink_datasource,
+        register,
+    )
+
+    import glob as _glob
+
+    key = spark.sparkContext.applicationId
+    path = _PYDS_STREAM_SINK_PATHS.get(key)
+    if path is not None and not _glob.glob(path + "/part-*.jsonl"):
+        path = None  # at-rest artifact evicted externally -> rebuild
+    if path is None:
+        try:
+            register(spark)
+        except Exception:
+            pass
+        try:
+            spark.dataSource.register(make_sink_datasource())
+        except Exception:
+            pass
+        base = scratch_dir("pyds_stream_sink_")
+        path = os.path.join(base, "docs")
+        _PYDS_STREAM_SINK_PATHS[key] = path
+        docs = (
+            spark.readStream.format("synthetic_corpus")
+            .option("n_docs", 200)
+            .option("batch_docs", 50)
+            .option("words_per_doc", 20)
+            .load()
+        )
+        q = (
+            docs.writeStream.outputMode("append")
+            .format("jsonl_manifest")
+            .option("path", path)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            import glob
+
+            deadline = time.monotonic() + 120
+            while time.monotonic() < deadline:
+                n = 0
+                for f in glob.glob(path + "/part-*.jsonl"):
+                    with open(f) as fh:
+                        n += sum(1 for _ in fh)
+                if n == 200:
+                    break
+                time.sleep(0.5)
+            else:
+                raise TimeoutError(f"stream sink persisted only {n}/200 docs")
+        finally:
+            q.stop()
+    back = spark.read.schema("doc_id long, text string, n_words int").json(
+        path + "/part-*.jsonl"
+    )
+    return (
+        back.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
     )

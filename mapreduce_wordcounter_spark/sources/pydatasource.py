@@ -204,6 +204,43 @@ def make_sink_datasource():
                 if m is not None and os.path.exists(m.path):
                     os.remove(m.path)
 
+    from pyspark.sql.datasource import DataSourceStreamWriter
+
+    class JsonlStreamWriter(DataSourceStreamWriter):
+        """Micro-batch form of the same sink: per-batch task staging
+        (taskAttemptId-unique file names are already unique ACROSS
+        batches), then a per-batch manifest committed with the batch
+        id — so a replayed batch overwrites its own manifest instead
+        of double-counting, which is the idempotent-commit contract
+        exactly-once streaming sinks implement against checkpointed
+        batch ids."""
+
+        def __init__(self, options):
+            self.path = options.get("path")
+            self._task = JsonlManifestWriter(options)
+
+        def write(self, iterator):
+            return self._task.write(iterator)
+
+        def commit(self, messages, batchId):
+            import json
+            import os
+
+            manifest = {
+                "batch_id": batchId,
+                "files": [
+                    {"path": os.path.basename(m.path), "n_rows": m.n_rows}
+                    for m in messages
+                ],
+                "total_rows": sum(m.n_rows for m in messages),
+            }
+            fn = os.path.join(self.path, f"_MANIFEST-{batchId:05d}.json")
+            with open(fn, "w") as fh:
+                json.dump(manifest, fh)
+
+        def abort(self, messages, batchId):
+            self._task.abort(messages)
+
     class JsonlManifestSink(DataSource):
         """df.write.format("jsonl_manifest").option("path", P).save()"""
 
@@ -213,5 +250,8 @@ def make_sink_datasource():
 
         def writer(self, schema, overwrite: bool):
             return JsonlManifestWriter(self.options)
+
+        def streamWriter(self, schema, overwrite: bool):
+            return JsonlStreamWriter(self.options)
 
     return JsonlManifestSink

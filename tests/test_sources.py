@@ -430,3 +430,31 @@ def test_pyds_sink_commit_protocol(spark):
     assert len(manifest["files"]) == 4
     assert manifest["total_rows"] == sum(f["n_rows"] for f in manifest["files"])
     assert manifest["total_rows"] == row["n_words"]
+
+
+def test_pyds_stream_sink_batch_manifests(spark):
+    """The streaming writer commits one manifest PER BATCH, keyed by
+    batch id (idempotent on replay): after the bounded stream drains,
+    the sink dir must hold per-batch manifests whose totals sum to the
+    full corpus, with no row lost or duplicated across batches."""
+    import glob
+    import json as _json
+
+    from mapreduce_wordcounter_spark.operators.wordcount import (
+        _PYDS_STREAM_SINK_PATHS,
+        stream_pyds_sink_roundtrip,
+    )
+
+    total_tokens = (
+        stream_pyds_sink_roundtrip(spark, "/root/testdata/sf0.001")
+        .agg({"cnt": "sum"})
+        .collect()[0][0]
+    )
+    assert total_tokens == 200 * 20
+    path = _PYDS_STREAM_SINK_PATHS[spark.sparkContext.applicationId]
+    manifests = sorted(glob.glob(path + "/_MANIFEST-*.json"))
+    assert len(manifests) >= 1
+    doc_total = sum(
+        _json.load(open(m))["total_rows"] for m in manifests
+    )
+    assert doc_total == 200
