@@ -855,8 +855,16 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = _sym_pinned(spark, sf_dir)
     deg = sym.groupBy("a").agg(F.count("*").alias("d"))
     row = deg.agg(
-        F.sum("d").alias("sd"), F.count("*").alias("n")
+        F.coalesce(F.sum("d"), F.lit(0)).alias("sd"),
+        F.count("*").alias("n"),
     ).first()
+    if int(row["n"]) == 0:
+        # Degenerate corpus with no co-occurrence edges: sum(d) would
+        # be NULL and the ceil-div below meaningless — the k-core of
+        # an empty graph is empty (same schema, zero rows).
+        return sym.groupBy("a").agg(
+            F.count("*").alias("core_degree")
+        ).select(F.col("a").alias("user_id"), "core_degree")
     k = (int(row["sd"]) + int(row["n"]) - 1) // int(row["n"])
     from mapreduce_wordcounter_spark.session import pin
 

@@ -17,9 +17,10 @@ Scale posture (100 TB):
 - brute-force is a broadcast-the-queries scan: O(|corpus|) per query
   batch, embarrassingly parallel, no shuffle of the corpus;
 - IVF probes the top-N_PROBE coarse cells: the corpus is partitioned
-  by nearest centroid (here: the label centroid — a deterministic
-  stand-in for a k-means codebook, which would be trained offline), so
-  each query scans ~N_PROBE/k of the data. Recall is data-dependent:
+  by nearest centroid of a TRAINED Lloyd's-iterations codebook
+  (``_ivf_codebook`` below — k-means on a deterministic hash sample,
+  trained once per (session, sf) and persisted), so each query scans
+  ~N_PROBE/k of the data. Recall is data-dependent:
   high when neighborhoods align with cells (tests/test_similarity_
   quality.py plants clustered data and requires ≥0.9), and degrades
   gracefully toward N_PROBE/k on structureless corpora — the honest

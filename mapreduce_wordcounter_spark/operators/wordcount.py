@@ -565,13 +565,12 @@ def pyds_roundtrip_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_wordcounter_spark.session import scratch_dir
     from mapreduce_wordcounter_spark.sources.pydatasource import (
         make_sink_datasource,
+        manifest_files,
     )
-
-    import glob as _glob
 
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _PYDS_SINK_PATHS.get(key)
-    if path is not None and not _glob.glob(path + "/part-*.jsonl"):
+    if path is not None and not manifest_files(path):
         path = None  # at-rest artifact evicted externally -> rebuild
     if path is None:
         try:
@@ -591,7 +590,10 @@ def pyds_roundtrip_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
             .mode("append")
             .save()
         )
-    back = spark.read.schema("word string, cnt long").json(path + "/part-*.jsonl")
+    # Manifest-driven read: only files the two-phase commit actually
+    # published — never a part-* glob, which would also include orphans
+    # from failed/speculative task attempts (see manifest_files).
+    back = spark.read.schema("word string, cnt long").json(manifest_files(path))
     return back.agg(
         F.count("*").cast("bigint").alias("n_words"),
         F.sum("cnt").cast("bigint").alias("total_tokens"),
@@ -623,14 +625,14 @@ def stream_pyds_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_wordcounter_spark.session import scratch_dir
     from mapreduce_wordcounter_spark.sources.pydatasource import (
         make_sink_datasource,
+        manifest_files,
+        manifest_total_rows,
         register,
     )
 
-    import glob as _glob
-
     key = spark.sparkContext.applicationId
     path = _PYDS_STREAM_SINK_PATHS.get(key)
-    if path is not None and not _glob.glob(path + "/part-*.jsonl"):
+    if path is not None and not manifest_files(path):
         path = None  # at-rest artifact evicted externally -> rebuild
     if path is None:
         try:
@@ -660,23 +662,23 @@ def stream_pyds_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
-            import glob
-
+            # Drain until the COMMITTED total (per-batch manifests)
+            # reaches the corpus size — counting raw part files would
+            # also count uncommitted/superseded attempts.
             deadline = time.monotonic() + 120
             while time.monotonic() < deadline:
-                n = 0
-                for f in glob.glob(path + "/part-*.jsonl"):
-                    with open(f) as fh:
-                        n += sum(1 for _ in fh)
+                n = manifest_total_rows(path)
                 if n == 200:
                     break
                 time.sleep(0.5)
             else:
-                raise TimeoutError(f"stream sink persisted only {n}/200 docs")
+                raise TimeoutError(f"stream sink committed only {n}/200 docs")
         finally:
             q.stop()
+    # Manifest-driven read (see manifest_files): only the files each
+    # batch's idempotent commit published.
     back = spark.read.schema("doc_id long, text string, n_words int").json(
-        path + "/part-*.jsonl"
+        manifest_files(path)
     )
     return (
         back.select(F.explode(F.split(F.col("text"), " ")).alias("word"))

@@ -137,6 +137,40 @@ def register(spark) -> None:
     spark.dataSource.register(make_datasource())
 
 
+def manifest_files(path: str) -> list[str]:
+    """The committed file list of a ``jsonl_manifest`` sink directory:
+    every part file named by ``_MANIFEST.json`` (batch commits) and
+    ``_MANIFEST-*.json`` (per-micro-batch stream commits). This is the
+    ONLY correct read path for the sink — a ``part-*`` glob would also
+    pick up orphans from failed/speculative task attempts and files a
+    replayed batch superseded, defeating the two-phase commit on read.
+    Driver-side and bounded: manifests are per-commit metadata, not
+    data."""
+    import glob
+    import json
+    import os
+
+    out: list[str] = []
+    for man in sorted(glob.glob(os.path.join(path, "_MANIFEST*.json"))):
+        with open(man) as fh:
+            m = json.load(fh)
+        out.extend(os.path.join(path, f["path"]) for f in m["files"])
+    return out
+
+
+def manifest_total_rows(path: str) -> int:
+    """Sum of committed row counts across all manifests (0 if none)."""
+    import glob
+    import json
+    import os
+
+    total = 0
+    for man in glob.glob(os.path.join(path, "_MANIFEST*.json")):
+        with open(man) as fh:
+            total += json.load(fh)["total_rows"]
+    return total
+
+
 def make_sink_datasource():
     """Python DataSource WRITER (the other half of the Spark 4
     connector API): a JSON-lines sink with a two-phase commit — each
@@ -176,11 +210,19 @@ def make_sink_datasource():
             fname = f"part-{ctx.partitionId():05d}-{ctx.taskAttemptId()}.jsonl"
             os.makedirs(self.path, exist_ok=True)
             full = os.path.join(self.path, fname)
+            # Stage under a .staging suffix and promote atomically on
+            # task success: a task that crashes mid-write produces no
+            # commit message, so neither commit() nor abort() would
+            # ever clean its partial file — the rename keeps such
+            # wreckage out of the part-* namespace entirely (readers
+            # additionally trust only _MANIFEST-listed files).
+            staging = full + ".staging"
             n = 0
-            with open(full, "w") as fh:
+            with open(staging, "w") as fh:
                 for row in iterator:
                     fh.write(json.dumps(row.asDict()) + "\n")
                     n += 1
+            os.replace(staging, full)
             return JsonlCommit(full, n)
 
         def commit(self, messages):

@@ -59,6 +59,8 @@ _GUARDED = [
     "dpp_partitioned_join",
     "jaccard_prefix_join",
     "sample_weighted_per_lang",
+    # round 6: empty-edge-set guard (sum(d) NULL -> ceil-div TypeError)
+    "graph_kcore_peel",
 ]
 
 
@@ -115,3 +117,21 @@ def test_parity_at_smoke_sf(name, spark, duck_smoke):
             )
         ]
         assert not mism, f"{name}.{col}: {len(mism)} mismatches, first: {mism[:3]}"
+
+
+def test_kcore_empty_edge_graph_returns_empty(spark, tmp_path):
+    """Degenerate corpus with NO co-occurrence edges (a single event
+    has no LAG partner): sum(d) aggregates to NULL, and before the
+    round-6 guard the ceil-div raised TypeError. The k-core of an
+    empty graph is an empty result with the right schema."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_wordcounter_spark.operators.graph import graph_kcore_peel
+    from mapreduce_wordcounter_spark.tables import load_table
+
+    d = str(tmp_path / "degenerate")
+    ev = load_table(spark, SF_SMOKE, "events").orderBy("event_id").limit(1)
+    ev.coalesce(1).write.mode("overwrite").parquet(d + "/events.parquet")
+    out = graph_kcore_peel(spark, d)
+    assert out.columns == ["user_id", "core_degree"]
+    assert out.count() == 0

@@ -458,3 +458,39 @@ def test_pyds_stream_sink_batch_manifests(spark):
         _json.load(open(m))["total_rows"] for m in manifests
     )
     assert doc_total == 200
+
+
+def test_pyds_sink_manifest_read_excludes_orphans(spark):
+    """The read path must trust ONLY the manifest: a part file left
+    behind by a failed/speculative task attempt (present on disk,
+    absent from _MANIFEST.json) and a .staging file from a task that
+    crashed mid-write must both be invisible to the round-trip — the
+    two-phase commit is only real if the reader honors it."""
+    from mapreduce_wordcounter_spark.operators.wordcount import (
+        _PYDS_SINK_PATHS,
+        pyds_roundtrip_wordcount,
+    )
+
+    before = pyds_roundtrip_wordcount(spark, "/root/testdata/sf0.001").collect()[0]
+    path = _PYDS_SINK_PATHS[
+        (spark.sparkContext.applicationId, "/root/testdata/sf0.001")
+    ]
+    orphan = path + "/part-99999-424242.jsonl"
+    staging = path + "/part-99998-424243.jsonl.staging"
+    with open(orphan, "w") as fh:
+        fh.write('{"word": "zombie", "cnt": 1000000}\n')
+    with open(staging, "w") as fh:
+        fh.write('{"word": "halfwri')  # truncated mid-write
+    try:
+        after = pyds_roundtrip_wordcount(
+            spark, "/root/testdata/sf0.001"
+        ).collect()[0]
+        assert (after["n_words"], after["total_tokens"]) == (
+            before["n_words"],
+            before["total_tokens"],
+        )
+    finally:
+        import os
+
+        os.remove(orphan)
+        os.remove(staging)

@@ -61,12 +61,23 @@ def build_blowup(dst: str) -> None:
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     con.execute("SET threads TO 8")
+    # Replica ID strides derived from the base tables (MAX(id)+1), not
+    # hardcoded sf0.1 cardinalities — if the base grows, offsets keep
+    # replica ID spaces disjoint instead of silently colliding (which
+    # would distort the measured exponents).
+    ev_stride, user_stride = con.execute(
+        f"SELECT MAX(event_id) + 1, MAX(user_id) + 1 "
+        f"FROM read_parquet('{BASE}/events.parquet')"
+    ).fetchone()
+    doc_stride = con.execute(
+        f"SELECT MAX(doc_id) + 1 FROM read_parquet('{BASE}/documents.parquet')"
+    ).fetchone()[0]
     if not os.path.exists(f"{dst}/events.parquet"):
         con.execute(
             f"""
             COPY (
-              SELECT e.event_id + r.r * 100000 AS event_id, e.ts,
-                     e.user_id + r.r * 1500 AS user_id,
+              SELECT e.event_id + r.r * {ev_stride} AS event_id, e.ts,
+                     e.user_id + r.r * {user_stride} AS user_id,
                      e.event_type, e.value, e.props
               FROM read_parquet('{BASE}/events.parquet') e,
                    (SELECT unnest(generate_series(0, {REPLICAS - 1})) AS r) r
@@ -77,7 +88,7 @@ def build_blowup(dst: str) -> None:
         con.execute(
             f"""
             COPY (
-              SELECT d.doc_id + r.r * 5000 AS doc_id, d.text, d.lang,
+              SELECT d.doc_id + r.r * {doc_stride} AS doc_id, d.text, d.lang,
                      d.source, d.n_chars
               FROM read_parquet('{BASE}/documents.parquet') d,
                    (SELECT unnest(generate_series(0, {REPLICAS - 1})) AS r) r
