@@ -1,0 +1,211 @@
+"""Versioned-table queries: time travel, transactional MERGE, lineage.
+
+Exercises sources/versioned.py over a deterministic snapshot lineage of
+the ``orders`` table, so every transactional property is DuckDB-
+replayable from the raw parquet:
+
+  v0  create  orders with o_orderkey % 3 = 0        (o_orderkey, o_totalprice)
+  v1  append  orders with o_orderkey % 3 = 1
+  v2  merge   UPDATE price*1.1 for matched keys with o_orderkey % 10 = 0;
+              INSERT (o_orderkey + 100_000_000, 100.0) for o_orderkey % 100 = 0
+
+The lineage builds once per (session, sf_dir) and lives at rest in a
+scratch directory; every query then reads committed snapshots only —
+the same at-rest posture as the trained IVF index and the z-ordered
+table. The reference has no persistence at all (main.go:174-181:
+print and exit); this tier is what replaces its "rerun everything"
+model at 100 TB: reproducible reads of yesterday's snapshot while
+today's merge commits.
+
+merge_upsert_orders (relational.py) computes the same MERGE *relation*
+as a pure batch query; this module supplies the transactional half its
+docstring defers — snapshot commit, concurrent-writer safety, and old
+versions that stay readable after the merge (pinned by
+tests/test_versioned.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_wordcounter_spark.functions.numeric import dsum, sql_dsum
+from mapreduce_wordcounter_spark.registry import query
+from mapreduce_wordcounter_spark.session import scratch_dir
+from mapreduce_wordcounter_spark.sources.versioned import VersionedTable
+from mapreduce_wordcounter_spark.tables import load_table
+
+_VT_PATHS: dict[tuple[str, str], str] = {}
+
+# The deterministic merge source, shared by builder and oracles.
+_SQL_MERGED_V2 = """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.1
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    UNION ALL
+    SELECT o_orderkey + 100000000, 100.0 FROM orders
+    WHERE o_orderkey % 100 = 0
+"""
+
+
+def versioned_orders(spark: SparkSession, sf_dir: str) -> VersionedTable:
+    """Build (once per session+sf) the 3-version lineage; return the
+    table handle. Rebuilds if the at-rest artifact was evicted."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _VT_PATHS.get(key)
+    if path is not None and len(VersionedTable(path).versions()) < 3:
+        path = None  # evicted or partially built -> rebuild
+    if path is None:
+        path = os.path.join(scratch_dir("versioned_"), "orders_v")
+        vt = VersionedTable(path)
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        k = F.col("o_orderkey")
+        # 4 range-clustered files per commit: gives the merge's file
+        # pruning real file boundaries to prune against (and pins the
+        # manifest-size posture: file count is O(commits), not O(rows)).
+        vt.create(o.filter(k % 3 == 0).repartitionByRange(4, "o_orderkey"))
+        vt.append(o.filter(k % 3 == 1).repartitionByRange(4, "o_orderkey"))
+        updates = o.filter((k % 10 == 0) & (k % 3 != 2)).select(
+            k.alias("s_key"), (F.col("o_totalprice") * 1.1).alias("new_price")
+        )
+        inserts = o.filter(k % 100 == 0).select(
+            (k + 100_000_000).alias("s_key"),
+            F.lit(100.0).alias("new_price"),
+        )
+        vt.merge_into(
+            spark,
+            updates.unionAll(inserts),
+            key="o_orderkey",
+            source_key="s_key",
+            update_set={"o_totalprice": F.col("new_price")},
+            insert_exprs={
+                "o_orderkey": F.col("s_key"),
+                "o_totalprice": F.col("new_price"),
+            },
+        )
+        _VT_PATHS[key] = path
+    return VersionedTable(path)
+
+
+@query(
+    "table_time_travel",
+    oracle=f"""
+    SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 1, CAST(COUNT(*) AS BIGINT),
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT),
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM ({_SQL_MERGED_V2})
+    """,
+)
+def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF reads across the whole snapshot lineage: every version is
+    read through its own manifest AFTER the later commits (including a
+    copy-on-write merge) have run — each row proves that snapshot is
+    still exactly what it was when committed. The oracle replays the
+    lineage from the raw table.
+
+    Scale: each AS-OF read is a plain parquet scan of that snapshot's
+    file list; the per-version aggregate is map-combined. Snapshot
+    resolution is KB-sized manifest metadata on the driver."""
+    vt = versioned_orders(spark, sf_dir)
+    per_version = [
+        vt.read(spark, v).agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count("*").alias("n_rows"),
+            dsum(F.col("o_totalprice"), "sum_price"),
+        )
+        for v in (0, 1, 2)
+    ]
+    out = per_version[0]
+    for df in per_version[1:]:
+        out = out.unionAll(df)
+    return out.select("version", "n_rows", "sum_price")
+
+
+@query(
+    "merge_into_versioned",
+    oracle=f"""
+    WITH merged AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.1
+                    ELSE o_totalprice END AS price,
+               CASE WHEN o_orderkey % 10 = 0 THEN 'updated'
+                    ELSE 'unchanged' END AS action
+        FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        UNION ALL
+        SELECT o_orderkey + 100000000, 100.0, 'inserted' FROM orders
+        WHERE o_orderkey % 100 = 0)
+    SELECT action, CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum('price', 'sum_price')}
+    FROM merged GROUP BY action
+    """,
+)
+def merge_into_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit of the transactional MERGE, derived purely from the two
+    snapshots it relates (not from the merge's own bookkeeping): the
+    pre-merge (v1) and post-merge (v2) snapshots full-outer-join on
+    the key; a key absent from v1 was inserted, a key whose price
+    changed was updated, the rest passed through untouched. The oracle
+    recomputes the same classification from the raw table — so this
+    checks the committed DATA of both snapshots, not a side channel.
+
+    Scale: one key-partitioned join between two snapshot scans (both
+    prunable/bucketable at rest), then a map-combined 3-group
+    aggregate. Prices compare exactly: untouched rows are carried
+    bit-identical (copy-on-write rewrites pass them through), and
+    updated prices differ whenever price != 0."""
+    vt = versioned_orders(spark, sf_dir)
+    pre = vt.read(spark, 1).select(
+        F.col("o_orderkey").alias("k0"), F.col("o_totalprice").alias("p0")
+    )
+    post = vt.read(spark, 2)
+    joined = post.join(pre, F.col("o_orderkey") == F.col("k0"), "full_outer")
+    classified = joined.select(
+        F.when(F.col("k0").isNull(), "inserted")
+        .when(F.col("o_totalprice") != F.col("p0"), "updated")
+        .otherwise("unchanged")
+        .alias("action"),
+        F.col("o_totalprice").alias("price"),
+    )
+    return classified.groupBy("action").agg(
+        F.count("*").alias("n"), dsum(F.col("price"), "sum_price")
+    )
+
+
+@query(
+    "table_snapshot_lineage",
+    oracle="""
+    SELECT CAST(version AS BIGINT) AS version, operation,
+           CAST(parent AS BIGINT) AS parent
+    FROM (VALUES (0, 'create', -1), (1, 'append', 0), (2, 'merge', 1))
+         AS t(version, operation, parent)
+    """,
+)
+def table_snapshot_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The commit log itself: version, operation, parent for every
+    snapshot (parent -1 for the root). Bounded metadata — one row per
+    commit — materialized driver-side from the manifests, which is the
+    correct posture (the log IS driver-scale; the data never is)."""
+    vt = versioned_orders(spark, sf_dir)
+    rows = [
+        (
+            int(s["version"]),
+            str(s["operation"]),
+            -1 if s["parent"] is None else int(s["parent"]),
+        )
+        for s in (vt.snapshot(v) for v in vt.versions())
+    ]
+    return spark.createDataFrame(
+        rows, "version bigint, operation string, parent bigint"
+    )

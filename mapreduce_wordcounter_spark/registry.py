@@ -134,6 +134,7 @@ def all_queries() -> dict[str, QueryFn]:
     from mapreduce_wordcounter_spark.operators import (  # noqa: F401
         dedup,
         graph,
+        lakehouse,
         layout,
         multimodal,
         relational,

@@ -1,0 +1,279 @@
+"""Versioned parquet tables: snapshot manifests, time travel, MERGE.
+
+The missing lakehouse half of the engine's sink surface. The reference
+overwrites its output wholesale on every run (main.go:174-181 prints
+and exits — state lives nowhere); a 100 TB training-data pipeline
+instead needs *transactional* table commits: concurrent writers must
+not corrupt each other, readers must see a consistent snapshot, and
+yesterday's snapshot must stay readable after today's merge (time
+travel for reproducible training runs and rollback).
+
+This module implements the public table-format recipe (the design
+shared by Delta Lake's transaction log and Iceberg's snapshot
+manifests, both published):
+
+- a table is a directory of immutable parquet **data files** plus an
+  append-only ``_snapshots/`` log of JSON **manifests**;
+- each manifest = one committed version: the complete list of data
+  files visible in that snapshot, the parent version, and the
+  operation that produced it;
+- a commit writes its data files FIRST (task-parallel, each file
+  immutable once written), then publishes the manifest with an
+  atomic exclusive create (``O_EXCL``) — two writers racing on the
+  same version number: exactly one wins, the loser retries on top of
+  the winner (optimistic concurrency, Delta's protocol);
+- readers resolve a version (latest, or a pinned ``AS OF``) to its
+  manifest and scan exactly that file list — uncommitted or
+  superseded data files are invisible because no manifest names them.
+
+MERGE is copy-on-write with **file-level pruning** (the published
+Delta/Iceberg CoW strategy): only data files that actually contain a
+matched key are rewritten; untouched files carry into the new
+snapshot BY REFERENCE. At 100 TB with a clustered merge key this is
+the difference between rewriting ~1% and 100% of the table.
+
+Scale posture: manifests hold file paths + counts (per-commit
+metadata, KBs), never data — the only driver-side state. Data file
+writes/reads are ordinary distributed parquet jobs; the matched-file
+probe is one semi-join aggregating to a bounded distinct-file list.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SNAP_DIR = "_snapshots"
+
+
+class VersionConflictError(RuntimeError):
+    """Another writer committed this version first (O_EXCL lost)."""
+
+
+class VersionedTable:
+    """A snapshot-versioned parquet table rooted at ``path``."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.snap_dir = os.path.join(path, _SNAP_DIR)
+
+    # -- snapshot log ---------------------------------------------------
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.snap_dir):
+            return []
+        out = []
+        for f in os.listdir(self.snap_dir):
+            if f.startswith("v") and f.endswith(".json"):
+                out.append(int(f[1:-5]))
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def snapshot(self, version: int | None = None) -> dict:
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise FileNotFoundError(f"no snapshots at {self.path}")
+        with open(os.path.join(self.snap_dir, f"v{version:05d}.json")) as fh:
+            return json.load(fh)
+
+    def _publish(self, manifest: dict, version: int) -> int:
+        """Atomically publish a manifest as ``version``.
+
+        The content is staged to a temp file, then linked into place
+        with an exclusive create — the filesystem primitive that makes
+        the commit all-or-nothing AND detects a concurrent winner (the
+        link fails if the version exists; no torn manifest is ever
+        observable under the final name)."""
+        os.makedirs(self.snap_dir, exist_ok=True)
+        final = os.path.join(self.snap_dir, f"v{version:05d}.json")
+        tmp = final + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        try:
+            os.link(tmp, final)  # atomic, fails iff version exists
+        except FileExistsError:
+            raise VersionConflictError(
+                f"version {version} already committed at {self.path}"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        return version
+
+    # -- commits --------------------------------------------------------
+
+    def _write_data_files(self, df: DataFrame) -> list[str]:
+        """One distributed parquet write into an immutable, commit-
+        unique subdirectory; returns the relative file list (bounded
+        metadata — one entry per task output file)."""
+        sub = os.path.join("data", uuid.uuid4().hex)
+        full = os.path.join(self.path, sub)
+        df.write.mode("overwrite").parquet(full)
+        return sorted(
+            os.path.join(sub, f)
+            for f in os.listdir(full)
+            if f.endswith(".parquet")
+        )
+
+    def create(self, df: DataFrame) -> int:
+        """Commit v0. A conflict here means the table already exists —
+        that is the caller's bug, not a race to retry past."""
+        files = self._write_data_files(df)
+        return self._publish(
+            {"version": 0, "parent": None, "operation": "create",
+             "files": files},
+            0,
+        )
+
+    def append(self, df: DataFrame) -> int:
+        """Blind append: data files are written once; the manifest
+        attempt re-reads the CURRENT parent on every retry, so a
+        concurrent winner's files are retained, never overwritten (the
+        lost-update hazard optimistic concurrency exists to prevent).
+        Appends commute, so retrying with a fresh parent is always
+        valid — unlike read-modify-write (see merge_into)."""
+        files = self._write_data_files(df)
+        while True:
+            cur = self.snapshot()
+            try:
+                return self._publish(
+                    {
+                        "version": cur["version"] + 1,
+                        "parent": cur["version"],
+                        "operation": "append",
+                        "files": cur["files"] + files,
+                    },
+                    cur["version"] + 1,
+                )
+            except VersionConflictError:
+                continue
+
+    # -- reads ----------------------------------------------------------
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Time-travel read: the file list of exactly one snapshot."""
+        snap = self.snapshot(version)
+        files = [os.path.join(self.path, f) for f in snap["files"]]
+        if not files:
+            raise ValueError(f"snapshot v{snap['version']} is empty")
+        return spark.read.parquet(*files)
+
+    # -- MERGE (copy-on-write, file-pruned) -----------------------------
+
+    def merge_into(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key: str,
+        source_key: str,
+        update_set: dict,
+        insert_exprs: dict,
+    ) -> int:
+        """``MERGE INTO target USING source ON target.key = source.
+        source_key WHEN MATCHED THEN UPDATE SET col = update_set[col]
+        WHEN NOT MATCHED THEN INSERT (insert_exprs)`` — as a
+        transactional copy-on-write commit. Both dicts map target
+        column names to Column expressions over the joined relation;
+        ``update_set`` may cover a subset (others pass through),
+        ``insert_exprs`` must cover every target column.
+
+        File pruning: a distributed semi-join marks the distinct data
+        files that contain at least one matched key (``input_file_name``
+        per row, aggregated to a bounded file list); only those files
+        are rewritten. Unmatched-source rows (inserts) can, by
+        construction, match no file anywhere, so they join the
+        rewritten partition set. Every other file is carried into the
+        new snapshot by reference — at 100 TB with a clustered merge
+        key this rewrites ~the touched fraction, not the table.
+
+        MERGE is read-modify-write, so a concurrent commit between
+        reading the parent snapshot and publishing invalidates the
+        rewrite (retrying the publish with stale files would silently
+        drop the winner's changes — the lost update). On conflict the
+        WHOLE merge re-runs against the new snapshot, which is exactly
+        Delta's documented conflict-resolution semantics for MERGE.
+
+        Non-goals (honest scope): single UPDATE clause, no DELETE
+        branch, no schema evolution — the transactional commit +
+        pruning + time travel are what this tier exists to prove.
+        """
+        for _ in range(8):
+            try:
+                return self._merge_attempt(
+                    spark, source, key, source_key, update_set, insert_exprs
+                )
+            except VersionConflictError:
+                continue
+        raise VersionConflictError(
+            f"merge lost the commit race 8 times at {self.path}"
+        )
+
+    def _merge_attempt(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key: str,
+        source_key: str,
+        update_set: dict,
+        insert_exprs: dict,
+    ) -> int:
+        snap = self.snapshot()
+        target = self.read(spark, snap["version"])
+        skeys = source.select(F.col(source_key).alias("__mk")).distinct()
+        matched_files = [
+            r["f"]
+            for r in target.withColumn("f", F.input_file_name())
+            .join(skeys, F.col(key) == F.col("__mk"))
+            .select("f")
+            .distinct()
+            .collect()
+        ]
+        # input_file_name returns absolute URIs; map back to the
+        # snapshot's relative paths by basename (commit-unique dirs
+        # make basenames unique per table).
+        matched_base = {os.path.basename(f) for f in matched_files}
+        rewritten = [
+            f for f in snap["files"] if os.path.basename(f) in matched_base
+        ]
+        retained = [
+            f for f in snap["files"] if os.path.basename(f) not in matched_base
+        ]
+        if rewritten:
+            affected = spark.read.parquet(
+                *[os.path.join(self.path, f) for f in rewritten]
+            )
+        else:  # no matches: rewrite set is empty, inserts only
+            affected = target.limit(0)
+        joined = affected.join(
+            source, F.col(key) == F.col(source_key), "full_outer"
+        )
+        target_cols = target.columns
+        merged = joined.select(
+            *[
+                F.when(F.col(key).isNull(), insert_exprs[c])  # insert
+                .when(
+                    F.col(source_key).isNotNull(),  # matched: update
+                    update_set.get(c, F.col(c)),
+                )
+                .otherwise(F.col(c))  # unmatched target: pass through
+                .alias(c)
+                for c in target_cols
+            ]
+        )
+        files = self._write_data_files(merged)
+        return self._publish(
+            {
+                "version": snap["version"] + 1,
+                "parent": snap["version"],
+                "operation": "merge",
+                "files": retained + files,
+            },
+            snap["version"] + 1,
+        )

@@ -494,3 +494,46 @@ def test_pyds_sink_manifest_read_excludes_orphans(spark):
 
         os.remove(orphan)
         os.remove(staging)
+
+
+def test_pyds_readback_stderr_is_trace_free():
+    """Regression for the round-5 bench-channel noise: reading the sink
+    back through a part-* GLOB made Spark's FileStreamSink metadata
+    probe stat the literal glob path, throw FileNotFoundException, and
+    log a full JVM stack at WARN — ~1.3 KB of stack trace per read-back
+    that scrolled the driver's captured bench tail. The manifest-driven
+    read passes concrete file paths, so the probe never throws. This
+    pins it: the full round-trip runs in a subprocess and its stderr
+    must contain no FileStreamSink metadata-probe trace and no py4j
+    stack frames."""
+    import subprocess
+    import sys
+
+    code = """
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = SparkSession.builder.master("local[4]").getOrCreate()
+spark.sparkContext.setLogLevel("WARN")
+from mapreduce_wordcounter_spark.registry import all_queries
+qs = all_queries()
+qs["pyds_roundtrip_wordcount"](spark, "/root/testdata/sf0.001").collect()
+qs["stream_pyds_sink_roundtrip"](spark, "/root/testdata/sf0.001").collect()
+print("DONE-OK")
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/tmp",
+    )
+    assert r.returncode == 0 and "DONE-OK" in r.stdout, r.stderr[-2000:]
+    for marker in (
+        "Error while looking for metadata directory",
+        "at py4j.Gateway.invoke",
+        "AnalysisException",
+    ):
+        assert marker not in r.stderr, (
+            marker + " leaked into stderr:\n" + r.stderr[-2000:]
+        )

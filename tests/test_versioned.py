@@ -1,0 +1,158 @@
+"""Versioned-table tier (sources/versioned.py): snapshot isolation,
+time travel after MERGE, file-pruned copy-on-write, and the
+optimistic-concurrency commit protocol."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_wordcounter_spark.sources.versioned import (
+    VersionConflictError,
+    VersionedTable,
+)
+
+
+def _mk(spark, tmp_path, n=100, files=4):
+    """A tiny versioned table: keys 0..n-1, value = key*1.0, written as
+    ``files`` range-clustered data files (so key ranges map to files
+    and pruning is observable)."""
+    vt = VersionedTable(str(tmp_path / "t"))
+    df = (
+        spark.range(n)
+        .select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        .repartitionByRange(files, "k")
+    )
+    vt.create(df)
+    return vt
+
+
+def _merge_bump(spark, vt, keys):
+    src = spark.createDataFrame([(k, 1000.0 + k) for k in keys], "s_k bigint, nv double")
+    return vt.merge_into(
+        spark,
+        src,
+        key="k",
+        source_key="s_k",
+        update_set={"v": F.col("nv")},
+        insert_exprs={"k": F.col("s_k"), "v": F.col("nv")},
+    )
+
+
+def test_old_snapshots_read_after_merge(spark, tmp_path):
+    """THE time-travel contract: a snapshot's contents are frozen at
+    commit time — a later copy-on-write merge must not disturb v0/v1
+    reads (old data files are never mutated, and superseded ones stay
+    on disk for as long as the snapshot that names them)."""
+    vt = _mk(spark, tmp_path)
+    v0_before = sorted((r["k"], r["v"]) for r in vt.read(spark, 0).collect())
+    vt.append(
+        spark.createDataFrame([(1000, 1000.0)], "k bigint, v double")
+    )
+    v1_before = sorted((r["k"], r["v"]) for r in vt.read(spark, 1).collect())
+    _merge_bump(spark, vt, [5, 1000, 2000])  # update, update, insert
+    assert sorted((r["k"], r["v"]) for r in vt.read(spark, 0).collect()) == v0_before
+    assert sorted((r["k"], r["v"]) for r in vt.read(spark, 1).collect()) == v1_before
+    # and the merge itself landed in v2
+    latest = {r["k"]: r["v"] for r in vt.read(spark).collect()}
+    assert latest[5] == 1005.0 and latest[1000] == 2000.0 and latest[2000] == 3000.0
+    assert len(latest) == 102
+
+
+def test_merge_rewrites_only_matched_files(spark, tmp_path):
+    """File-level pruning: a merge whose keys all live in ONE of the
+    four range-clustered files must carry the other three into the new
+    snapshot by reference (same relative paths), rewriting only the
+    matched file (+ the insert output)."""
+    vt = _mk(spark, tmp_path, n=100, files=4)
+    v0 = set(vt.snapshot(0)["files"])
+    assert len(v0) == 4
+    _merge_bump(spark, vt, [1, 3, 7])  # all in the lowest key-range file
+    v1 = set(vt.snapshot(1)["files"])
+    carried = v0 & v1
+    assert len(carried) == 3, (v0, v1)  # 3 of 4 untouched files reused
+    # rewritten + new files are NEW paths (immutability: no in-place)
+    assert all(os.path.basename(f) not in {os.path.basename(c) for c in carried}
+               for f in v1 - carried)
+
+
+def test_merge_insert_only_no_rewrite(spark, tmp_path):
+    """A merge with no matched key rewrites nothing: all parent files
+    carry by reference, the insert lands in new files."""
+    vt = _mk(spark, tmp_path)
+    v0 = set(vt.snapshot(0)["files"])
+    _merge_bump(spark, vt, [5000, 6000])
+    v1 = set(vt.snapshot(1)["files"])
+    assert v0 <= v1
+    got = {r["k"]: r["v"] for r in vt.read(spark).collect()}
+    assert got[5000] == 6000.0 and len(got) == 102
+
+
+def test_commit_conflict_detected_and_append_retries(spark, tmp_path):
+    """O_EXCL commit protocol: publishing an already-taken version
+    raises; a concurrent commit landing between an append's parent
+    read and its publish is NOT lost — the append retries on top of
+    the winner and both commits' rows survive."""
+    vt = _mk(spark, tmp_path)
+    with pytest.raises(VersionConflictError):
+        vt._publish({"version": 0, "parent": None, "operation": "create",
+                     "files": []}, 0)
+    # simulate a concurrent winner racing an append: wrap _publish so
+    # the first attempt finds v1 already taken
+    real_publish = vt._publish
+    state = {"raced": False}
+
+    def racing_publish(manifest, version):
+        if not state["raced"]:
+            state["raced"] = True
+            winner = dict(vt.snapshot(0))
+            real_publish(
+                {"version": 1, "parent": 0, "operation": "append",
+                 "files": winner["files"]},
+                1,
+            )
+        return real_publish(manifest, version)
+
+    vt._publish = racing_publish
+    try:
+        v = vt.append(
+            spark.createDataFrame([(7777, 7.0)], "k bigint, v double")
+        )
+    finally:
+        vt._publish = real_publish
+    assert v == 2 and state["raced"]
+    snap = vt.snapshot(2)
+    assert snap["parent"] == 1  # retried on top of the winner
+    got = {r["k"] for r in vt.read(spark, 2).collect()}
+    assert 7777 in got and len(got) == 101
+
+
+def test_uncommitted_files_invisible(spark, tmp_path):
+    """Reads resolve through manifests only: a data file present on
+    disk but named by no snapshot (a crashed writer's debris) is
+    invisible to every read."""
+    vt = _mk(spark, tmp_path)
+    orphan_dir = os.path.join(vt.path, "data", "orphan")
+    os.makedirs(orphan_dir)
+    spark.createDataFrame([(9999, 9.0)], "k bigint, v double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(orphan_dir)
+    got = {r["k"] for r in vt.read(spark).collect()}
+    assert 9999 not in got and len(got) == 100
+
+
+def test_lineage_metadata(spark, tmp_path):
+    vt = _mk(spark, tmp_path)
+    vt.append(spark.createDataFrame([(500, 5.0)], "k bigint, v double"))
+    _merge_bump(spark, vt, [1])
+    snaps = [vt.snapshot(v) for v in vt.versions()]
+    assert [(s["version"], s["operation"], s["parent"]) for s in snaps] == [
+        (0, "create", None),
+        (1, "append", 0),
+        (2, "merge", 1),
+    ]
+    with open(os.path.join(vt.snap_dir, "v00002.json")) as fh:
+        assert json.load(fh) == snaps[2]
