@@ -222,6 +222,95 @@ if _tws_available():  # pragma: no cover - absent in this container
     )(stream_tws_user_profile)
 
 
+_PROFILE_OUT_SCHEMA = "user_id bigint, n_events bigint, n_types bigint"
+_PROFILE_STATE_SCHEMA = "n bigint, types string"
+_TYPE_SEP = "\x1f"  # unit separator: cannot occur in event_type values
+
+
+def user_profile_apws(stream: DataFrame) -> DataFrame:
+    """The transformWithState profile operator re-expressed on
+    ``applyInPandasWithState`` — the SAME semantics (per-user running
+    event count + distinct-event-type count) carried by the monolithic
+    state tuple instead of named state variables: the ValueState maps
+    to a bigint field, the MapState to a sorted separator-joined
+    string set (bounded: |event_type| is a small vocabulary, the same
+    O(users x event_types) state bound the tWS MapState has).
+
+    This is the equivalence twin the tWS operator is judged against
+    where protobuf exists, and the TESTED path everywhere (pytest
+    asserts its drained result equals the batch GROUP BY
+    unconditionally — no environment gate). Nested transition fn for
+    by-value pickling (module rule)."""
+
+    def update_profile(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            n, types_s = state.get
+            seen = set(types_s.split(_TYPE_SEP)) if types_s else set()
+        else:
+            n, seen = 0, set()
+        for pdf in pdfs:
+            n += len(pdf)
+            seen.update(str(t) for t in pdf["event_type"].unique())
+        state.update((n, _TYPE_SEP.join(sorted(seen))))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "n_types": [len(seen)]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update_profile,
+        outputStructType=_PROFILE_OUT_SCHEMA,
+        stateStructType=_PROFILE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@query(
+    "stream_apws_user_profile",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_apws_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The profile twin drained over the finite events source: both
+    emitted metrics are monotone, so max-per-user of the update-mode
+    emissions equals the batch GROUP BY — the same streaming-batch
+    equivalence contract as stream_stateful_user_counts, now covering
+    multi-variable state (count + distinct set) without the protobuf
+    dependency transformWithState needs.
+
+    Scale: state is one bigint + one bounded string per user,
+    partitioned by user_id in the state store; emission is one row per
+    active key per micro-batch (update mode)."""
+    out = user_profile_apws(events_stream(spark, sf_dir))
+    name = "stream_apws_" + uuid.uuid4().hex[:8]
+    with stream_shuffle_partitions(spark):
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("n_types").alias("n_types"),
+        )
+    )
+
+
 _MAX_OUT_SCHEMA = "user_id bigint, cur_max double"
 _MAX_STATE_SCHEMA = "mx double"
 

@@ -301,14 +301,18 @@ def test_stateful_running_count_progression(spark, tmp_path):
     assert by_user == {7: [1, 2, 3], 8: [1]}
 
 
-def test_transform_with_state_gated(spark):
-    """transformWithState needs google.protobuf (pyspark's state-server
-    protocol); this container ships pyspark without it. The operator
-    must register itself ONLY where it can run — and when it can, its
-    drained result must match the batch GROUP BY (same equivalence
-    contract as the applyInPandasWithState twin)."""
+def test_user_profile_state_operator_equivalence(spark):
+    """The per-user profile operator (running count + distinct event
+    types) in its two state-API forms. The applyInPandasWithState twin
+    is the TESTED path in every environment: its drained result must
+    equal the batch GROUP BY. transformWithState needs google.protobuf
+    (pyspark's state-server protocol), which this container lacks, so
+    that form must register itself ONLY where it can run — and where
+    it can, it must agree with the twin. No skip: the semantics are
+    fully pinned through the twin regardless of the environment."""
     from mapreduce_wordcounter_spark.streaming.stateful import (
         _tws_available,
+        stream_apws_user_profile,
         stream_tws_user_profile,
     )
     from mapreduce_wordcounter_spark.tables import load_table
@@ -316,12 +320,10 @@ def test_transform_with_state_gated(spark):
 
     registered = "stream_tws_user_profile" in all_queries()
     assert registered == _tws_available()
-    if not _tws_available():
-        pytest.skip("google.protobuf absent: transformWithState cannot run here")
 
     got = {
         (r["user_id"], r["n_events"], r["n_types"])
-        for r in stream_tws_user_profile(spark, str(SF_SMOKE)).collect()
+        for r in stream_apws_user_profile(spark, str(SF_SMOKE)).collect()
     }
     exp = {
         (r["user_id"], r["n_events"], r["n_types"])
@@ -334,6 +336,36 @@ def test_transform_with_state_gated(spark):
         .collect()
     }
     assert got == exp
+
+    if _tws_available():  # extra cross-check where protobuf exists
+        tws = {
+            (r["user_id"], r["n_events"], r["n_types"])
+            for r in stream_tws_user_profile(spark, str(SF_SMOKE)).collect()
+        }
+        assert tws == got
+
+
+def test_user_profile_type_set_progression(spark, tmp_path):
+    """Cross-batch state of the profile twin's distinct-type SET:
+    a repeated type must not grow n_types, a new type must — only
+    observable over multiple micro-batches."""
+    from mapreduce_wordcounter_spark.streaming.stateful import (
+        user_profile_apws,
+    )
+
+    src = _write_batches(
+        spark,
+        tmp_path,
+        [
+            [_ev(1, "2024-01-01 10:00:00", user_id=7, event_type="click")],
+            [_ev(2, "2024-01-01 10:01:00", user_id=7, event_type="click")],
+            [_ev(3, "2024-01-01 10:02:00", user_id=7, event_type="purchase")],
+        ],
+    )
+    out = user_profile_apws(_event_stream_from_json(spark, src))
+    rows = _drain(out, output_mode="update").collect()
+    prog = sorted((r["n_events"], r["n_types"]) for r in rows)
+    assert prog == [(1, 1), (2, 1), (3, 2)]
 
 
 def test_stream_stream_join_buffers_then_evicts(spark, tmp_path):
