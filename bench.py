@@ -135,7 +135,35 @@ HEADLINE = [
     "zorder3_layout",
     "pyds_roundtrip_wordcount",
     "stream_pyds_sink_roundtrip",
+    # round 6: versioned-table tier + stateful-profile twin
+    "table_time_travel",
+    "merge_into_versioned",
+    "stream_apws_user_profile",
 ]
+
+# Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries
+# are one-time constructions (index builds, layout rewrites, tokenizer
+# TRAINING) or offline audits, not steady-state query serving — at
+# 100 TB they run once per corpus refresh while the serve tier runs
+# per-query. The bench reports both tiers separately so the headline
+# serve total isn't dominated by builds (e.g. trigram_index_match is
+# the index BUILD at exponent ~1.0; its serving path is
+# trigram_index_probe at exponent 0.15). Every query not listed here
+# is tier "serve".
+BUILD_TIER = {
+    # index/layout/training constructions
+    "trigram_index_match",
+    "zorder_layout",
+    "zorder3_layout",
+    "layout_span_compare",
+    "bpe_learn_merges",
+    "bpe_subword_vocab",
+    # offline audits (contain an exact/quadratic reference tier or a
+    # whole-index recall sweep by design)
+    "lsh_recall_vs_exact",
+    "ann_ivf_recall",
+    "ann_rebuild_decision",
+}
 
 
 def main() -> None:
@@ -170,6 +198,12 @@ def main() -> None:
             timings[name] = min(timings.get(name, dt), dt)
 
     total = round(sum(timings.values()), 3)
+    serve_total = round(
+        sum(t for n, t in timings.items() if n not in BUILD_TIER), 3
+    )
+    build_total = round(
+        sum(t for n, t in timings.items() if n in BUILD_TIER), 3
+    )
 
     # The driver captures only the TAIL of stdout; in round 4 the full
     # 76-query map outgrew that buffer and the round's bench signal was
@@ -187,6 +221,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "tiers": {
+                    "serve": serve_total,
+                    "build": build_total,
+                    "build_queries": sorted(
+                        n for n in timings if n in BUILD_TIER
+                    ),
+                },
                 "sf": float(sf),
             },
             f,
@@ -215,6 +256,8 @@ def main() -> None:
                     k: timings[k] for k in flagship if k in timings
                 },
                 "n_queries": len(timings),
+                "serve_wall": serve_total,
+                "build_wall": build_total,
                 "sf": float(sf),
                 "detail": "BENCH_local.json",
             }

@@ -1282,7 +1282,22 @@ def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions (Σ df_prefix² ≪ Σ df²); verification joins candidate
     pairs back to the (pinned) shingle relation — work ∝ candidates,
     never all-pairs. At 100 TB this is the exact-tier companion the
-    LSH tier escalates to for its verification set."""
+    LSH tier escalates to for its verification set.
+
+    Measured (SCALE.md §"prefix-join decomposition"): on a 10x corpus
+    of DISTINCT docs (scale-invariant true-pair density) candidates,
+    output and wall-clock all grow ~linearly; the 1.56 wall-clock
+    exponent the round-5 replica blow-up recorded was output growth —
+    identical replicas add ~45 true pairs per doc, quadratic in
+    replica count, and an exact join cannot beat its own output size."""
+    return _prefix_join_parts(spark, sf_dir)["pairs"]
+
+
+def _prefix_join_parts(spark: SparkSession, sf_dir: str) -> dict:
+    """The prefix-join pipeline with its stages exposed (shingles ->
+    prefix -> candidates -> verified pairs), so the scale harness can
+    decompose candidate growth from output growth without duplicating
+    the operator (tools/prefix_join_decompose.py)."""
     from pyspark.sql import Window as W
 
     sh = _spark_shingles(spark, sf_dir).select("doc_id", "s")
@@ -1353,12 +1368,13 @@ def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
-    return (
+    pairs = (
         inter.join(na, "doc_a")
         .join(nb, "doc_b")
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+    return {"shingles": sh, "prefix": prefix, "cand": cand, "pairs": pairs}
 
 
 @query(

@@ -85,10 +85,30 @@ def build_blowup(dst: str) -> None:
             """
         )
     if not os.path.exists(f"{dst}/documents.parquet"):
+        # DISTINCT-docs blow-up (round 6): replica r > 0 suffixes every
+        # word with a replica-unique letter marker — a bijective token
+        # remap, so each replica reproduces the base corpus's exact
+        # pair/df structure under a disjoint vocabulary, and NO pair
+        # spans replicas. True-near-dup density is therefore
+        # scale-invariant, the property a real 10x corpus has. (The
+        # previous IDENTICAL-replica blow-up made every doc 10 exact
+        # copies: output pairs grew ~quadratically — 45 extra true
+        # pairs per doc — so any exact pairs join measured its own
+        # output growth, not its candidate scaling. That mode remains
+        # available for skew stress via SCALE_BLOWUP_MODE=replica.)
+        mode = os.environ.get("SCALE_BLOWUP_MODE", "distinct")
+        text_expr = (
+            "d.text"
+            if mode == "replica"
+            else "CASE WHEN r.r = 0 THEN d.text ELSE"
+            " regexp_replace(d.text, '([a-zA-Z]+)',"
+            " '\\1q' || chr(CAST(97 + r.r AS INTEGER)), 'g') END"
+        )
         con.execute(
             f"""
             COPY (
-              SELECT d.doc_id + r.r * {doc_stride} AS doc_id, d.text, d.lang,
+              SELECT d.doc_id + r.r * {doc_stride} AS doc_id,
+                     {text_expr} AS text, d.lang,
                      d.source, d.n_chars
               FROM read_parquet('{BASE}/documents.parquet') d,
                    (SELECT unnest(generate_series(0, {REPLICAS - 1})) AS r) r
@@ -148,7 +168,16 @@ def main() -> None:
         "SCALE_CHECK.json",
     )
     with open(path, "w") as f:
-        json.dump({"replicas": REPLICAS, "base": BASE, "queries": rows}, f, indent=1)
+        json.dump(
+            {
+                "replicas": REPLICAS,
+                "base": BASE,
+                "doc_blowup": os.environ.get("SCALE_BLOWUP_MODE", "distinct"),
+                "queries": rows,
+            },
+            f,
+            indent=1,
+        )
     print(json.dumps(rows, indent=1))
 
 
