@@ -480,13 +480,26 @@ from mapreduce_wordcounter_spark.registry import ORACLE as _ORACLE  # noqa: E402
 @query("stream_pyds_wordcount", oracle=_ORACLE["pyds_wordcount"])
 def stream_pyds_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same flagship count fed by the custom source's STREAMING
-    reader (Spark 4 SimpleDataSourceStreamReader): 200 docs arrive as
-    micro-batches of 50 driven by the source's own offset log, into a
-    complete-mode aggregate — batch/stream parity for a from-scratch
-    Python connector, pinned by sharing pyds_wordcount's oracle. The
-    drain polls the sink to the known corpus total (the bounded-stream
+    reader — since round 6 the ARROW-batched full DataSourceStreamReader
+    (synthetic_corpus_arrow: driver plans offsets/partitions, executors
+    yield one vectorized RecordBatch per range; the row-tuple
+    SimpleDataSourceStreamReader twin stays exercised by
+    stream_pyds_sink_roundtrip and the offset-replay tests). 200 docs
+    arrive as micro-batches of 50 driven by the source's offset log,
+    into a complete-mode aggregate — batch/stream parity for a
+    from-scratch Python connector, pinned by sharing pyds_wordcount's
+    oracle. The drain watches the query's progress events until the
+    committed batches account for the whole corpus (the bounded-stream
     harness; availableNow is a file-source trigger, not a Python-source
-    one). sf_dir is unused: the source synthesizes its batches."""
+    one). sf_dir is unused: the source synthesizes its batches.
+
+    Connector cost trail (r5 -> r6, sf-independent 200-doc stream):
+    5.6 s with the row-tuple simple reader at 32 state partitions ->
+    ~3.0 s via Arrow RecordBatch reads, state partitions sized to the
+    20-word vocabulary (2), a tmpfs WAL, one read task per 50-doc
+    batch, and a job-free progress-based drain. The residue is
+    micro-batch machinery (4 x ~0.55 s trigger cycles + query
+    start/stop), not per-row Python."""
     import time
     import uuid
 
@@ -497,10 +510,15 @@ def stream_pyds_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         pass  # already registered in this session
     docs = (
-        spark.readStream.format("synthetic_corpus")
+        spark.readStream.format("synthetic_corpus_arrow")
         .option("n_docs", 200)
         .option("batch_docs", 50)
         .option("words_per_doc", 20)
+        # one read task per 50-doc micro-batch: scheduling a second
+        # task for 25 docs costs more than it parallelizes (the
+        # source itself fans out to N partitions — pinned by
+        # tests/test_sources.py — which is the production posture)
+        .option("partitions", 1)
         .load()
     )
     agg = (
@@ -509,27 +527,50 @@ def stream_pyds_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
     )
     name = "pyds_stream_" + uuid.uuid4().hex[:8]
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(processingTime="0 seconds")
-        .start()
+    from mapreduce_wordcounter_spark.session import scratch_dir
+    from mapreduce_wordcounter_spark.streaming.windows import (
+        stream_shuffle_partitions,
     )
-    try:
-        expect = 200 * 20
-        deadline = time.monotonic() + 120
-        while time.monotonic() < deadline:
-            got = (
-                spark.table(name).agg(F.sum("cnt").alias("s")).first()["s"]
-            )
-            if got == expect:
-                break
-            time.sleep(0.2)
-        else:
-            raise TimeoutError(f"stream drained only {got}/{expect} tokens")
-    finally:
-        q.stop()
+
+    # Offset/commit WAL on tmpfs when available: the per-batch
+    # walCommit+commitOffsets fsyncs (~100 ms/batch to /tmp disk) are
+    # pure harness overhead for this bounded demo stream — a
+    # production job owns a durable checkpoint dir instead.
+    ckpt = scratch_dir("pyds_stream_ck_", base="/dev/shm")
+
+    # stream_shuffle_partitions(2): the stateful aggregate's partition
+    # count tracks STATE size (a 20-word vocabulary), not the batch
+    # session's 32 — each extra partition is a near-empty state store
+    # opened+committed per micro-batch (the dominant cost of this
+    # whole 200-doc query, not the connector rows; 32 -> 8 -> 2
+    # measured 5.2 -> 3.6 -> 3.1 s).
+    with stream_shuffle_partitions(spark, 2):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt + "/q")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            # Drain on the query's own progress events (no Spark job
+            # per poll — the old per-poll aggregate both cost a job
+            # and raced the next batch for scheduler slots): done when
+            # committed batches account for all 200 source docs.
+            deadline = time.monotonic() + 120
+            got = 0
+            while time.monotonic() < deadline:
+                got = sum(
+                    p["sources"][0]["numInputRows"] for p in q.recentProgress
+                )
+                if got >= 200:
+                    break
+                time.sleep(0.05)
+            else:
+                raise TimeoutError(f"stream drained only {got}/200 docs")
+        finally:
+            q.stop()
     return spark.table(name)
 
 

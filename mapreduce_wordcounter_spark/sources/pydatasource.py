@@ -133,8 +133,103 @@ def make_datasource(words: tuple[str, ...] = _WORDS):
     return SyntheticCorpusDataSource
 
 
+def make_arrow_datasource(words: tuple[str, ...] = _WORDS):
+    """Arrow-batched variant of the synthetic-corpus STREAM source
+    (format ``synthetic_corpus_arrow``), on the full
+    ``DataSourceStreamReader`` API: the driver plans offsets and
+    partitions; each executor-side ``read(partition)`` yields ONE
+    pyarrow RecordBatch built vectorized with numpy — no per-row tuple
+    materialization, no row-by-row Arrow conversion in the runner.
+    This is the connector posture for production volumes: the simple
+    reader's row-tuple path costs ~76 us/doc of pure conversion
+    overhead (measured, round 5: 5.6 s for a 200-doc stream), all of
+    which the RecordBatch path deletes.
+
+    Offset/replay contract (identical to the simple reader): offsets
+    are ``{"doc": next_doc_id}``; ``partitions(start, end)`` splits
+    the committed range, and the affine word formula IS the WAL, so
+    any range replays exactly. ``latestOffset`` advances by
+    ``batch_docs`` per micro-batch up to ``n_docs``.
+
+    Same by-value pickling posture as the other factories."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class CorpusRange(InputPartition):
+        def __init__(self, start: int, end: int, words_per_doc: int):
+            self.start = start
+            self.end = end
+            self.words_per_doc = words_per_doc
+
+    class ArrowCorpusStreamReader(DataSourceStreamReader):
+        def __init__(self, options):
+            self.n_docs = int(options.get("n_docs", 100))
+            self.batch = int(options.get("batch_docs", 50))
+            self.words_per_doc = int(options.get("words_per_doc", 20))
+            self.n_parts = int(options.get("partitions", 2))
+            self._latest = 0
+
+        def initialOffset(self):
+            return {"doc": 0}
+
+        def latestOffset(self):
+            self._latest = min(self._latest + self.batch, self.n_docs)
+            return {"doc": self._latest}
+
+        def partitions(self, start, end):
+            s, e = start["doc"], end["doc"]
+            step = max(1, (e - s + self.n_parts - 1) // self.n_parts)
+            return [
+                CorpusRange(i, min(i + step, e), self.words_per_doc)
+                for i in range(s, e, step)
+            ]
+
+        def read(self, partition):
+            import numpy as np
+            import pyarrow as pa
+
+            ids = np.arange(partition.start, partition.end, dtype=np.int64)
+            j = np.arange(partition.words_per_doc, dtype=np.int64)
+            idx = (ids[:, None] * 31 + j[None, :] * 17) % len(words)
+            warr = np.array(words)
+            texts = [" ".join(row) for row in warr[idx]]
+            yield pa.record_batch(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(texts, type=pa.string()),
+                    pa.array(
+                        np.full(len(ids), partition.words_per_doc),
+                        type=pa.int32(),
+                    ),
+                ],
+                names=["doc_id", "text", "n_words"],
+            )
+
+        def commit(self, end):
+            pass  # the affine formula is the WAL; nothing to GC
+
+    class ArrowCorpusDataSource(DataSource):
+        """spark.readStream.format("synthetic_corpus_arrow")"""
+
+        @classmethod
+        def name(cls) -> str:
+            return "synthetic_corpus_arrow"
+
+        def schema(self) -> str:
+            return "doc_id bigint, text string, n_words int"
+
+        def streamReader(self, schema):
+            return ArrowCorpusStreamReader(self.options)
+
+    return ArrowCorpusDataSource
+
+
 def register(spark) -> None:
     spark.dataSource.register(make_datasource())
+    spark.dataSource.register(make_arrow_datasource())
 
 
 def manifest_files(path: str) -> list[str]:

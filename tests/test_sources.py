@@ -537,3 +537,85 @@ print("DONE-OK")
         assert marker not in r.stderr, (
             marker + " leaked into stderr:\n" + r.stderr[-2000:]
         )
+
+
+def test_arrow_stream_source_contract_and_equivalence(spark):
+    """The Arrow-batched full DataSourceStreamReader twin
+    (synthetic_corpus_arrow): (1) API-level — offsets advance by
+    batch_docs to n_docs and stop; partitions(start,end) tile the
+    range exactly; read() yields a RecordBatch whose content matches
+    the affine formula (the replay contract: any committed range
+    re-reads identically); (2) engine-level — a drained stream over
+    the Arrow source equals the batch read of the row-tuple source
+    (same schema, same rows: the two connector forms are one source)."""
+    import pyarrow as pa
+
+    from mapreduce_wordcounter_spark.sources.pydatasource import (
+        _WORDS,
+        make_arrow_datasource,
+        register,
+    )
+
+    ds = make_arrow_datasource()(
+        {"n_docs": "30", "batch_docs": "12", "words_per_doc": "5",
+         "partitions": "3"}
+    )
+    r = ds.streamReader(None)
+    assert r.initialOffset() == {"doc": 0}
+    assert [r.latestOffset() for _ in range(4)] == [
+        {"doc": 12}, {"doc": 24}, {"doc": 30}, {"doc": 30}
+    ]
+    parts = r.partitions({"doc": 12}, {"doc": 24})
+    assert [(p.start, p.end) for p in parts] == [(12, 16), (16, 20), (20, 24)]
+    batch = next(iter(r.read(parts[0])))
+    assert isinstance(batch, pa.RecordBatch)
+    got = batch.to_pydict()
+    assert got["doc_id"] == [12, 13, 14, 15]
+    want = " ".join(_WORDS[(13 * 31 + j * 17) % len(_WORDS)] for j in range(5))
+    assert got["text"][1] == want and got["n_words"] == [5] * 4
+
+    register(spark)
+    import uuid
+
+    name = "arrow_src_" + uuid.uuid4().hex[:8]
+    stream = (
+        spark.readStream.format("synthetic_corpus_arrow")
+        .option("n_docs", 40)
+        .option("batch_docs", 15)
+        .option("words_per_doc", 6)
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    import time
+
+    try:
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            if spark.table(name).count() == 40:
+                break
+            time.sleep(0.2)
+        else:
+            raise TimeoutError("arrow stream did not drain 40 docs")
+    finally:
+        q.stop()
+    batch_df = (
+        spark.read.format("synthetic_corpus")
+        .option("n_docs", 40)
+        .option("words_per_doc", 6)
+        .load()
+    )
+    assert spark.table(name).schema == batch_df.schema
+    streamed = sorted(
+        (r["doc_id"], r["text"], r["n_words"])
+        for r in spark.table(name).collect()
+    )
+    batched = sorted(
+        (r["doc_id"], r["text"], r["n_words"]) for r in batch_df.collect()
+    )
+    assert streamed == batched
