@@ -138,6 +138,7 @@ HEADLINE = [
     # round 6: versioned-table tier + stateful-profile twin
     "table_time_travel",
     "merge_into_versioned",
+    "stream_merge_versioned",
     "stream_apws_user_profile",
 ]
 

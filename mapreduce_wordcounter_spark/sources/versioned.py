@@ -155,15 +155,98 @@ class VersionedTable:
             except VersionConflictError:
                 continue
 
+    # -- retention ------------------------------------------------------
+
+    def vacuum(self, retain_last: int = 2) -> dict:
+        """Expire all but the newest ``retain_last`` snapshots and
+        delete data files no surviving snapshot references — the
+        retention pass every production table format runs (Delta
+        VACUUM / Iceberg expire_snapshots). Time travel contracts to
+        the retained window; an expired version read raises (its
+        manifest is gone), while every retained snapshot still reads
+        bit-identical because only UNREFERENCED files are deleted.
+
+        Ordering is crash-safe: manifests are removed FIRST, so a
+        crash mid-vacuum can only leave unreferenced-but-present data
+        files (invisible to reads, re-collected by the next vacuum) —
+        never a manifest naming a deleted file. Metadata-scale work:
+        set algebra over manifest file lists, KBs per commit."""
+        versions = self.versions()
+        if retain_last < 1:
+            raise ValueError("retain_last must be >= 1")
+        expired = versions[:-retain_last]
+        retained = versions[-retain_last:]
+        keep: set[str] = set()
+        for v in retained:
+            keep.update(self.snapshot(v)["files"])
+        drop: set[str] = set()
+        for v in expired:
+            drop.update(f for f in self.snapshot(v)["files"] if f not in keep)
+        for v in expired:  # manifests first (see docstring)
+            os.unlink(os.path.join(self.snap_dir, f"v{v:05d}.json"))
+        for f in sorted(drop):
+            p = os.path.join(self.path, f)
+            if os.path.exists(p):
+                os.unlink(p)
+        return {
+            "expired_versions": expired,
+            "deleted_files": len(drop),
+            "retained_versions": retained,
+        }
+
     # -- reads ----------------------------------------------------------
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """Time-travel read: the file list of exactly one snapshot."""
+        """Time-travel read: the file list of exactly one snapshot.
+
+        ``mergeSchema`` is on because appends may evolve the schema
+        (add columns): rows from pre-evolution files surface the new
+        columns as NULL — additive evolution, the only kind this tier
+        supports (type changes are the caller's migration). Cost is a
+        footer read per file of ONE snapshot — bounded metadata."""
         snap = self.snapshot(version)
         files = [os.path.join(self.path, f) for f in snap["files"]]
         if not files:
             raise ValueError(f"snapshot v{snap['version']} is empty")
-        return spark.read.parquet(*files)
+        return spark.read.option("mergeSchema", "true").parquet(*files)
+
+    # -- compaction / re-clustering -------------------------------------
+
+    def optimize(
+        self,
+        spark: SparkSession,
+        cluster_by: list[str],
+        n_files: int = 4,
+    ) -> int:
+        """OPTIMIZE: rewrite the current snapshot as ``n_files``
+        range-clustered data files (cluster on the MERGE key and every
+        later merge's file pruning rewrites ~the touched key range
+        instead of every fragment an earlier merge scattered). Pure
+        layout: the committed rows are identical, the operation is a
+        new snapshot ('optimize'), and every earlier snapshot still
+        time-travels. Read-modify-write like merge, so a lost commit
+        race re-runs the rewrite against the winner."""
+        for _ in range(8):
+            snap = self.snapshot()
+            df = self.read(spark, snap["version"]).repartitionByRange(
+                n_files, *cluster_by
+            )
+            files = self._write_data_files(df)
+            try:
+                return self._publish(
+                    {
+                        "version": snap["version"] + 1,
+                        "parent": snap["version"],
+                        "operation": "optimize",
+                        "files": files,
+                    },
+                    snap["version"] + 1,
+                )
+            except VersionConflictError:
+                continue
+        raise VersionConflictError(
+            f"optimize lost the commit race 8 times at {self.path}"
+        )
 
     # -- MERGE (copy-on-write, file-pruned) -----------------------------
 

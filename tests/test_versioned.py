@@ -156,3 +156,101 @@ def test_lineage_metadata(spark, tmp_path):
     ]
     with open(os.path.join(vt.snap_dir, "v00002.json")) as fh:
         assert json.load(fh) == snaps[2]
+
+
+def test_vacuum_retention_window(spark, tmp_path):
+    """VACUUM expires all but the newest N snapshots and deletes only
+    files no survivor references: retained versions still read
+    bit-identical, expired versions raise, and files shared with a
+    retained snapshot survive the expiry of an old one."""
+    vt = _mk(spark, tmp_path)  # v0: 4 files
+    vt.append(spark.createDataFrame([(500, 5.0)], "k bigint, v double"))  # v1
+    _merge_bump(spark, vt, [1])  # v2: rewrites 1 file, carries the rest
+    v1_rows = sorted((r["k"], r["v"]) for r in vt.read(spark, 1).collect())
+    v2_rows = sorted((r["k"], r["v"]) for r in vt.read(spark, 2).collect())
+    res = vt.vacuum(retain_last=2)
+    assert res["expired_versions"] == [0] and res["retained_versions"] == [1, 2]
+    # v0's files are ALL shared with v1 (append retains), so nothing
+    # was deletable yet
+    assert res["deleted_files"] == 0
+    assert vt.versions() == [1, 2]
+    assert sorted((r["k"], r["v"]) for r in vt.read(spark, 1).collect()) == v1_rows
+    assert sorted((r["k"], r["v"]) for r in vt.read(spark, 2).collect()) == v2_rows
+    with pytest.raises(FileNotFoundError):
+        vt.read(spark, 0)
+    # retain only the merge snapshot: v1's superseded file (rewritten
+    # by the merge) is now unreferenced and gets deleted
+    res2 = vt.vacuum(retain_last=1)
+    assert res2["expired_versions"] == [1] and res2["deleted_files"] >= 1
+    assert sorted((r["k"], r["v"]) for r in vt.read(spark).collect()) == v2_rows
+    # every file the survivor names still exists
+    for f in vt.snapshot(2)["files"]:
+        assert os.path.exists(os.path.join(vt.path, f))
+
+
+def test_stream_merge_lineage_and_time_travel(spark):
+    """The streaming-CDC merge pipeline commits one MERGE snapshot per
+    non-empty micro-batch on top of the create, and the pre-stream
+    snapshot stays readable (and correct) after the stream finishes."""
+    from mapreduce_wordcounter_spark.operators.lakehouse import (
+        _stream_versioned_orders,
+    )
+    from mapreduce_wordcounter_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    vt = _stream_versioned_orders(spark, sf)
+    ops = [vt.snapshot(v)["operation"] for v in vt.versions()]
+    assert ops[0] == "create" and len(ops) >= 2
+    assert all(op == "merge" for op in ops[1:])
+    base = load_table(spark, sf, "orders").count()
+    assert vt.read(spark, 0).count() == base  # pre-stream snapshot intact
+    n_inserts = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderkey") % 70 == 0)
+        .count()
+    )
+    assert vt.read(spark).count() == base + n_inserts
+
+
+def test_optimize_recluster_restores_pruning(spark, tmp_path):
+    """OPTIMIZE: merges fragment the file layout (each rewrite batch
+    adds files with mixed key ranges); optimize rewrites the snapshot
+    into n range-clustered files with IDENTICAL rows, old snapshots
+    still read, and a subsequent narrow-key merge is pruned again
+    (rewrites 1 of the 4 re-clustered files)."""
+    vt = _mk(spark, tmp_path)
+    for ks in ([1, 99], [2, 98], [3, 97]):  # straddling merges fragment
+        _merge_bump(spark, vt, ks)
+    # each straddling merge rewrote BOTH edge files into one mixed-range
+    # output: the key-range -> file mapping is destroyed even though the
+    # file count stays small
+    rows_before = sorted((r["k"], r["v"]) for r in vt.read(spark).collect())
+    v = vt.optimize(spark, ["k"], n_files=4)
+    snap = vt.snapshot(v)
+    assert snap["operation"] == "optimize" and len(snap["files"]) == 4
+    assert sorted((r["k"], r["v"]) for r in vt.read(spark).collect()) == rows_before
+    # pre-optimize snapshot intact
+    assert sorted(
+        (r["k"], r["v"]) for r in vt.read(spark, v - 1).collect()
+    ) == rows_before
+    # pruning restored: a merge on adjacent low keys touches 1 file
+    opt_files = set(snap["files"])
+    _merge_bump(spark, vt, [5, 6])
+    after = set(vt.snapshot()["files"])
+    assert len(opt_files & after) == 3
+
+
+def test_append_schema_evolution_additive(spark, tmp_path):
+    """Additive schema evolution: an append with a NEW column commits;
+    the latest read surfaces the column with NULL backfill for
+    pre-evolution rows, and the pre-evolution snapshot keeps its
+    original two-column schema."""
+    vt = _mk(spark, tmp_path, n=10, files=1)
+    vt.append(
+        spark.createDataFrame([(100, 1.5, "gold")], "k bigint, v double, tag string")
+    )
+    latest = vt.read(spark)
+    assert set(latest.columns) == {"k", "v", "tag"}
+    tags = {r["k"]: r["tag"] for r in latest.collect()}
+    assert tags[100] == "gold" and tags[5] is None and len(tags) == 11
+    assert set(vt.read(spark, 0).columns) == {"k", "v"}
