@@ -139,6 +139,7 @@ HEADLINE = [
     "table_time_travel",
     "merge_into_versioned",
     "stream_merge_versioned",
+    "table_delete_versioned",
     "stream_apws_user_profile",
 ]
 

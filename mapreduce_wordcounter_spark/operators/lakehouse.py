@@ -183,6 +183,65 @@ def merge_into_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DELETE_VT_PATHS: dict[tuple[str, str], str] = {}
+
+
+@query(
+    "table_delete_versioned",
+    oracle=f"""
+    SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders
+    UNION ALL
+    SELECT 1, CAST(COUNT(*) AS BIGINT),
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders WHERE o_orderkey % 13 <> 0
+    """,
+)
+def table_delete_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE as a snapshot commit (GDPR-erasure / retention
+    shape): v0 = the full orders projection, v1 = DELETE WHERE
+    o_orderkey % 13 = 0 — then BOTH versions are read back through
+    their manifests and aggregated, proving the delete landed in v1
+    while v0 still serves the pre-delete data (the audit-window
+    property regulators actually ask about, bounded here by VACUUM's
+    retention pass). Oracle replays both versions from the raw table.
+
+    Scale: the delete probe is one predicate scan emitting a bounded
+    distinct-file list; only files containing matches rewrite
+    (file-pruned copy-on-write, pinned in tests/test_versioned.py);
+    the per-version aggregates are map-combined scans."""
+    vt = _deleted_orders(spark, sf_dir)
+    per_version = [
+        vt.read(spark, v).agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count("*").alias("n_rows"),
+            dsum(F.col("o_totalprice"), "sum_price"),
+        )
+        for v in (0, 1)
+    ]
+    return per_version[0].unionAll(per_version[1]).select(
+        "version", "n_rows", "sum_price"
+    )
+
+
+def _deleted_orders(spark: SparkSession, sf_dir: str) -> VersionedTable:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _DELETE_VT_PATHS.get(key)
+    if path is not None and not VersionedTable(path).versions():
+        path = None  # evicted at rest -> rebuild
+    if path is None:
+        path = os.path.join(scratch_dir("versioned_del_"), "orders_v")
+        vt = VersionedTable(path)
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        vt.create(o.repartitionByRange(4, "o_orderkey"))
+        vt.delete_where(spark, F.col("o_orderkey") % 13 == 0)
+        _DELETE_VT_PATHS[key] = path
+    return VersionedTable(path)
+
+
 _STREAM_VT_PATHS: dict[tuple[str, str], str] = {}
 
 

@@ -248,6 +248,60 @@ class VersionedTable:
             f"optimize lost the commit race 8 times at {self.path}"
         )
 
+    # -- DELETE (copy-on-write, file-pruned) ----------------------------
+
+    def delete_where(self, spark: SparkSession, predicate) -> int:
+        """Row-level DELETE as a transactional copy-on-write commit:
+        only data files that contain at least one matching row are
+        rewritten (without the matching rows); every other file
+        carries into the new snapshot by reference. The same
+        file-pruning argument as MERGE: with the predicate aligned to
+        the clustering (partition dates, key ranges), the rewrite
+        fraction is the touched fraction — and a predicate matching
+        nothing commits a pure metadata snapshot. Read-modify-write:
+        re-runs wholesale on a lost commit race."""
+        for _ in range(8):
+            snap = self.snapshot()
+            target = self.read(spark, snap["version"])
+            matched_files = [
+                r["f"]
+                for r in target.filter(predicate)
+                .select(F.input_file_name().alias("f"))
+                .distinct()
+                .collect()
+            ]
+            matched_base = {os.path.basename(f) for f in matched_files}
+            rewritten = [
+                f for f in snap["files"] if os.path.basename(f) in matched_base
+            ]
+            retained = [
+                f for f in snap["files"] if os.path.basename(f) not in matched_base
+            ]
+            files: list[str] = []
+            if rewritten:
+                # SQL DELETE semantics: remove rows where the predicate
+                # is TRUE; NULL-evaluating rows SURVIVE (a bare
+                # ~predicate would drop them too).
+                survivors = spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(self.path, f) for f in rewritten]
+                ).filter(F.coalesce(~predicate, F.lit(True)))
+                files = self._write_data_files(survivors)
+            try:
+                return self._publish(
+                    {
+                        "version": snap["version"] + 1,
+                        "parent": snap["version"],
+                        "operation": "delete",
+                        "files": retained + files,
+                    },
+                    snap["version"] + 1,
+                )
+            except VersionConflictError:
+                continue
+        raise VersionConflictError(
+            f"delete lost the commit race 8 times at {self.path}"
+        )
+
     # -- MERGE (copy-on-write, file-pruned) -----------------------------
 
     def merge_into(

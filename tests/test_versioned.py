@@ -254,3 +254,24 @@ def test_append_schema_evolution_additive(spark, tmp_path):
     tags = {r["k"]: r["tag"] for r in latest.collect()}
     assert tags[100] == "gold" and tags[5] is None and len(tags) == 11
     assert set(vt.read(spark, 0).columns) == {"k", "v"}
+
+
+def test_delete_where_prunes_and_preserves(spark, tmp_path):
+    """DELETE WHERE is file-pruned copy-on-write: deleting a narrow key
+    range rewrites only the file holding it (3 of 4 files carry by
+    reference), survivors in the rewritten file keep their rows, the
+    pre-delete snapshot still reads, and a predicate matching nothing
+    commits a pure-metadata snapshot."""
+    vt = _mk(spark, tmp_path)
+    v0 = set(vt.snapshot(0)["files"])
+    vt.delete_where(spark, (F.col("k") >= 3) & (F.col("k") <= 7))
+    snap = vt.snapshot(1)
+    assert snap["operation"] == "delete"
+    assert len(v0 & set(snap["files"])) == 3  # 3 untouched files reused
+    got = {r["k"] for r in vt.read(spark).collect()}
+    assert got == set(range(100)) - set(range(3, 8))
+    assert vt.read(spark, 0).count() == 100  # time travel intact
+    # no-match delete: metadata-only commit, same files
+    vt.delete_where(spark, F.col("k") > 10_000)
+    assert set(vt.snapshot(2)["files"]) == set(snap["files"])
+    assert vt.read(spark).count() == 95
