@@ -140,6 +140,7 @@ HEADLINE = [
     "merge_into_versioned",
     "stream_merge_versioned",
     "table_delete_versioned",
+    "table_changes_feed",
     "stream_apws_user_profile",
 ]
 

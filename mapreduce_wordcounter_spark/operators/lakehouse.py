@@ -225,6 +225,37 @@ def table_delete_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "table_changes_feed",
+    oracle="""
+    SELECT o_orderkey, 'update' AS change_type,
+           o_totalprice AS old_o_totalprice,
+           o_totalprice * 1.1 AS new_o_totalprice
+    FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 3 IN (0, 1)
+    UNION ALL
+    SELECT o_orderkey + 100000000, 'insert', CAST(NULL AS DOUBLE), 100.0
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def table_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC change feed between the pre-merge (v1) and post-merge
+    (v2) snapshots of the versioned orders lineage — one row per
+    changed key with its old and new values (the Delta Change-Data-Feed
+    shape, here derived by snapshot diff): what an incremental
+    downstream consumer replays instead of re-reading the table. The
+    oracle reconstructs the exact feed from the raw table; hash
+    equality holds without rounding because updated prices are the
+    same double product in both engines and untouched values never
+    appear in the feed.
+
+    Scale: one key-partitioned full-outer join of two snapshot scans;
+    feed size ∝ churn. A production CDF materializes per-commit change
+    files at write time instead of diffing — same consumer contract,
+    amortized differently."""
+    vt = versioned_orders(spark, sf_dir)
+    return vt.read_changes(spark, "o_orderkey", 1, 2)
+
+
 def _deleted_orders(spark: SparkSession, sf_dir: str) -> VersionedTable:
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _DELETE_VT_PATHS.get(key)

@@ -210,6 +210,48 @@ class VersionedTable:
             raise ValueError(f"snapshot v{snap['version']} is empty")
         return spark.read.option("mergeSchema", "true").parquet(*files)
 
+    # -- change feed (CDC between snapshots) ----------------------------
+
+    def read_changes(
+        self, spark: SparkSession, key: str, v_from: int, v_to: int
+    ) -> DataFrame:
+        """The change feed between two snapshots (the published Delta
+        Change-Data-Feed shape, computed by snapshot diff): one row per
+        key inserted, deleted, or updated (any non-key column differs,
+        null-safe) between ``v_from`` and ``v_to``; unchanged keys are
+        absent. Columns: key, change_type, old_<c>/new_<c> per non-key
+        column — exactly what an incremental downstream consumer
+        (index refresh, cache invalidation, replication) applies.
+
+        Scale: one key-partitioned full-outer join between two
+        snapshot scans — both sides prune/bucket at rest; the feed's
+        size is the churn, not the table."""
+        a = self.read(spark, v_from)
+        b = self.read(spark, v_to)
+        cols = [c for c in b.columns if c != key]
+        a_sel = a.select(
+            F.col(key).alias("__ka"),
+            *[F.col(c).alias(f"old_{c}") for c in cols],
+        )
+        b_sel = b.select(
+            F.col(key).alias("__kb"),
+            *[F.col(c).alias(f"new_{c}") for c in cols],
+        )
+        j = a_sel.join(b_sel, F.col("__ka") == F.col("__kb"), "full_outer")
+        changed = F.lit(False)
+        for c in cols:
+            changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        typed = j.select(
+            F.coalesce(F.col("__ka"), F.col("__kb")).alias(key),
+            F.when(F.col("__ka").isNull(), "insert")
+            .when(F.col("__kb").isNull(), "delete")
+            .when(changed, "update")
+            .alias("change_type"),
+            *[F.col(f"old_{c}") for c in cols],
+            *[F.col(f"new_{c}") for c in cols],
+        )
+        return typed.filter(F.col("change_type").isNotNull())
+
     # -- compaction / re-clustering -------------------------------------
 
     def optimize(

@@ -275,3 +275,20 @@ def test_delete_where_prunes_and_preserves(spark, tmp_path):
     vt.delete_where(spark, F.col("k") > 10_000)
     assert set(vt.snapshot(2)["files"]) == set(snap["files"])
     assert vt.read(spark).count() == 95
+
+
+def test_read_changes_feed_all_types(spark, tmp_path):
+    """Snapshot-diff CDC: insert, update, and delete all surface with
+    old/new values; unchanged keys are absent from the feed."""
+    vt = _mk(spark, tmp_path, n=10, files=1)
+    _merge_bump(spark, vt, [3, 500])          # v1: update k=3, insert 500
+    vt.delete_where(spark, F.col("k") == 7)   # v2: delete k=7
+    feed = {
+        r["k"]: (r["change_type"], r["old_v"], r["new_v"])
+        for r in vt.read_changes(spark, "k", 0, 2).collect()
+    }
+    assert feed == {
+        3: ("update", 3.0, 1003.0),
+        500: ("insert", None, 1500.0),
+        7: ("delete", 7.0, None),
+    }
