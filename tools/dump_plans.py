@@ -164,6 +164,12 @@ SHOWCASE = [
     "ann_rp_topk",
     "jaccard_prefix_join",
     "sample_weighted_topk",
+    # round 6: versioned-table tier + stateful twin
+    "table_time_travel",
+    "merge_into_versioned",
+    "table_delete_versioned",
+    "table_changes_feed",
+    "stream_merge_versioned",
 ]
 
 # Belt-and-braces: a duplicated SHOWCASE entry (it has happened) would
