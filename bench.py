@@ -141,6 +141,7 @@ HEADLINE = [
     "stream_merge_versioned",
     "table_delete_versioned",
     "table_changes_feed",
+    "table_pruned_range",
     "stream_apws_user_profile",
 ]
 

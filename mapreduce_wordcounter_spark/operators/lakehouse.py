@@ -56,11 +56,11 @@ def versioned_orders(spark: SparkSession, sf_dir: str) -> VersionedTable:
     table handle. Rebuilds if the at-rest artifact was evicted."""
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _VT_PATHS.get(key)
-    if path is not None and len(VersionedTable(path).versions()) < 3:
+    if path is not None and len(VersionedTable(path, stats_col="o_orderkey").versions()) < 3:
         path = None  # evicted or partially built -> rebuild
     if path is None:
         path = os.path.join(scratch_dir("versioned_"), "orders_v")
-        vt = VersionedTable(path)
+        vt = VersionedTable(path, stats_col="o_orderkey")
         o = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_totalprice"
         )
@@ -89,7 +89,7 @@ def versioned_orders(spark: SparkSession, sf_dir: str) -> VersionedTable:
             },
         )
         _VT_PATHS[key] = path
-    return VersionedTable(path)
+    return VersionedTable(path, stats_col="o_orderkey")
 
 
 @query(
@@ -226,6 +226,41 @@ def table_delete_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "table_pruned_range",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM ({_SQL_MERGED_V2})
+    WHERE o_orderkey BETWEEN 1000 AND 5000
+    """,
+)
+def table_pruned_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats data skipping: a key-range aggregate over the
+    merged snapshot served through ``read_pruned`` — the driver
+    consults the manifest's per-file [min, max] (recorded from parquet
+    FOOTERS at commit time) and hands Spark only the files whose range
+    intersects [1000, 5000]; the query then applies the exact
+    predicate. Same rows as a full-scan filter (the oracle proves it);
+    at 100 TB the skipped files were never listed, opened, or
+    scheduled — pruning BEFORE the engine, on top of parquet row-group
+    pruning within the surviving files.
+
+    Scale: candidate selection is driver-side set arithmetic over
+    KB-sized manifest stats; with the table OPTIMIZE-clustered on the
+    key, a narrow range touches O(range/cluster-width) files."""
+    vt = versioned_orders(spark, sf_dir)
+    k = F.col("o_orderkey")
+    return (
+        vt.read_pruned(spark, 1000, 5000)
+        .filter((k >= 1000) & (k <= 5000))
+        .agg(
+            F.count("*").alias("n_rows"),
+            dsum(F.col("o_totalprice"), "sum_price"),
+        )
+    )
+
+
+@query(
     "table_changes_feed",
     oracle="""
     SELECT o_orderkey, 'update' AS change_type,
@@ -259,18 +294,18 @@ def table_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _deleted_orders(spark: SparkSession, sf_dir: str) -> VersionedTable:
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _DELETE_VT_PATHS.get(key)
-    if path is not None and not VersionedTable(path).versions():
+    if path is not None and not VersionedTable(path, stats_col="o_orderkey").versions():
         path = None  # evicted at rest -> rebuild
     if path is None:
         path = os.path.join(scratch_dir("versioned_del_"), "orders_v")
-        vt = VersionedTable(path)
+        vt = VersionedTable(path, stats_col="o_orderkey")
         o = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_totalprice"
         )
         vt.create(o.repartitionByRange(4, "o_orderkey"))
         vt.delete_where(spark, F.col("o_orderkey") % 13 == 0)
         _DELETE_VT_PATHS[key] = path
-    return VersionedTable(path)
+    return VersionedTable(path, stats_col="o_orderkey")
 
 
 _STREAM_VT_PATHS: dict[tuple[str, str], str] = {}
@@ -340,12 +375,12 @@ def _stream_versioned_orders(spark: SparkSession, sf_dir: str) -> VersionedTable
     # just detects external eviction of the at-rest artifact. (Version
     # count is NOT a fixed 5: a hash-empty chunk file yields a rows-less
     # trigger that commits no snapshot, by design.)
-    if path is not None and not VersionedTable(path).versions():
+    if path is not None and not VersionedTable(path, stats_col="o_orderkey").versions():
         path = None
     if path is None:
         base_dir = scratch_dir("versioned_stream_")
         path = os.path.join(base_dir, "orders_v")
-        vt = VersionedTable(path)
+        vt = VersionedTable(path, stats_col="o_orderkey")
         o = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_totalprice"
         )
@@ -402,7 +437,7 @@ def _stream_versioned_orders(spark: SparkSession, sf_dir: str) -> VersionedTable
         finally:
             q.stop()
         _STREAM_VT_PATHS[key] = path
-    return VersionedTable(path)
+    return VersionedTable(path, stats_col="o_orderkey")
 
 
 @query(

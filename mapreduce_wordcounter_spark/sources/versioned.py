@@ -55,11 +55,20 @@ class VersionConflictError(RuntimeError):
 
 
 class VersionedTable:
-    """A snapshot-versioned parquet table rooted at ``path``."""
+    """A snapshot-versioned parquet table rooted at ``path``.
 
-    def __init__(self, path: str):
+    ``stats_col``: optional column whose per-file min/max is recorded
+    in every commit's manifest (read driver-side from the parquet
+    FOOTERS — no data scan). With it set, MERGE's matched-file probe
+    becomes metadata-first: source keys join the bounded file-stats
+    list to select candidate files, and only those are scanned for
+    exact matches — the Iceberg/Delta data-skipping recipe. Reads via
+    :meth:`read_pruned` skip files the same way."""
+
+    def __init__(self, path: str, stats_col: str | None = None):
         self.path = path
         self.snap_dir = os.path.join(path, _SNAP_DIR)
+        self.stats_col = stats_col
 
     # -- snapshot log ---------------------------------------------------
 
@@ -122,13 +131,56 @@ class VersionedTable:
             if f.endswith(".parquet")
         )
 
+    def _file_stats(self, files: list[str]) -> dict:
+        """Per-file [min, max] of ``stats_col`` read from the parquet
+        FOOTERS (pyarrow metadata — row-group statistics, no data
+        pages touched): bounded driver-side work per commit, exactly
+        what Iceberg's manifest stats record at write time."""
+        if self.stats_col is None:
+            return {}
+        import pyarrow.parquet as pq
+
+        out: dict = {}
+        for rel in files:
+            md = pq.ParquetFile(os.path.join(self.path, rel)).metadata
+            try:
+                idx = md.schema.names.index(self.stats_col)
+            except ValueError:
+                continue  # schema-evolved file without the column
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    lo = hi = None
+                    break  # no stats -> never prune this file
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if lo is not None:
+                out[rel] = [lo, hi]
+        return out
+
+    def _merged_stats(
+        self, parent_snap: dict | None, retained: list[str], new_files: list[str]
+    ) -> dict:
+        """Stats map for a commit: inherit retained files' stats from
+        the parent manifest (no re-read), compute footer stats for the
+        new files."""
+        keep = set(retained)
+        inherited = {
+            f: s
+            for f, s in ((parent_snap or {}).get("stats") or {}).items()
+            if f in keep
+        }
+        inherited.update(self._file_stats(new_files))
+        return inherited
+
     def create(self, df: DataFrame) -> int:
         """Commit v0. A conflict here means the table already exists —
         that is the caller's bug, not a race to retry past."""
         files = self._write_data_files(df)
         return self._publish(
             {"version": 0, "parent": None, "operation": "create",
-             "files": files},
+             "files": files, "stats": self._merged_stats(None, [], files)},
             0,
         )
 
@@ -149,6 +201,7 @@ class VersionedTable:
                         "parent": cur["version"],
                         "operation": "append",
                         "files": cur["files"] + files,
+                        "stats": self._merged_stats(cur, cur["files"], files),
                     },
                     cur["version"] + 1,
                 )
@@ -209,6 +262,61 @@ class VersionedTable:
         if not files:
             raise ValueError(f"snapshot v{snap['version']} is empty")
         return spark.read.option("mergeSchema", "true").parquet(*files)
+
+    # -- manifest-stats data skipping -----------------------------------
+
+    def _candidate_files(
+        self, spark: SparkSession, keys: DataFrame, key_col: str, snap: dict
+    ) -> list[str]:
+        """Files of ``snap`` whose manifest [min, max] can contain at
+        least one of ``keys`` (one broadcast join of the bounded
+        file-stats list against the distinct keys — metadata-scale),
+        plus every file with no recorded stats (conservative). With no
+        stats at all, every file is a candidate."""
+        stats = snap.get("stats") or {}
+        if self.stats_col is None or not stats:
+            return list(snap["files"])
+        no_stats = [f for f in snap["files"] if f not in stats]
+        stat_rows = [(f, s[0], s[1]) for f, s in stats.items()]
+        sdf = spark.createDataFrame(stat_rows, ["__f", "__lo", "__hi"])
+        hit = [
+            r["__f"]
+            for r in keys.join(
+                F.broadcast(sdf),
+                (F.col(key_col) >= F.col("__lo"))
+                & (F.col(key_col) <= F.col("__hi")),
+            )
+            .select("__f")
+            .distinct()
+            .collect()
+        ]
+        return sorted(set(hit) | set(no_stats))
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        lo,
+        hi,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Read one snapshot scanning ONLY files whose manifest
+        [min, max] on ``stats_col`` intersects [lo, hi] (plus stats-less
+        files) — driver-side data skipping before Spark ever lists a
+        file, on top of which parquet row-group pruning still applies.
+        Returns the same rows as ``read(...).filter(between)`` (pinned
+        by tests); the caller still applies its own predicate."""
+        snap = self.snapshot(version)
+        stats = snap.get("stats") or {}
+        files = [
+            f
+            for f in snap["files"]
+            if f not in stats or not (stats[f][1] < lo or stats[f][0] > hi)
+        ]
+        if not files:
+            return self.read(spark, snap["version"]).limit(0)
+        return spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.path, f) for f in files]
+        )
 
     # -- change feed (CDC between snapshots) ----------------------------
 
@@ -281,6 +389,7 @@ class VersionedTable:
                         "parent": snap["version"],
                         "operation": "optimize",
                         "files": files,
+                        "stats": self._merged_stats(snap, [], files),
                     },
                     snap["version"] + 1,
                 )
@@ -335,6 +444,7 @@ class VersionedTable:
                         "parent": snap["version"],
                         "operation": "delete",
                         "files": retained + files,
+                        "stats": self._merged_stats(snap, retained, files),
                     },
                     snap["version"] + 1,
                 )
@@ -406,14 +516,25 @@ class VersionedTable:
         snap = self.snapshot()
         target = self.read(spark, snap["version"])
         skeys = source.select(F.col(source_key).alias("__mk")).distinct()
-        matched_files = [
-            r["f"]
-            for r in target.withColumn("f", F.input_file_name())
-            .join(skeys, F.col(key) == F.col("__mk"))
-            .select("f")
-            .distinct()
-            .collect()
-        ]
+        # Metadata-first candidate selection: manifest min/max stats
+        # cut the probe to files whose key range can contain a source
+        # key; only those are SCANNED for exact matches. Files without
+        # stats stay candidates (conservative).
+        probe_rel = self._candidate_files(spark, skeys, "__mk", snap)
+        if probe_rel:
+            probe = spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.path, f) for f in probe_rel]
+            )
+            matched_files = [
+                r["f"]
+                for r in probe.withColumn("f", F.input_file_name())
+                .join(skeys, F.col(key) == F.col("__mk"))
+                .select("f")
+                .distinct()
+                .collect()
+            ]
+        else:
+            matched_files = []
         # input_file_name returns absolute URIs; map back to the
         # snapshot's relative paths by basename (commit-unique dirs
         # make basenames unique per table).
@@ -453,6 +574,7 @@ class VersionedTable:
                 "parent": snap["version"],
                 "operation": "merge",
                 "files": retained + files,
+                "stats": self._merged_stats(snap, retained, files),
             },
             snap["version"] + 1,
         )

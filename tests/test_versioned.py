@@ -292,3 +292,57 @@ def test_read_changes_feed_all_types(spark, tmp_path):
         500: ("insert", None, 1500.0),
         7: ("delete", 7.0, None),
     }
+
+
+def test_manifest_stats_and_pruned_read(spark, tmp_path):
+    """Manifest min/max stats (footer-derived at commit) drive data
+    skipping: a narrow-range read selects a strict subset of the
+    snapshot's files yet returns exactly the full-scan-filter rows;
+    stats survive commits by inheritance (retained files are not
+    re-read) and the metadata-first MERGE probe still matches the
+    right files."""
+    from mapreduce_wordcounter_spark.sources.versioned import VersionedTable
+
+    vt = VersionedTable(str(tmp_path / "t"), stats_col="k")
+    df = (
+        spark.range(100)
+        .select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        .repartitionByRange(4, "k")
+    )
+    vt.create(df)
+    snap = vt.snapshot(0)
+    assert set(snap["stats"]) == set(snap["files"])  # every file covered
+    spans = sorted(tuple(s) for s in snap["stats"].values())
+    assert spans[0][0] == 0 and spans[-1][1] == 99
+    assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))  # disjoint
+
+    # pruned read: [10, 20] touches 1 of 4 range-clustered files
+    pruned_files = [
+        f for f in snap["files"]
+        if not (snap["stats"][f][1] < 10 or snap["stats"][f][0] > 20)
+    ]
+    assert len(pruned_files) == 1
+    got = sorted(
+        r["k"]
+        for r in vt.read_pruned(spark, 10, 20)
+        .filter((F.col("k") >= 10) & (F.col("k") <= 20))
+        .collect()
+    )
+    assert got == list(range(10, 21))
+
+    # metadata-first merge probe: narrow merge still rewrites exactly
+    # the right file and inherits stats for retained files
+    src = spark.createDataFrame([(15, 999.0)], "s_k bigint, nv double")
+    vt.merge_into(
+        spark, src, key="k", source_key="s_k",
+        update_set={"v": F.col("nv")},
+        insert_exprs={"k": F.col("s_k"), "v": F.col("nv")},
+    )
+    s1 = vt.snapshot(1)
+    assert len(set(snap["files"]) & set(s1["files"])) == 3
+    assert set(s1["stats"]) == set(s1["files"])  # stats complete post-merge
+    assert {r["k"]: r["v"] for r in vt.read(spark).collect()}[15] == 999.0
+    # out-of-range read returns empty with the right schema
+    assert vt.read_pruned(spark, 10_000, 20_000).filter(
+        F.col("k") >= 10_000
+    ).count() == 0
