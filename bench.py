@@ -142,6 +142,7 @@ HEADLINE = [
     "table_delete_versioned",
     "table_changes_feed",
     "table_pruned_range",
+    "pipeline_curate_versioned",
     "stream_apws_user_profile",
 ]
 

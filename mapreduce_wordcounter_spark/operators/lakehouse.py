@@ -440,6 +440,136 @@ def _stream_versioned_orders(spark: SparkSession, sf_dir: str) -> VersionedTable
     return VersionedTable(path, stats_col="o_orderkey")
 
 
+_CURATE_VT_PATHS: dict[tuple[str, str], str] = {}
+
+
+def _curate_funnel_oracle() -> str:
+    from mapreduce_wordcounter_spark.operators.text import (
+        _CONTAM_MOD,
+        _DUCK_CONTAM,
+        _PII_EMAIL,
+        _PII_IPV4,
+        _PII_PHONE,
+    )
+    from mapreduce_wordcounter_spark.registry import ORACLE
+
+    return f"""
+    WITH keep AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+    q AS (SELECT doc_id, gopher_score FROM ({ORACLE["quality_score_gopher"]})),
+    ct AS (SELECT doc_id, contaminated FROM ({_DUCK_CONTAM})),
+    s1 AS (SELECT d.doc_id, d.n_chars, d.text
+           FROM documents d JOIN keep k ON d.doc_id = k.doc_id),
+    s2 AS (SELECT s1.* FROM s1 JOIN q ON q.doc_id = s1.doc_id
+           WHERE q.gopher_score >= 6),
+    s3 AS (SELECT s2.* FROM s2 JOIN ct ON ct.doc_id = s2.doc_id
+           WHERE NOT ct.contaminated AND s2.doc_id % {_CONTAM_MOD} <> 0),
+    s4 AS (SELECT * FROM s3
+           WHERE NOT regexp_matches(text, '{_PII_EMAIL}')
+             AND NOT regexp_matches(text, '{_PII_PHONE}')
+             AND NOT regexp_matches(text, '{_PII_IPV4}'))
+    SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents
+    UNION ALL SELECT 1, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_chars) AS BIGINT) FROM s1
+    UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_chars) AS BIGINT) FROM s2
+    UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_chars) AS BIGINT) FROM s3
+    UNION ALL SELECT 4, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_chars) AS BIGINT) FROM s4
+    """
+
+
+def _curated_docs(spark: SparkSession, sf_dir: str) -> VersionedTable:
+    """Build (once per session+sf) the curation funnel as a snapshot
+    lineage: v0 = all docs; each curation stage is ONE key-driven
+    DELETE commit (dedup losers, low-quality, contamination +
+    benchmark subset, PII) — so every intermediate corpus stays
+    addressable AS OF its version."""
+    from mapreduce_wordcounter_spark.operators.dedup import dedup_exact
+    from mapreduce_wordcounter_spark.operators.text import (
+        _CONTAM_MOD,
+        _CURATE_MIN_SCORE,
+        _PII_EMAIL,
+        _PII_IPV4,
+        _PII_PHONE,
+        benchmark_contamination,
+        quality_score_gopher,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _CURATE_VT_PATHS.get(key)
+    if path is not None and not VersionedTable(path).versions():
+        path = None  # evicted at rest -> rebuild
+    if path is None:
+        path = os.path.join(scratch_dir("versioned_curate_"), "docs_v")
+        vt = VersionedTable(path, stats_col="doc_id")
+        docs = load_table(spark, sf_dir, "documents")
+        vt.create(
+            docs.select("doc_id", "n_chars").repartitionByRange(4, "doc_id")
+        )
+        keep = dedup_exact(spark, sf_dir).select(
+            F.col("keep_doc_id").alias("doc_id")
+        )
+        losers = docs.select("doc_id").join(keep, "doc_id", "left_anti")
+        vt.delete_keys(spark, losers, key="doc_id", source_key="doc_id")
+        lowq = (
+            quality_score_gopher(spark, sf_dir)
+            .filter(F.col("gopher_score") < _CURATE_MIN_SCORE)
+            .select("doc_id")
+        )
+        vt.delete_keys(spark, lowq, key="doc_id", source_key="doc_id")
+        contam = benchmark_contamination(spark, sf_dir)
+        stage3 = (
+            docs.filter(F.col("doc_id") % _CONTAM_MOD == 0)
+            .select("doc_id")
+            .unionAll(contam.filter(F.col("contaminated")).select("doc_id"))
+        )
+        vt.delete_keys(spark, stage3, key="doc_id", source_key="doc_id")
+        pii = docs.filter(
+            F.col("text").rlike(_PII_EMAIL)
+            | F.col("text").rlike(_PII_PHONE)
+            | F.col("text").rlike(_PII_IPV4)
+        ).select("doc_id")
+        vt.delete_keys(spark, pii, key="doc_id", source_key="doc_id")
+        _CURATE_VT_PATHS[key] = path
+    return VersionedTable(path, stats_col="doc_id")
+
+
+@query("pipeline_curate_versioned", oracle=_curate_funnel_oracle())
+def pipeline_curate_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline as a SNAPSHOT LINEAGE: every stage of
+    pipeline_curate (exact dedup -> Gopher quality gate -> benchmark
+    decontamination incl. the benchmark subset itself -> PII gate) is
+    one key-driven DELETE commit on a versioned docs table, and this
+    query reads ALL FIVE versions back through their manifests — the
+    curation funnel with per-stage time travel. That is the property
+    ablation studies actually need: "train on the corpus as of the
+    quality gate" is a version read, not a pipeline re-run; and a
+    stage that removes nothing (PII, on this letters-only corpus) is
+    a metadata-only commit, visible in the lineage.
+
+    Scale: each stage's DELETE is stats-pruned copy-on-write (work ∝
+    files containing doomed keys); the funnel read is five bounded
+    per-version aggregates. The stage key-sets are the same audited
+    operators pipeline_curate composes (one hash shuffle, n-gram
+    aggregates, a broadcast semi-join, per-row regex)."""
+    vt = _curated_docs(spark, sf_dir)
+    per_version = [
+        vt.read(spark, v).agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        for v in (0, 1, 2, 3, 4)
+    ]
+    out = per_version[0]
+    for df in per_version[1:]:
+        out = out.unionAll(df)
+    return out.select("version", "n_docs", "total_chars")
+
+
 @query(
     "table_snapshot_lineage",
     oracle="""

@@ -454,6 +454,66 @@ class VersionedTable:
             f"delete lost the commit race 8 times at {self.path}"
         )
 
+    def delete_keys(
+        self, spark: SparkSession, keys: DataFrame, key: str, source_key: str
+    ) -> int:
+        """DELETE every target row whose ``key`` appears in ``keys``
+        (the join-driven form of DELETE — GDPR erase-these-ids, dedup
+        loser removal — which a scalar predicate cannot express).
+        Same file-pruned copy-on-write as MERGE: manifest stats select
+        candidate files metadata-first, an exact probe marks the files
+        actually containing a doomed key, only those rewrite (via
+        anti-join); a keys set touching nothing commits metadata only.
+        Read-modify-write conflict discipline as everywhere."""
+        kdf = keys.select(F.col(source_key).alias("__dk")).distinct()
+        for _ in range(8):
+            snap = self.snapshot()
+            probe_rel = self._candidate_files(spark, kdf, "__dk", snap)
+            matched_files: list[str] = []
+            if probe_rel:
+                probe = spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(self.path, f) for f in probe_rel]
+                )
+                matched_files = [
+                    r["f"]
+                    for r in probe.withColumn("f", F.input_file_name())
+                    .join(kdf, F.col(key) == F.col("__dk"))
+                    .select("f")
+                    .distinct()
+                    .collect()
+                ]
+            matched_base = {os.path.basename(f) for f in matched_files}
+            rewritten = [
+                f for f in snap["files"] if os.path.basename(f) in matched_base
+            ]
+            retained = [
+                f for f in snap["files"] if os.path.basename(f) not in matched_base
+            ]
+            files: list[str] = []
+            if rewritten:
+                survivors = (
+                    spark.read.option("mergeSchema", "true")
+                    .parquet(*[os.path.join(self.path, f) for f in rewritten])
+                    .join(kdf, F.col(key) == F.col("__dk"), "left_anti")
+                )
+                files = self._write_data_files(survivors)
+            try:
+                return self._publish(
+                    {
+                        "version": snap["version"] + 1,
+                        "parent": snap["version"],
+                        "operation": "delete",
+                        "files": retained + files,
+                        "stats": self._merged_stats(snap, retained, files),
+                    },
+                    snap["version"] + 1,
+                )
+            except VersionConflictError:
+                continue
+        raise VersionConflictError(
+            f"delete_keys lost the commit race 8 times at {self.path}"
+        )
+
     # -- MERGE (copy-on-write, file-pruned) -----------------------------
 
     def merge_into(
