@@ -208,6 +208,31 @@ class VersionedTable:
             except VersionConflictError:
                 continue
 
+    def rollback(self, to_version: int) -> int:
+        """Roll the table back to an earlier snapshot by COMMITTING a
+        new version that references exactly that snapshot's files (op
+        'rollback') — history is append-only, so the bad commits stay
+        inspectable and the rollback itself is auditable, which is how
+        production table formats implement RESTORE. Metadata-only:
+        no data moves."""
+        target = self.snapshot(to_version)
+        while True:
+            cur = self.snapshot()
+            try:
+                return self._publish(
+                    {
+                        "version": cur["version"] + 1,
+                        "parent": cur["version"],
+                        "operation": "rollback",
+                        "rolled_back_to": to_version,
+                        "files": target["files"],
+                        "stats": target.get("stats") or {},
+                    },
+                    cur["version"] + 1,
+                )
+            except VersionConflictError:
+                continue
+
     # -- retention ------------------------------------------------------
 
     def vacuum(self, retain_last: int = 2) -> dict:

@@ -346,3 +346,33 @@ def test_manifest_stats_and_pruned_read(spark, tmp_path):
     assert vt.read_pruned(spark, 10_000, 20_000).filter(
         F.col("k") >= 10_000
     ).count() == 0
+
+
+def test_rollback_is_auditable_metadata_commit(spark, tmp_path):
+    """RESTORE semantics: rollback commits a NEW version referencing
+    the old snapshot's files — the bad commit stays in history, no
+    data moves, and reads after rollback serve the restored state."""
+    vt = _mk(spark, tmp_path)
+    _merge_bump(spark, vt, [1, 2])  # v1: the "bad" commit
+    v = vt.rollback(0)
+    assert v == 2
+    snap = vt.snapshot(2)
+    assert snap["operation"] == "rollback" and snap["rolled_back_to"] == 0
+    assert snap["files"] == vt.snapshot(0)["files"]  # metadata-only
+    got = {r["k"]: r["v"] for r in vt.read(spark).collect()}
+    assert got[1] == 1.0 and len(got) == 100  # pre-merge state served
+    assert vt.read(spark, 1).count() == 100  # bad commit still inspectable
+
+
+def test_torn_publish_tmp_is_invisible(spark, tmp_path):
+    """A writer that crashed between staging its manifest and linking
+    it leaves only a .tmp file: readers never see it, versions() skips
+    it, and the next commit takes the version number cleanly."""
+    vt = _mk(spark, tmp_path)
+    stray = os.path.join(vt.snap_dir, "v00001.json.deadbeef.tmp")
+    with open(stray, "w") as fh:
+        fh.write('{"version": 1, "torn": ')  # truncated mid-write
+    assert vt.versions() == [0]
+    assert vt.read(spark).count() == 100
+    v = vt.append(spark.createDataFrame([(555, 5.0)], "k bigint, v double"))
+    assert v == 1 and vt.read(spark).count() == 101
