@@ -170,6 +170,8 @@ SHOWCASE = [
     "table_delete_versioned",
     "table_changes_feed",
     "stream_merge_versioned",
+    "table_pruned_range",
+    "pipeline_curate_versioned",
 ]
 
 # Belt-and-braces: a duplicated SHOWCASE entry (it has happened) would
