@@ -144,6 +144,7 @@ HEADLINE = [
     "table_pruned_range",
     "pipeline_curate_versioned",
     "stream_apws_user_profile",
+    "mv_incremental_refresh",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries

@@ -1,8 +1,11 @@
-"""Versioned-table queries: time travel, transactional MERGE, lineage.
+"""Versioned-table queries: time travel, transactional MERGE/DELETE,
+CDC change feed, stats-pruned reads, streaming-CDC upserts, the
+curation pipeline as a snapshot lineage, and an incrementally-
+maintained materialized aggregate fed by the change feed.
 
-Exercises sources/versioned.py over a deterministic snapshot lineage of
-the ``orders`` table, so every transactional property is DuckDB-
-replayable from the raw parquet:
+Exercises sources/versioned.py over deterministic snapshot lineages of
+the ``orders`` and ``documents`` tables, so every transactional
+property is DuckDB-replayable from the raw parquet. The core lineage:
 
   v0  create  orders with o_orderkey % 3 = 0        (o_orderkey, o_totalprice)
   v1  append  orders with o_orderkey % 3 = 1
@@ -31,7 +34,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_wordcounter_spark.functions.numeric import dsum, sql_dsum
+from mapreduce_wordcounter_spark.functions.numeric import dsum, quantize, sql_dsum
 from mapreduce_wordcounter_spark.registry import query
 from mapreduce_wordcounter_spark.session import scratch_dir
 from mapreduce_wordcounter_spark.sources.versioned import VersionedTable
@@ -568,6 +571,143 @@ def pipeline_curate_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in per_version[1:]:
         out = out.unionAll(df)
     return out.select("version", "n_docs", "total_chars")
+
+
+_MV_VT_PATHS: dict[tuple[str, str], str] = {}
+
+
+def _mv_orders(spark: SparkSession, sf_dir: str) -> VersionedTable:
+    """Build (once per session+sf) the 3-version lineage the MV query
+    maintains over: create -> DELETE -> MERGE, so the change feeds it
+    replays contain all three change types (delete, update, insert)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _MV_VT_PATHS.get(key)
+    if path is not None and len(VersionedTable(path, stats_col="o_orderkey").versions()) < 3:
+        path = None  # evicted or partially built -> rebuild
+    if path is None:
+        path = os.path.join(scratch_dir("versioned_mv_"), "orders_v")
+        vt = VersionedTable(path, stats_col="o_orderkey")
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        k = F.col("o_orderkey")
+        vt.create(o.repartitionByRange(4, "o_orderkey"))
+        vt.delete_where(spark, k % 13 == 0)
+        updates = o.filter((k % 10 == 0) & (k % 13 != 0)).select(
+            k.alias("s_key"), (F.col("o_totalprice") * 1.1).alias("new_price")
+        )
+        inserts = o.filter(k % 100 == 0).select(
+            (k + 100_000_000).alias("s_key"),
+            F.lit(100.0).alias("new_price"),
+        )
+        vt.merge_into(
+            spark,
+            updates.unionAll(inserts),
+            key="o_orderkey",
+            source_key="s_key",
+            update_set={"o_totalprice": F.col("new_price")},
+            insert_exprs={
+                "o_orderkey": F.col("s_key"),
+                "o_totalprice": F.col("new_price"),
+            },
+        )
+        _MV_VT_PATHS[key] = path
+    return VersionedTable(path, stats_col="o_orderkey")
+
+
+def mv_apply_changes(mv: DataFrame, feed: DataFrame) -> DataFrame:
+    """One incremental refresh step: fold a CDC change feed (the
+    read_changes shape over (o_orderkey, o_totalprice)) into a
+    materialized per-bucket aggregate ``(bucket, n, micros)``.
+
+    The delta is computed per changed KEY, aggregated to per-BUCKET
+    corrections, and joined against the MV — so the refresh shuffles
+    the churn and the group-key-sized MV, never the base table. All
+    arithmetic stays in exact int64 micro-units (functions/numeric.py):
+    integer addition is associative, so incrementally-maintained sums
+    are bit-identical to full recomputation, delete/update/insert
+    alike — the property test_mv_incremental_* pins."""
+    delta = (
+        feed.select(
+            (F.col("o_orderkey") % 7).alias("bucket"),
+            F.when(F.col("change_type") == "insert", F.lit(1))
+            .when(F.col("change_type") == "delete", F.lit(-1))
+            .otherwise(F.lit(0))
+            .alias("dn"),
+            (
+                F.coalesce(quantize(F.col("new_o_totalprice")), F.lit(0))
+                - F.coalesce(quantize(F.col("old_o_totalprice")), F.lit(0))
+            ).alias("dmicros"),
+        )
+        .groupBy("bucket")
+        .agg(F.sum("dn").alias("dn"), F.sum("dmicros").alias("dmicros"))
+    )
+    return (
+        mv.join(delta, "bucket", "full_outer")
+        .select(
+            "bucket",
+            (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))).alias("n"),
+            (
+                F.coalesce(F.col("micros"), F.lit(0))
+                + F.coalesce(F.col("dmicros"), F.lit(0))
+            ).alias("micros"),
+        )
+        .filter(F.col("n") > 0)
+    )
+
+
+@query(
+    "mv_incremental_refresh",
+    oracle=f"""
+    WITH v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.1
+                    ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 13 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, 100.0 FROM orders
+        WHERE o_orderkey % 100 = 0)
+    SELECT o_orderkey % 7 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('price', 'sum_price')}
+    FROM v2 GROUP BY bucket
+    """,
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized aggregate: a per-bucket
+    (o_orderkey % 7) row-count + price-sum MV is built ONCE at v0,
+    then refreshed by replaying the CDC feed of each commit — the v1
+    DELETE (%13 keys) and the v2 MERGE (updates + inserts) — as
+    per-bucket deltas (mv_apply_changes). The query returns the twice-
+    refreshed MV; the ORACLE recomputes the aggregate directly from
+    the reconstructed v2 relation, so hash equality proves incremental
+    maintenance ≡ full recomputation across all three change types.
+    Exactness comes from folding in int64 micro-units end to end (no
+    float sum ever happens, so associativity is exact).
+
+    Scale: THE lakehouse pattern for derived tables at 100 TB —
+    refresh cost ∝ churn (feed scan + a join against the group-key-
+    sized MV), not table size; a full recompute rescans everything.
+    Here the feed itself is derived by snapshot diff (read_changes —
+    production CDF materializes per-commit change files at write time,
+    same consumer contract); the refresh path downstream of the feed
+    is what this query exercises."""
+    vt = _mv_orders(spark, sf_dir)
+    mv = (
+        vt.read(spark, 0)
+        .groupBy((F.col("o_orderkey") % 7).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(quantize(F.col("o_totalprice"))).alias("micros"),
+        )
+    )
+    for v_from, v_to in ((0, 1), (1, 2)):
+        feed = vt.read_changes(spark, "o_orderkey", v_from, v_to)
+        mv = mv_apply_changes(mv, feed)
+    return mv.select(
+        F.col("bucket"),
+        F.col("n").alias("n_rows"),
+        (F.col("micros").cast("double") / F.lit(1000000.0)).alias("sum_price"),
+    )
 
 
 @query(

@@ -376,3 +376,153 @@ def test_torn_publish_tmp_is_invisible(spark, tmp_path):
     assert vt.read(spark).count() == 100
     v = vt.append(spark.createDataFrame([(555, 5.0)], "k bigint, v double"))
     assert v == 1 and vt.read(spark).count() == 101
+
+
+def _bucket_agg(spark, vt, version):
+    from mapreduce_wordcounter_spark.functions.numeric import quantize
+
+    return (
+        vt.read(spark, version)
+        .groupBy((F.col("o_orderkey") % 7).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(quantize(F.col("o_totalprice"))).alias("micros"),
+        )
+    )
+
+
+def test_mv_incremental_matches_recompute(spark, tmp_path):
+    """Incremental MV maintenance ≡ full recompute, BIT-identical:
+    fold the CDC feed of a DELETE commit and then of a MERGE commit
+    (update + insert) into a per-bucket aggregate built at v0, and the
+    int64 micro-unit accumulators must equal a direct recompute at v2
+    exactly — integer addition is associative, so no tolerance is
+    needed or used."""
+    from mapreduce_wordcounter_spark.operators.lakehouse import mv_apply_changes
+
+    vt = VersionedTable(str(tmp_path / "mv"))
+    vt.create(
+        spark.range(200)
+        .select(
+            F.col("id").alias("o_orderkey"),
+            (F.col("id") * 1.37 + 0.005).alias("o_totalprice"),
+        )
+        .repartitionByRange(4, "o_orderkey")
+    )
+    vt.delete_where(spark, F.col("o_orderkey") % 5 == 0)
+    src = spark.createDataFrame(
+        [(3, 999.5), (7, 999.5), (11, 999.5), (1000, 10.25), (1001, 10.25)],
+        "s_key bigint, new_price double",
+    )
+    vt.merge_into(
+        spark,
+        src,
+        key="o_orderkey",
+        source_key="s_key",
+        update_set={"o_totalprice": F.col("new_price")},
+        insert_exprs={
+            "o_orderkey": F.col("s_key"),
+            "o_totalprice": F.col("new_price"),
+        },
+    )
+    mv = _bucket_agg(spark, vt, 0)
+    for a, b in ((0, 1), (1, 2)):
+        mv = mv_apply_changes(mv, vt.read_changes(spark, "o_orderkey", a, b))
+    got = sorted((r["bucket"], r["n"], r["micros"]) for r in mv.collect())
+    want = sorted(
+        (r["bucket"], r["n"], r["micros"])
+        for r in _bucket_agg(spark, vt, 2).collect()
+    )
+    assert got == want and len(got) == 7
+
+
+def test_mv_emptied_group_drops_out(spark, tmp_path):
+    """A group whose every row is deleted must VANISH from the
+    refreshed MV (count 0 is not a row), matching what a GROUP BY
+    recompute would produce."""
+    from mapreduce_wordcounter_spark.operators.lakehouse import mv_apply_changes
+
+    vt = VersionedTable(str(tmp_path / "mv2"))
+    vt.create(
+        spark.range(14).select(
+            F.col("id").alias("o_orderkey"),
+            (F.col("id") * 2.0).alias("o_totalprice"),
+        )
+    )
+    vt.delete_where(spark, F.col("o_orderkey") % 7 == 6)  # empties bucket 6
+    mv = mv_apply_changes(
+        _bucket_agg(spark, vt, 0), vt.read_changes(spark, "o_orderkey", 0, 1)
+    )
+    buckets = sorted(r["bucket"] for r in mv.collect())
+    assert buckets == [0, 1, 2, 3, 4, 5]
+    want = sorted(
+        (r["bucket"], r["n"], r["micros"])
+        for r in _bucket_agg(spark, vt, 1).collect()
+    )
+    assert sorted((r["bucket"], r["n"], r["micros"]) for r in mv.collect()) == want
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_mv_lineage_strategy = st.tuples(
+    st.integers(min_value=1, max_value=25),  # n base rows (keys 0..n-1)
+    st.sets(st.integers(min_value=0, max_value=24), max_size=10),  # delete keys
+    st.sets(st.integers(min_value=0, max_value=24), max_size=8),  # update keys
+    st.sets(st.integers(min_value=100, max_value=120), max_size=5),  # inserts
+    st.floats(min_value=-1e5, max_value=1e5, allow_nan=False),  # base price
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_mv_lineage_strategy)
+def test_mv_refresh_identity_on_random_lineages(spark, ops, tmp_path_factory):
+    """The MV fold is exact on ARBITRARY lineages: random base table,
+    random key-driven DELETE (possibly empty -> metadata-only commit),
+    random MERGE whose update keys may target deleted/absent rows
+    (legitimately becoming inserts) — incremental maintenance must
+    equal recompute bit-for-bit every time."""
+    from mapreduce_wordcounter_spark.operators.lakehouse import mv_apply_changes
+
+    n, dels, ups, ins, base_price = ops
+    d = tmp_path_factory.mktemp("mvfuzz")
+    vt = VersionedTable(str(d / "t"))
+    vt.create(
+        spark.createDataFrame(
+            [(k, base_price + k * 0.77) for k in range(n)],
+            "o_orderkey bigint, o_totalprice double",
+        )
+    )
+    vt.delete_keys(
+        spark,
+        spark.createDataFrame([(k,) for k in sorted(dels)], "dk bigint"),
+        key="o_orderkey",
+        source_key="dk",
+    )
+    src = [(k, 1000.5 + k * 0.3) for k in sorted(ups)] + [
+        (k, -7.25 + k * 1.1) for k in sorted(ins)
+    ]
+    vt.merge_into(
+        spark,
+        spark.createDataFrame(src, "s_key bigint, new_price double"),
+        key="o_orderkey",
+        source_key="s_key",
+        update_set={"o_totalprice": F.col("new_price")},
+        insert_exprs={
+            "o_orderkey": F.col("s_key"),
+            "o_totalprice": F.col("new_price"),
+        },
+    )
+    mv = _bucket_agg(spark, vt, 0)
+    for a, b in ((0, 1), (1, 2)):
+        mv = mv_apply_changes(mv, vt.read_changes(spark, "o_orderkey", a, b))
+    got = sorted((r["bucket"], r["n"], r["micros"]) for r in mv.collect())
+    want = sorted(
+        (r["bucket"], r["n"], r["micros"])
+        for r in _bucket_agg(spark, vt, 2).collect()
+    )
+    assert got == want

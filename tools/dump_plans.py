@@ -172,6 +172,7 @@ SHOWCASE = [
     "stream_merge_versioned",
     "table_pruned_range",
     "pipeline_curate_versioned",
+    "mv_incremental_refresh",
 ]
 
 # Belt-and-braces: a duplicated SHOWCASE entry (it has happened) would
