@@ -145,6 +145,11 @@ HEADLINE = [
     "pipeline_curate_versioned",
     "stream_apws_user_profile",
     "mv_incremental_refresh",
+    # round 6: trained quality classifier (train = build tier; the
+    # scoring + eval paths reuse the session-cached fit, i.e. serve)
+    "quality_lr_train",
+    "quality_lr_predict",
+    "quality_lr_auc",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries
@@ -164,6 +169,7 @@ BUILD_TIER = {
     "layout_span_compare",
     "bpe_learn_merges",
     "bpe_subword_vocab",
+    "quality_lr_train",
     # offline audits (contain an exact/quadratic reference tier or a
     # whole-index recall sweep by design)
     "lsh_recall_vs_exact",

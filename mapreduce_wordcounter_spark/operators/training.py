@@ -1,0 +1,472 @@
+"""Model-in-the-loop curation: a TRAINED linear quality classifier.
+
+The engine's existing quality surface is rule-based (Gopher/C4 gates)
+or fixed-weight (quality_classifier_score applies a frozen weight
+table). Real training-data pipelines go one step further: they TRAIN
+a cheap linear classifier on weak labels (a heuristic rule, a trusted
+subset) and score the whole corpus with it — the published CCNet /
+GPT-3 quality-filter and fastText recipes. This module implements that
+loop Spark-first:
+
+- ``quality_lr_train``  — logistic-style regression fit by K=5
+  full-batch gradient-descent steps, each step ONE map-side-combined
+  scalar aggregate over the corpus (4 int64 gradient cells + a count),
+  then a calibration pass that sets the decision threshold to the
+  midpoint of the class-mean scores; weights are driver-side scalars
+  (the BPE-argmax posture).
+- ``quality_lr_predict`` — score every document with the trained
+  weights: a map-only projection, no shuffle at all.
+- ``quality_lr_auc``    — threshold-free evaluation: ROC AUC via the
+  Mann-Whitney rank statistic with exact midrank tie handling, plus
+  accuracy — ranked with the bucket-offset construction (layout.py's
+  distributed NTILE posture), never a single-partition window.
+
+Cross-engine exactness (the repo's oracle discipline, no rounding
+anywhere): the model uses the rational "fast sigmoid" link
+``s(z) = 0.5 * (1 + z / (1 + |z|))`` instead of ``1/(1+exp(-z))`` —
+a composition of IEEE-754 ``+ - * / abs`` is bit-identical on any
+IEEE engine, while ``exp()`` is correctly rounded on neither (JVM vs
+libm can differ in the last ulp, and K chained GD steps amplify it).
+Gradient sums quantize each summand to int64 micro-units before SUM
+(functions/numeric.py), making accumulation order-independent; weight
+updates are scalar IEEE double ops the DuckDB oracle replays
+identically in an unrolled-K CTE chain. Net effect: the trained
+weights — and every downstream prediction and the AUC — are
+hash-exact across engines.
+
+Weak labels: y = 1 iff ``n_chars + 10 * n_words >= 850`` (a Gopher-
+style size/density rule; ~50/50 at every test SF), distilled into a
+parametric model of four features (bias, clamped length, clamped
+word density, clamped word count). The classifier earning back its
+own labeling rule is the mechanical point — the training loop, not
+the feature engineering, is the operator under test.
+
+Scale: training reads the corpus K times but each pass is a partial-
+aggregated scalar reduction (no shuffle of rows — 5 int64s cross the
+wire per partition); the model state is 4 doubles on the driver.
+Predict is embarrassingly parallel. AUC's only corpus-wide shuffle is
+the per-distinct-score aggregate; the rank lift uses coarse score
+buckets + a broadcast offset table, so no task ever sees more than
+one bucket's scores. At 100 TB none of the three queries materializes
+anything driver-side beyond bounded scalars.
+
+Reference parity: the reference has no model surface at all (its one
+query is a word count, main.go:115-171); this family is north-star
+extension surface (SURVEY.md §2.2, training-data pipeline tier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from mapreduce_wordcounter_spark.functions.numeric import dsum, quantize, sql_dsum
+from mapreduce_wordcounter_spark.operators.text import _SQL_TOKS, _toks_col
+from mapreduce_wordcounter_spark.registry import query
+from mapreduce_wordcounter_spark.tables import load_table
+
+_K = 5  # gradient-descent steps
+_LR = 12.0  # learning rate (fast-sigmoid gradients are ~4x flatter)
+_FEATURES = ("bias", "len_norm", "density", "wc_norm")
+
+# The four per-doc features + weak label, as engine-portable SQL over
+# (doc_id, n_chars, wc) — the SAME strings feed Spark's F.expr and the
+# DuckDB oracle. Every op is integer or IEEE double; the explicit
+# DOUBLE casts matter: a bare literal like 600.0 parses as DECIMAL in
+# BOTH dialects, and bigint/DECIMAL division rounds differently per
+# engine (observed: a 156-micro-unit gradient skew at sf0.01).
+_FEAT_EXPRS = {
+    "x0": "CAST(1 AS DOUBLE)",
+    "x1": "CAST(least(n_chars, 600) AS DOUBLE) / 600",
+    "x2": "least(CAST(wc * 5 AS DOUBLE) / n_chars, CAST(1 AS DOUBLE))",
+    "x3": "CAST(least(wc, 100) AS DOUBLE) / 100",
+    "y": "CASE WHEN n_chars + 10 * wc >= 850"
+    " THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END",
+}
+
+_DUCK_FEATS = (
+    "SELECT doc_id, "
+    + ", ".join(f"{e} AS {c}" for c, e in _FEAT_EXPRS.items())
+    + f" FROM (SELECT doc_id, n_chars, len({_SQL_TOKS}) AS wc FROM documents) raw"
+)
+
+# z and s(z) as SQL over (x0..x3) x (w0..w3); the Spark twins build
+# the same left-associated expression trees so every intermediate
+# double is bit-identical.
+_Z_SQL = "(w0 * x0 + w1 * x1 + w2 * x2 + w3 * x3)"
+_S_SQL = f"(0.5 * (1.0 + {_Z_SQL} / (1.0 + abs({_Z_SQL}))))"
+
+
+def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    raw = d.select("doc_id", "n_chars", F.size(_toks_col()).alias("wc"))
+    return raw.select(
+        "doc_id", *[F.expr(e).alias(c) for c, e in _FEAT_EXPRS.items()]
+    )
+
+
+def _z_col(w: list[float]) -> F.Column:
+    z = F.lit(w[0]) * F.col("x0")
+    for j in range(1, 4):
+        z = z + F.lit(w[j]) * F.col(f"x{j}")
+    return z
+
+
+def _sig(z: F.Column) -> F.Column:
+    return F.lit(0.5) * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z)))
+
+
+_LR_CACHE: dict[tuple[str, str], tuple[list[float], float]] = {}
+
+
+def _train(spark: SparkSession, sf_dir: str) -> tuple[list[float], float]:
+    """K full-batch GD steps + threshold calibration; returns the 4
+    trained weights and the calibrated decision threshold tau (the
+    midpoint of the two class-mean scores — one extra scalar pass).
+
+    Each step is one job: SUM over quantized per-row gradient summands
+    (int64, order-independent) + COUNT — five scalars to the driver
+    (the bounded-scalar posture of the BPE argmax / graph m,n reads).
+    Cached per (session, sf_dir) so predict/AUC reuse the fit."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _LR_CACHE.get(key)
+    if cached is None:
+        f = _features(spark, sf_dir).persist()
+        w = [0.0, 0.0, 0.0, 0.0]
+        for _ in range(_K):
+            s = _sig(_z_col(w))
+            row = f.agg(
+                *[
+                    F.sum(quantize((s - F.col("y")) * F.col(f"x{j}"))).alias(
+                        f"g{j}"
+                    )
+                    for j in range(4)
+                ],
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+            n = row["n"]
+            if n == 0:  # degenerate corpus: nothing to fit
+                break
+            w = [
+                w[j] - _LR * ((row[f"g{j}"] / 1000000.0) / n) for j in range(4)
+            ]
+        s = _sig(_z_col(w))
+        pos = F.col("y") == F.lit(1.0)
+        c = f.agg(
+            F.sum(F.when(pos, quantize(s)).otherwise(F.lit(0))).alias("m1"),
+            F.sum(F.when(pos, 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(pos, F.lit(0)).otherwise(quantize(s))).alias("m0"),
+            F.sum(F.when(pos, 0).otherwise(1)).alias("n0"),
+        ).collect()[0]
+        if c["n1"] and c["n0"]:
+            tau = (
+                (c["m1"] / 1000000.0) / c["n1"]
+                + (c["m0"] / 1000000.0) / c["n0"]
+            ) / 2.0
+        else:  # single-class corpus: threshold is meaningless
+            tau = 0.5
+        f.unpersist()
+        cached = (w, tau)
+        _LR_CACHE[key] = cached
+    return cached
+
+
+def _lr_oracle_ctes(k: int) -> str:
+    """The unrolled-K training replay (the BPE/PageRank oracle
+    pattern): f = features, then per step t a gradient CTE (the same
+    quantized int64 sums) and a weight CTE (the same scalar double
+    update, identical operation order), then the calibration CTE.
+
+    ``AS MATERIALIZED`` is load-bearing: each w CTE is referenced by
+    two downstream CTEs, so without it DuckDB inlines the chain and
+    re-evaluates it 2^K times (observed: K=12 never finishes). The
+    keyword is DuckDB-side only — Spark never parses oracles."""
+    parts = [
+        f"f AS MATERIALIZED ({_DUCK_FEATS})",
+        "w0_ AS MATERIALIZED"
+        " (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)",
+    ]
+    for t in range(1, k + 1):
+        gsel = ", ".join(
+            f"SUM(CAST(FLOOR((({_S_SQL} - y) * x{j}) * 1000000.0 + 0.5)"
+            f" AS BIGINT)) AS g{j}"
+            for j in range(4)
+        )
+        parts.append(
+            f"g{t}_ AS MATERIALIZED (SELECT {gsel}, COUNT(*) AS n"
+            f" FROM f, w{t-1}_)"
+        )
+        wsel = ", ".join(
+            f"w{j} - {_LR} * ((CAST(g{j} AS DOUBLE) / 1000000.0) / n) AS w{j}"
+            for j in range(4)
+        )
+        parts.append(
+            f"w{t}_ AS MATERIALIZED (SELECT {wsel} FROM g{t}_, w{t-1}_)"
+        )
+    # Decision-threshold calibration: tau = midpoint of the two class
+    # mean scores, each mean an int64 micro-unit sum / count — the
+    # same exactness recipe as the gradients.
+    q_s = f"CAST(FLOOR(({_S_SQL}) * 1000000.0 + 0.5) AS BIGINT)"
+    parts.append(
+        "cal_ AS MATERIALIZED (SELECT"
+        " ((CAST(m1 AS DOUBLE) / 1000000.0) / n1"
+        " + (CAST(m0 AS DOUBLE) / 1000000.0) / n0) / 2.0 AS tau"
+        " FROM (SELECT"
+        f" SUM(CASE WHEN y = 1.0 THEN {q_s} ELSE 0 END) AS m1,"
+        " SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS n1,"
+        f" SUM(CASE WHEN y = 1.0 THEN 0 ELSE {q_s} END) AS m0,"
+        " SUM(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS n0"
+        f" FROM f, w{k}_) c)"
+    )
+    return ",\n    ".join(parts)
+
+
+@query(
+    "quality_lr_train",
+    oracle=f"""
+    WITH {_lr_oracle_ctes(_K)}
+    SELECT feature, weight FROM (
+        SELECT 'bias' AS feature, w0 AS weight FROM w{_K}_
+        UNION ALL SELECT 'len_norm', w1 FROM w{_K}_
+        UNION ALL SELECT 'density', w2 FROM w{_K}_
+        UNION ALL SELECT 'wc_norm', w3 FROM w{_K}_
+        UNION ALL SELECT 'threshold', tau FROM cal_) t
+    """,
+)
+def quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the quality classifier (K=5 full-batch GD steps) and
+    return the model artifact a curation pipeline ships: the learned
+    weight vector plus the calibrated decision threshold (midpoint of
+    the class-mean scores — GD fixes the RANKING long before the raw
+    0.5 cut is calibrated, so the threshold is fit, not assumed). The
+    oracle replays the identical unrolled-K loop in SQL; hash equality
+    of the weight DOUBLES (no rounding) is the point: quantized-int64
+    gradients + rational sigmoid make iterative training itself
+    engine-exact.
+
+    Scale: K+1 scalar-aggregate passes (map-side combined, ~5 int64s
+    per partition to the driver per step); model state is 5 doubles.
+    Trained once per (session, sf_dir), reused by predict/AUC."""
+    w, tau = _train(spark, sf_dir)
+    return spark.createDataFrame(
+        list(zip(_FEATURES, w)) + [("threshold", tau)],
+        "feature string, weight double",
+    )
+
+
+@query(
+    "quality_lr_predict",
+    oracle=f"""
+    WITH {_lr_oracle_ctes(_K)}
+    SELECT doc_id, {_S_SQL} AS p_keep,
+           CASE WHEN {_S_SQL} >= tau THEN 'keep' ELSE 'drop' END AS pred,
+           CAST(y AS BIGINT) AS weak_label
+    FROM f, w{_K}_, cal_
+    """,
+)
+def quality_lr_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document with the trained classifier: p_keep (the
+    fast-sigmoid score, hash-exact unrounded), the calibrated
+    keep/drop decision (p >= tau), and the weak label it was trained
+    against.
+
+    Scale: map-only — weights and threshold ride into the projection
+    as five literals (at 100 TB: from the model artifact), so the
+    scoring pass has NO shuffle, no join, no state; it fuses into
+    whatever downstream filter consumes it (whole-stage codegen)."""
+    w, tau = _train(spark, sf_dir)
+    f = _features(spark, sf_dir)
+    s = _sig(_z_col(w))
+    return f.select(
+        "doc_id",
+        s.alias("p_keep"),
+        F.when(s >= F.lit(tau), "keep").otherwise("drop").alias("pred"),
+        F.col("y").cast("bigint").alias("weak_label"),
+    )
+
+
+@query(
+    "quality_lr_auc",
+    oracle=f"""
+    WITH {_lr_oracle_ctes(_K)},
+    pred AS (
+        SELECT {_S_SQL} AS p, CAST(y AS BIGINT) AS y1,
+               CASE WHEN ({_S_SQL} >= tau) = (y = 1.0) THEN 1 ELSE 0 END AS ok
+        FROM f, w{_K}_, cal_),
+    grp AS (SELECT p, COUNT(*) AS n_s, SUM(y1) AS n1_s, SUM(ok) AS ok_s
+            FROM pred GROUP BY p),
+    rnk AS (SELECT n_s, n1_s, ok_s,
+                   COALESCE(SUM(n_s) OVER (ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cumb
+            FROM grp),
+    tot AS (SELECT SUM(n1_s * (2 * cumb + n_s + 1)) AS num2p,
+                   SUM(n1_s) AS n1, SUM(n_s) AS n, SUM(ok_s) AS okt
+            FROM rnk)
+    SELECT CAST(n AS BIGINT) AS n_docs, CAST(n1 AS BIGINT) AS n_pos,
+           CAST(okt AS DOUBLE) / n AS accuracy,
+           CAST(num2p - n1 * (n1 + 1) AS DOUBLE)
+               / (2.0 * n1 * (n - n1)) AS auc
+    FROM tot
+    """,
+)
+def quality_lr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-free evaluation of the trained classifier: ROC AUC
+    via the Mann-Whitney rank statistic (AUC = P(score_pos >
+    score_neg) with ties at half) plus plain accuracy. Midranks are
+    handled exactly in DOUBLED integer units — 2*midrank of a tied
+    score group is ``2*cum_below + n_group + 1``, an integer — so the
+    whole statistic is int64 until the single final division and the
+    oracle matches hash-exact.
+
+    Scale: one aggregate to the per-distinct-score relation, then the
+    bucket-offset rank lift (layout.py's distributed-NTILE posture):
+    scores bucket coarsely (floor(p*1024) — monotone, ties co-bucket),
+    local cumulative counts window WITHIN a bucket, and a broadcast
+    bucket-offset table (<= 1025 rows) lifts them to global — no
+    single-partition window ever sees the corpus."""
+    w, tau = _train(spark, sf_dir)
+    f = _features(spark, sf_dir)
+    s = _sig(_z_col(w))
+    d = f.select(
+        s.alias("p"),
+        F.col("y").cast("long").alias("y1"),
+        F.when((s >= F.lit(tau)) == (F.col("y") == F.lit(1.0)), 1)
+        .otherwise(0)
+        .alias("ok"),
+    )
+    g = (
+        d.groupBy("p")
+        .agg(
+            F.count("*").alias("n_s"),
+            F.sum("y1").alias("n1_s"),
+            F.sum("ok").alias("ok_s"),
+        )
+        .withColumn("bkt", F.floor(F.col("p") * 1024).cast("long"))
+    )
+    bc = g.groupBy("bkt").agg(F.sum("n_s").alias("bn"))
+    w_off = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    offs = bc.withColumn(
+        "boff", F.coalesce(F.sum("bn").over(w_off), F.lit(0))
+    ).select("bkt", "boff")
+    w_loc = W.partitionBy("bkt").orderBy("p").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    r = g.join(F.broadcast(offs), "bkt").withColumn(
+        "cumb", F.col("boff") + F.coalesce(F.sum("n_s").over(w_loc), F.lit(0))
+    )
+    t = r.agg(
+        F.sum(F.col("n1_s") * (2 * F.col("cumb") + F.col("n_s") + 1)).alias(
+            "num2p"
+        ),
+        F.sum("n1_s").alias("n1"),
+        F.sum("n_s").alias("n"),
+        F.sum("ok_s").alias("okt"),
+    )
+    return t.select(
+        F.col("n").alias("n_docs"),
+        F.col("n1").alias("n_pos"),
+        (F.col("okt").cast("double") / F.col("n")).alias("accuracy"),
+        (
+            (F.col("num2p") - F.col("n1") * (F.col("n1") + 1)).cast("double")
+            / (F.lit(2.0) * F.col("n1") * (F.col("n") - F.col("n1")))
+        ).alias("auc"),
+    )
+
+
+@query(
+    "quality_lr_disagreements",
+    oracle=f"""
+    WITH {_lr_oracle_ctes(_K)},
+    pred AS (
+        SELECT doc_id, {_S_SQL} AS p,
+               CASE WHEN {_S_SQL} >= tau THEN 1.0 ELSE 0.0 END AS dec, y,
+               abs({_S_SQL} - tau) AS margin
+        FROM f, w{_K}_, cal_)
+    SELECT doc_id, p AS p_keep, CAST(y AS BIGINT) AS weak_label, margin
+    FROM pred WHERE dec <> y
+    ORDER BY margin DESC, doc_id ASC LIMIT 50
+    """,
+)
+def quality_lr_disagreements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-learning audit set: the 50 documents where the trained
+    classifier disagrees with its weak label MOST CONFIDENTLY (largest
+    |p - tau| among disagreements, doc_id tiebreak). These are exactly
+    the rows a labeling loop sends for human review — where the model
+    is sure the heuristic is wrong, one of them is mislabeled and both
+    cases are worth a look.
+
+    Scale: predict's map-only scoring followed by a bounded top-k
+    (TakeOrderedAndProject — per-partition heaps, never a global
+    sort); the margin and the comparison are IEEE-exact doubles so the
+    ordering (and therefore the LIMIT frontier) is engine-identical."""
+    w, tau = _train(spark, sf_dir)
+    f = _features(spark, sf_dir)
+    s = _sig(_z_col(w))
+    dec = F.when(s >= F.lit(tau), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (
+        f.select(
+            "doc_id",
+            s.alias("p_keep"),
+            F.col("y").cast("bigint").alias("weak_label"),
+            F.abs(s - F.lit(tau)).alias("margin"),
+            (dec != F.col("y")).alias("__dis"),
+        )
+        .filter(F.col("__dis"))
+        .drop("__dis")
+        .orderBy(F.desc("margin"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+@query(
+    "quality_lr_keep_rate_by_source",
+    oracle=f"""
+    WITH {_lr_oracle_ctes(_K)},
+    pred AS (
+        SELECT d.lang, d.source, {_S_SQL} AS p,
+               CASE WHEN {_S_SQL} >= tau THEN 1 ELSE 0 END AS kept
+        FROM f, w{_K}_, cal_, documents d WHERE d.doc_id = f.doc_id)
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS keep_rate,
+           {sql_dsum("p", "p_mass")}
+    FROM pred GROUP BY lang, source
+    """,
+)
+def quality_lr_keep_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the trained filter DOES to the corpus mixture: per
+    (lang, source) slice, the document count, how many the calibrated
+    threshold keeps, the keep rate, and the quantized score mass —
+    the readout a data-mixing recipe consumes before committing to a
+    filter (a slice silently dropping to 5% keep is the classic
+    curation incident this catches).
+
+    Scale: map-only scoring joined back to the slice columns by
+    doc_id (at 100 TB the features carry lang/source through instead
+    — the join exists here only because _features projects them
+    away), then ONE shuffle keyed on the bounded (lang, source) slice
+    relation with map-side partial aggregation; score mass uses the
+    int64 micro-unit sum so the slice means are engine-exact."""
+    w, tau = _train(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    f = _features(spark, sf_dir)
+    s = _sig(_z_col(w))
+    scored = f.select(
+        "doc_id",
+        s.alias("p"),
+        F.when(s >= F.lit(tau), 1).otherwise(0).alias("kept"),
+    )
+    return (
+        scored.join(d, "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            (F.sum("kept").cast("double") / F.count("*")).alias("keep_rate"),
+            dsum(F.col("p"), "p_mass"),
+        )
+    )

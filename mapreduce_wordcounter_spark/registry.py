@@ -142,6 +142,7 @@ def all_queries() -> dict[str, QueryFn]:
         temporal,
         text,
         tpch_rest,
+        training,
         wordcount,
     )
     from mapreduce_wordcounter_spark.streaming import stateful, windows  # noqa: F401

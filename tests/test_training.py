@@ -1,0 +1,89 @@
+"""Trained quality classifier (operators/training.py): determinism,
+learning signal, exact AUC against an independent brute-force
+computation, and the map-only predict plan.
+
+Oracle parity for the three queries rides the main differential layer
+(tests/test_oracle_parity.py auto-parametrizes every registered
+oracle); these tests pin the properties the oracle cannot express —
+that training is bit-deterministic across fits, that it actually
+LEARNS, and that the distributed rank-based AUC equals the textbook
+O(n log n) midrank computation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_wordcounter_spark.operators import training as T
+from tests.conftest import SF_SMOKE
+
+
+def _fresh_fit(spark, sf_dir):
+    T._LR_CACHE.clear()
+    return T._train(spark, sf_dir)
+
+
+def test_training_bit_deterministic(spark):
+    """Two independent fits must agree BIT-for-bit: quantized int64
+    gradients make each step's sums order-independent, and the scalar
+    weight updates are fixed-order IEEE ops."""
+    w1, tau1 = _fresh_fit(spark, SF_SMOKE)
+    w2, tau2 = _fresh_fit(spark, SF_SMOKE)
+    assert w1 == w2 and tau1 == tau2
+    assert any(x != 0.0 for x in w1)
+    assert 0.0 < tau1 < 1.0
+
+
+def test_classifier_learns(spark):
+    """The trained + calibrated model must beat the majority-class
+    baseline on its weak labels, and rank near-perfectly (AUC)."""
+    row = T.quality_lr_auc(spark, SF_SMOKE).collect()[0]
+    n, n_pos = row["n_docs"], row["n_pos"]
+    majority = max(n_pos, n - n_pos) / n
+    assert row["accuracy"] > majority + 0.05
+    assert row["auc"] > 0.95
+
+
+def test_auc_matches_bruteforce_midrank(spark):
+    """The bucket-offset distributed AUC must equal the textbook
+    midrank Mann-Whitney computation on collected scores EXACTLY
+    (both are integer arithmetic until one final division)."""
+    pred = T.quality_lr_predict(spark, SF_SMOKE).select(
+        "p_keep", "weak_label"
+    )
+    rows = [(r["p_keep"], r["weak_label"]) for r in pred.collect()]
+    rows.sort()
+    # midranks in doubled units over the sorted scores
+    num2 = 0  # 2 * (sum of positive midranks)
+    i = 0
+    while i < len(rows):
+        j = i
+        while j < len(rows) and rows[j][0] == rows[i][0]:
+            j += 1
+        midrank2 = (i + 1) + j  # 2 * (i+1 + j) / 2
+        num2 += midrank2 * sum(y for _, y in rows[i:j])
+        i = j
+    n1 = sum(y for _, y in rows)
+    n0 = len(rows) - n1
+    want = (num2 - n1 * (n1 + 1)) / (2.0 * n1 * n0)
+    got = T.quality_lr_auc(spark, SF_SMOKE).collect()[0]["auc"]
+    assert got == pytest.approx(want, abs=0.0)
+
+
+def test_predict_plan_is_map_only(spark):
+    """Scoring must compile to a shuffle-free plan: weights and
+    threshold are literals, features are per-row projections."""
+    plan = T.quality_lr_predict(spark, SF_SMOKE)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_features_are_clamped(spark):
+    """Every feature lands in [0, 1] (the clamps are what keep the
+    gradient summands inside the int64 micro-unit headroom)."""
+    agg = T._features(spark, SF_SMOKE).agg(
+        *[F.min(f"x{j}").alias(f"lo{j}") for j in range(4)],
+        *[F.max(f"x{j}").alias(f"hi{j}") for j in range(4)],
+    ).collect()[0]
+    for j in range(4):
+        assert 0.0 <= agg[f"lo{j}"] <= agg[f"hi{j}"] <= 1.0

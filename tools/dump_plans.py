@@ -173,6 +173,8 @@ SHOWCASE = [
     "table_pruned_range",
     "pipeline_curate_versioned",
     "mv_incremental_refresh",
+    "quality_lr_predict",
+    "quality_lr_auc",
 ]
 
 # Belt-and-braces: a duplicated SHOWCASE entry (it has happened) would
