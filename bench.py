@@ -150,6 +150,7 @@ HEADLINE = [
     "quality_lr_train",
     "quality_lr_predict",
     "quality_lr_auc",
+    "stream_lr_keep_counts",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries

@@ -57,6 +57,9 @@ extension surface (SURVEY.md §2.2, training-data pipeline tier).
 
 from __future__ import annotations
 
+import os
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -470,3 +473,70 @@ def quality_lr_keep_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFram
             dsum(F.col("p"), "p_mass"),
         )
     )
+
+
+@query(
+    "stream_lr_keep_counts",
+    oracle=f"""
+    WITH {_lr_oracle_ctes(_K)},
+    pred AS (
+        SELECT d.lang, CASE WHEN {_S_SQL} >= tau THEN 1 ELSE 0 END AS kept
+        FROM f, w{_K}_, cal_, documents d WHERE d.doc_id = f.doc_id)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(kept) AS BIGINT) AS n_kept
+    FROM pred GROUP BY lang
+    """,
+)
+def stream_lr_keep_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train OFFLINE, serve IN-STREAM: the classifier is fit as a
+    batch job (the session-cached _train), then its weights + threshold
+    ride into a Structured Streaming pipeline as literals — documents
+    arrive on a parquet file source (Kafka stand-in), are scored with
+    the same map-only projection, and a per-language keep-count
+    aggregate is drained through a memory sink (availableNow). The
+    DuckDB oracle replays training AND scoring in batch SQL, so this
+    checks live-stream/batch equivalence of model inference — the
+    deployment shape of every streaming curation filter.
+
+    Scale: scoring adds zero state to the stream (stateless
+    projection, fused before the aggregation); the only streaming
+    state is the bounded per-language counters. Model refresh is a
+    stream restart with new literals (or a broadcast-join against a
+    model table — same plan either way)."""
+    from mapreduce_wordcounter_spark.streaming.windows import (
+        stream_shuffle_partitions,
+    )
+
+    w, tau = _train(spark, sf_dir)
+    schema = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    feats = raw.select(
+        "lang", "n_chars", F.size(_toks_col()).alias("wc")
+    ).select("lang", *[F.expr(e).alias(c) for c, e in _FEAT_EXPRS.items()])
+    s = _sig(_z_col(w))
+    scored = feats.select(
+        "lang", F.when(s >= F.lit(tau), 1).otherwise(0).alias("kept")
+    )
+    agg = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("kept").alias("n_kept")
+    )
+    name = "stream_lr_" + uuid.uuid4().hex[:8]
+    with stream_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    return spark.table(name)
