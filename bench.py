@@ -151,6 +151,8 @@ HEADLINE = [
     "quality_lr_predict",
     "quality_lr_auc",
     "stream_lr_keep_counts",
+    "quality_lr_calibration_bins",
+    "embedding_covariance",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries

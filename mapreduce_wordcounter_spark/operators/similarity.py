@@ -1687,3 +1687,75 @@ def ann_rebuild_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["ann_rebuild_decision"] = ORACLE["ann_rebuild_decision"].format(
     s=ORACLE["embedding_centroid_shift"], r=ORACLE["ann_ivf_recall"]
 )
+
+
+@query(
+    "embedding_covariance",
+    oracle="""
+    WITH x AS (
+        SELECT i.i - 1 AS di, j.j - 1 AS dj,
+               embedding[i.i]::DOUBLE AS xi, embedding[j.j]::DOUBLE AS xj
+        FROM embeddings,
+             LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) i,
+             LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS j) j
+        WHERE j.j >= i.i),
+    a AS (
+        SELECT di, dj, COUNT(*) AS n,
+               SUM(CAST(FLOOR((xi * xj) * 1000000.0 + 0.5) AS BIGINT)) AS sxy,
+               SUM(CAST(FLOOR(xi * 1000000.0 + 0.5) AS BIGINT)) AS sx,
+               SUM(CAST(FLOOR(xj * 1000000.0 + 0.5) AS BIGINT)) AS sy
+        FROM x GROUP BY di, dj)
+    SELECT CAST(di AS BIGINT) AS dim_i, CAST(dj AS BIGINT) AS dim_j,
+           ((CAST(sxy AS DOUBLE) / 1000000.0) / n)
+           - (((CAST(sx AS DOUBLE) / 1000000.0) / n)
+              * ((CAST(sy AS DOUBLE) / 1000000.0) / n)) AS cov
+    FROM a
+    """,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The upper-triangle covariance matrix of the embedding space —
+    the input every PCA / whitening / dimensionality-reduction pass of
+    an embedding pipeline starts from (compress 64-dim vectors before
+    ANN, detect collapsed dimensions, decorrelate before quantization).
+    cov(i,j) = E[xi*xj] - E[xi]E[xj], with all three expectations
+    accumulated as quantized int64 micro-unit sums, so the matrix is
+    hash-exact against the oracle (the only doubles are the final
+    fixed-order divisions).
+
+    Scale: each vector expands map-side to its d(d+1)/2 index pairs
+    (no join, no second pass over the table), then ONE shuffle keyed
+    on (dim_i, dim_j) — a fixed 2,080-group aggregate with map-side
+    combine, independent of corpus size. At 100 TB this is the
+    textbook one-pass covariance: sufficient statistics (n, Sx, Sy,
+    Sxy) compose associatively, which is exactly why the quantized
+    integer form distributes."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = e.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(embedding, (xi, i) ->"
+                " transform(sequence(i, size(embedding) - 1), j ->"
+                " struct(i AS di, j AS dj, CAST(xi AS DOUBLE) AS xi,"
+                " CAST(element_at(embedding, j + 1) AS DOUBLE) AS xj))))"
+            )
+        ).alias("p")
+    ).select("p.di", "p.dj", "p.xi", "p.xj")
+    from mapreduce_wordcounter_spark.functions.numeric import quantize
+
+    a = pairs.groupBy("di", "dj").agg(
+        F.count("*").alias("n"),
+        F.sum(quantize(F.col("xi") * F.col("xj"))).alias("sxy"),
+        F.sum(quantize(F.col("xi"))).alias("sx"),
+        F.sum(quantize(F.col("xj"))).alias("sy"),
+    )
+    return a.select(
+        F.col("di").cast("bigint").alias("dim_i"),
+        F.col("dj").cast("bigint").alias("dim_j"),
+        (
+            (F.col("sxy").cast("double") / F.lit(1000000.0)) / F.col("n")
+            - (
+                (F.col("sx").cast("double") / F.lit(1000000.0)) / F.col("n")
+            )
+            * ((F.col("sy").cast("double") / F.lit(1000000.0)) / F.col("n"))
+        ).alias("cov"),
+    )

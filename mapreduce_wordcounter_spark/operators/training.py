@@ -540,3 +540,65 @@ def stream_lr_keep_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
     return spark.table(name)
+
+
+@query(
+    "quality_lr_calibration_bins",
+    oracle=f"""
+    WITH {_lr_oracle_ctes(_K)},
+    pred AS (SELECT {_S_SQL} AS p, y FROM f, w{_K}_),
+    rng AS (SELECT MIN(p) AS lo, MAX(p) AS hi FROM pred)
+    SELECT CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+                ELSE CAST(least(FLOOR(((p - lo) / (hi - lo)) * 10), 9)
+                          AS BIGINT) END AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS pos_rate,
+           {sql_dsum('p', 'p_mass')}
+    FROM pred, rng GROUP BY 1
+    """,
+)
+def quality_lr_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the trained classifier: ten equal-width
+    bins spanning the OBSERVED score range (a fast-sigmoid model
+    concentrates scores, so fixed [0,1] deciles would land everything
+    in two cells), each with its document count, positive-label count,
+    empirical positive rate, and quantized score mass — the table a
+    calibration plot (predicted vs observed) is drawn from, and the
+    standard check before trusting scores as sampling weights rather
+    than just a ranking.
+
+    Scale: map-only scoring, one min/max scalar pass for the range
+    (two driver doubles), then ONE shuffle onto 10 bins with map-side
+    combine; counts are integers, the score mass is the int64
+    micro-unit sum, and the bin edges are fixed-order IEEE arithmetic
+    on engine-identical doubles — every cell engine-exact."""
+    w, _tau = _train(spark, sf_dir)
+    f = _features(spark, sf_dir)
+    s = _sig(_z_col(w))
+    d = f.select(s.alias("p"), "y")
+    r = d.agg(F.min("p").alias("lo"), F.max("p").alias("hi")).collect()[0]
+    lo, hi = r["lo"], r["hi"]
+    if lo is None or hi == lo:  # empty or single-score corpus
+        bin_col = F.lit(0).cast("bigint")
+    else:
+        bin_col = (
+            F.least(
+                F.floor(((F.col("p") - F.lit(lo)) / F.lit(hi - lo)) * 10),
+                F.lit(9),
+            )
+        ).cast("bigint")
+    return d.groupBy(bin_col.alias("bin")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("y") == F.lit(1.0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+        (
+            F.sum(F.when(F.col("y") == F.lit(1.0), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count("*")
+        ).alias("pos_rate"),
+        dsum(F.col("p"), "p_mass"),
+    )

@@ -175,6 +175,7 @@ SHOWCASE = [
     "mv_incremental_refresh",
     "quality_lr_predict",
     "quality_lr_auc",
+    "embedding_covariance",
 ]
 
 # Belt-and-braces: a duplicated SHOWCASE entry (it has happened) would
