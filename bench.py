@@ -153,6 +153,7 @@ HEADLINE = [
     "stream_lr_keep_counts",
     "quality_lr_calibration_bins",
     "embedding_covariance",
+    "embedding_pca_top_component",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries
@@ -173,6 +174,7 @@ BUILD_TIER = {
     "bpe_learn_merges",
     "bpe_subword_vocab",
     "quality_lr_train",
+    "embedding_pca_top_component",
     # offline audits (contain an exact/quadratic reference tier or a
     # whole-index recall sweep by design)
     "lsh_recall_vs_exact",

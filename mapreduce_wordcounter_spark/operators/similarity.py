@@ -1759,3 +1759,166 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             * ((F.col("sy").cast("double") / F.lit(1000000.0)) / F.col("n"))
         ).alias("cov"),
     )
+
+
+# --- PCA top component: oracle-checked power iteration -----------------------
+#
+# Power iteration v <- normalize(C v) on the covariance matrix is the
+# one PCA building block that is FULLY oracle-checkable: the matvec
+# accumulates quantized int64 summands (order-independent), and the
+# normalization's only non-rational op is sqrt — which IEEE-754
+# requires to be CORRECTLY ROUNDED, so it is bit-identical on any
+# conforming engine (unlike exp/log, see training.py's fast sigmoid).
+# K iterations of { matvec -> quantized norm -> divide } therefore
+# replay exactly in an unrolled-K SQL CTE chain.
+
+_PC_ITERS = 6
+# The iteration quantizes in PICO-units (1e12), not the micro-units the
+# corpus-sized sums use: matvec/norm summands are O(1e-5) so micro
+# granularity costs ~1e-3 relative error on the unit norm (observed);
+# pico keeps the norm within 1e-9 of 1 while 64 summands of O(1e9)
+# stay far inside int64.
+_PC_SCALE = 1_000_000_000_000
+
+# Upper-triangle covariance cells (the embedding_covariance recipe,
+# kept as sums so the oracle shares it) mirrored to the full matrix.
+_DUCK_COV_CTES = """
+    xq AS MATERIALIZED (
+        SELECT i.i - 1 AS di, j.j - 1 AS dj,
+               embedding[i.i]::DOUBLE AS xi, embedding[j.j]::DOUBLE AS xj
+        FROM embeddings,
+             LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) i,
+             LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS j) j
+        WHERE j.j >= i.i),
+    cu AS MATERIALIZED (
+        SELECT di, dj,
+               ((CAST(SUM(CAST(FLOOR((xi * xj) * 1000000.0 + 0.5) AS BIGINT))
+                     AS DOUBLE) / 1000000.0) / COUNT(*))
+               - (((CAST(SUM(CAST(FLOOR(xi * 1000000.0 + 0.5) AS BIGINT))
+                        AS DOUBLE) / 1000000.0) / COUNT(*))
+                  * ((CAST(SUM(CAST(FLOOR(xj * 1000000.0 + 0.5) AS BIGINT))
+                          AS DOUBLE) / 1000000.0) / COUNT(*))) AS c
+        FROM xq GROUP BY di, dj),
+    cfull AS MATERIALIZED (
+        SELECT di AS i, dj AS j, c FROM cu
+        UNION ALL
+        SELECT dj AS i, di AS j, c FROM cu WHERE di < dj)"""
+
+
+def _pc_oracle_ctes(k: int) -> str:
+    parts = [
+        _DUCK_COV_CTES,
+        "v0_ AS MATERIALIZED (SELECT DISTINCT i AS vi,"
+        " CAST(1 AS DOUBLE) / 8 AS v FROM cfull)",
+    ]
+    for t in range(1, k + 1):
+        parts.append(
+            f"u{t}_ AS MATERIALIZED (SELECT i,"
+            f" SUM(CAST(FLOOR((c * v) * {_PC_SCALE}.0 + 0.5) AS BIGINT)) AS um"
+            f" FROM cfull, v{t-1}_ WHERE cfull.j = v{t-1}_.vi GROUP BY i)"
+        )
+        parts.append(
+            f"n{t}_ AS MATERIALIZED (SELECT sqrt(CAST(SUM(CAST(FLOOR("
+            f"((CAST(um AS DOUBLE) / {_PC_SCALE}.0)"
+            f" * (CAST(um AS DOUBLE) / {_PC_SCALE}.0)) * {_PC_SCALE}.0 + 0.5)"
+            f" AS BIGINT)) AS DOUBLE) / {_PC_SCALE}.0) AS nrm FROM u{t}_)"
+        )
+        parts.append(
+            f"v{t}_ AS MATERIALIZED (SELECT i AS vi,"
+            f" (CAST(um AS DOUBLE) / {_PC_SCALE}.0) / nrm AS v"
+            f" FROM u{t}_, n{t}_)"
+        )
+    return ",\n    ".join(parts)
+
+
+_PC_CACHE: dict[tuple[str, str], list[float]] = {}
+
+
+def _cov_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = embedding_covariance(spark, sf_dir).select(
+        F.col("dim_i").alias("di"), F.col("dim_j").alias("dj"),
+        F.col("cov").alias("c"),
+    )
+    return cu.select(
+        F.col("di").alias("i"), F.col("dj").alias("j"), "c"
+    ).unionAll(
+        cu.filter(F.col("di") < F.col("dj")).select(
+            F.col("dj").alias("i"), F.col("di").alias("j"), "c"
+        )
+    )
+
+
+def _power_iterate(spark: SparkSession, sf_dir: str) -> list[float]:
+    """K power-iteration steps; the iterative state is the 64-double
+    unit vector on the driver (the GD-weights posture); each step is
+    one 64-group aggregate over the at-rest covariance relation."""
+    import math
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    v = _PC_CACHE.get(key)
+    if v is None:
+        cf = _cov_full(spark, sf_dir).persist()
+        dims = sorted(r["i"] for r in cf.select("i").distinct().collect())
+        v = {i: 0.125 for i in dims}
+        for _ in range(_PC_ITERS):
+            vdf = spark.createDataFrame(
+                [(i, x) for i, x in sorted(v.items())], "vi long, v double"
+            )
+            rows = (
+                cf.join(F.broadcast(vdf), cf["j"] == vdf["vi"])
+                .groupBy("i")
+                .agg(
+                    F.sum(
+                        F.floor(
+                            (F.col("c") * F.col("v"))
+                            * F.lit(float(_PC_SCALE))
+                            + F.lit(0.5)
+                        ).cast("long")
+                    ).alias("um")
+                )
+                .collect()
+            )
+            u = {r["i"]: r["um"] / float(_PC_SCALE) for r in rows}
+            s = sum(
+                int(math.floor((x * x) * float(_PC_SCALE) + 0.5))
+                for x in u.values()
+            )
+            nrm = math.sqrt(s / float(_PC_SCALE))
+            if nrm == 0.0:  # degenerate zero matrix
+                break
+            v = {i: x / nrm for i, x in u.items()}
+        cf.unpersist()
+        v = [x for _, x in sorted(v.items())]
+        _PC_CACHE[key] = v
+    return v
+
+
+@query(
+    "embedding_pca_top_component",
+    oracle=f"""
+    WITH {_pc_oracle_ctes(_PC_ITERS)}
+    SELECT CAST(vi AS BIGINT) AS dim, v AS loading FROM v{_PC_ITERS}_
+    """,
+)
+def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The leading principal component of the embedding space by K=6
+    power iterations on the covariance matrix — the first step of
+    every PCA compression / decorrelation pass, as distributed linear
+    algebra: matvec = one 64-group aggregate over the at-rest
+    covariance relation (quantized int64 summands), normalization =
+    one scalar sqrt (correctly rounded per IEEE-754, hence
+    engine-exact — the reason this iterative numerics is HASH-checkable
+    at all). The unit-vector state is 64 driver doubles (the GD/BPE
+    bounded-scalar posture); the oracle replays the whole iteration
+    in an unrolled-K CTE chain, covariance included.
+
+    Scale: the corpus is touched ONCE (the covariance sufficient
+    statistics); every iteration after that runs on the fixed
+    4,096-cell matrix relation — at 100 TB the iteration cost is
+    independent of data size, which is exactly why power iteration is
+    the scalable PCA primitive (vs. a direct eigensolve of a
+    driver-collected matrix, which this deliberately avoids)."""
+    v = _power_iterate(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i, x) for i, x in enumerate(v)], "dim long, loading double"
+    )
