@@ -154,6 +154,7 @@ HEADLINE = [
     "quality_lr_calibration_bins",
     "embedding_covariance",
     "embedding_pca_top_component",
+    "embedding_pca_project",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries

@@ -1922,3 +1922,58 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i, x) for i, x in enumerate(v)], "dim long, loading double"
     )
+
+
+@query(
+    "embedding_pca_project",
+    oracle=f"""
+    WITH {_pc_oracle_ctes(_PC_ITERS)},
+    px AS (
+        SELECT vec_id, i.i - 1 AS d, embedding[i.i]::DOUBLE AS x
+        FROM embeddings,
+             LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) i)
+    SELECT vec_id,
+           CAST(SUM(CAST(FLOOR((x * v) * {_PC_SCALE}.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / {_PC_SCALE}.0 AS pc1
+    FROM px, v{_PC_ITERS}_ WHERE px.d = v{_PC_ITERS}_.vi
+    GROUP BY vec_id
+    """,
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding onto the learned leading principal
+    component: the 1-D coordinate that captures the most variance —
+    the first column of a PCA compression, a sort key that co-locates
+    semantically similar vectors (range-bucket it and near neighbors
+    share buckets), and the input to 1-D drift monitors. The dot
+    product accumulates pico-unit int64 summands per vector, so the
+    projection is hash-exact against the oracle (which re-derives the
+    component from scratch, power iteration included).
+
+    Scale: map-side explode to (vec, dim) pairs, broadcast join with
+    the 64-row component, one shuffle keyed on vec_id with map-side
+    combine — the same linear one-pass shape as scoring. The
+    component itself is trained once per (session, sf_dir) and cached
+    (_power_iterate); at 100 TB it ships as a model artifact."""
+    v = _power_iterate(spark, sf_dir)
+    vdf = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(v)], "vi long, v double"
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    px = e.select(
+        "vec_id", F.posexplode("embedding").alias("d", "xf")
+    ).select("vec_id", "d", F.col("xf").cast("double").alias("x"))
+    return (
+        px.join(F.broadcast(vdf), px["d"] == vdf["vi"])
+        .groupBy("vec_id")
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        (F.col("x") * F.col("v")) * F.lit(float(_PC_SCALE))
+                        + F.lit(0.5)
+                    ).cast("long")
+                ).cast("double")
+                / F.lit(float(_PC_SCALE))
+            ).alias("pc1")
+        )
+    )

@@ -326,3 +326,29 @@ def test_pca_deterministic_across_fits(spark):
     S._PC_CACHE.clear()
     v2 = S._power_iterate(spark, SF_SMOKE)
     assert v1 == v2
+
+
+def test_pca_projection_captures_variance(spark):
+    """var(pc1) must equal the component's Rayleigh quotient (it IS
+    v'Cv by definition) — checked against a dense eigensolve: the 1-D
+    projection keeps >= 0.85 of the best possible single-direction
+    variance."""
+    import numpy as np
+
+    from tests.conftest import SF_SMOKE
+
+    pc1 = np.array(
+        [
+            r["pc1"]
+            for r in _QUERIES["embedding_pca_project"](spark, SF_SMOKE)
+            .orderBy("vec_id")
+            .collect()
+        ]
+    )
+    cov_rows = _QUERIES["embedding_covariance"](spark, SF_SMOKE).collect()
+    d = 1 + max(r["dim_j"] for r in cov_rows)
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        C[r["dim_i"], r["dim_j"]] = C[r["dim_j"], r["dim_i"]] = r["cov"]
+    lam1 = float(np.linalg.eigvalsh(C)[-1])
+    assert float(pc1.var()) >= 0.85 * lam1
