@@ -57,6 +57,10 @@ TARGETS = [
     # the grown documents table — is paid once in the warm-up pass,
     # the same once-per-corpus posture as the trained indexes)
     "pipeline_curate_versioned",
+    # round 6: the trained classifier's serving path (training runs
+    # once in the warm-up pass — the once-per-corpus posture — so the
+    # timed passes measure map-only scoring, the path that sees 100 TB)
+    "quality_lr_predict",
 ]
 
 
@@ -153,7 +157,15 @@ def timed(spark, queries, sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
-    blowup = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale10"
+    # The blow-up dir is MODE-SUFFIXED: build_blowup skips files that
+    # already exist, so a shared path would silently reuse a corpus
+    # built under the other mode while the JSON records the requested
+    # one (observed: a stale replica-mode documents.parquet re-labeled
+    # "distinct" turned jaccard_prefix_join's measured exponent from
+    # 0.68 into 1.77 — the output-quadratic regime, not the candidate
+    # scaling under measurement).
+    mode = os.environ.get("SCALE_BLOWUP_MODE", "distinct")
+    blowup = sys.argv[1] if len(sys.argv) > 1 else f"/tmp/scale10_{mode}"
     build_blowup(blowup)
     spark = get_spark("scale-check")
     queries = all_queries()
