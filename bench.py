@@ -155,6 +155,7 @@ HEADLINE = [
     "embedding_covariance",
     "embedding_pca_top_component",
     "embedding_pca_project",
+    "epoch_shuffle_assignments",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries

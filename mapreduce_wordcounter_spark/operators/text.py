@@ -3652,3 +3652,68 @@ def sample_weighted_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _WS_K_GROUP)
         .select("doc_id", "lang", "n_chars", "priority_pico")
     )
+
+
+# Deterministic epoch shuffle: the data-loader side of training. Each
+# epoch needs a DIFFERENT but perfectly REPRODUCIBLE permutation of
+# the corpus into ordered shards — hash(epoch, doc) gives both.
+_SHUFFLE_EPOCHS = 3
+_SHUFFLE_SHARDS = 8
+_EPOCH_KEY_S = _SPARK_MD5H.format(
+    s="concat(cast(epoch as string), ':', cast(doc_id as string))"
+)
+_EPOCH_KEY_D = _DUCK_MD5H.format(
+    s="CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)"
+)
+
+
+@query(
+    "epoch_shuffle_assignments",
+    oracle=f"""
+    WITH e AS (
+        SELECT d.doc_id, ep.epoch, ({_EPOCH_KEY_D}) AS k
+        FROM documents d,
+             (SELECT unnest(generate_series(0, {_SHUFFLE_EPOCHS - 1}))
+                  AS epoch) ep)
+    SELECT epoch, doc_id,
+           k % {_SHUFFLE_SHARDS} AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY epoch, k % {_SHUFFLE_SHARDS}
+               ORDER BY k, doc_id) AS BIGINT) AS pos
+    FROM e
+    """,
+)
+def epoch_shuffle_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-loader's epoch shuffle, as a deterministic relation:
+    for each of K epochs, every document gets a shard (md5(epoch:doc)
+    mod S) and an ORDER within that shard (rank of its hash key) — a
+    different, uncorrelated permutation per epoch that any worker can
+    recompute independently (no shuffle-state file to ship, no RNG to
+    seed-synchronize; the hash IS the shuffle — the composable-seed
+    recipe used by large-scale loaders).
+
+    Scale: per-row hashing (map-only) then ONE shuffle keyed on the
+    balanced (epoch, shard) pair for the rank window — each window
+    partition holds ~|corpus|/S rows, so pick S (here 8; production:
+    thousands) to size partitions, never a global sort. Epochs
+    multiply rows K-fold here only to make the relation oracle-
+    checkable in one query; a loader materializes one epoch at a
+    time."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    e = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(0, {_SHUFFLE_EPOCHS - 1})")
+        ).alias("epoch"),
+    ).select("doc_id", "epoch", F.expr(_EPOCH_KEY_S).alias("k"))
+    shard = F.col("k") % _SHUFFLE_SHARDS
+    return e.select(
+        "epoch",
+        "doc_id",
+        shard.alias("shard"),
+        F.row_number().over(
+            W.partitionBy("epoch", shard).orderBy("k", "doc_id")
+        ).cast("bigint").alias("pos"),
+    )
