@@ -52,10 +52,18 @@ DRIVER_WINDOW: list[str] = [
     # graph, PII, paragraph-dedup and quality-classifier families, so
     # the driver's own rows span every family. All four swap-ins were
     # green in the local parity layer for a full round first.)
+    # (r6: wc_per_source — a groupBy twist on the same audited token
+    # pipeline — plus dedup_keep_first (family still repped by five
+    # window entries) and join_asof_tolerance_1h (a tolerance variant
+    # of the as-of construction already hard-checked) ceded slots to
+    # the round-6 flagships: the trained classifier, the versioned-
+    # table tier's incremental MV, and the power-iteration PC — so the
+    # driver hard-checks the model, lakehouse, and iterative-linear-
+    # algebra families. All three swap-ins went through repeated full
+    # driver-style sweeps this round before entering the window.)
     "wc_counts",
     "wc_vocab",
     "wc_top100",
-    "wc_per_source",
     "wc_rdd_twin",
     # custom functions over the same token stream
     "udaf_weighted_mean",
@@ -72,7 +80,6 @@ DRIVER_WINDOW: list[str] = [
     "quality_classifier_score",
     # temporal / as-of
     "join_asof_last_purchase",
-    "join_asof_tolerance_1h",
     "ev_resample_ffill",
     # similarity / ANN (the quadratic exactness baseline
     # embedding_top_pairs sits past slot 50 since r5 — its
@@ -93,7 +100,6 @@ DRIVER_WINDOW: list[str] = [
     "stream_tumbling_live",
     # dedup
     "dedup_exact",
-    "dedup_keep_first",
     "dedup_paragraphs",
     "jaccard_near_dup_pairs",
     "minhash_signatures",
@@ -119,6 +125,10 @@ DRIVER_WINDOW: list[str] = [
     "join_salted_skew",
     "window_topk_per_group",
     "cte_chained",
+    # round-6 swap-ins (see note at the top of the list)
+    "quality_lr_train",
+    "mv_incremental_refresh",
+    "embedding_pca_top_component",
 ]
 
 

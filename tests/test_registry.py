@@ -49,6 +49,11 @@ def test_driver_window_covers_every_family() -> None:
         # downstream window query)
         "zorder_layout",
         "jaccard_prefix_join",
+        # r6 swap-ins: trained-model, lakehouse/MV, and iterative
+        # linear-algebra representatives
+        "quality_lr_train",
+        "mv_incremental_refresh",
+        "embedding_pca_top_component",
     }
     assert must_have <= window
 
