@@ -156,6 +156,7 @@ HEADLINE = [
     "embedding_pca_top_component",
     "embedding_pca_project",
     "epoch_shuffle_assignments",
+    "table_bloom_point_lookup",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries

@@ -736,3 +736,63 @@ def table_snapshot_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version bigint, operation string, parent bigint"
     )
+
+
+_BLOOM_VT_PATHS: dict[tuple[str, str], str] = {}
+_BLOOM_LOOKUP_KEYS = (7, 731, 1231)  # exist at every test SF
+
+
+def _bloom_orders(spark: SparkSession, sf_dir: str) -> VersionedTable:
+    """A bloom-enabled orders table committed in a HASH-SCATTERED
+    layout (repartition on the key, NOT repartitionByRange): every
+    file's [min, max] spans the whole key space, so the range stats
+    prune nothing for a point lookup — the regime Bloom filters
+    exist for."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _BLOOM_VT_PATHS.get(key)
+    if path is not None and not VersionedTable(path).versions():
+        path = None
+    if path is None:
+        path = os.path.join(scratch_dir("versioned_bloom_"), "orders_b")
+        vt = VersionedTable(path, stats_col="o_orderkey", bloom=True)
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        vt.create(o.repartition(8, "o_orderkey"))
+        _BLOOM_VT_PATHS[key] = path
+    return VersionedTable(path, stats_col="o_orderkey", bloom=True)
+
+
+@query(
+    "table_bloom_point_lookup",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderkey IN {_BLOOM_LOOKUP_KEYS}
+    """,
+)
+def table_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup served by per-file BLOOM filters from the commit
+    manifest: on a hash-scattered layout the min/max stats cannot
+    prune equality lookups (every file's range covers every key), but
+    the bloom bitsets — built once per commit over the new files'
+    keys, 8 bits/key, k=3, ~3% false positives — reduce the scan to
+    ~the files that actually hold the keys. Blooms give false
+    positives, never false negatives, and the exact IN predicate
+    still applies, so the result equals a full-scan filter (the
+    oracle). Completes the data-skipping pair: range stats for
+    clustered predicates (table_pruned_range), blooms for point
+    lookups on high-entropy keys (GDPR id erasure probes, CDC key
+    backfills, entity joins).
+
+    Scale: candidate selection is driver-side bit arithmetic over
+    KB-per-file manifest metadata — the skipped files are never
+    listed, opened, or scheduled; the bloom build cost is per-commit
+    churn (a production writer computes the bitset inside the writing
+    task, the parquet-native bloom posture)."""
+    vt = _bloom_orders(spark, sf_dir)
+    keys = list(_BLOOM_LOOKUP_KEYS)
+    return (
+        vt.read_bloom_pruned(spark, keys)
+        .filter(F.col("o_orderkey").isin(keys))
+        .select("o_orderkey", "o_totalprice")
+    )

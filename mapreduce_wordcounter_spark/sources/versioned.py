@@ -65,10 +65,21 @@ class VersionedTable:
     exact matches — the Iceberg/Delta data-skipping recipe. Reads via
     :meth:`read_pruned` skip files the same way."""
 
-    def __init__(self, path: str, stats_col: str | None = None):
+    def __init__(
+        self,
+        path: str,
+        stats_col: str | None = None,
+        bloom: bool = False,
+    ):
         self.path = path
         self.snap_dir = os.path.join(path, _SNAP_DIR)
         self.stats_col = stats_col
+        # Opt-in per-file Bloom filters over stats_col: the equality-
+        # lookup complement to the [min, max] range stats (on a
+        # hash-scattered layout every file's range spans the whole key
+        # space, so range stats prune NOTHING for point lookups while
+        # a bloom prunes to ~the true file + its false positives).
+        self.bloom = bloom
 
     # -- snapshot log ---------------------------------------------------
 
@@ -174,13 +185,116 @@ class VersionedTable:
         inherited.update(self._file_stats(new_files))
         return inherited
 
+    # -- per-file Bloom filters (equality-key data skipping) -------------
+
+    _BLOOM_K = 3  # hash functions
+    _BLOOM_BITS_PER_KEY = 8  # FP ~ (1 - e^(-3/8))^3 ~ 3%
+
+    @staticmethod
+    def _bloom_positions(value, m: int) -> list[int]:
+        """k deterministic bit positions for a key value: md5 of the
+        salted decimal string — engine/platform independent, the same
+        recipe the repo's oracle-portable hashing uses everywhere."""
+        import hashlib
+
+        return [
+            int(
+                hashlib.md5(f"{value}:{i}".encode()).hexdigest()[:15], 16
+            ) % m
+            for i in range(VersionedTable._BLOOM_K)
+        ]
+
+    def _file_blooms(self, files: list[str]) -> dict:
+        """Per-file Bloom bitsets over ``stats_col``, sized to the
+        file's row count (8 bits/key, k=3 -> ~3% false positives).
+        Built driver-side here by reading each NEW file's key column
+        once with pyarrow (per-commit churn only — retained files
+        inherit from the parent manifest); a production writer computes
+        the same bitset inside the writing task (parquet's own bloom
+        filters / Delta's index files are this structure at rest).
+        Stored as {"m": bits, "hex": bitset} per file."""
+        if self.stats_col is None or not self.bloom:
+            return {}
+        import pyarrow.parquet as pq
+
+        out: dict = {}
+        for rel in files:
+            path = os.path.join(self.path, rel)
+            try:
+                col = pq.read_table(path, columns=[self.stats_col])
+            except Exception:
+                continue  # schema-evolved file without the column
+            values = col.column(0).to_pylist()
+            m = max(1024, 1 << (len(values) * self._BLOOM_BITS_PER_KEY).bit_length())
+            bits = 0
+            for v in values:
+                if v is None:
+                    continue
+                for pos in self._bloom_positions(v, m):
+                    bits |= 1 << pos
+            out[rel] = {"m": m, "hex": format(bits, "x")}
+        return out
+
+    def _merged_blooms(
+        self, parent_snap: dict | None, retained: list[str], new_files: list[str]
+    ) -> dict:
+        keep = set(retained)
+        inherited = {
+            f: b
+            for f, b in ((parent_snap or {}).get("blooms") or {}).items()
+            if f in keep
+        }
+        inherited.update(self._file_blooms(new_files))
+        return inherited
+
+    def _bloom_candidates(self, snap: dict, keys: list) -> list[str]:
+        """Files that may contain at least one of ``keys``: a file
+        survives if ANY key has all k bits set in its bloom; files
+        without a bloom stay candidates (conservative — never a false
+        negative). Pure driver-side bit arithmetic over manifest
+        metadata."""
+        blooms = snap.get("blooms") or {}
+        if not blooms:
+            return list(snap["files"])
+        out = []
+        for f in snap["files"]:
+            b = blooms.get(f)
+            if b is None:
+                out.append(f)
+                continue
+            m, bits = b["m"], int(b["hex"] or "0", 16)
+            if any(
+                all(bits >> pos & 1 for pos in self._bloom_positions(k, m))
+                for k in keys
+            ):
+                out.append(f)
+        return out
+
+    def read_bloom_pruned(
+        self, spark: SparkSession, keys: list, version: int | None = None
+    ) -> DataFrame:
+        """Point-lookup read: scan ONLY the files whose Bloom filter
+        admits at least one of ``keys`` (plus bloom-less files). The
+        caller still applies the exact IN predicate — blooms give
+        false positives, never false negatives, so the result equals
+        a full-scan filter (pinned in tests). This is the lookup the
+        range stats cannot serve on a hash-scattered layout."""
+        snap = self.snapshot(version)
+        files = self._bloom_candidates(snap, keys)
+        if not files:
+            return self.read(spark, snap["version"]).limit(0)
+        return spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.path, f) for f in files]
+        )
+
     def create(self, df: DataFrame) -> int:
         """Commit v0. A conflict here means the table already exists —
         that is the caller's bug, not a race to retry past."""
         files = self._write_data_files(df)
         return self._publish(
             {"version": 0, "parent": None, "operation": "create",
-             "files": files, "stats": self._merged_stats(None, [], files)},
+             "files": files, "stats": self._merged_stats(None, [], files),
+             "blooms": self._merged_blooms(None, [], files)},
             0,
         )
 
@@ -202,6 +316,7 @@ class VersionedTable:
                         "operation": "append",
                         "files": cur["files"] + files,
                         "stats": self._merged_stats(cur, cur["files"], files),
+                        "blooms": self._merged_blooms(cur, cur["files"], files),
                     },
                     cur["version"] + 1,
                 )
@@ -227,6 +342,7 @@ class VersionedTable:
                         "rolled_back_to": to_version,
                         "files": target["files"],
                         "stats": target.get("stats") or {},
+                        "blooms": target.get("blooms") or {},
                     },
                     cur["version"] + 1,
                 )
@@ -415,6 +531,7 @@ class VersionedTable:
                         "operation": "optimize",
                         "files": files,
                         "stats": self._merged_stats(snap, [], files),
+                        "blooms": self._merged_blooms(snap, [], files),
                     },
                     snap["version"] + 1,
                 )
@@ -470,6 +587,7 @@ class VersionedTable:
                         "operation": "delete",
                         "files": retained + files,
                         "stats": self._merged_stats(snap, retained, files),
+                        "blooms": self._merged_blooms(snap, retained, files),
                     },
                     snap["version"] + 1,
                 )
@@ -530,6 +648,7 @@ class VersionedTable:
                         "operation": "delete",
                         "files": retained + files,
                         "stats": self._merged_stats(snap, retained, files),
+                        "blooms": self._merged_blooms(snap, retained, files),
                     },
                     snap["version"] + 1,
                 )
@@ -660,6 +779,7 @@ class VersionedTable:
                 "operation": "merge",
                 "files": retained + files,
                 "stats": self._merged_stats(snap, retained, files),
+                "blooms": self._merged_blooms(snap, retained, files),
             },
             snap["version"] + 1,
         )

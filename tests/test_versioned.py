@@ -526,3 +526,71 @@ def test_mv_refresh_identity_on_random_lineages(spark, ops, tmp_path_factory):
         for r in _bucket_agg(spark, vt, 2).collect()
     )
     assert got == want
+
+
+def test_bloom_pruning_and_no_false_negatives(spark, tmp_path):
+    """Bloom skipping on a hash-scattered layout: candidates must be a
+    strict subset of the snapshot's files for a narrow key set, and the
+    pruned read + exact predicate must equal the full-scan filter for
+    ANY key set (blooms false-positive, never false-negative) —
+    including keys absent from the table."""
+    vt = VersionedTable(str(tmp_path / "b"), stats_col="k", bloom=True)
+    vt.create(
+        spark.range(2000)
+        .select(F.col("id").alias("k"), (F.col("id") * 0.5).alias("v"))
+        .repartition(8, "k")
+    )
+    snap = vt.snapshot()
+    assert len(snap["files"]) == 8
+    assert set(snap["blooms"]) == set(snap["files"])
+    # range stats are useless here (every file spans ~the key space)…
+    lo = min(s[0] for s in snap["stats"].values())
+    hi = max(s[1] for s in snap["stats"].values())
+    assert lo < 100 and hi > 1900
+    # …but blooms prune a single-key lookup to ~1 file (+FPs)
+    cand = vt._bloom_candidates(snap, [42])
+    assert 1 <= len(cand) <= 3
+    for keys in ([42], [0, 999, 1999], [5000, 6000], [7, 13, 4242]):
+        got = sorted(
+            (r["k"], r["v"])
+            for r in vt.read_bloom_pruned(spark, keys)
+            .filter(F.col("k").isin(keys))
+            .collect()
+        )
+        want = sorted(
+            (r["k"], r["v"])
+            for r in vt.read(spark).filter(F.col("k").isin(keys)).collect()
+        )
+        assert got == want
+
+
+def test_blooms_inherited_by_reference_and_rebuilt_on_rewrite(spark, tmp_path):
+    """Commits that carry files by reference (append) must inherit
+    those files' blooms from the parent manifest without re-reading
+    them; a delete that rewrites a file gets a FRESH bloom for the
+    rewritten file, and a deleted key's lookup still returns empty
+    through the pruned path."""
+    vt = VersionedTable(str(tmp_path / "b2"), stats_col="k", bloom=True)
+    vt.create(
+        spark.range(100)
+        .select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        .repartition(2, "k")
+    )
+    s0 = vt.snapshot()
+    vt.append(
+        spark.createDataFrame([(500, 1.0)], "k bigint, v double")
+    )
+    s1 = vt.snapshot()
+    for f in s0["files"]:  # inherited bit-identically
+        assert s1["blooms"][f] == s0["blooms"][f]
+    assert len(s1["blooms"]) == len(s1["files"])
+    vt.delete_where(spark, F.col("k") == 42)
+    s2 = vt.snapshot()
+    assert len(s2["blooms"]) == len(s2["files"])
+    got = (
+        vt.read_bloom_pruned(spark, [42])
+        .filter(F.col("k") == 42)
+        .count()
+    )
+    assert got == 0
+    assert vt.read(spark).count() == 100  # 101 - 1 deleted
