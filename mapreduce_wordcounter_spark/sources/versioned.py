@@ -24,7 +24,11 @@ manifests, both published):
   the winner (optimistic concurrency, Delta's protocol);
 - readers resolve a version (latest, or a pinned ``AS OF``) to its
   manifest and scan exactly that file list — uncommitted or
-  superseded data files are invisible because no manifest names them.
+  superseded data files are invisible because no manifest names them;
+- manifests optionally carry per-file [min, max] stats (range
+  skipping) and Bloom bitsets (equality skipping) over a key column,
+  so both pruning families run driver-side on KB-scale metadata
+  before Spark lists a single file.
 
 MERGE is copy-on-write with **file-level pruning** (the published
 Delta/Iceberg CoW strategy): only data files that actually contain a
