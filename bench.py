@@ -157,6 +157,7 @@ HEADLINE = [
     "embedding_pca_project",
     "epoch_shuffle_assignments",
     "table_bloom_point_lookup",
+    "model_registry_lineage",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries

@@ -602,3 +602,79 @@ def quality_lr_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pos_rate"),
         dsum(F.col("p"), "p_mass"),
     )
+
+
+_REG_PATHS: dict[tuple[str, str], str] = {}
+
+
+@query(
+    "model_registry_lineage",
+    oracle=f"""
+    WITH {_lr_oracle_ctes(_K)},
+    trained AS (
+        SELECT 'bias' AS feature, w0 AS weight FROM w{_K}_
+        UNION ALL SELECT 'len_norm', w1 FROM w{_K}_
+        UNION ALL SELECT 'density', w2 FROM w{_K}_
+        UNION ALL SELECT 'wc_norm', w3 FROM w{_K}_
+        UNION ALL SELECT 'threshold', tau FROM cal_)
+    SELECT 0 AS version, feature, 0.0 AS weight FROM trained
+    UNION ALL
+    SELECT 1 AS version, feature, weight FROM trained
+    """,
+)
+def model_registry_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model VERSIONING on the lakehouse tier — the two round-6
+    families composed: the classifier's weight vector is stored as a
+    snapshot-versioned table (sources/versioned.py), v0 = the zero
+    init, v1 = a key-driven MERGE of the trained fit; the query
+    time-travels BOTH versions and returns the full lineage — the
+    audit a reproducible-training setup needs ('which filter weights
+    curated the January corpus?' is answered by AS OF, and a bad model
+    push is a metadata-only ROLLBACK away). The oracle re-derives the
+    trained weights from scratch, so hash equality proves the at-rest
+    registry content equals the live fit, through a MERGE commit.
+
+    Scale: the model relation is 5 rows — registry commits are pure
+    metadata at any corpus size; training cost is quality_lr_train's
+    (session-cached)."""
+    import os as _os
+
+    from mapreduce_wordcounter_spark.session import scratch_dir
+    from mapreduce_wordcounter_spark.sources.versioned import VersionedTable
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _REG_PATHS.get(key)
+    if path is not None and len(VersionedTable(path).versions()) < 2:
+        path = None
+    if path is None:
+        path = _os.path.join(scratch_dir("model_registry_"), "quality_lr")
+        vt = VersionedTable(path)
+        names = list(_FEATURES) + ["threshold"]
+        vt.create(
+            spark.createDataFrame(
+                [(n, 0.0) for n in names], "feature string, weight double"
+            )
+        )
+        w, tau = _train(spark, sf_dir)
+        vt.merge_into(
+            spark,
+            spark.createDataFrame(
+                list(zip(names, w + [tau])), "s_feature string, s_weight double"
+            ),
+            key="feature",
+            source_key="s_feature",
+            update_set={"weight": F.col("s_weight")},
+            insert_exprs={
+                "feature": F.col("s_feature"),
+                "weight": F.col("s_weight"),
+            },
+        )
+        _REG_PATHS[key] = path
+    vt = VersionedTable(path)
+    out = None
+    for v in (0, 1):
+        part = vt.read(spark, v).select(
+            F.lit(v).cast("int").alias("version"), "feature", "weight"
+        )
+        out = part if out is None else out.unionAll(part)
+    return out
