@@ -176,6 +176,8 @@ SHOWCASE = [
     "quality_lr_predict",
     "quality_lr_auc",
     "embedding_covariance",
+    "epoch_shuffle_assignments",
+    "table_bloom_point_lookup",
 ]
 
 # Belt-and-braces: a duplicated SHOWCASE entry (it has happened) would
