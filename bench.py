@@ -158,6 +158,7 @@ HEADLINE = [
     "epoch_shuffle_assignments",
     "table_bloom_point_lookup",
     "model_registry_lineage",
+    "quality_lr_holdout_auc",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries

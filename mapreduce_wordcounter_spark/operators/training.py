@@ -65,6 +65,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from mapreduce_wordcounter_spark.functions.numeric import dsum, quantize, sql_dsum
+from mapreduce_wordcounter_spark.operators.dedup import _DUCK_MD5H, _SPARK_MD5H
 from mapreduce_wordcounter_spark.operators.text import _SQL_TOKS, _toks_col
 from mapreduce_wordcounter_spark.registry import query
 from mapreduce_wordcounter_spark.tables import load_table
@@ -88,10 +89,14 @@ _FEAT_EXPRS = {
     " THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END",
 }
 
+# Content-hash split bucket (the dataset_split_assign recipe) rides
+# along so the holdout variants can train on bkt < 80 and evaluate on
+# bkt >= 90 without a second feature pass.
 _DUCK_FEATS = (
-    "SELECT doc_id, "
+    "SELECT doc_id, bkt, "
     + ", ".join(f"{e} AS {c}" for c, e in _FEAT_EXPRS.items())
-    + f" FROM (SELECT doc_id, n_chars, len({_SQL_TOKS}) AS wc FROM documents) raw"
+    + f" FROM (SELECT doc_id, n_chars, len({_SQL_TOKS}) AS wc,"
+    + f" ({_DUCK_MD5H.format(s='text')}) % 100 AS bkt FROM documents) raw"
 )
 
 # z and s(z) as SQL over (x0..x3) x (w0..w3); the Spark twins build
@@ -103,9 +108,14 @@ _S_SQL = f"(0.5 * (1.0 + {_Z_SQL} / (1.0 + abs({_Z_SQL}))))"
 
 def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    raw = d.select("doc_id", "n_chars", F.size(_toks_col()).alias("wc"))
+    raw = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(_toks_col()).alias("wc"),
+        F.expr(f"({_SPARK_MD5H.format(s='text')}) % 100").alias("bkt"),
+    )
     return raw.select(
-        "doc_id", *[F.expr(e).alias(c) for c, e in _FEAT_EXPRS.items()]
+        "doc_id", "bkt", *[F.expr(e).alias(c) for c, e in _FEAT_EXPRS.items()]
     )
 
 
@@ -120,10 +130,12 @@ def _sig(z: F.Column) -> F.Column:
     return F.lit(0.5) * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z)))
 
 
-_LR_CACHE: dict[tuple[str, str], tuple[list[float], float]] = {}
+_LR_CACHE: dict[tuple, tuple[list[float], float]] = {}
 
 
-def _train(spark: SparkSession, sf_dir: str) -> tuple[list[float], float]:
+def _train(
+    spark: SparkSession, sf_dir: str, train_where: str | None = None
+) -> tuple[list[float], float]:
     """K full-batch GD steps + threshold calibration; returns the 4
     trained weights and the calibrated decision threshold tau (the
     midpoint of the two class-mean scores — one extra scalar pass).
@@ -132,10 +144,13 @@ def _train(spark: SparkSession, sf_dir: str) -> tuple[list[float], float]:
     (int64, order-independent) + COUNT — five scalars to the driver
     (the bounded-scalar posture of the BPE argmax / graph m,n reads).
     Cached per (session, sf_dir) so predict/AUC reuse the fit."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, train_where)
     cached = _LR_CACHE.get(key)
     if cached is None:
-        f = _features(spark, sf_dir).persist()
+        f = _features(spark, sf_dir)
+        if train_where is not None:
+            f = f.filter(F.expr(train_where))
+        f = f.persist()
         w = [0.0, 0.0, 0.0, 0.0]
         for _ in range(_K):
             s = _sig(_z_col(w))
@@ -175,7 +190,7 @@ def _train(spark: SparkSession, sf_dir: str) -> tuple[list[float], float]:
     return cached
 
 
-def _lr_oracle_ctes(k: int) -> str:
+def _lr_oracle_ctes(k: int, train_where: str = "") -> str:
     """The unrolled-K training replay (the BPE/PageRank oracle
     pattern): f = features, then per step t a gradient CTE (the same
     quantized int64 sums) and a weight CTE (the same scalar double
@@ -198,7 +213,7 @@ def _lr_oracle_ctes(k: int) -> str:
         )
         parts.append(
             f"g{t}_ AS MATERIALIZED (SELECT {gsel}, COUNT(*) AS n"
-            f" FROM f, w{t-1}_)"
+            f" FROM f, w{t-1}_{train_where})"
         )
         wsel = ", ".join(
             f"w{j} - {_LR} * ((CAST(g{j} AS DOUBLE) / 1000000.0) / n) AS w{j}"
@@ -220,7 +235,7 @@ def _lr_oracle_ctes(k: int) -> str:
         " SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS n1,"
         f" SUM(CASE WHEN y = 1.0 THEN 0 ELSE {q_s} END) AS m0,"
         " SUM(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS n0"
-        f" FROM f, w{k}_) c)"
+        f" FROM f, w{k}_{train_where}) c)"
     )
     return ",\n    ".join(parts)
 
@@ -330,7 +345,13 @@ def quality_lr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-offset table (<= 1025 rows) lifts them to global — no
     single-partition window ever sees the corpus."""
     w, tau = _train(spark, sf_dir)
-    f = _features(spark, sf_dir)
+    return _rank_auc(_features(spark, sf_dir), w, tau)
+
+
+def _rank_auc(f: DataFrame, w: list[float], tau: float) -> DataFrame:
+    """Exact-midrank Mann-Whitney AUC + accuracy of model (w, tau)
+    over feature relation ``f`` — the bucket-offset rank construction
+    shared by the in-sample and holdout evaluations."""
     s = _sig(_z_col(w))
     d = f.select(
         s.alias("p"),
@@ -678,3 +699,52 @@ def model_registry_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionAll(part)
     return out
+
+
+_HOLDOUT_TRAIN = "bkt < 80"  # content-hash split (dataset_split_assign)
+_HOLDOUT_TEST = "bkt >= 90"  # the 10% test slice; bkt 80-89 = validation
+
+
+@query(
+    "quality_lr_holdout_auc",
+    oracle=f"""
+    WITH {_lr_oracle_ctes(_K, train_where=f" WHERE {_HOLDOUT_TRAIN}")},
+    pred AS (
+        SELECT {_S_SQL} AS p, CAST(y AS BIGINT) AS y1,
+               CASE WHEN ({_S_SQL} >= tau) = (y = 1.0) THEN 1 ELSE 0 END AS ok
+        FROM f, w{_K}_, cal_ WHERE {_HOLDOUT_TEST}),
+    grp AS (SELECT p, COUNT(*) AS n_s, SUM(y1) AS n1_s, SUM(ok) AS ok_s
+            FROM pred GROUP BY p),
+    rnk AS (SELECT n_s, n1_s, ok_s,
+                   COALESCE(SUM(n_s) OVER (ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cumb
+            FROM grp),
+    tot AS (SELECT SUM(n1_s * (2 * cumb + n_s + 1)) AS num2p,
+                   SUM(n1_s) AS n1, SUM(n_s) AS n, SUM(ok_s) AS okt
+            FROM rnk)
+    SELECT CAST(n AS BIGINT) AS n_docs, CAST(n1 AS BIGINT) AS n_pos,
+           CAST(okt AS DOUBLE) / n AS accuracy,
+           CAST(num2p - n1 * (n1 + 1) AS DOUBLE)
+               / (2.0 * n1 * (n - n1)) AS auc
+    FROM tot
+    """,
+)
+def quality_lr_holdout_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERALIZATION evaluation with train/test discipline: the
+    classifier is fit (weights AND threshold) on the content-hash
+    train split only (bkt < 80 — the dataset_split_assign recipe, so
+    the split survives re-crawls), then AUC and accuracy are computed
+    exclusively on the disjoint 10% test slice (bkt >= 90) the fit
+    never saw. The in-sample quality_lr_auc can flatter a memorizing
+    model; this one cannot — it is the number a curation team actually
+    reports. The oracle replays the split-filtered training and the
+    held-out ranking end to end; same exact-midrank machinery, so the
+    result is hash-exact.
+
+    Scale: identical shapes to quality_lr_train + quality_lr_auc —
+    the split predicate is a per-row hash (pushes into the feature
+    scan), training aggregates see ~80% of rows, evaluation ~10%."""
+    w, tau = _train(spark, sf_dir, train_where=_HOLDOUT_TRAIN)
+    f = _features(spark, sf_dir).filter(F.expr(_HOLDOUT_TEST))
+    return _rank_auc(f, w, tau)
