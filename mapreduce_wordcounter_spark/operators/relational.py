@@ -2481,9 +2481,15 @@ def lineitem_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     (100·cum ≤ 80·t) are all int64, so the class boundaries cannot
     drift between engines.
 
-    Scale: part-grain aggregate, then one unpartitioned running-sum
-    window over the PART relation (parts ≪ lineitems; at larger part
-    counts the standard fix is a two-pass range-partitioned cumsum)."""
+    Scale: part-grain aggregate, then the repo's two-pass bucketed
+    cumulative sum (layout._distributed_ntile / training._rank_auc
+    posture) instead of an unpartitioned running-sum window: parts
+    band into <=1024 buckets by a monotone function of rev_micro (ties
+    co-bucket, so between-bucket order equals the global DESC order),
+    the running sum windows LOCALLY within each bucket, and a
+    broadcast <=1024-row bucket-offset table (the only global window,
+    over a constant-bounded relation) lifts local sums to global — no
+    single-partition window ever sees the part relation."""
     from pyspark.sql import Window as W
 
     li = _t(spark, sf_dir, "lineitem")
@@ -2493,10 +2499,41 @@ def lineitem_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rev_micro")
     )
     tot = rev.agg(F.sum("rev_micro").alias("t"))
-    w = W.orderBy(F.desc("rev_micro"), F.asc("l_partkey")).rowsBetween(
-        W.unboundedPreceding, W.currentRow
+    # Bucket index: linear band of rev_micro, DESCENDING (bucket 0 =
+    # highest revenue), so bkt ASC == global (rev DESC) order between
+    # buckets; within a bucket the local window finishes the order.
+    bounds = rev.agg(
+        F.min("rev_micro").alias("__lo"), F.max("rev_micro").alias("__hi")
     )
-    ranked = rev.withColumn("cum", F.sum("rev_micro").over(w))
+    banded = rev.join(F.broadcast(bounds)).withColumn(
+        "bkt",
+        (
+            (F.col("__hi") - F.col("rev_micro"))
+            * 1024
+            / F.greatest(F.col("__hi") - F.col("__lo"), F.lit(1))
+        ).cast("long"),
+    )
+    boff = (
+        banded.groupBy("bkt")
+        .agg(F.sum("rev_micro").alias("brev"))
+        .withColumn(
+            "boff",
+            F.coalesce(
+                F.sum("brev").over(
+                    W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bkt", "boff")
+    )
+    w_loc = W.partitionBy("bkt").orderBy(
+        F.desc("rev_micro"), F.asc("l_partkey")
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    ranked = (
+        banded.join(F.broadcast(boff), "bkt")
+        .withColumn("cum", F.col("boff") + F.sum("rev_micro").over(w_loc))
+    )
     cls = (
         F.when(100 * F.col("cum") <= 80 * F.col("t"), "A")
         .when(100 * F.col("cum") <= 95 * F.col("t"), "B")

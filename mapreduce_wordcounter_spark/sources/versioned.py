@@ -14,9 +14,18 @@ manifests, both published):
 
 - a table is a directory of immutable parquet **data files** plus an
   append-only ``_snapshots/`` log of JSON **manifests**;
-- each manifest = one committed version: the complete list of data
-  files visible in that snapshot, the parent version, and the
-  operation that produced it;
+- each manifest = one committed version recorded as a **delta** vs
+  its parent: the files *added* and *removed* by that commit (plus
+  stats/blooms for the added files only) — so manifest bytes scale
+  with the commit's CHURN, never the table's file count (at 100 TB /
+  10^5-10^6 files a full-list-per-commit log is O(files) JSON per
+  commit, the metadata wall Delta checkpoints and Iceberg manifest
+  trees exist to remove);
+- every ``checkpoint_interval`` commits (and at vacuum's retention
+  floor) a **checkpoint sidecar** (``vNNNNN.checkpoint.json``) holds
+  the fully-resolved state, so resolving any snapshot replays at most
+  ``checkpoint_interval`` bounded deltas from the nearest checkpoint
+  — Delta's ``_last_checkpoint`` recipe;
 - a commit writes its data files FIRST (task-parallel, each file
   immutable once written), then publishes the manifest with an
   atomic exclusive create (``O_EXCL``) — two writers racing on the
@@ -74,6 +83,7 @@ class VersionedTable:
         path: str,
         stats_col: str | None = None,
         bloom: bool = False,
+        checkpoint_interval: int = 10,
     ):
         self.path = path
         self.snap_dir = os.path.join(path, _SNAP_DIR)
@@ -84,15 +94,33 @@ class VersionedTable:
         # space, so range stats prune NOTHING for point lookups while
         # a bloom prunes to ~the true file + its false positives).
         self.bloom = bloom
+        # Checkpoint sidecar cadence: resolving any version replays at
+        # most this many delta manifests from the nearest checkpoint.
+        self.checkpoint_interval = max(1, checkpoint_interval)
+        # Resolved-snapshot cache: manifests are immutable once
+        # published, so a resolved version never changes; entries are
+        # served only while the backing manifest still exists (vacuum
+        # expiry must keep raising FileNotFoundError).
+        self._snap_cache: dict[int, dict] = {}
 
     # -- snapshot log ---------------------------------------------------
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.snap_dir, f"v{version:05d}.json")
+
+    def _checkpoint_path(self, version: int) -> str:
+        return os.path.join(self.snap_dir, f"v{version:05d}.checkpoint.json")
 
     def versions(self) -> list[int]:
         if not os.path.isdir(self.snap_dir):
             return []
         out = []
         for f in os.listdir(self.snap_dir):
-            if f.startswith("v") and f.endswith(".json"):
+            if (
+                f.startswith("v")
+                and f.endswith(".json")
+                and f[1:-5].isdigit()  # excludes *.checkpoint.json / *.tmp
+            ):
                 out.append(int(f[1:-5]))
         return sorted(out)
 
@@ -100,13 +128,106 @@ class VersionedTable:
         vs = self.versions()
         return vs[-1] if vs else None
 
+    def _load_manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as fh:
+            return json.load(fh)
+
     def snapshot(self, version: int | None = None) -> dict:
+        """The fully-RESOLVED snapshot for ``version`` (default
+        latest): complete ``files`` list plus ``stats``/``blooms``
+        maps, reconstructed from the nearest checkpoint sidecar (or
+        self-contained base manifest) plus at most
+        ``checkpoint_interval`` delta replays — never by reading the
+        whole log. Raises FileNotFoundError for expired (vacuumed)
+        versions even on a cache hit."""
         if version is None:
             version = self.latest_version()
             if version is None:
                 raise FileNotFoundError(f"no snapshots at {self.path}")
-        with open(os.path.join(self.snap_dir, f"v{version:05d}.json")) as fh:
-            return json.load(fh)
+        cached = self._snap_cache.get(version)
+        if cached is not None:
+            if not os.path.exists(self._manifest_path(version)):
+                raise FileNotFoundError(
+                    f"version {version} expired at {self.path}"
+                )
+            return cached
+        snap = self._resolve(version)
+        self._snap_cache[version] = snap
+        return snap
+
+    def _resolve(self, version: int) -> dict:
+        """Walk back from ``version`` to the nearest base — a
+        checkpoint sidecar, a legacy full manifest (pre-delta format,
+        carries ``files``), or the create commit — then replay the
+        delta chain forward. Each delta applies remove-then-add to the
+        file list and to the stats/blooms maps (added files carry
+        their own entries; files are immutable so an entry never
+        changes across versions)."""
+        if not os.path.exists(self._manifest_path(version)):
+            # the manifest is the commit; a stray checkpoint for an
+            # expired version must not resurrect it
+            raise FileNotFoundError(
+                f"version {version} expired or never committed at {self.path}"
+            )
+        chain: list[dict] = []
+        base: dict | None = None
+        v = version
+        while True:
+            ck = self._checkpoint_path(v)
+            if os.path.exists(ck):
+                with open(ck) as fh:
+                    base = json.load(fh)
+                break
+            m = self._load_manifest(v)
+            if "files" in m:  # legacy full manifest or create: self-contained
+                base = m
+                break
+            chain.append(m)
+            if m["parent"] is None:
+                base = {"files": [], "stats": {}, "blooms": {}}
+                break
+            v = m["parent"]
+        files = list(base.get("files") or [])
+        stats = dict(base.get("stats") or {})
+        blooms = dict(base.get("blooms") or {})
+        meta = base if not chain else None
+        for delta in reversed(chain):
+            removed = set(delta.get("remove") or [])
+            files = sorted(
+                [f for f in files if f not in removed]
+                + list(delta.get("add") or [])
+            )
+            for gone in removed:
+                stats.pop(gone, None)
+                blooms.pop(gone, None)
+            stats.update(delta.get("stats") or {})
+            blooms.update(delta.get("blooms") or {})
+            meta = delta
+        out = {
+            k: v
+            for k, v in (meta or {}).items()
+            if k not in ("add", "remove", "files", "stats", "blooms")
+        }
+        out.update(
+            {"version": version, "files": files, "stats": stats,
+             "blooms": blooms}
+        )
+        if "parent" not in out:
+            out["parent"] = meta.get("parent") if meta else None
+        if "operation" not in out and meta:
+            out["operation"] = meta.get("operation")
+        return out
+
+    def _write_checkpoint(self, snap: dict) -> None:
+        """Materialize a resolved snapshot as a checkpoint sidecar.
+        Derived data: losing it only costs a longer replay, so a plain
+        tmp+rename (atomic visibility, last-writer-wins idempotent) is
+        enough — no O_EXCL ceremony."""
+        final = self._checkpoint_path(snap["version"])
+        tmp = final + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(snap, fh)
+        os.replace(tmp, final)
 
     def _publish(self, manifest: dict, version: int) -> int:
         """Atomically publish a manifest as ``version``.
@@ -129,6 +250,49 @@ class VersionedTable:
             ) from None
         finally:
             os.unlink(tmp)
+        return version
+
+    def _commit_delta(
+        self,
+        operation: str,
+        parent: dict | None,
+        files: list[str],
+        stats: dict,
+        blooms: dict,
+        **extra,
+    ) -> int:
+        """Publish one commit as a DELTA manifest: only the files
+        added/removed vs ``parent`` (and stats/blooms for the added
+        files) are written — manifest bytes ∝ the commit's churn, not
+        the table's file count. When the new version lands on the
+        checkpoint cadence, also materialize the resolved state as a
+        sidecar so later resolves replay a bounded chain."""
+        version = 0 if parent is None else parent["version"] + 1
+        files = sorted(files)  # canonical order: resolve-vs-cache identical
+        prev = set(parent["files"]) if parent else set()
+        now = set(files)
+        add = sorted(now - prev)
+        remove = sorted(prev - now)
+        manifest = {
+            "version": version,
+            "parent": None if parent is None else parent["version"],
+            "operation": operation,
+            "add": add,
+            "remove": remove,
+            "stats": {f: stats[f] for f in add if f in stats},
+            "blooms": {f: blooms[f] for f in add if f in blooms},
+            **extra,
+        }
+        self._publish(manifest, version)
+        snap = {
+            k: v
+            for k, v in manifest.items()
+            if k not in ("add", "remove", "stats", "blooms")
+        }
+        snap.update({"files": files, "stats": stats, "blooms": blooms})
+        self._snap_cache[version] = snap
+        if version > 0 and version % self.checkpoint_interval == 0:
+            self._write_checkpoint(snap)
         return version
 
     # -- commits --------------------------------------------------------
@@ -295,11 +459,10 @@ class VersionedTable:
         """Commit v0. A conflict here means the table already exists —
         that is the caller's bug, not a race to retry past."""
         files = self._write_data_files(df)
-        return self._publish(
-            {"version": 0, "parent": None, "operation": "create",
-             "files": files, "stats": self._merged_stats(None, [], files),
-             "blooms": self._merged_blooms(None, [], files)},
-            0,
+        return self._commit_delta(
+            "create", None, files,
+            self._merged_stats(None, [], files),
+            self._merged_blooms(None, [], files),
         )
 
     def append(self, df: DataFrame) -> int:
@@ -313,16 +476,10 @@ class VersionedTable:
         while True:
             cur = self.snapshot()
             try:
-                return self._publish(
-                    {
-                        "version": cur["version"] + 1,
-                        "parent": cur["version"],
-                        "operation": "append",
-                        "files": cur["files"] + files,
-                        "stats": self._merged_stats(cur, cur["files"], files),
-                        "blooms": self._merged_blooms(cur, cur["files"], files),
-                    },
-                    cur["version"] + 1,
+                return self._commit_delta(
+                    "append", cur, cur["files"] + files,
+                    self._merged_stats(cur, cur["files"], files),
+                    self._merged_blooms(cur, cur["files"], files),
                 )
             except VersionConflictError:
                 continue
@@ -333,29 +490,26 @@ class VersionedTable:
         'rollback') — history is append-only, so the bad commits stay
         inspectable and the rollback itself is auditable, which is how
         production table formats implement RESTORE. Metadata-only:
-        no data moves."""
+        no data moves (the delta manifest records the resurrected and
+        dropped file names — churn-sized, like every commit)."""
         target = self.snapshot(to_version)
         while True:
             cur = self.snapshot()
             try:
-                return self._publish(
-                    {
-                        "version": cur["version"] + 1,
-                        "parent": cur["version"],
-                        "operation": "rollback",
-                        "rolled_back_to": to_version,
-                        "files": target["files"],
-                        "stats": target.get("stats") or {},
-                        "blooms": target.get("blooms") or {},
-                    },
-                    cur["version"] + 1,
+                return self._commit_delta(
+                    "rollback", cur, target["files"],
+                    target.get("stats") or {},
+                    target.get("blooms") or {},
+                    rolled_back_to=to_version,
                 )
             except VersionConflictError:
                 continue
 
     # -- retention ------------------------------------------------------
 
-    def vacuum(self, retain_last: int = 2) -> dict:
+    def vacuum(
+        self, retain_last: int = 2, orphan_grace_sec: float = 3600.0
+    ) -> dict:
         """Expire all but the newest ``retain_last`` snapshots and
         delete data files no surviving snapshot references — the
         retention pass every production table format runs (Delta
@@ -364,33 +518,92 @@ class VersionedTable:
         manifest is gone), while every retained snapshot still reads
         bit-identical because only UNREFERENCED files are deleted.
 
+        Before any manifest is removed, the retention FLOOR (oldest
+        retained version) is materialized as a checkpoint sidecar, so
+        delta-chain resolution for retained versions never needs an
+        expired manifest; expired versions' sidecars are removed with
+        their manifests.
+
         Ordering is crash-safe: manifests are removed FIRST, so a
         crash mid-vacuum can only leave unreferenced-but-present data
-        files (invisible to reads, re-collected by the next vacuum) —
-        never a manifest naming a deleted file. Metadata-scale work:
-        set algebra over manifest file lists, KBs per commit."""
+        files (invisible to reads) — never a manifest naming a deleted
+        file. Those stragglers, plus debris from crashed/raced commit
+        attempts (each failed attempt stages a fresh ``data/<uuid>``
+        dir no manifest ever names), are collected by the ORPHAN SCAN:
+        any data file referenced by no surviving snapshot AND older
+        than ``orphan_grace_sec`` (mtime) is deleted — the grace
+        period protects files an in-flight commit has staged but not
+        yet published, exactly Delta VACUUM's retention-threshold
+        rule. Metadata-scale work: set algebra over manifest file
+        lists plus one directory walk."""
         versions = self.versions()
         if retain_last < 1:
             raise ValueError("retain_last must be >= 1")
         expired = versions[:-retain_last]
         retained = versions[-retain_last:]
         keep: set[str] = set()
-        for v in retained:
-            keep.update(self.snapshot(v)["files"])
+        retained_snaps = [self.snapshot(v) for v in retained]
+        for snap in retained_snaps:
+            keep.update(snap["files"])
         drop: set[str] = set()
         for v in expired:
             drop.update(f for f in self.snapshot(v)["files"] if f not in keep)
+        if expired and retained_snaps:
+            # floor checkpoint BEFORE expiry: resolution of retained
+            # versions must never walk into the expired range
+            self._write_checkpoint(retained_snaps[0])
         for v in expired:  # manifests first (see docstring)
-            os.unlink(os.path.join(self.snap_dir, f"v{v:05d}.json"))
+            os.unlink(self._manifest_path(v))
+            ck = self._checkpoint_path(v)
+            if os.path.exists(ck):
+                os.unlink(ck)
+            self._snap_cache.pop(v, None)
         for f in sorted(drop):
             p = os.path.join(self.path, f)
             if os.path.exists(p):
                 os.unlink(p)
+        orphans = self._collect_orphans(keep, orphan_grace_sec)
         return {
             "expired_versions": expired,
             "deleted_files": len(drop),
             "retained_versions": retained,
+            "deleted_orphans": orphans,
         }
+
+    def _collect_orphans(self, keep: set[str], grace_sec: float) -> int:
+        """Delete data files under ``data/`` that no surviving
+        snapshot references and whose mtime is older than the grace
+        period (an in-flight commit's staged-but-unpublished files are
+        younger than any sane grace). Also prunes emptied commit
+        directories. One filesystem walk — the same O(data files)
+        listing Delta's VACUUM performs."""
+        import time as _time
+
+        root = os.path.join(self.path, "data")
+        if not os.path.isdir(root):
+            return 0
+        cutoff = _time.time() - grace_sec
+        deleted = 0
+        for sub in os.listdir(root):
+            subdir = os.path.join(root, sub)
+            if not os.path.isdir(subdir):
+                continue
+            for name in os.listdir(subdir):
+                rel = os.path.join("data", sub, name)
+                full = os.path.join(subdir, name)
+                if rel in keep or not os.path.isfile(full):
+                    continue
+                try:
+                    if os.path.getmtime(full) <= cutoff:
+                        os.unlink(full)
+                        deleted += 1
+                except FileNotFoundError:
+                    continue  # raced by a concurrent vacuum
+            try:
+                os.rmdir(subdir)  # succeeds only when emptied
+            except OSError:
+                pass
+        return deleted
 
     # -- reads ----------------------------------------------------------
 
@@ -528,16 +741,10 @@ class VersionedTable:
             )
             files = self._write_data_files(df)
             try:
-                return self._publish(
-                    {
-                        "version": snap["version"] + 1,
-                        "parent": snap["version"],
-                        "operation": "optimize",
-                        "files": files,
-                        "stats": self._merged_stats(snap, [], files),
-                        "blooms": self._merged_blooms(snap, [], files),
-                    },
-                    snap["version"] + 1,
+                return self._commit_delta(
+                    "optimize", snap, files,
+                    self._merged_stats(snap, [], files),
+                    self._merged_blooms(snap, [], files),
                 )
             except VersionConflictError:
                 continue
@@ -584,16 +791,10 @@ class VersionedTable:
                 ).filter(F.coalesce(~predicate, F.lit(True)))
                 files = self._write_data_files(survivors)
             try:
-                return self._publish(
-                    {
-                        "version": snap["version"] + 1,
-                        "parent": snap["version"],
-                        "operation": "delete",
-                        "files": retained + files,
-                        "stats": self._merged_stats(snap, retained, files),
-                        "blooms": self._merged_blooms(snap, retained, files),
-                    },
-                    snap["version"] + 1,
+                return self._commit_delta(
+                    "delete", snap, retained + files,
+                    self._merged_stats(snap, retained, files),
+                    self._merged_blooms(snap, retained, files),
                 )
             except VersionConflictError:
                 continue
@@ -645,16 +846,10 @@ class VersionedTable:
                 )
                 files = self._write_data_files(survivors)
             try:
-                return self._publish(
-                    {
-                        "version": snap["version"] + 1,
-                        "parent": snap["version"],
-                        "operation": "delete",
-                        "files": retained + files,
-                        "stats": self._merged_stats(snap, retained, files),
-                        "blooms": self._merged_blooms(snap, retained, files),
-                    },
-                    snap["version"] + 1,
+                return self._commit_delta(
+                    "delete", snap, retained + files,
+                    self._merged_stats(snap, retained, files),
+                    self._merged_blooms(snap, retained, files),
                 )
             except VersionConflictError:
                 continue
@@ -697,10 +892,29 @@ class VersionedTable:
         WHOLE merge re-runs against the new snapshot, which is exactly
         Delta's documented conflict-resolution semantics for MERGE.
 
+        The source must have AT MOST ONE row per ``source_key`` —
+        duplicate keys would fan the matched target row out through
+        the full-outer join, silently growing the table. Enforced up
+        front (one churn-sized aggregate), matching Delta's "multiple
+        source rows matched" MERGE error.
+
         Non-goals (honest scope): single UPDATE clause, no DELETE
         branch, no schema evolution — the transactional commit +
         pruning + time travel are what this tier exists to prove.
         """
+        dup = (
+            source.groupBy(F.col(source_key))
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"merge_into source has duplicate {source_key!r} values "
+                f"(e.g. {dup[0][0]!r}): each source key must match at most "
+                f"one row — dedupe the source first"
+            )
         for _ in range(8):
             try:
                 return self._merge_attempt(
@@ -754,7 +968,11 @@ class VersionedTable:
             f for f in snap["files"] if os.path.basename(f) not in matched_base
         ]
         if rewritten:
-            affected = spark.read.parquet(
+            # mergeSchema like every other read path: matched files may
+            # span an additive schema-evolution boundary, and a single-
+            # footer inferred schema would drop (or fail on) the
+            # evolved columns target_cols includes.
+            affected = spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(self.path, f) for f in rewritten]
             )
         else:  # no matches: rewrite set is empty, inserts only
@@ -776,14 +994,8 @@ class VersionedTable:
             ]
         )
         files = self._write_data_files(merged)
-        return self._publish(
-            {
-                "version": snap["version"] + 1,
-                "parent": snap["version"],
-                "operation": "merge",
-                "files": retained + files,
-                "stats": self._merged_stats(snap, retained, files),
-                "blooms": self._merged_blooms(snap, retained, files),
-            },
-            snap["version"] + 1,
+        return self._commit_delta(
+            "merge", snap, retained + files,
+            self._merged_stats(snap, retained, files),
+            self._merged_blooms(snap, retained, files),
         )

@@ -224,7 +224,6 @@ if _tws_available():  # pragma: no cover - absent in this container
 
 _PROFILE_OUT_SCHEMA = "user_id bigint, n_events bigint, n_types bigint"
 _PROFILE_STATE_SCHEMA = "n bigint, types string"
-_TYPE_SEP = "\x1f"  # unit separator: cannot occur in event_type values
 
 
 def user_profile_apws(stream: DataFrame) -> DataFrame:
@@ -232,9 +231,12 @@ def user_profile_apws(stream: DataFrame) -> DataFrame:
     ``applyInPandasWithState`` — the SAME semantics (per-user running
     event count + distinct-event-type count) carried by the monolithic
     state tuple instead of named state variables: the ValueState maps
-    to a bigint field, the MapState to a sorted separator-joined
-    string set (bounded: |event_type| is a small vocabulary, the same
-    O(users x event_types) state bound the tWS MapState has).
+    to a bigint field, the MapState to a JSON-encoded sorted string
+    set — unambiguous for EVERY value including the empty string
+    (a separator-joined encoding maps {''} to '' which decodes to
+    the empty set, regressing n_types across micro-batches). Bounded:
+    |event_type| is a small vocabulary, the same O(users x
+    event_types) state bound the tWS MapState has.
 
     This is the equivalence twin the tWS operator is judged against
     where protobuf exists, and the TESTED path everywhere (pytest
@@ -243,17 +245,19 @@ def user_profile_apws(stream: DataFrame) -> DataFrame:
     by-value pickling (module rule)."""
 
     def update_profile(key, pdfs, state):
+        import json as _json
+
         import pandas as pd
 
         if state.exists:
             n, types_s = state.get
-            seen = set(types_s.split(_TYPE_SEP)) if types_s else set()
+            seen = set(_json.loads(types_s)) if types_s else set()
         else:
             n, seen = 0, set()
         for pdf in pdfs:
             n += len(pdf)
             seen.update(str(t) for t in pdf["event_type"].unique())
-        state.update((n, _TYPE_SEP.join(sorted(seen))))
+        state.update((n, _json.dumps(sorted(seen))))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "n_types": [len(seen)]}
         )

@@ -79,7 +79,35 @@ _ALLOWED_BOUNDED_BNLJ = {
 # tokenizer (its JVM explode/split twin wc_counts is the hot path).
 _ALLOWED_PYTHON = {"udtf_tokenize_counts"}
 
+# Global (no partitionBy) windows over CONSTANT-BOUNDED relations: the
+# bucket-offset tables of the two-pass cumsum construction (<=1025
+# rows), literal grids, top-k limited lists, and 1-row scalars. A
+# global window over a data-sized relation funnels the corpus through
+# ONE partition (the WindowExec WARN + single-task sort) and is
+# rejected for every query not declared here.
+_ALLOWED_BOUNDED_GLOBAL_WINDOW: set[str] = set()
+
 _BATCH_QUERIES = sorted(n for n in _QUERIES if not n.startswith("stream_"))
+
+
+def _global_windows(plan: str) -> int:
+    """Count Window operators whose required child distribution is a
+    single partition: a `Window` node whose subtree's first Exchange
+    (the one Catalyst inserted to satisfy the window's distribution,
+    at most a Sort away) is `Exchange SinglePartition`."""
+    lines = plan.splitlines()
+    hits = 0
+    for i, line in enumerate(lines):
+        if "Window " not in line:
+            continue
+        for nxt in lines[i + 1 : i + 4]:
+            if "Exchange" in nxt:
+                if "SinglePartition" in nxt:
+                    hits += 1
+                break
+            if "Sort " not in nxt and "WindowGroupLimit" not in nxt:
+                break  # partitioning satisfied upstream without exchange
+    return hits
 
 
 @pytest.mark.parametrize("name", _BATCH_QUERIES)
@@ -100,4 +128,12 @@ def test_no_scale_killers(name, spark):
         assert "BatchEvalPython" not in plan, (
             f"{name}: row-at-a-time Python UDF in the plan — use a pandas_udf/"
             f"mapInPandas (Arrow) instead"
+        )
+    if name not in _ALLOWED_BOUNDED_GLOBAL_WINDOW:
+        assert _global_windows(plan) == 0, (
+            f"{name}: plans a single-partition Window over an undeclared "
+            f"relation — partition it (two-pass bucketed cumsum: "
+            f"layout._distributed_ntile / training._rank_auc) or, if the "
+            f"windowed relation is constant-bounded, whitelist with "
+            f"justification"
         )

@@ -368,6 +368,31 @@ def test_user_profile_type_set_progression(spark, tmp_path):
     assert prog == [(1, 1), (2, 1), (3, 2)]
 
 
+def test_user_profile_empty_string_type_survives_batches(spark, tmp_path):
+    """State-encoding round-trip for degenerate values: an
+    empty-string event_type is still one distinct type, and must not
+    vanish when the state is serialized between micro-batches (a
+    separator-joined encoding maps {''} to '' which decodes to the
+    empty set — n_types would regress 1 -> 0)."""
+    from mapreduce_wordcounter_spark.streaming.stateful import (
+        user_profile_apws,
+    )
+
+    src = _write_batches(
+        spark,
+        tmp_path,
+        [
+            [_ev(1, "2024-01-01 10:00:00", user_id=7, event_type="")],
+            [_ev(2, "2024-01-01 10:01:00", user_id=7, event_type="")],
+            [_ev(3, "2024-01-01 10:02:00", user_id=7, event_type="click")],
+        ],
+    )
+    out = user_profile_apws(_event_stream_from_json(spark, src))
+    rows = _drain(out, output_mode="update").collect()
+    prog = sorted((r["n_events"], r["n_types"]) for r in rows)
+    assert prog == [(1, 1), (2, 1), (3, 2)]
+
+
 def test_stream_stream_join_buffers_then_evicts(spark, tmp_path):
     """Stream-stream join semantics observable only across batches:
     (1) a click buffered in batch 0 joins a purchase arriving in batch

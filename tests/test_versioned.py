@@ -154,8 +154,15 @@ def test_lineage_metadata(spark, tmp_path):
         (1, "append", 0),
         (2, "merge", 1),
     ]
+    # the on-disk manifest is a DELTA (add/remove vs parent), not the
+    # resolved snapshot: churn-sized metadata per commit
     with open(os.path.join(vt.snap_dir, "v00002.json")) as fh:
-        assert json.load(fh) == snaps[2]
+        raw = json.load(fh)
+    assert raw["version"] == 2 and raw["operation"] == "merge"
+    assert set(raw) >= {"add", "remove"} and "files" not in raw
+    assert set(snaps[2]["files"]) == (
+        set(snaps[1]["files"]) - set(raw["remove"])
+    ) | set(raw["add"])
 
 
 def test_vacuum_retention_window(spark, tmp_path):
@@ -594,3 +601,156 @@ def test_blooms_inherited_by_reference_and_rebuilt_on_rewrite(spark, tmp_path):
     )
     assert got == 0
     assert vt.read(spark).count() == 100  # 101 - 1 deleted
+
+
+def test_manifest_bytes_bounded_by_churn(spark, tmp_path):
+    """THE metadata-scale contract of the delta-manifest log: a
+    commit's manifest records only what the commit CHANGED (add/remove
+    + stats for added files), so manifest bytes stay ~constant as the
+    table's file count grows — the property that keeps the snapshot
+    log viable at 10^5-10^6 files, where a full-list-per-commit log is
+    O(files) JSON per commit."""
+    vt = VersionedTable(str(tmp_path / "many"), checkpoint_interval=1000)
+    vt.create(
+        spark.range(320)
+        .select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        .repartition(32, "k")  # 32-file base
+    )
+    sizes = []
+    for i in range(6):  # each append adds ONE file to an ever-bigger table
+        vt.append(
+            spark.createDataFrame([(10_000 + i, 1.0)], "k bigint, v double")
+            .coalesce(1)
+        )
+        sizes.append(os.path.getsize(vt._manifest_path(vt.latest_version())))
+        raw = json.load(open(vt._manifest_path(vt.latest_version())))
+        assert "files" not in raw  # delta, never a full list
+        assert len(raw["add"]) == 1 and raw["remove"] == []
+    # churn is constant (1 file/commit) -> manifest size must not grow
+    # with the table (32 -> 38 files); allow tiny jitter from paths
+    assert max(sizes) < min(sizes) * 1.5
+    # and each append manifest is far smaller than the 32-file create
+    assert max(sizes) < os.path.getsize(vt._manifest_path(0)) / 3
+    # resolution still yields the complete table
+    assert len(vt.snapshot()["files"]) == 38
+    assert vt.read(spark).count() == 326
+
+
+def test_checkpoint_sidecar_cadence_and_equivalence(spark, tmp_path):
+    """Every checkpoint_interval commits a sidecar materializes the
+    resolved state; resolving through the sidecar gives the identical
+    snapshot as replaying the full delta chain from v0."""
+    vt = VersionedTable(str(tmp_path / "ck"), checkpoint_interval=3)
+    vt.create(spark.createDataFrame([(0, 0.0)], "k bigint, v double"))
+    for i in range(1, 7):
+        vt.append(
+            spark.createDataFrame([(i, float(i))], "k bigint, v double")
+            .coalesce(1)
+        )
+    assert os.path.exists(vt._checkpoint_path(3))
+    assert os.path.exists(vt._checkpoint_path(6))
+    assert not os.path.exists(vt._checkpoint_path(5))
+    # replayed-from-scratch resolution == checkpoint-based resolution
+    via_ck = vt.snapshot(6)
+    no_ck = VersionedTable(str(tmp_path / "ck"), checkpoint_interval=3)
+    os.unlink(vt._checkpoint_path(3))
+    os.unlink(vt._checkpoint_path(6))
+    replayed = no_ck.snapshot(6)
+    assert replayed["files"] == via_ck["files"]
+    assert replayed["stats"] == via_ck["stats"]
+    assert replayed["operation"] == via_ck["operation"] == "append"
+    assert replayed["parent"] == via_ck["parent"] == 5
+
+
+def test_vacuum_mid_chain_keeps_retained_resolvable(spark, tmp_path):
+    """Vacuum that expires the head of a delta chain must leave every
+    retained version resolvable (floor checkpoint) — including from a
+    FRESH handle with no in-memory cache."""
+    vt = VersionedTable(str(tmp_path / "vc"), checkpoint_interval=1000)
+    vt.create(spark.createDataFrame([(0, 0.0)], "k bigint, v double"))
+    for i in range(1, 6):
+        vt.append(
+            spark.createDataFrame([(i, float(i))], "k bigint, v double")
+            .coalesce(1)
+        )
+    expect = {v: vt.read(spark, v).count() for v in (3, 4, 5)}
+    res = vt.vacuum(retain_last=3)
+    assert res["expired_versions"] == [0, 1, 2]
+    fresh = VersionedTable(str(tmp_path / "vc"), checkpoint_interval=1000)
+    for v, n in expect.items():
+        assert fresh.read(spark, v).count() == n
+    with pytest.raises(FileNotFoundError):
+        fresh.read(spark, 2)
+
+
+def test_vacuum_collects_aged_orphans_spares_fresh(spark, tmp_path):
+    """Orphan GC: a data file referenced by no surviving snapshot and
+    older than the grace period is deleted; a FRESH orphan (an
+    in-flight commit's staged files) survives; referenced files are
+    never touched."""
+    vt = _mk(spark, tmp_path)
+    orphan_dir = os.path.join(vt.path, "data", "deadbeefcafe")
+    os.makedirs(orphan_dir)
+    spark.createDataFrame([(9999, 9.0)], "k bigint, v double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(orphan_dir)
+    orphans = [
+        os.path.join(orphan_dir, f)
+        for f in os.listdir(orphan_dir)
+        if f.endswith(".parquet")
+    ]
+    assert orphans
+    # fresh orphans survive a graced vacuum
+    res = vt.vacuum(retain_last=1, orphan_grace_sec=3600)
+    assert all(os.path.exists(p) for p in orphans)
+    # aged orphans (grace 0) are collected, dir pruned
+    res = vt.vacuum(retain_last=1, orphan_grace_sec=0)
+    assert res["deleted_orphans"] >= len(orphans)
+    assert not any(os.path.exists(p) for p in orphans)
+    assert not os.path.isdir(orphan_dir)
+    # the live snapshot is intact
+    assert vt.read(spark).count() == 100
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
+    """Delta's 'multiple source rows matched' rule: a source with two
+    rows for one key would fan out the matched target row through the
+    full-outer join and silently grow the table — reject up front."""
+    vt = _mk(spark, tmp_path)
+    dup_src = spark.createDataFrame(
+        [(5, 1.0), (5, 2.0)], "s_k bigint, nv double"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        vt.merge_into(
+            spark, dup_src, key="k", source_key="s_k",
+            update_set={"v": F.col("nv")},
+            insert_exprs={"k": F.col("s_k"), "v": F.col("nv")},
+        )
+    assert vt.read(spark).count() == 100  # nothing committed
+
+
+def test_merge_across_schema_evolution_boundary(spark, tmp_path):
+    """A MERGE whose matched files span an additive schema-evolution
+    boundary must read the rewritten files with the EVOLVED schema:
+    pre-evolution rows surface the new column as NULL instead of the
+    read failing or dropping the column."""
+    vt = _mk(spark, tmp_path, n=20, files=2)
+    vt.append(
+        spark.createDataFrame(
+            [(100, 100.0, "x")], "k bigint, v double, tag string"
+        )
+    )
+    src = spark.createDataFrame(
+        [(5, 2000.0), (100, 3000.0)], "s_k bigint, nv double"
+    )
+    vt.merge_into(
+        spark, src, key="k", source_key="s_k",
+        update_set={"v": F.col("nv")},
+        insert_exprs={
+            "k": F.col("s_k"), "v": F.col("nv"), "tag": F.lit(None)
+        },
+    )
+    out = {r["k"]: (r["v"], r["tag"]) for r in vt.read(spark).collect()}
+    assert out[5] == (2000.0, None)  # pre-evolution file, updated
+    assert out[100] == (3000.0, "x")  # evolved file keeps its tag
+    assert len(out) == 21

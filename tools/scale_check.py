@@ -124,6 +124,35 @@ def build_blowup(dst: str) -> None:
             ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
             """
         )
+        if mode != "replica":
+            # The remap suffix ('q'+letter) is letters-only (a digit
+            # would be split by the engine's [^letter]+ tokenizer), so
+            # a base token that already ends in that suffix would
+            # collide with a replica token and let pairs span replicas,
+            # distorting the exponents. Verify the bijective-remap
+            # claim instead of assuming it: replica-0 and replica->0
+            # vocabularies must be disjoint.
+            overlap = con.execute(
+                f"""
+                WITH toks AS (
+                  SELECT doc_id < {doc_stride} AS base,
+                         unnest(regexp_split_to_array(lower(text),
+                                                      '[^a-z]+')) AS tok
+                  FROM read_parquet('{dst}/documents.parquet')
+                )
+                SELECT count(*) FROM (
+                  SELECT tok FROM toks WHERE base AND tok <> ''
+                  INTERSECT
+                  SELECT tok FROM toks WHERE NOT base AND tok <> ''
+                )
+                """
+            ).fetchone()[0]
+            if overlap:
+                raise AssertionError(
+                    f"distinct-mode blow-up is not vocabulary-disjoint: "
+                    f"{overlap} tokens shared between replica 0 and r>0 "
+                    f"(suffix collision) — exponents would be distorted"
+                )
     for t in [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "embeddings",
