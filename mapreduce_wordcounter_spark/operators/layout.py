@@ -134,6 +134,54 @@ def _distributed_ntile(
     ).drop("bucket_offset", "rn", "rank")
 
 
+def distributed_rank(
+    df: DataFrame, order_cols: list, out: str = "rank", n_parts: int = 32
+) -> DataFrame:
+    """Global ROW_NUMBER() over a TOTAL order (``order_cols`` must be
+    tie-free — include a unique key) without a single-partition
+    window — the construction Spark's own global sort scales by.
+
+    Rows range-repartition on the order keys (balanced boundaries
+    from Spark's deterministic per-partition-seeded sampling), each
+    range ranks locally (window partitioned on the range id), and the
+    per-range row counts — ``n_parts`` values, a bounded driver-side
+    read in the repo's bounded-scalar class — lift local ranks to
+    global offsets via a broadcast join.
+
+    The partitioned relation is pinned (session.pin) before the
+    counts read so the offsets job and the ranking job see the SAME
+    materialized range assignment — two independent evaluations could
+    in principle re-sample; pinning removes the hazard rather than
+    arguing it away. Contrast with layout._distributed_ntile, which
+    needs a caller-supplied order-preserving bucket key: this helper
+    derives balanced buckets from the data, so it also handles keys
+    with huge tie-plateaus (e.g. word counts, where half the
+    vocabulary shares cnt=1 and any value-banded bucket collapses)."""
+    from mapreduce_wordcounter_spark.session import pin
+
+    spark = df.sparkSession
+    part = pin(
+        df.repartitionByRange(n_parts, *order_cols).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    )
+    counts = {
+        r["__pid"]: r["n"]
+        for r in part.groupBy("__pid").agg(F.count("*").alias("n")).collect()
+    }
+    offs, acc = [], 0
+    for pid in range(n_parts):
+        offs.append((pid, acc))
+        acc += counts.get(pid, 0)
+    odf = spark.createDataFrame(offs, ["__pid", "__off"])
+    w_loc = W.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        part.join(F.broadcast(odf), "__pid")
+        .withColumn(out, F.col("__off") + F.row_number().over(w_loc))
+        .drop("__pid", "__off")
+    )
+
+
 def _zed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_wordcounter_spark.session import pin
 

@@ -2415,25 +2415,47 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket boundaries are engine-exact) plus the classic segment
     labels. The monetary sum rides the micro-quantized path.
 
-    Scale: one groupBy over orders to customer grain, then three rank
-    windows over the customer relation. Unpartitioned NTILE serializes
-    at 10⁹ customers — production splits the quintile computation into
-    a two-pass approx-percentile cut (same labels, no total sort);
-    registered form keeps the exact semantics the oracle can state."""
-    o = _t(spark, sf_dir, "orders")
-    from pyspark.sql import Window as W
+    Scale: one groupBy over orders to customer grain, then three EXACT
+    distributed NTILEs over the customer relation — each is a
+    layout.distributed_rank (range-partition + broadcast offsets; no
+    single-partition window even at 10⁹ customers) lifted to the tile
+    by NTILE's closed form (first n % k tiles one row larger)."""
+    from mapreduce_wordcounter_spark.operators.layout import distributed_rank
 
+    o = _t(spark, sf_dir, "orders")
     m = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("frequency"),
         dsum(F.col("o_totalprice"), "monetary"),
     )
-    r = F.ntile(5).over(W.orderBy(F.desc("last_order"), F.asc("o_custkey")))
-    f_ = F.ntile(5).over(W.orderBy(F.desc("frequency"), F.asc("o_custkey")))
-    mny = F.ntile(5).over(W.orderBy(F.desc("monetary"), F.asc("o_custkey")))
-    scored = m.select(
-        "o_custkey", "frequency", "monetary",
-        r.alias("r"), f_.alias("f"), mny.alias("mny"),
+    n_total = m.count()  # bounded driver scalar (customer count)
+
+    def tile(rk: str):
+        # NTILE(k) from a global rank: first n % k tiles take
+        # ceil(n/k) rows, the rest floor(n/k) (SQL-standard split;
+        # integer `div` end-to-end, same construction as
+        # layout._distributed_ntile's closed form).
+        k = 5
+        n_big, size_small = n_total % k, n_total // k
+        if size_small == 0:  # degenerate n < k: tile == rank
+            return F.col(rk).cast("int")
+        cut = n_big * (size_small + 1)
+        return F.expr(
+            f"cast(CASE WHEN {rk} <= {cut}"
+            f" THEN ({rk} - 1) div {size_small + 1}"
+            f" ELSE {n_big} + ({rk} - 1 - {cut}) div {size_small}"
+            f" END + 1 as int)"
+        )
+
+    scored = m
+    for metric, out in (
+        ("last_order", "r"), ("frequency", "f"), ("monetary", "mny"),
+    ):
+        scored = distributed_rank(
+            scored, [F.desc(metric), F.asc("o_custkey")], out=f"__rk_{out}"
+        ).withColumn(out, tile(f"__rk_{out}")).drop(f"__rk_{out}")
+    scored = scored.select(
+        "o_custkey", "frequency", "monetary", "r", "f", "mny"
     )
     seg = (
         F.when((F.col("r") == 1) & (F.col("f") == 1), "champion")

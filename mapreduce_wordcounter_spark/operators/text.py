@@ -511,11 +511,11 @@ def vocab_top1k(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense token ids 0..K-1 assigned by rank (count desc, word asc as
     the deterministic tie-break — same convention as BPE vocab dumps).
 
-    Scale: the count is the flagship word-count aggregate; the ranking
-    window runs over the VOCABULARY (≤ a few 10⁷ rows at web scale,
-    post min-count), not the corpus — a single-partition sort of the
-    small relation, then limit K. The corpus-sized stream never passes
-    through the window."""
+    Scale: the count is the flagship word-count aggregate; the top-K
+    cut runs FIRST as orderBy+limit — Spark's TakeOrderedAndProject, a
+    per-partition top-K merged on the driver, so the vocabulary never
+    funnels through one window partition — and only the K=1000
+    surviving rows pass through the id-assigning row_number window."""
     from pyspark.sql import Window as W
 
     counts = (
@@ -524,11 +524,10 @@ def vocab_top1k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") >= _VOCAB_MIN_COUNT)
     )
+    topk = counts.orderBy(F.desc("cnt"), F.asc("word")).limit(_VOCAB_K)
     w = W.orderBy(F.desc("cnt"), F.asc("word"))
-    return (
-        counts.withColumn("token_id", F.row_number().over(w) - 1)
-        .filter(F.col("token_id") < _VOCAB_K)
-        .select("word", "cnt", "token_id")
+    return topk.select(
+        "word", "cnt", (F.row_number().over(w) - 1).alias("token_id")
     )
 
 
@@ -1451,15 +1450,16 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     measures the actual distance of every term to its nearest boundary
     on the oracle corpus and asserts a ≫ulp margin, so parity is
     checked, not assumed. Scale: word count is the flagship aggregate;
-    the rank window and the moment sums run over the vocabulary, not
-    the corpus.
+    the vocabulary ranking is layout.distributed_rank (range-partition
+    + broadcast offsets — no single-partition window even at 10⁸-word
+    vocabularies; a value-banded bucket would collapse on the cnt=1
+    plateau that holds half of any Zipfian vocabulary), and the moment
+    sums map-combine over the ranked vocabulary.
     """
-    from pyspark.sql import Window as W
+    from mapreduce_wordcounter_spark.operators.layout import distributed_rank
 
     counts = tokens(spark, sf_dir).groupBy("word").agg(F.count("*").alias("cnt"))
-    ranked = counts.withColumn(
-        "rank", F.row_number().over(W.orderBy(F.desc("cnt"), F.asc("word")))
-    )
+    ranked = distributed_rank(counts, [F.desc("cnt"), F.asc("word")])
     x = F.log(F.col("rank").cast("double"))
     y = F.log(F.col("cnt").cast("double"))
     q = lambda c: F.floor(c * 1_000_000 + F.lit(0.5)).cast("long")  # noqa: E731
@@ -2055,17 +2055,18 @@ def doc_mean_word_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature next to the Gopher gates. Rank is a total order
     (count desc, word), so the integer rank sums are engine-exact.
 
-    Plan: the frequency ranking is vocabulary-sized and broadcast back
-    onto the token stream (tf_idf's df-broadcast posture); one doc_id
+    Plan: the frequency ranking is vocabulary-sized, computed with
+    layout.distributed_rank (range-partition + broadcast offsets — no
+    single-partition window over the vocab), then broadcast back onto
+    the token stream (tf_idf's df-broadcast posture); one doc_id
     rollup."""
-    t = tokens(spark, sf_dir)
-    from pyspark.sql import Window as W
+    from mapreduce_wordcounter_spark.operators.layout import distributed_rank
 
+    t = tokens(spark, sf_dir)
     freq = t.groupBy("word").agg(F.count("*").alias("n"))
-    ranked = freq.select(
-        "word",
-        F.row_number().over(W.orderBy(F.desc("n"), F.asc("word"))).alias("rank"),
-    )
+    ranked = distributed_rank(
+        freq, [F.desc("n"), F.asc("word")]
+    ).select("word", "rank")
     return (
         t.join(F.broadcast(ranked), "word")
         .groupBy("doc_id")

@@ -85,7 +85,21 @@ _ALLOWED_PYTHON = {"udtf_tokenize_counts"}
 # global window over a data-sized relation funnels the corpus through
 # ONE partition (the WindowExec WARN + single-task sort) and is
 # rejected for every query not declared here.
-_ALLOWED_BOUNDED_GLOBAL_WINDOW: set[str] = set()
+_ALLOWED_BOUNDED_GLOBAL_WINDOW: set[str] = {
+    "lineitem_abc_analysis",  # <=1025-row bucket-offset cumsum table
+    "quality_lr_auc",  # <=1025-row score-band offset table (_rank_auc)
+    "quality_lr_holdout_auc",  # same construction, holdout slice
+    "zorder_layout",  # <=64-row coarse-z bucket-offset table
+    "zorder3_layout",  # same, 3-dim interleave
+    "layout_span_compare",  # same bucket offsets, both layouts
+    "mixture_weights",  # lang x source slice grid (dozens of rows)
+    "mixture_temperature_weights",  # same slice grid
+    "source_lang_chisq",  # source x lang grid
+    "orders_open_backlog",  # month-grain relation (~84 rows)
+    "vocab_top1k",  # LIMIT-1000-capped relation feeds the id window
+    "bpe_subword_vocab",  # subword inventory: |alphabet| + K merges
+    "bpe_tokenize",  # same bounded subword-id assignment
+}
 
 _BATCH_QUERIES = sorted(n for n in _QUERIES if not n.startswith("stream_"))
 
