@@ -352,3 +352,72 @@ def test_pca_projection_captures_variance(spark):
         C[r["dim_i"], r["dim_j"]] = C[r["dim_j"], r["dim_i"]] = r["cov"]
     lam1 = float(np.linalg.eigvalsh(C)[-1])
     assert float(pc1.var()) >= 0.85 * lam1
+
+
+def test_pca_top3_orthogonal_unit_basis(spark):
+    """Deflation must yield an (approximately) ORTHONORMAL basis: unit
+    norms exactly (each component ends on a normalize step) and
+    pairwise dot products ~0 (the last step of every component ends
+    projection -> normalize, so orthogonality holds by construction
+    up to pico-quantization). Eigenvalues are Rayleigh estimates in
+    TRAINING order; on this near-degenerate spectrum (lambda2 ~
+    lambda3) K=6 estimates may invert within a few percent, so the
+    order is pinned with that tolerance, not strictly."""
+    import numpy as np
+
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        _QUERIES["embedding_pca_top3"](spark, SF_SMOKE)
+        .orderBy("component", "dim")
+        .collect()
+    )
+    comps = {}
+    lams = {}
+    for r in rows:
+        comps.setdefault(r["component"], []).append(r["loading"])
+        lams[r["component"]] = r["eigenvalue"]
+    assert sorted(comps) == [0, 1, 2]
+    V = {m: np.array(v) for m, v in comps.items()}
+    for m in range(3):
+        assert abs(float(np.linalg.norm(V[m])) - 1.0) < 1e-6
+    for a in range(3):
+        for b in range(a + 1, 3):
+            assert abs(float(V[a] @ V[b])) < 1e-6, (a, b, V[a] @ V[b])
+    assert lams[0] >= lams[1] * 0.95 and lams[1] >= lams[2] * 0.95
+    assert lams[2] > 0
+
+
+def test_pca_project3_consistent_with_components(spark):
+    """The 3-D projection must equal each vector's dot product with
+    the served components (up to the pico quantization), and the
+    per-coordinate variances must track the eigenvalues."""
+    import numpy as np
+
+    from tests.conftest import SF_SMOKE
+
+    comp_rows = (
+        _QUERIES["embedding_pca_top3"](spark, SF_SMOKE)
+        .orderBy("component", "dim")
+        .collect()
+    )
+    V = np.array(
+        [[r["loading"] for r in comp_rows if r["component"] == m]
+         for m in range(3)]
+    )
+    proj = {
+        r["vec_id"]: (r["pc1"], r["pc2"], r["pc3"])
+        for r in _QUERIES["embedding_pca_project"](spark, SF_SMOKE).collect()
+    }
+    from mapreduce_wordcounter_spark.tables import load_table
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=float)
+        for r in load_table(spark, SF_SMOKE, "embeddings")
+        .limit(50)
+        .collect()
+    }
+    for vid, x in emb.items():
+        got = np.array(proj[vid])
+        want = V @ x
+        assert np.allclose(got, want, atol=1e-6), (vid, got, want)
