@@ -89,6 +89,7 @@ _ALLOWED_BOUNDED_GLOBAL_WINDOW: set[str] = {
     "lineitem_abc_analysis",  # <=1025-row bucket-offset cumsum table
     "quality_lr_auc",  # <=1025-row score-band offset table (_rank_auc)
     "quality_lr_holdout_auc",  # same construction, holdout slice
+    "quality_lr_hashed_holdout_auc",  # same _rank_auc offset table
     "zorder_layout",  # <=64-row coarse-z bucket-offset table
     "zorder3_layout",  # same, 3-dim interleave
     "layout_span_compare",  # same bucket offsets, both layouts
