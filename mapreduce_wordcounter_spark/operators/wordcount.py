@@ -485,7 +485,7 @@ def stream_pyds_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     yield one vectorized RecordBatch per range; the row-tuple
     SimpleDataSourceStreamReader twin stays exercised by
     stream_pyds_sink_roundtrip and the offset-replay tests). 200 docs
-    arrive as micro-batches of 50 driven by the source's offset log,
+    arrive as micro-batches of 100 driven by the source's offset log,
     into a complete-mode aggregate — batch/stream parity for a
     from-scratch Python connector, pinned by sharing pyds_wordcount's
     oracle. The drain watches the query's progress events until the
@@ -493,13 +493,16 @@ def stream_pyds_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     harness; availableNow is a file-source trigger, not a Python-source
     one). sf_dir is unused: the source synthesizes its batches.
 
-    Connector cost trail (r5 -> r6, sf-independent 200-doc stream):
+    Connector cost trail (r5 -> r7, sf-independent 200-doc stream):
     5.6 s with the row-tuple simple reader at 32 state partitions ->
     ~3.0 s via Arrow RecordBatch reads, state partitions sized to the
-    20-word vocabulary (2), a tmpfs WAL, one read task per 50-doc
-    batch, and a job-free progress-based drain. The residue is
-    micro-batch machinery (4 x ~0.55 s trigger cycles + query
-    start/stop), not per-row Python."""
+    20-word vocabulary (2), a tmpfs WAL, one read task per batch, and
+    a job-free progress-based drain -> ~2.2 s by halving the
+    micro-batch count (batch_docs 50 -> 100: the residue was 4 x
+    ~0.55 s trigger cycles of pure micro-batch machinery, so fewer,
+    larger Arrow batches is the correct lever — the multi-batch
+    offset-log path stays exercised with two batches here and by the
+    offset-replay/exactly-once tests on the simple reader)."""
     import time
     import uuid
 
@@ -512,10 +515,10 @@ def stream_pyds_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         spark.readStream.format("synthetic_corpus_arrow")
         .option("n_docs", 200)
-        .option("batch_docs", 50)
+        .option("batch_docs", 100)
         .option("words_per_doc", 20)
-        # one read task per 50-doc micro-batch: scheduling a second
-        # task for 25 docs costs more than it parallelizes (the
+        # one read task per 100-doc micro-batch: scheduling a second
+        # task for 50 docs costs more than it parallelizes (the
         # source itself fans out to N partitions — pinned by
         # tests/test_sources.py — which is the production posture)
         .option("partitions", 1)
@@ -566,7 +569,7 @@ def stream_pyds_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 if got >= 200:
                     break
-                time.sleep(0.05)
+                time.sleep(0.02)
             else:
                 raise TimeoutError(f"stream drained only {got}/200 docs")
         finally:
