@@ -61,6 +61,15 @@ DRIVER_WINDOW: list[str] = [
     # driver hard-checks the model, lakehouse, and iterative-linear-
     # algebra families. All three swap-ins went through repeated full
     # driver-style sweeps this round before entering the window.)
+    # (r7: word_typo_pairs ceded its slot to table_changes_feed — the
+    # typo query matches ZERO rows on this synthetic corpus, so its
+    # driver check pinned only an empty result (the operator keeps its
+    # non-vacuous fuzz coverage in tests/test_properties.py), while
+    # the swap-in puts the versioned-table tier's CDC PROTOCOL itself
+    # — snapshot diff, insert/update/delete typing — under the
+    # driver's hard hash check next to mv_incremental_refresh's
+    # derived-table path. Green in every r7 full driver-style sweep
+    # before entering the window.)
     "wc_counts",
     "wc_vocab",
     "wc_top100",
@@ -75,7 +84,7 @@ DRIVER_WINDOW: list[str] = [
     "doc_fingerprint",
     "lang_marker_score",
     "ngrams_bigram_top50",
-    "word_typo_pairs",
+    "table_changes_feed",
     "pii_counts",
     "quality_classifier_score",
     # temporal / as-of
