@@ -142,41 +142,41 @@ def distributed_rank(
     window — the construction Spark's own global sort scales by.
 
     Rows range-repartition on the order keys (balanced boundaries
-    from Spark's deterministic per-partition-seeded sampling), each
-    range ranks locally (window partitioned on the range id), and the
-    per-range row counts — ``n_parts`` values, a bounded driver-side
-    read in the repo's bounded-scalar class — lift local ranks to
-    global offsets via a broadcast join.
+    from Spark's per-partition-seeded sampling), each range ranks
+    locally (window partitioned on the range id), and the per-range
+    row counts cumulative-sum into offsets — an ``n_parts``-row
+    (constant, 32) relation whose tiny global window is the only
+    unpartitioned one — broadcast-joined back to lift local ranks to
+    global.
 
-    The partitioned relation is pinned (session.pin) before the
-    counts read so the offsets job and the ranking job see the SAME
-    materialized range assignment — two independent evaluations could
-    in principle re-sample; pinning removes the hazard rather than
-    arguing it away. Contrast with layout._distributed_ntile, which
-    needs a caller-supplied order-preserving bucket key: this helper
-    derives balanced buckets from the data, so it also handles keys
-    with huge tie-plateaus (e.g. word counts, where half the
-    vocabulary shares cnt=1 and any value-banded bucket collapses)."""
-    from mapreduce_wordcounter_spark.session import pin
-
-    spark = df.sparkSession
-    part = pin(
-        df.repartitionByRange(n_parts, *order_cols).withColumn(
-            "__pid", F.spark_partition_id()
-        )
+    ONE lazy query, not a pin + driver read: the offsets subtree and
+    the ranking subtree share the identical range exchange, which
+    Spark's exchange-reuse materializes ONCE (`ReusedExchange` in the
+    post-AQE plan — pinned by tests/test_plans.py, because the
+    single-materialization is also the correctness argument: both
+    consumers read the same shuffle output, so the range assignment
+    cannot diverge between them). Contrast with
+    layout._distributed_ntile, which needs a caller-supplied
+    order-preserving bucket key: this helper derives balanced buckets
+    from the data, so it also handles keys with huge tie-plateaus
+    (e.g. word counts, where half the vocabulary shares cnt=1 and any
+    value-banded bucket collapses)."""
+    part = df.repartitionByRange(n_parts, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
     )
-    counts = {
-        r["__pid"]: r["n"]
-        for r in part.groupBy("__pid").agg(F.count("*").alias("n")).collect()
-    }
-    offs, acc = [], 0
-    for pid in range(n_parts):
-        offs.append((pid, acc))
-        acc += counts.get(pid, 0)
-    odf = spark.createDataFrame(offs, ["__pid", "__off"])
+    counts = part.groupBy("__pid").agg(F.count("*").alias("__bn"))
+    offs = counts.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__bn").over(
+                W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("__pid", "__off")
     w_loc = W.partitionBy("__pid").orderBy(*order_cols)
     return (
-        part.join(F.broadcast(odf), "__pid")
+        part.join(F.broadcast(offs), "__pid")
         .withColumn(out, F.col("__off") + F.row_number().over(w_loc))
         .drop("__pid", "__off")
     )

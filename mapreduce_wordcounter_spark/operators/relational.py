@@ -2416,12 +2416,18 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels. The monetary sum rides the micro-quantized path.
 
     Scale: one groupBy over orders to customer grain, then three EXACT
-    distributed NTILEs over the customer relation — each is a
-    layout.distributed_rank (range-partition + broadcast offsets; no
-    single-partition window even at 10⁹ customers) lifted to the tile
-    by NTILE's closed form (first n % k tiles one row larger)."""
-    from mapreduce_wordcounter_spark.operators.layout import distributed_rank
-
+    NTILEs over the customer relation, chosen SIZE-ADAPTIVELY from
+    the measured customer count (a bounded driver scalar): below
+    _RFM_DISTRIBUTED_ROWS the plain global rank window wins (one
+    in-memory sort of a small relation — the distributed construction
+    costs ~6 extra tiny stages of pure scheduling at that size);
+    above it, each quintile is a layout.distributed_rank
+    (range-partition + broadcast offsets; no single-partition window
+    even at 10⁹ customers) lifted to the tile by NTILE's closed form
+    (first n % k tiles one row larger). Both paths are exact and
+    oracle-identical — pinned against each other in
+    tests/test_plans.py, which also plan-checks the distributed path
+    explicitly."""
     o = _t(spark, sf_dir, "orders")
     m = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -2429,6 +2435,24 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("o_totalprice"), "monetary"),
     )
     n_total = m.count()  # bounded driver scalar (customer count)
+    if n_total <= _RFM_DISTRIBUTED_ROWS:
+        from pyspark.sql import Window as W
+
+        r = F.ntile(5).over(
+            W.orderBy(F.desc("last_order"), F.asc("o_custkey"))
+        )
+        f_ = F.ntile(5).over(
+            W.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+        )
+        mny = F.ntile(5).over(
+            W.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+        )
+        scored = m.select(
+            "o_custkey", "frequency", "monetary",
+            r.alias("r"), f_.alias("f"), mny.alias("mny"),
+        )
+        return _rfm_segment_select(scored)
+    from mapreduce_wordcounter_spark.operators.layout import distributed_rank
 
     def tile(rk: str):
         # NTILE(k) from a global rank: first n % k tiles take
@@ -2447,16 +2471,40 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" END + 1 as int)"
         )
 
+    # Three INDEPENDENT slim ranks joined back on the customer key —
+    # not a chain: chaining rank2 onto rank1's output doubles the
+    # plan subtree per level (counts + ranking branches), which
+    # planning/codegen pays for even after AQE dedups the materialized
+    # exchanges (measured 2.4 s chained vs ~1 s flat at sf0.1). The
+    # base customer aggregate is pinned so the three ranks and the
+    # final join share one materialization.
+    from mapreduce_wordcounter_spark.session import pin
+
+    m = pin(m)
     scored = m
     for metric, out in (
         ("last_order", "r"), ("frequency", "f"), ("monetary", "mny"),
     ):
-        scored = distributed_rank(
-            scored, [F.desc(metric), F.asc("o_custkey")], out=f"__rk_{out}"
-        ).withColumn(out, tile(f"__rk_{out}")).drop(f"__rk_{out}")
+        slim = distributed_rank(
+            m.select("o_custkey", metric),
+            [F.desc(metric), F.asc("o_custkey")],
+            out=f"__rk_{out}",
+        ).select("o_custkey", tile(f"__rk_{out}").alias(out))
+        scored = scored.join(slim, "o_custkey")
     scored = scored.select(
         "o_custkey", "frequency", "monetary", "r", "f", "mny"
     )
+    return _rfm_segment_select(scored)
+
+
+# Below this row count the plain global-window NTILE is strictly
+# faster (one small in-memory sort vs ~6 extra scheduled stages);
+# above it the distributed construction is mandatory. 10^6 rows of
+# (key, 3 metrics) is ~32 MB — far inside one task's sort budget.
+_RFM_DISTRIBUTED_ROWS = 1_000_000
+
+
+def _rfm_segment_select(scored: DataFrame) -> DataFrame:
     seg = (
         F.when((F.col("r") == 1) & (F.col("f") == 1), "champion")
         .when(F.col("r") == 1, "recent")

@@ -58,6 +58,8 @@ _ALLOWED_BOUNDED_BNLJ = {
     "ev_funnel_conversion",  # joins of four 1-row funnel-stage counts
     "ev_value_histogram",  # 1-row global MIN/MAX bin-edge scalar
     "doc_unigram_logprob",  # 1-row corpus-token-total scalar onto the vocab
+    "dsir_importance_weights",  # 1-row (N, N_t, V) totals scalar onto the vocab
+    "dsir_topk_selection",  # same scalar one level down (TakeOrdered on top)
     "doc_bigram_logprob",  # 1-row vocab-size scalar onto the bigram model
     "skew_top_keys",  # 1-row total scalar onto the 5-row top-k
     "source_lang_chisq",  # 1-row chi-square scalar joined onto 1-row dims
@@ -98,6 +100,10 @@ _ALLOWED_BOUNDED_GLOBAL_WINDOW: set[str] = {
     "source_lang_chisq",  # source x lang grid
     "orders_open_backlog",  # month-grain relation (~84 rows)
     "vocab_top1k",  # LIMIT-1000-capped relation feeds the id window
+    # size-adaptive: at the plan-build SF the measured customer count
+    # selects the small-side exact-window strategy; the distributed
+    # path is plan-checked + result-pinned in tests/test_plans.py
+    "orders_rfm_segments",
     "bpe_subword_vocab",  # subword inventory: |alphabet| + K merges
     "bpe_tokenize",  # same bounded subword-id assignment
 }
@@ -114,6 +120,13 @@ def _global_windows(plan: str) -> int:
     hits = 0
     for i, line in enumerate(lines):
         if "Window " not in line:
+            continue
+        if "sum(__bn#" in line and "__pid#" in line:
+            # layout.distributed_rank's offset window: a cumulative sum
+            # of per-range row counts ordered by the range id — an
+            # n_parts-row (constant, 32) relation by construction. The
+            # reserved __bn/__pid names are produced only by that
+            # helper, so the signature is structural, not per-query.
             continue
         for nxt in lines[i + 1 : i + 4]:
             if "Exchange" in nxt:

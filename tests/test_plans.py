@@ -227,3 +227,87 @@ def test_arrow_udf_plans_arrow_not_row_python(spark):
     plan = physical_plan(udf_arrow_vowel_ratio(spark, SF_ORACLE))
     assert "ArrowEvalPython" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_distributed_rank_reuses_one_range_exchange(spark):
+    """layout.distributed_rank's correctness argument is that the
+    offsets subtree and the ranking subtree read the SAME materialized
+    range shuffle — pin that the post-AQE executed plan contains a
+    ReusedExchange of the rangepartitioning exchange (if reuse ever
+    stopped firing, the two subtrees could in principle re-sample
+    boundaries independently)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_wordcounter_spark.operators.layout import distributed_rank
+    from mapreduce_wordcounter_spark.tables import load_table
+    from tests.conftest import SF_ORACLE
+
+    df = load_table(spark, SF_ORACLE, "documents").select("doc_id", "n_chars")
+    ranked = distributed_rank(df, [F.desc("n_chars"), F.asc("doc_id")])
+    ranked.collect()
+    node = ranked._jdf.queryExecution().executedPlan()
+    if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        node = node.executedPlan()
+    plan = node.toString()
+    assert "ReusedExchange" in plan, plan
+    assert "rangepartitioning" in plan
+
+
+def test_distributed_rank_matches_global_window(spark):
+    """The distributed rank must equal the plain global ROW_NUMBER for
+    every row (exactness, not approximation)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from mapreduce_wordcounter_spark.operators.layout import distributed_rank
+    from mapreduce_wordcounter_spark.tables import load_table
+    from tests.conftest import SF_ORACLE
+
+    df = load_table(spark, SF_ORACLE, "documents").select("doc_id", "n_chars")
+    got = {
+        r["doc_id"]: r["rank"]
+        for r in distributed_rank(
+            df, [F.desc("n_chars"), F.asc("doc_id")]
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r["rank"]
+        for r in df.withColumn(
+            "rank",
+            F.row_number().over(
+                W.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+            ),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_rfm_distributed_path_equals_small_path(spark):
+    """orders_rfm_segments is size-adaptive; the distributed path
+    (forced by dropping the threshold to 0) must return EXACTLY the
+    small-path rows, and its plan must contain no single-partition
+    window (the scale contract the adaptivity exists to serve)."""
+    from mapreduce_wordcounter_spark.operators import relational as R
+    from mapreduce_wordcounter_spark.plans.inspect import physical_plan
+    from mapreduce_wordcounter_spark.session import release_pinned
+    from tests.conftest import SF_ORACLE
+
+    small = sorted(
+        tuple(r) for r in R.orders_rfm_segments(spark, SF_ORACLE).collect()
+    )
+    saved = R._RFM_DISTRIBUTED_ROWS
+    R._RFM_DISTRIBUTED_ROWS = 0
+    try:
+        big_df = R.orders_rfm_segments(spark, SF_ORACLE)
+        plan = physical_plan(big_df)
+        big = sorted(tuple(r) for r in big_df.collect())
+    finally:
+        R._RFM_DISTRIBUTED_ROWS = saved
+        release_pinned()
+    assert big == small
+    from tests.test_plan_hygiene import _global_windows
+
+    # the only global windows are the structurally-exempt 32-row
+    # distributed_rank offset cumsums, which _global_windows skips
+    assert _global_windows(plan) == 0
+    assert "rangepartitioning" in plan
