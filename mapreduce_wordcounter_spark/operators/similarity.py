@@ -2135,3 +2135,86 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(coord("v1", "pc1"), coord("v2", "pc2"), coord("v3", "pc3"))
     )
+
+
+@query(
+    "embedding_pca_whiten",
+    oracle=f"""
+    WITH {_pc_oracle_ctes_multi(_PC_ITERS, _PC_COMPONENTS)},
+    px AS (
+        SELECT vec_id, i.i - 1 AS d, embedding[i.i]::DOUBLE AS x
+        FROM embeddings,
+             LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) i)
+    SELECT vec_id,
+           (CAST(SUM(CAST(FLOOR((x * a.v) * {_PC_SCALE}.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / {_PC_SCALE}.0)
+               / sqrt((SELECT nrm FROM p0n{_PC_ITERS}_)) AS wc1,
+           (CAST(SUM(CAST(FLOOR((x * b.v) * {_PC_SCALE}.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / {_PC_SCALE}.0)
+               / sqrt((SELECT nrm FROM p1n{_PC_ITERS}_)) AS wc2,
+           (CAST(SUM(CAST(FLOOR((x * c.v) * {_PC_SCALE}.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / {_PC_SCALE}.0)
+               / sqrt((SELECT nrm FROM p2n{_PC_ITERS}_)) AS wc3
+    FROM px
+    JOIN p0v{_PC_ITERS}_ a ON px.d = a.vi
+    JOIN p1v{_PC_ITERS}_ b ON px.d = b.vi
+    JOIN p2v{_PC_ITERS}_ c ON px.d = c.vi
+    GROUP BY vec_id
+    """,
+)
+def embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-WHITENED top-3 coordinates: each projection divided by the
+    square root of its component's eigenvalue, so the output
+    coordinates have (approximately) unit variance per direction —
+    the decorrelated, scale-equalized representation semantic-dedup
+    and embedding-drift pipelines actually consume (raw projections
+    let the dominant direction drown cosine structure; whitening is
+    why the PCA tier exists, per the r6 verdict's framing). Exactness:
+    the projection rides embedding_pca_project's pico-quantized int64
+    sums; the eigenvalue is the iteration's final pre-normalization
+    norm, already hash-exact; sqrt is correctly rounded per IEEE-754
+    and the division is one exact double op on bit-identical inputs —
+    so the whitened coordinates are hash-checkable end to end, no new
+    transcendental exposure.
+
+    Scale: identical to embedding_pca_project — one map-side explode,
+    one broadcast join with the 64-row component table (eigenvalue
+    scaling folded into the same projection pass), one vec_id rollup
+    with map-side combine. The eigenvalues are 3 driver doubles."""
+    import math
+
+    comps = _pca_components(spark, sf_dir)
+    vdf = spark.createDataFrame(
+        [
+            (i, comps[0][0][i], comps[1][0][i], comps[2][0][i])
+            for i in range(len(comps[0][0]))
+        ],
+        "vi long, v1 double, v2 double, v3 double",
+    )
+    roots = [math.sqrt(lam) for _, lam in comps]
+    e = load_table(spark, sf_dir, "embeddings")
+    px = e.select(
+        "vec_id", F.posexplode("embedding").alias("d", "xf")
+    ).select("vec_id", "d", F.col("xf").cast("double").alias("x"))
+
+    def wcoord(vcol: str, root: float, out: str):
+        return (
+            F.sum(
+                F.floor(
+                    (F.col("x") * F.col(vcol)) * F.lit(float(_PC_SCALE))
+                    + F.lit(0.5)
+                ).cast("long")
+            ).cast("double")
+            / F.lit(float(_PC_SCALE))
+            / F.lit(root)
+        ).alias(out)
+
+    return (
+        px.join(F.broadcast(vdf), px["d"] == vdf["vi"])
+        .groupBy("vec_id")
+        .agg(
+            wcoord("v1", roots[0], "wc1"),
+            wcoord("v2", roots[1], "wc2"),
+            wcoord("v3", roots[2], "wc3"),
+        )
+    )

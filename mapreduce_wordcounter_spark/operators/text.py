@@ -2338,6 +2338,144 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- DSIR-style importance weighting -----------------------------------------
+#
+# Data Selection with Importance Resampling (Xie et al., 2023): score
+# every raw document by how much more likely its tokens are under a
+# TARGET distribution (here: the corpus's `lang = 'en'` slice standing
+# in for "looks like the high-quality domain") than under the RAW
+# corpus distribution, using cheap hashed/unigram bag-of-words models —
+# then keep the top of the ranking. This is the published scalable
+# recipe for "select pretraining data that looks like Wikipedia"
+# without running a model over 100 TB.
+
+_DSIR_TARGET_LANG = "en"  # the target-distribution slice
+_DSIR_TOPK = 64  # selection size served by dsir_topk_selection
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH tok AS ({_SQL_TOKEN_ROWS}),
+    freq AS (
+        SELECT word, COUNT(*) AS n,
+               SUM(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+                   AS nt
+        FROM tok WHERE word <> '' GROUP BY word),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(SUM(nt) AS BIGINT) AS ntt,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM freq),
+    lw AS (
+        SELECT word,
+               CAST(FLOOR(LN((CAST(nt AS DOUBLE) + 1.0)
+                             / CAST(ntt + v AS DOUBLE)) * 1000000.0 + 0.5)
+                    AS BIGINT)
+               - CAST(FLOOR(LN(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE))
+                            * 1000000.0 + 0.5) AS BIGINT) AS lw
+        FROM freq, tot)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(l.lw) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
+               AS mean_log_ratio,
+           (SUM(l.lw) >= 0) AS keep
+    FROM tok t JOIN lw l ON t.word = l.word
+    WHERE t.word <> ''
+    GROUP BY t.doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weight per document: the mean log importance
+    ratio of its tokens between a Laplace-smoothed TARGET unigram model
+    (the `lang = 'en'` slice; +1 smoothing over the full corpus
+    vocabulary so unseen-in-target words stay finite) and the RAW
+    corpus unigram model — the published importance-resampling score
+    for selecting pretraining data that resembles a trusted domain
+    (Xie et al., 2023). `keep` is the sign of the EXACT integer weight
+    sum (micro-quantized ln terms, int64 additions), so the decision
+    boundary has no float exposure; both ln terms ride the
+    doc_unigram_logprob quantize-then-sum recipe and are margin-checked
+    in tests/test_quantization_margin.py.
+
+    Plan: ONE vocabulary aggregate computes raw and target counts
+    together (the target count is a conditional sum — no second corpus
+    pass), the 1-row totals scalar broadcast onto it, and the per-word
+    weight relation (vocabulary-sized) broadcast back onto the token
+    stream with a doc_id rollup — tf_idf's posture end to end. At
+    100 TB: two map-combined shuffles (vocab, doc) over one scan."""
+    t = tokens(spark, sf_dir)
+    freq = t.groupBy("word").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("nt"),
+    )
+    tot = freq.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("nt").cast("long").alias("ntt"),
+        F.count("*").cast("long").alias("v"),
+    )
+    lw = (
+        F.floor(
+            F.log(
+                (F.col("nt").cast("double") + 1.0)
+                / (F.col("ntt") + F.col("v")).cast("double")
+            )
+            * 1_000_000
+            + F.lit(0.5)
+        ).cast("long")
+        - F.floor(
+            F.log(F.col("n").cast("double") / F.col("nn").cast("double"))
+            * 1_000_000
+            + F.lit(0.5)
+        ).cast("long")
+    )
+    weights = freq.join(F.broadcast(tot)).select("word", lw.alias("lw"))
+    return (
+        t.join(F.broadcast(weights), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum("lw").cast("double") / 1_000_000 / F.count("*"), 6
+            ).alias("mean_log_ratio"),
+            (F.sum("lw") >= 0).alias("keep"),
+        )
+    )
+
+
+@query(
+    "dsir_topk_selection",
+    # Derived-table nesting over the registered weights oracle (the
+    # corpus_health_report composition pattern).
+    oracle=f"""
+    WITH w AS ({{dsir}})
+    SELECT doc_id, n_tokens, mean_log_ratio
+    FROM w
+    ORDER BY mean_log_ratio DESC, doc_id
+    LIMIT {_DSIR_TOPK}
+    """.replace("{dsir}", ORACLE["dsir_importance_weights"]),
+)
+def dsir_topk_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR SELECTION step: the top-K documents by importance
+    weight (deterministic doc_id tiebreak) — the rows a curation
+    pipeline would actually forward to training. Ranking safety: the
+    weight is ROUND(exact-int / 1e6 / count, 6) — identical doubles on
+    both engines because the numerator is integer-exact — so the K-th/
+    K+1-th boundary cannot disagree cross-engine.
+
+    Scale: Spark plans orderBy().limit(K) as TakeOrderedAndProject —
+    per-partition top-K heaps merged on the driver, K rows of driver
+    state, no global sort."""
+    return (
+        dsir_importance_weights(spark, sf_dir)
+        .select("doc_id", "n_tokens", "mean_log_ratio")
+        .orderBy(F.desc("mean_log_ratio"), F.asc("doc_id"))
+        .limit(_DSIR_TOPK)
+    )
+
+
 # --- Source-level (domain-level) curation -----------------------------------
 #
 # CCNet/RefinedWeb gate whole DOMAINS, not just documents: a source whose

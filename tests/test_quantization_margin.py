@@ -143,6 +143,37 @@ def test_unigram_logprob_terms_clear_quantization_boundaries(duck):
     assert _min_margin(term * 1e6) > 1.0
 
 
+def test_dsir_terms_clear_quantization_boundaries(duck):
+    """dsir_importance_weights micro-quantizes two ln terms per word:
+    the Laplace-smoothed target-slice logprob and the raw-corpus
+    logprob. Both must clear their floor boundaries."""
+    from mapreduce_wordcounter_spark.operators.text import _DSIR_TARGET_LANG
+
+    rows = duck.execute(
+        f"""
+        WITH freq AS (
+            SELECT word, COUNT(*) AS n,
+                   SUM(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN 1
+                       ELSE 0 END) AS nt
+            FROM (SELECT lang, unnest(list_filter(regexp_split_to_array(
+                      lower(text), '[^\\p{{L}}]+'), x -> x <> '')) AS word
+                  FROM documents) t
+            GROUP BY word)
+        SELECT n, nt, (SELECT SUM(n) FROM freq) AS nn,
+               (SELECT SUM(nt) FROM freq) AS ntt,
+               (SELECT COUNT(*) FROM freq) AS v
+        FROM freq
+        """
+    ).fetchnumpy()
+    n = rows["n"].astype(np.float64)
+    nt = rows["nt"].astype(np.float64)
+    nn = rows["nn"].astype(np.float64)
+    ntt = rows["ntt"].astype(np.float64)
+    v = rows["v"].astype(np.float64)
+    for term in (np.log((nt + 1.0) / (ntt + v)), np.log(n / nn)):
+        assert _min_margin(term * 1e6) > 1.0
+
+
 def test_bigram_logprob_terms_clear_quantization_boundaries(duck):
     rows = duck.execute(
         """

@@ -421,3 +421,42 @@ def test_pca_project3_consistent_with_components(spark):
         got = np.array(proj[vid])
         want = V @ x
         assert np.allclose(got, want, atol=1e-6), (vid, got, want)
+
+
+def test_pca_whiten_unit_variance_and_exact_scaling(spark):
+    """The whitened coordinates must be (a) EXACTLY the raw projection
+    divided by sqrt(eigenvalue) — one IEEE double division, so
+    bit-equality, not allclose — and (b) approximately unit-variance
+    per direction: var(pc_m) is the Rayleigh quotient v'Cv while the
+    served eigenvalue is the final pre-normalization norm ||C v||, so
+    the ratio is 1 only up to power-iteration convergence — bounded
+    here at +/-25% on the near-degenerate tail components."""
+    import math
+
+    import numpy as np
+
+    from tests.conftest import SF_SMOKE
+
+    lam = {
+        r["component"]: r["eigenvalue"]
+        for r in _QUERIES["embedding_pca_top3"](spark, SF_SMOKE)
+        .select("component", "eigenvalue")
+        .distinct()
+        .collect()
+    }
+    proj = {
+        r["vec_id"]: (r["pc1"], r["pc2"], r["pc3"])
+        for r in _QUERIES["embedding_pca_project"](spark, SF_SMOKE).collect()
+    }
+    wh = {
+        r["vec_id"]: (r["wc1"], r["wc2"], r["wc3"])
+        for r in _QUERIES["embedding_pca_whiten"](spark, SF_SMOKE).collect()
+    }
+    assert wh.keys() == proj.keys()
+    roots = [math.sqrt(lam[m]) for m in range(3)]
+    for vid, (p1, p2, p3) in proj.items():
+        w = wh[vid]
+        assert w == (p1 / roots[0], p2 / roots[1], p3 / roots[2]), vid
+    W = np.array(list(wh.values()))
+    for m in range(3):
+        assert 0.75 < float(W[:, m].var()) < 1.25, (m, W[:, m].var())
