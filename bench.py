@@ -159,6 +159,14 @@ HEADLINE = [
     "table_bloom_point_lookup",
     "model_registry_lineage",
     "quality_lr_holdout_auc",
+    # round 7: PCA deflation + whitening, hashed-feature classifier,
+    # DSIR importance selection
+    "embedding_pca_top3",
+    "embedding_pca_whiten",
+    "quality_lr_train_hashed",
+    "quality_lr_hashed_holdout_auc",
+    "dsir_importance_weights",
+    "dsir_topk_selection",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries
@@ -179,7 +187,9 @@ BUILD_TIER = {
     "bpe_learn_merges",
     "bpe_subword_vocab",
     "quality_lr_train",
+    "quality_lr_train_hashed",
     "embedding_pca_top_component",
+    "embedding_pca_top3",
     # offline audits (contain an exact/quadratic reference tier or a
     # whole-index recall sweep by design)
     "lsh_recall_vs_exact",

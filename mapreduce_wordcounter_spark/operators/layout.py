@@ -135,7 +135,7 @@ def _distributed_ntile(
 
 
 def distributed_rank(
-    df: DataFrame, order_cols: list, out: str = "rank", n_parts: int = 32
+    df: DataFrame, order_cols: list, out: str = "rank", n_parts: int | None = None
 ) -> DataFrame:
     """Global ROW_NUMBER() over a TOTAL order (``order_cols`` must be
     tie-free — include a unique key) without a single-partition
@@ -145,24 +145,51 @@ def distributed_rank(
     from Spark's per-partition-seeded sampling), each range ranks
     locally (window partitioned on the range id), and the per-range
     row counts cumulative-sum into offsets — an ``n_parts``-row
-    (constant, 32) relation whose tiny global window is the only
-    unpartitioned one — broadcast-joined back to lift local ranks to
-    global.
+    (bounded by the session's core count) relation whose tiny global
+    window is the only unpartitioned one — broadcast-joined back to
+    lift local ranks to global.
 
-    ONE lazy query, not a pin + driver read: the offsets subtree and
-    the ranking subtree share the identical range exchange, which
-    Spark's exchange-reuse materializes ONCE (`ReusedExchange` in the
-    post-AQE plan — pinned by tests/test_plans.py, because the
-    single-materialization is also the correctness argument: both
-    consumers read the same shuffle output, so the range assignment
-    cannot diverge between them). Contrast with
-    layout._distributed_ntile, which needs a caller-supplied
-    order-preserving bucket key: this helper derives balanced buckets
-    from the data, so it also handles keys with huge tie-plateaus
-    (e.g. word counts, where half the vocabulary shares cnt=1 and any
-    value-banded bucket collapses)."""
-    part = df.repartitionByRange(n_parts, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    ``n_parts`` defaults to max(4, defaultParallelism // 8): the
+    ranked relation is key-grain (vocabulary, customers) — far
+    smaller than the corpus — so a fraction of the session's cores
+    keeps every range a real unit of work while bounding the fixed
+    per-range scheduling cost (measured at local[32] on a
+    vocabulary-sized relation: 32 ranges 0.78 s, 8 ranges 0.56 s,
+    4 ranges 0.45 s — pure task overhead). On a 1000-executor
+    cluster defaultParallelism scales the range count with the
+    hardware; pass n_parts explicitly to override either
+    direction.
+
+    The partitioned relation is PERSISTED (session.pin) and both the
+    offsets subtree and the ranking subtree read that one
+    materialization — the correctness invariant is that both consumers
+    see the SAME range assignment, and Spark does not guarantee it
+    otherwise: range-exchange boundaries come from sampling seeded by
+    the physical RDD id, so two plan-identical exchanges CAN sample
+    different boundaries (observed: inside a multi-rank join
+    composition exchange-reuse stopped firing, the offsets/ranking
+    subtrees planned 2 independent exchanges per rank, and ranks went
+    wrong at tile boundaries — caught by the both-paths-equal pin in
+    tests/test_plans.py). Exchange reuse, when it fires, merely makes
+    the cache read cheap; the persist is what makes it CORRECT. A
+    cache-evicted partition recomputes through the same RDD lineage
+    (same sampling seed), so eviction cannot re-split ranges. No
+    driver collect: offsets are the n_parts-row cumulative sum,
+    broadcast-joined back. Contrast with layout._distributed_ntile,
+    which needs a caller-supplied order-preserving bucket key: this
+    helper derives balanced buckets from the data, so it also handles
+    keys with huge tie-plateaus (e.g. word counts, where half the
+    vocabulary shares cnt=1 and any value-banded bucket collapses)."""
+    from mapreduce_wordcounter_spark.session import pin
+
+    if n_parts is None:
+        n_parts = max(
+            4, df.sparkSession.sparkContext.defaultParallelism // 8
+        )
+    part = pin(
+        df.repartitionByRange(n_parts, *order_cols).withColumn(
+            "__pid", F.spark_partition_id()
+        )
     )
     counts = part.groupBy("__pid").agg(F.count("*").alias("__bn"))
     offs = counts.withColumn(

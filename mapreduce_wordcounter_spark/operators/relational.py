@@ -2417,7 +2417,8 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one groupBy over orders to customer grain, then three EXACT
     NTILEs over the customer relation, chosen SIZE-ADAPTIVELY from
-    the measured customer count (a bounded driver scalar): below
+    the ORDERS row count — a parquet-metadata read that upper-bounds
+    the customer count, so the probe is free: below
     _RFM_DISTRIBUTED_ROWS the plain global rank window wins (one
     in-memory sort of a small relation — the distributed construction
     costs ~6 extra tiny stages of pure scheduling at that size);
@@ -2434,8 +2435,15 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("frequency"),
         dsum(F.col("o_totalprice"), "monetary"),
     )
-    n_total = m.count()  # bounded driver scalar (customer count)
-    if n_total <= _RFM_DISTRIBUTED_ROWS:
+    # Strategy probe: the ORDERS row count upper-bounds the customer
+    # count and reads as cached catalog statistics (tables.table_rows
+    # — parquet-footer metadata, cached per session like an optimizer
+    # stats lookup), so the common small case decides for free; only
+    # the distributed branch — which needs the EXACT count for
+    # NTILE's closed form anyway — pays for an aggregate count job.
+    from mapreduce_wordcounter_spark.tables import table_rows
+
+    if table_rows(spark, sf_dir, "orders") <= _RFM_DISTRIBUTED_ROWS:
         from pyspark.sql import Window as W
 
         r = F.ntile(5).over(
@@ -2453,6 +2461,13 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return _rfm_segment_select(scored)
     from mapreduce_wordcounter_spark.operators.layout import distributed_rank
+    from mapreduce_wordcounter_spark.session import pin
+
+    # The distributed branch needs the exact customer count for the
+    # NTILE closed form; pin first so the count job and the three
+    # ranks share one materialization of the customer aggregate.
+    m = pin(m)
+    n_total = m.count()  # bounded driver scalar (customer count)
 
     def tile(rk: str):
         # NTILE(k) from a global rank: first n % k tiles take
@@ -2475,12 +2490,7 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not a chain: chaining rank2 onto rank1's output doubles the
     # plan subtree per level (counts + ranking branches), which
     # planning/codegen pays for even after AQE dedups the materialized
-    # exchanges (measured 2.4 s chained vs ~1 s flat at sf0.1). The
-    # base customer aggregate is pinned so the three ranks and the
-    # final join share one materialization.
-    from mapreduce_wordcounter_spark.session import pin
-
-    m = pin(m)
+    # exchanges (measured 2.4 s chained vs ~1 s flat at sf0.1).
     scored = m
     for metric, out in (
         ("last_order", "r"), ("frequency", "f"), ("monetary", "mny"),

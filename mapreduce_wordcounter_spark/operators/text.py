@@ -2055,18 +2055,27 @@ def doc_mean_word_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature next to the Gopher gates. Rank is a total order
     (count desc, word), so the integer rank sums are engine-exact.
 
-    Plan: the frequency ranking is vocabulary-sized, computed with
-    layout.distributed_rank (range-partition + broadcast offsets — no
-    single-partition window over the vocab), then broadcast back onto
-    the token stream (tf_idf's df-broadcast posture); one doc_id
-    rollup."""
-    from mapreduce_wordcounter_spark.operators.layout import distributed_rank
+    Plan: the frequency ranking is vocabulary-sized and its CONSUMER
+    broadcast-joins it onto the token stream — the query's own join
+    strategy caps the relation at broadcast scale, so the plain global
+    rank window is bounded by the same constraint that makes the join
+    viable (at the vocabulary size where the window would hurt, the
+    broadcast dies first; strategy-consistency is the whitelist
+    justification in tests/test_plan_hygiene.py). A corpus whose
+    vocabulary outgrows broadcast needs the shuffle-join + layout.
+    distributed_rank pair — zipf_slope demonstrates exactly that
+    posture over the same relation. One doc_id rollup after the
+    join."""
+    from pyspark.sql import Window as W
 
     t = tokens(spark, sf_dir)
     freq = t.groupBy("word").agg(F.count("*").alias("n"))
-    ranked = distributed_rank(
-        freq, [F.desc("n"), F.asc("word")]
-    ).select("word", "rank")
+    ranked = freq.select(
+        "word",
+        F.row_number()
+        .over(W.orderBy(F.desc("n"), F.asc("word")))
+        .alias("rank"),
+    )
     return (
         t.join(F.broadcast(ranked), "word")
         .groupBy("doc_id")

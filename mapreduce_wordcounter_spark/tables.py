@@ -56,6 +56,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+_ROWS_CACHE: dict[tuple[str, str, str], int] = {}
+
+
+def table_rows(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Row count of a base table, cached per (session, sf_dir, table) —
+    CATALOG-STATISTICS semantics: the count is a parquet-footer
+    metadata read (no data pages) and base tables are immutable for a
+    session, so strategy probes (e.g. orders_rfm_segments' size-
+    adaptive NTILE) read it like an optimizer reads table stats
+    instead of re-running a count job per query build. A production
+    deployment gets this number from the catalog/manifest for free;
+    the cache is that catalog."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    n = _ROWS_CACHE.get(key)
+    if n is None:
+        n = load_table(spark, sf_dir, name).count()
+        _ROWS_CACHE[key] = n
+    return n
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so SQL-form queries can run."""
     for name in TABLES:

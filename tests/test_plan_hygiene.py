@@ -100,6 +100,13 @@ _ALLOWED_BOUNDED_GLOBAL_WINDOW: set[str] = {
     "source_lang_chisq",  # source x lang grid
     "orders_open_backlog",  # month-grain relation (~84 rows)
     "vocab_top1k",  # LIMIT-1000-capped relation feeds the id window
+    # strategy-consistency: the windowed vocab relation is broadcast-
+    # joined by the SAME query (explicit F.broadcast), so the join
+    # strategy already caps it at broadcast scale — the global window
+    # is bounded by the constraint that makes the join viable. The
+    # unbounded-vocab posture (shuffle join + distributed_rank) is
+    # demonstrated by zipf_slope over the same relation.
+    "doc_mean_word_rank",
     # size-adaptive: at the plan-build SF the measured customer count
     # selects the small-side exact-window strategy; the distributed
     # path is plan-checked + result-pinned in tests/test_plans.py

@@ -229,28 +229,57 @@ def test_arrow_udf_plans_arrow_not_row_python(spark):
     assert "BatchEvalPython" not in plan, plan
 
 
-def test_distributed_rank_reuses_one_range_exchange(spark):
-    """layout.distributed_rank's correctness argument is that the
-    offsets subtree and the ranking subtree read the SAME materialized
-    range shuffle — pin that the post-AQE executed plan contains a
-    ReusedExchange of the rangepartitioning exchange (if reuse ever
-    stopped firing, the two subtrees could in principle re-sample
-    boundaries independently)."""
+def test_distributed_rank_single_materialized_range_assignment(spark):
+    """layout.distributed_rank's correctness invariant: the offsets
+    subtree and the ranking subtree must read the SAME materialized
+    range assignment. Spark does NOT guarantee that two plan-identical
+    range exchanges sample the same boundaries (sampling is seeded by
+    the physical RDD id; observed divergence inside a multi-rank join
+    where exchange-reuse stopped firing), so the helper persists the
+    partitioned relation — pin that the executed plan reads it via
+    InMemoryTableScan and plans exactly ONE rangepartitioning
+    exchange."""
     from pyspark.sql import functions as F
 
     from mapreduce_wordcounter_spark.operators.layout import distributed_rank
+    from mapreduce_wordcounter_spark.session import release_pinned
     from mapreduce_wordcounter_spark.tables import load_table
     from tests.conftest import SF_ORACLE
 
     df = load_table(spark, SF_ORACLE, "documents").select("doc_id", "n_chars")
-    ranked = distributed_rank(df, [F.desc("n_chars"), F.asc("doc_id")])
-    ranked.collect()
-    node = ranked._jdf.queryExecution().executedPlan()
-    if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
-        node = node.executedPlan()
-    plan = node.toString()
-    assert "ReusedExchange" in plan, plan
-    assert "rangepartitioning" in plan
+    try:
+        ranked = distributed_rank(df, [F.desc("n_chars"), F.asc("doc_id")])
+        ranked.collect()
+        node = ranked._jdf.queryExecution().executedPlan()
+        if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            node = node.executedPlan()
+
+        # Tree-walk the executed plan (NOT the string form — every
+        # InMemoryTableScan PRINTS its cached lineage, exchange
+        # included, so string-counting overcounts): both consumers must
+        # read the cache, and no range exchange may execute outside it.
+        cache_scans, live_range_exchanges = 0, 0
+
+        def walk(n):
+            nonlocal cache_scans, live_range_exchanges
+            name = n.nodeName()
+            if "InMemoryTableScan" in name:
+                cache_scans += 1
+                return  # below this, lineage executes only on cache miss
+            if "Exchange" in name and "rangepartitioning" in n.toString().splitlines()[0]:
+                live_range_exchanges += 1
+            if "QueryStage" in name:
+                walk(n.plan())
+                return
+            ch = n.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i))
+
+        walk(node)
+        assert cache_scans >= 2, node.toString()
+        assert live_range_exchanges == 0, node.toString()
+    finally:
+        release_pinned()
 
 
 def test_distributed_rank_matches_global_window(spark):

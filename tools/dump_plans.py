@@ -178,6 +178,16 @@ SHOWCASE = [
     "embedding_covariance",
     "epoch_shuffle_assignments",
     "table_bloom_point_lookup",
+    # round 7: PCA deflation/whitening, hashed classifier, DSIR,
+    # collect-free global rank
+    "embedding_pca_top3",
+    "embedding_pca_project",
+    "embedding_pca_whiten",
+    "quality_lr_train_hashed",
+    "quality_lr_hashed_holdout_auc",
+    "dsir_importance_weights",
+    "dsir_topk_selection",
+    "zipf_slope",
 ]
 
 # Belt-and-braces: a duplicated SHOWCASE entry (it has happened) would
