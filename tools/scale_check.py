@@ -61,6 +61,13 @@ TARGETS = [
     # once in the warm-up pass — the once-per-corpus posture — so the
     # timed passes measure map-only scoring, the path that sees 100 TB)
     "quality_lr_predict",
+    # round 7: DSIR selection (two map-combined shuffles over one
+    # scan) and the broadcast-rank quality feature — both documents-
+    # driven, so they grow with the blow-up. (embedding_pca_whiten /
+    # orders_rfm_segments are embeddings/orders-driven — those tables
+    # are symlinked unchanged, so a measurement would be vacuous.)
+    "dsir_importance_weights",
+    "doc_mean_word_rank",
 ]
 
 
