@@ -167,6 +167,7 @@ HEADLINE = [
     "quality_lr_hashed_holdout_auc",
     "dsir_importance_weights",
     "dsir_topk_selection",
+    "stream_dsir_lang_mass",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries

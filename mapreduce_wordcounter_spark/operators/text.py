@@ -2362,10 +2362,47 @@ _DSIR_TARGET_LANG = "en"  # the target-distribution slice
 _DSIR_TOPK = 64  # selection size served by dsir_topk_selection
 
 
-@query(
-    "dsir_importance_weights",
-    oracle=f"""
-    WITH tok AS ({_SQL_TOKEN_ROWS}),
+def _dsir_word_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained half of DSIR: per-word micro-quantized log
+    importance weight `lw` between the Laplace-smoothed target-slice
+    unigram model and the raw corpus model. ONE vocabulary aggregate
+    computes both counts (the target count is a conditional sum), the
+    1-row totals scalar broadcasts onto it. Vocabulary-sized — the
+    model table both the batch scorer and the stream-static serving
+    join consume."""
+    freq = tokens(spark, sf_dir).groupBy("word").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("nt"),
+    )
+    tot = freq.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("nt").cast("long").alias("ntt"),
+        F.count("*").cast("long").alias("v"),
+    )
+    lw = (
+        F.floor(
+            F.log(
+                (F.col("nt").cast("double") + 1.0)
+                / (F.col("ntt") + F.col("v")).cast("double")
+            )
+            * 1_000_000
+            + F.lit(0.5)
+        ).cast("long")
+        - F.floor(
+            F.log(F.col("n").cast("double") / F.col("nn").cast("double"))
+            * 1_000_000
+            + F.lit(0.5)
+        ).cast("long")
+    )
+    return freq.join(F.broadcast(tot)).select("word", lw.alias("lw"))
+
+
+# Shared oracle fragment: token rows -> per-word DSIR weight (lw).
+# Consumed by the batch scorer, the top-K selection (via nesting), and
+# the stream-static serving twin in streaming/windows.py.
+_DSIR_LW_CTES = f"""tok AS ({_SQL_TOKEN_ROWS}),
     freq AS (
         SELECT word, COUNT(*) AS n,
                SUM(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
@@ -2383,7 +2420,13 @@ _DSIR_TOPK = 64  # selection size served by dsir_topk_selection
                     AS BIGINT)
                - CAST(FLOOR(LN(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE))
                             * 1000000.0 + 0.5) AS BIGINT) AS lw
-        FROM freq, tot)
+        FROM freq, tot)"""
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH {_DSIR_LW_CTES}
     SELECT t.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
            ROUND(CAST(SUM(l.lw) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
@@ -2414,33 +2457,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream with a doc_id rollup — tf_idf's posture end to end. At
     100 TB: two map-combined shuffles (vocab, doc) over one scan."""
     t = tokens(spark, sf_dir)
-    freq = t.groupBy("word").agg(
-        F.count("*").alias("n"),
-        F.sum(
-            F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)
-        ).alias("nt"),
-    )
-    tot = freq.agg(
-        F.sum("n").cast("long").alias("nn"),
-        F.sum("nt").cast("long").alias("ntt"),
-        F.count("*").cast("long").alias("v"),
-    )
-    lw = (
-        F.floor(
-            F.log(
-                (F.col("nt").cast("double") + 1.0)
-                / (F.col("ntt") + F.col("v")).cast("double")
-            )
-            * 1_000_000
-            + F.lit(0.5)
-        ).cast("long")
-        - F.floor(
-            F.log(F.col("n").cast("double") / F.col("nn").cast("double"))
-            * 1_000_000
-            + F.lit(0.5)
-        ).cast("long")
-    )
-    weights = freq.join(F.broadcast(tot)).select("word", lw.alias("lw"))
+    weights = _dsir_word_weights(spark, sf_dir)
     return (
         t.join(F.broadcast(weights), "word")
         .groupBy("doc_id")

@@ -990,6 +990,83 @@ def _share_quality_oracle() -> None:
 _share_quality_oracle()
 
 
+@query(
+    "stream_dsir_lang_mass",
+    oracle=None,  # set below from the shared DSIR weight CTEs
+)
+def stream_dsir_lang_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR served as a MODEL TABLE in-stream: the per-word importance
+    weight relation is trained offline (operators.text's one
+    vocabulary aggregate), then a document stream explodes to tokens
+    and STREAM-STATIC broadcast-joins the weight table — the
+    vocabulary-sized-artifact serving shape (contrast with
+    stream_lr_keep_counts, whose 5-double model rides as literals; a
+    weight TABLE refreshes by replacing the static side, no restart
+    needed in a real deployment). Output: per-language token count and
+    the EXACT int64 importance-mass sum — the per-slice signal a
+    streaming curation pipeline monitors to see which languages are
+    drifting toward/away from the target distribution. The sum is
+    micro-quantized-exact, so stream/batch equivalence is a hash
+    check, not a tolerance.
+
+    Scale: the stream side is a stateless explode + broadcast join
+    fused per micro-batch; the only streaming state is the bounded
+    per-language counters (complete-mode aggregate)."""
+    from mapreduce_wordcounter_spark.operators.text import _dsir_word_weights
+    from mapreduce_wordcounter_spark.operators.wordcount import TOKEN_SEP
+
+    weights = _dsir_word_weights(spark, sf_dir)
+    raw = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    tok = raw.select(
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), TOKEN_SEP)).alias("word"),
+    ).filter(F.col("word") != "")
+    agg = (
+        tok.join(F.broadcast(weights), "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lw").cast("long").alias("lw_micro_sum"),
+        )
+    )
+    name = "stream_dsir_" + uuid.uuid4().hex[:8]
+    with stream_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    return spark.table(name)
+
+
+def _share_dsir_oracle() -> None:
+    from mapreduce_wordcounter_spark.operators.text import _DSIR_LW_CTES
+    from mapreduce_wordcounter_spark.registry import ORACLE
+
+    ORACLE["stream_dsir_lang_mass"] = f"""
+    WITH {_DSIR_LW_CTES}
+    SELECT t.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(l.lw) AS BIGINT) AS lw_micro_sum
+    FROM tok t JOIN lw l ON t.word = l.word
+    WHERE t.word <> ''
+    GROUP BY t.lang
+    """
+
+
+_share_dsir_oracle()
+
+
 # --- Exact distinct users per window (chained stateful operators) -----------
 
 _DISTINCT_ORACLE = f"""
