@@ -754,3 +754,57 @@ def test_merge_across_schema_evolution_boundary(spark, tmp_path):
     assert out[5] == (2000.0, None)  # pre-evolution file, updated
     assert out[100] == (3000.0, "x")  # evolved file keeps its tag
     assert len(out) == 21
+
+
+def test_parquet_checkpoint_stats_relation(spark, tmp_path):
+    """The columnar checkpoint half: past a checkpoint, stats_relation
+    resolves (parquet base + churn-sized delta patches) and matches the
+    JSON-resolved maps row for row; the metadata-first probe gives the
+    SAME candidate set through both paths; vacuum removes expired
+    parquet sidecars with their JSON twins."""
+    vt = VersionedTable(
+        str(tmp_path / "pc"), stats_col="k", bloom=True, checkpoint_interval=2
+    )
+    df = (
+        spark.range(100)
+        .select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        .repartitionByRange(4, "k")
+    )
+    vt.create(df)
+    for i in range(1, 4):  # v1..v3: checkpoint lands at v2
+        vt.append(
+            spark.createDataFrame(
+                [(100 + i, float(i))], "k bigint, v double"
+            ).coalesce(1)
+        )
+    assert os.path.exists(vt._checkpoint_stats_path(2))
+    # young version (v1, before any checkpoint): honest None fallback
+    assert vt.stats_relation(spark, 1) is None
+
+    snap = vt.snapshot(3)  # v3 = parquet base v2 + one delta patch
+    rel = vt.stats_relation(spark, 3)
+    assert rel is not None
+    rows = {r["file"]: r for r in rel.collect()}
+    assert set(rows) == set(snap["files"])
+    for f, s in snap["stats"].items():
+        assert [rows[f]["lo"], rows[f]["hi"]] == list(s)
+    for f, b in snap["blooms"].items():
+        assert rows[f]["bloom_hex"] == b["hex"]
+        assert rows[f]["bloom_m"] == b["m"]
+
+    # probe equivalence: parquet-relation path == JSON-map path
+    keys = spark.createDataFrame([(15,), (101,)], ["__k"])
+    via_parquet = vt._candidate_files(spark, keys, "__k", snap)
+    cks = vt._checkpoint_stats_path(2)
+    saved = cks + ".hidden"
+    os.rename(cks, saved)
+    try:
+        via_json = vt._candidate_files(spark, keys, "__k", snap)
+    finally:
+        os.rename(saved, cks)
+    assert via_parquet == via_json
+    assert 0 < len(via_parquet) < len(snap["files"])
+
+    # vacuum expires the parquet sidecar together with the JSON one
+    vt.vacuum(retain_last=1, orphan_grace_sec=3600)
+    assert not os.path.exists(vt._checkpoint_stats_path(2))
