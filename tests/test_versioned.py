@@ -808,3 +808,40 @@ def test_parquet_checkpoint_stats_relation(spark, tmp_path):
     # vacuum expires the parquet sidecar together with the JSON one
     vt.vacuum(retain_last=1, orphan_grace_sec=3600)
     assert not os.path.exists(vt._checkpoint_stats_path(2))
+
+
+def test_parquet_checkpoint_stats_string_typed(spark, tmp_path):
+    """stats_relation must survive a NON-numeric stats column: the
+    parquet sidecar infers lo/hi as strings and churn-sized delta adds
+    union against that schema; probe equivalence holds both paths."""
+    vt = VersionedTable(
+        str(tmp_path / "ps"), stats_col="name", bloom=True,
+        checkpoint_interval=2,
+    )
+    df = spark.createDataFrame(
+        [("alice", 1), ("bob", 2), ("carol", 3), ("dave", 4)],
+        "name string, v int",
+    ).repartitionByRange(2, "name")
+    vt.create(df)
+    for i, nm in enumerate(["erin", "frank", "grace"]):
+        vt.append(
+            spark.createDataFrame([(nm, 10 + i)], "name string, v int")
+            .coalesce(1)
+        )
+    snap = vt.snapshot(3)
+    rel = vt.stats_relation(spark, 3)
+    assert rel is not None
+    rows = {r["file"]: (r["lo"], r["hi"]) for r in rel.collect()}
+    assert set(rows) == set(snap["files"])
+    for f, s in snap["stats"].items():
+        assert rows[f] == tuple(s)
+    keys = spark.createDataFrame([("bob",), ("erin",)], ["__k"])
+    via_parquet = vt._candidate_files(spark, keys, "__k", snap)
+    cks = vt._checkpoint_stats_path(2)
+    os.rename(cks, cks + ".hidden")
+    try:
+        via_json = vt._candidate_files(spark, keys, "__k", snap)
+    finally:
+        os.rename(cks + ".hidden", cks)
+    assert via_parquet == via_json
+    assert 0 < len(via_parquet) < len(snap["files"])
