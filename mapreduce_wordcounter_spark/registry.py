@@ -70,6 +70,13 @@ DRIVER_WINDOW: list[str] = [
     # driver's hard hash check next to mv_incremental_refresh's
     # derived-table path. Green in every r7 full driver-style sweep
     # before entering the window.)
+    # (late r7: minhash_signatures ceded its slot to
+    # dsir_importance_weights — the minhash chain stays hard-checked
+    # THROUGH lsh_verified_pairs, which replays signatures -> bands ->
+    # verification end-to-end in the window, while the swap-in puts
+    # the round-7 data-SELECTION family (DSIR importance resampling,
+    # exact int64 keep boundary) under the driver's hash check. Green
+    # in both full driver-style sweeps this round before entering.)
     "wc_counts",
     "wc_vocab",
     "wc_top100",
@@ -111,7 +118,7 @@ DRIVER_WINDOW: list[str] = [
     "dedup_exact",
     "dedup_paragraphs",
     "jaccard_near_dup_pairs",
-    "minhash_signatures",
+    "dsir_importance_weights",
     # late r5: lsh_candidate_pairs (subsumed by lsh_verified_pairs,
     # which replays candidates before verifying) ceded its slot to the
     # lossless prefix-filtered exact join

@@ -54,6 +54,9 @@ def test_driver_window_covers_every_family() -> None:
         "quality_lr_train",
         "mv_incremental_refresh",
         "embedding_pca_top_component",
+        # r7 swap-ins: CDC protocol + data-selection representatives
+        "table_changes_feed",
+        "dsir_importance_weights",
     }
     assert must_have <= window
 
