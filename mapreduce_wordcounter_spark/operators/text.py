@@ -2502,6 +2502,73 @@ def dsir_topk_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSIR_SAMPLE_DEN = 10  # dsir_sample_fraction keeps 1/10 of the corpus
+
+
+@query(
+    "dsir_sample_fraction",
+    # Derived-table nesting over the registered weights oracle; the
+    # rank/threshold replay is ROW_NUMBER over the same total order.
+    oracle=f"""
+    WITH w AS ({{dsir}}),
+    r AS (
+        SELECT doc_id, n_tokens, mean_log_ratio,
+               ROW_NUMBER() OVER (
+                   ORDER BY mean_log_ratio DESC, doc_id) AS sel_rank,
+               COUNT(*) OVER () AS n_docs
+        FROM w)
+    SELECT doc_id, n_tokens, mean_log_ratio,
+           CAST(sel_rank AS BIGINT) AS sel_rank
+    FROM r WHERE sel_rank * {_DSIR_SAMPLE_DEN} <= n_docs
+    """.replace("{dsir}", ORACLE["dsir_importance_weights"]),
+)
+def dsir_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection at FRACTION scale — the published resampling
+    step a 100 TB curation run actually executes (Xie et al., 2023:
+    select a target-sized subset by importance weight), vs the K=64
+    TakeOrdered demo above: keep the top ``1/_DSIR_SAMPLE_DEN`` of the
+    corpus by importance weight. The threshold is an exact QUANTILE of
+    the ranking order, stated as the integer comparison
+    ``sel_rank * 10 <= n_docs`` — no float boundary, so the selected
+    set is identical cross-engine (the weight itself is
+    ROUND(exact-int / 1e6 / count, 6): identical doubles both sides,
+    and ties break on doc_id, making the order total).
+
+    Scale: a 10%-of-corpus selection cannot TakeOrdered (millions of
+    driver-heap rows); instead the weights relation gets a GLOBAL rank
+    via layout.distributed_rank — range-repartition on (weight DESC,
+    doc_id), local ranks, an n_parts-row offset table broadcast back —
+    then one filter against the 1-row corpus-count scalar (computed
+    from the SAME persisted range assignment, so no second corpus
+    scan). No global sort, no single-partition window, selection cost
+    ∝ corpus / cores. Output keeps ``sel_rank`` so a downstream epoch
+    shuffle / pack step can consume the selection order directly."""
+    from mapreduce_wordcounter_spark.operators.layout import distributed_rank
+
+    w = dsir_importance_weights(spark, sf_dir).select(
+        "doc_id", "n_tokens", "mean_log_ratio"
+    )
+    ranked = distributed_rank(
+        w,
+        [F.desc("mean_log_ratio"), F.asc("doc_id")],
+        out="sel_rank",
+    )
+    # n_docs from the ranked relation itself: reads the persisted
+    # range assignment distributed_rank pinned, not a fresh corpus
+    # scan of the weights pipeline.
+    tot = ranked.agg(F.max("sel_rank").cast("long").alias("__nd"))
+    return (
+        ranked.join(F.broadcast(tot))
+        .filter(F.col("sel_rank") * _DSIR_SAMPLE_DEN <= F.col("__nd"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "mean_log_ratio",
+            F.col("sel_rank").cast("long").alias("sel_rank"),
+        )
+    )
+
+
 # --- Source-level (domain-level) curation -----------------------------------
 #
 # CCNet/RefinedWeb gate whole DOMAINS, not just documents: a source whose

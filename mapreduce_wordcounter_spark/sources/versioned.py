@@ -100,8 +100,19 @@ class VersionedTable:
         # Resolved-snapshot cache: manifests are immutable once
         # published, so a resolved version never changes; entries are
         # served only while the backing manifest still exists (vacuum
-        # expiry must keep raising FileNotFoundError).
+        # expiry must keep raising FileNotFoundError). Bounded (oldest
+        # insertion evicted past _SNAP_CACHE_MAX) so a long-lived
+        # session doing many time-travel reads can't grow it without
+        # limit, and served as COPIES (see snapshot()).
         self._snap_cache: dict[int, dict] = {}
+
+    _SNAP_CACHE_MAX = 128
+    # stats_relation replay bounds (ADVICE r7): past this much chain
+    # churn a fresh parquet sidecar is cheaper than plan-side patches;
+    # past this many removed files per delta, an anti-join replaces the
+    # isin literal list.
+    _STATS_REPLAY_MAX_CHURN = 4096
+    _STATS_REMOVE_ISIN_MAX = 64
 
     # -- snapshot log ---------------------------------------------------
 
@@ -144,21 +155,35 @@ class VersionedTable:
         self-contained base manifest) plus at most
         ``checkpoint_interval`` delta replays — never by reading the
         whole log. Raises FileNotFoundError for expired (vacuumed)
-        versions even on a cache hit."""
+        versions even on a cache hit.
+
+        Returns a SHALLOW-PLUS copy (fresh dict, fresh files list,
+        fresh stats/blooms maps): resolved snapshots are cached, and a
+        caller mutating the returned structure must not silently
+        corrupt every later resolve of that version (ADVICE r7)."""
         if version is None:
             version = self.latest_version()
             if version is None:
                 raise FileNotFoundError(f"no snapshots at {self.path}")
-        cached = self._snap_cache.get(version)
-        if cached is not None:
+        snap = self._snap_cache.get(version)
+        if snap is not None:
             if not os.path.exists(self._manifest_path(version)):
                 raise FileNotFoundError(
                     f"version {version} expired at {self.path}"
                 )
-            return cached
-        snap = self._resolve(version)
+        else:
+            snap = self._resolve(version)
+            self._cache_snapshot(version, snap)
+        out = dict(snap)
+        out["files"] = list(snap.get("files") or [])
+        out["stats"] = dict(snap.get("stats") or {})
+        out["blooms"] = dict(snap.get("blooms") or {})
+        return out
+
+    def _cache_snapshot(self, version: int, snap: dict) -> None:
         self._snap_cache[version] = snap
-        return snap
+        while len(self._snap_cache) > self._SNAP_CACHE_MAX:
+            self._snap_cache.pop(next(iter(self._snap_cache)))
 
     def _resolve(self, version: int) -> dict:
         """Walk back from ``version`` to the nearest base — a
@@ -252,12 +277,20 @@ class VersionedTable:
     def _write_checkpoint_stats(self, snap: dict) -> None:
         """One row per live file: (file, lo, hi, bloom_m, bloom_hex).
         Written with pyarrow (KB-to-MB metadata, no Spark job) via
-        tmp+rename, idempotent like the JSON half."""
+        tmp+rename, idempotent like the JSON half.
+
+        Skipped entirely when NO live file carries stats: pyarrow
+        would infer the all-None lo/hi columns as null type, and a
+        later delta patch unioning real values against that schema
+        raises at probe time (ADVICE r7) — with no sidecar the probe
+        takes the honest JSON fallback instead."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         stats = snap.get("stats") or {}
         blooms = snap.get("blooms") or {}
+        if not any(f in stats for f in snap["files"]):
+            return
         rows = {
             "file": [],
             "lo": [],
@@ -308,11 +341,33 @@ class VersionedTable:
                 return None  # reached a base with no parquet sidecar
             chain.append(m)
             w = m["parent"]
+        churn = sum(
+            len(d.get("add") or []) + len(d.get("remove") or [])
+            for d in chain
+        )
+        if churn > self._STATS_REPLAY_MAX_CHURN:
+            # An optimize/rollback between checkpoints has churn =
+            # O(table file count): replaying it as plan-side patches
+            # would rebuild the wall this relation exists to remove
+            # (ADVICE r7). Materialize a FRESH sidecar at this version
+            # (bounded pyarrow metadata write, idempotent) and read it.
+            self._write_checkpoint_stats(snap)
+            fresh = self._checkpoint_stats_path(v)
+            if not os.path.exists(fresh):
+                return None  # nothing stats-bearing to materialize
+            return spark.read.parquet(fresh)
         rel = spark.read.parquet(self._checkpoint_stats_path(base_v))
         schema = rel.schema
         for delta in reversed(chain):
             removed = list(delta.get("remove") or [])
-            if removed:
+            if len(removed) > self._STATS_REMOVE_ISIN_MAX:
+                # anti-join instead of an isin literal list: a big
+                # remove set as literals is plan/codegen blowup
+                rm = spark.createDataFrame(
+                    [(f,) for f in removed], ["file"]
+                )
+                rel = rel.join(F.broadcast(rm), "file", "left_anti")
+            elif removed:
                 rel = rel.filter(~F.col("file").isin(removed))
             add = list(delta.get("add") or [])
             if add:
@@ -394,7 +449,7 @@ class VersionedTable:
             if k not in ("add", "remove", "stats", "blooms")
         }
         snap.update({"files": files, "stats": stats, "blooms": blooms})
-        self._snap_cache[version] = snap
+        self._cache_snapshot(version, snap)
         if version > 0 and version % self.checkpoint_interval == 0:
             self._write_checkpoint(snap)
         return version
@@ -611,8 +666,19 @@ class VersionedTable:
 
     # -- retention ------------------------------------------------------
 
+    # Default orphan grace: 7 days — Delta VACUUM's default retention
+    # threshold. A staged-but-unpublished data file is deletable only
+    # past this age; an in-flight commit whose distributed write runs
+    # longer than the grace would otherwise lose files to a concurrent
+    # vacuum and publish a manifest naming deleted data (ADVICE r7).
+    _ORPHAN_GRACE_DEFAULT = 7 * 24 * 3600.0
+    _ORPHAN_GRACE_FLOOR = 3600.0
+
     def vacuum(
-        self, retain_last: int = 2, orphan_grace_sec: float = 3600.0
+        self,
+        retain_last: int = 2,
+        orphan_grace_sec: float | None = None,
+        force_orphan_grace: bool = False,
     ) -> dict:
         """Expire all but the newest ``retain_last`` snapshots and
         delete data files no surviving snapshot references — the
@@ -635,14 +701,30 @@ class VersionedTable:
         attempts (each failed attempt stages a fresh ``data/<uuid>``
         dir no manifest ever names), are collected by the ORPHAN SCAN:
         any data file referenced by no surviving snapshot AND older
-        than ``orphan_grace_sec`` (mtime) is deleted — the grace
-        period protects files an in-flight commit has staged but not
-        yet published, exactly Delta VACUUM's retention-threshold
-        rule. Metadata-scale work: set algebra over manifest file
+        than ``orphan_grace_sec`` (mtime, default 7 days — Delta
+        VACUUM's retention default) is deleted — the grace period
+        protects files an in-flight commit has staged but not yet
+        published, exactly Delta VACUUM's retention-threshold rule.
+        A grace below the 1-hour floor is refused unless
+        ``force_orphan_grace`` is set (Delta's
+        ``retentionDurationCheck`` guard): a distributed write at the
+        100 TB target can easily stage files for longer than a short
+        grace, and a concurrent vacuum deleting them is silent data
+        loss. Metadata-scale work: set algebra over manifest file
         lists plus one directory walk."""
         versions = self.versions()
         if retain_last < 1:
             raise ValueError("retain_last must be >= 1")
+        if orphan_grace_sec is None:
+            orphan_grace_sec = self._ORPHAN_GRACE_DEFAULT
+        if orphan_grace_sec < self._ORPHAN_GRACE_FLOOR and not force_orphan_grace:
+            raise ValueError(
+                f"orphan_grace_sec={orphan_grace_sec} is below the "
+                f"{self._ORPHAN_GRACE_FLOOR:.0f}s safety floor: an in-flight "
+                "commit's staged files could be deleted mid-write. Pass "
+                "force_orphan_grace=True to override (tests/controlled "
+                "environments only)."
+            )
         expired = versions[:-retain_last]
         retained = versions[-retain_last:]
         keep: set[str] = set()
@@ -747,26 +829,35 @@ class VersionedTable:
         stats = snap.get("stats") or {}
         if self.stats_col is None or not stats:
             return list(snap["files"])
-        rel = self.stats_relation(spark, snap["version"])
-        if rel is not None:
-            sdf = rel.select(
-                F.col("file").alias("__f"),
-                F.col("lo").alias("__lo"),
-                F.col("hi").alias("__hi"),
-            )
-            no_stats_df = sdf.filter(F.col("__lo").isNull()).select("__f")
-            hit_df = (
-                keys.join(
-                    F.broadcast(sdf.filter(F.col("__lo").isNotNull())),
-                    (F.col(key_col) >= F.col("__lo"))
-                    & (F.col(key_col) <= F.col("__hi")),
+        try:
+            rel = self.stats_relation(spark, snap["version"])
+            if rel is not None:
+                sdf = rel.select(
+                    F.col("file").alias("__f"),
+                    F.col("lo").alias("__lo"),
+                    F.col("hi").alias("__hi"),
                 )
-                .select("__f")
-            )
-            return sorted(
-                r["__f"]
-                for r in hit_df.unionByName(no_stats_df).distinct().collect()
-            )
+                no_stats_df = sdf.filter(F.col("__lo").isNull()).select("__f")
+                hit_df = (
+                    keys.join(
+                        F.broadcast(sdf.filter(F.col("__lo").isNotNull())),
+                        (F.col(key_col) >= F.col("__lo"))
+                        & (F.col(key_col) <= F.col("__hi")),
+                    )
+                    .select("__f")
+                )
+                return sorted(
+                    r["__f"]
+                    for r in hit_df.unionByName(no_stats_df)
+                    .distinct()
+                    .collect()
+                )
+        except Exception:
+            # Derived acceleration metadata only: a malformed/stale
+            # sidecar (e.g. null-typed columns from a pre-fix writer)
+            # must degrade to the JSON-resolved maps, never fail the
+            # probe (ADVICE r7).
+            pass
         no_stats = [f for f in snap["files"] if f not in stats]
         stat_rows = [(f, s[0], s[1]) for f, s in stats.items()]
         sdf = spark.createDataFrame(stat_rows, ["__f", "__lo", "__hi"])

@@ -170,3 +170,24 @@ def test_trigram_index_is_lossless(spark):
         .collect()
     }
     assert via_index == direct and direct
+
+
+def test_dsir_sample_fraction_invariants(spark):
+    """The fraction selection must be EXACTLY the top floor(n/10) of
+    the importance-weight ordering (weight desc, doc_id tiebreak),
+    with sel_rank a dense contiguous 1..floor(n/10) — the quantile
+    threshold has no float boundary by construction."""
+    full = _QUERIES["dsir_importance_weights"](spark, SF_ORACLE).collect()
+    n = len(full)
+    assert n > 0
+    expect = sorted(
+        ((-r["mean_log_ratio"], r["doc_id"]) for r in full)
+    )[: n // 10]
+    expect_ids = [doc for _, doc in expect]
+    sel = (
+        _QUERIES["dsir_sample_fraction"](spark, SF_ORACLE)
+        .orderBy("sel_rank")
+        .collect()
+    )
+    assert [r["sel_rank"] for r in sel] == list(range(1, n // 10 + 1))
+    assert [r["doc_id"] for r in sel] == expect_ids

@@ -60,6 +60,7 @@ _ALLOWED_BOUNDED_BNLJ = {
     "doc_unigram_logprob",  # 1-row corpus-token-total scalar onto the vocab
     "dsir_importance_weights",  # 1-row (N, N_t, V) totals scalar onto the vocab
     "dsir_topk_selection",  # same scalar one level down (TakeOrdered on top)
+    "dsir_sample_fraction",  # 1-row corpus-count scalar (quantile threshold)
     "doc_bigram_logprob",  # 1-row vocab-size scalar onto the bigram model
     "skew_top_keys",  # 1-row total scalar onto the 5-row top-k
     "source_lang_chisq",  # 1-row chi-square scalar joined onto 1-row dims

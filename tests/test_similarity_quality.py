@@ -460,3 +460,38 @@ def test_pca_whiten_unit_variance_and_exact_scaling(spark):
     W = np.array(list(wh.values()))
     for m in range(3):
         assert 0.75 < float(W[:, m].var()) < 1.25, (m, W[:, m].var())
+
+
+def test_pca_explained_variance_invariants(spark):
+    """Explained-variance surface: ratios strictly positive, each
+    below 1, cumulative strictly increasing and consistent with the
+    per-component ratios under the fixed accumulation order; the
+    eigenvalues must be byte-identical to embedding_pca_top3's (the
+    same cached training pass, k prefix-stable)."""
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        _QUERIES["embedding_pca_explained_variance"](spark, SF_SMOKE)
+        .orderBy("component")
+        .collect()
+    )
+    assert [r["component"] for r in rows] == [0, 1, 2]
+    top3_lams = {
+        r["component"]: r["eigenvalue"]
+        for r in _QUERIES["embedding_pca_top3"](spark, SF_SMOKE)
+        .select("component", "eigenvalue")
+        .distinct()
+        .collect()
+    }
+    from mapreduce_wordcounter_spark.operators.similarity import _pca_trace
+
+    t = _pca_trace(spark, SF_SMOKE)
+    cum = 0.0
+    for m, r in enumerate(rows):
+        assert r["eigenvalue"] == top3_lams[m]
+        assert 0.0 < r["variance_ratio"] < 1.0
+        assert r["variance_ratio"] == r["eigenvalue"] / t
+        cum = r["eigenvalue"] if m == 0 else cum + r["eigenvalue"]
+        assert r["cumulative_ratio"] == cum / t
+    assert rows[0]["cumulative_ratio"] < rows[1]["cumulative_ratio"] < rows[2]["cumulative_ratio"]
+    assert rows[2]["cumulative_ratio"] < 1.0

@@ -703,8 +703,12 @@ def test_vacuum_collects_aged_orphans_spares_fresh(spark, tmp_path):
     # fresh orphans survive a graced vacuum
     res = vt.vacuum(retain_last=1, orphan_grace_sec=3600)
     assert all(os.path.exists(p) for p in orphans)
-    # aged orphans (grace 0) are collected, dir pruned
-    res = vt.vacuum(retain_last=1, orphan_grace_sec=0)
+    # a sub-floor grace is refused without the explicit override
+    with pytest.raises(ValueError, match="safety floor"):
+        vt.vacuum(retain_last=1, orphan_grace_sec=0)
+    assert all(os.path.exists(p) for p in orphans)
+    # aged orphans (grace 0, forced) are collected, dir pruned
+    res = vt.vacuum(retain_last=1, orphan_grace_sec=0, force_orphan_grace=True)
     assert res["deleted_orphans"] >= len(orphans)
     assert not any(os.path.exists(p) for p in orphans)
     assert not os.path.isdir(orphan_dir)
@@ -845,3 +849,104 @@ def test_parquet_checkpoint_stats_string_typed(spark, tmp_path):
         os.rename(cks + ".hidden", cks)
     assert via_parquet == via_json
     assert 0 < len(via_parquet) < len(snap["files"])
+
+
+def test_snapshot_returns_isolated_copy(spark, tmp_path):
+    """snapshot() hands back a copy: a caller mutating the returned
+    files/stats maps must not corrupt later resolves of that version
+    (the resolved-snapshot cache is shared); the cache itself is
+    bounded (oldest-insertion eviction)."""
+    vt = _mk(spark, tmp_path, n=20, files=2)
+    vt.append(spark.createDataFrame([(100, 100.0)], "k bigint, v double"))
+    snap = vt.snapshot(1)
+    before_files = list(snap["files"])
+    snap["files"].clear()
+    snap["stats"]["bogus"] = [0, 0]
+    snap["version"] = 999
+    again = vt.snapshot(1)
+    assert again["files"] == before_files
+    assert "bogus" not in again["stats"]
+    assert again["version"] == 1
+    # bounded cache: shrink the limit on this handle and resolve past it
+    # (cleared first: eviction runs on insert, not on cache hits)
+    vt._SNAP_CACHE_MAX = 1
+    vt._snap_cache.clear()
+    vt.snapshot(0)
+    vt.snapshot(1)
+    assert len(vt._snap_cache) <= 1
+
+
+def test_checkpoint_stats_sidecar_skipped_without_stats(spark, tmp_path):
+    """A checkpoint over a table with NO per-file stats must not write
+    the parquet stats sidecar (pyarrow would infer null-typed lo/hi
+    and later delta patches with real values would fail at probe
+    time); the JSON checkpoint still lands."""
+    vt = VersionedTable(str(tmp_path / "ns"), checkpoint_interval=2)
+    vt.create(spark.createDataFrame([(0, 0.0)], "k bigint, v double"))
+    vt.append(spark.createDataFrame([(1, 1.0)], "k bigint, v double"))
+    vt.append(spark.createDataFrame([(2, 2.0)], "k bigint, v double"))
+    assert os.path.exists(vt._checkpoint_path(2))
+    assert not os.path.exists(vt._checkpoint_stats_path(2))
+    # and reads through the checkpoint stay correct
+    assert vt.read(spark, 2).count() == 3
+
+
+def test_stats_relation_big_churn_writes_fresh_sidecar(spark, tmp_path):
+    """Past the replay-churn bound (forced to 0 here), stats_relation
+    materializes a FRESH parquet sidecar at the probed version instead
+    of patching the chain plan-side (the optimize-between-checkpoints
+    wall from ADVICE r7) — and the relation it returns still matches
+    the JSON-resolved snapshot exactly."""
+    vt = VersionedTable(
+        str(tmp_path / "bc"), stats_col="k", checkpoint_interval=2
+    )
+    df = (
+        spark.range(40)
+        .select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        .repartitionByRange(4, "k")
+    )
+    vt.create(df)
+    vt.append(spark.createDataFrame([(100, 1.0)], "k bigint, v double"))
+    vt.append(spark.createDataFrame([(101, 2.0)], "k bigint, v double"))
+    # v3 = optimize: removes every file, adds the clustered rewrite —
+    # the O(table) churn case
+    vt.optimize(spark, ["k"], n_files=2)
+    vt_fresh = VersionedTable(
+        str(tmp_path / "bc"), stats_col="k", checkpoint_interval=2
+    )
+    vt_fresh._STATS_REPLAY_MAX_CHURN = 0
+    rel = vt_fresh.stats_relation(spark, 3)
+    assert rel is not None
+    assert os.path.exists(vt_fresh._checkpoint_stats_path(3))
+    snap = vt_fresh.snapshot(3)
+    rows = {r["file"]: (r["lo"], r["hi"]) for r in rel.collect()}
+    assert set(rows) == set(snap["files"])
+    for f, s in snap["stats"].items():
+        assert rows[f] == tuple(s)
+
+
+def test_stats_relation_antijoin_remove_path(spark, tmp_path):
+    """With the isin threshold forced to 0, delta removes replay as a
+    broadcast anti-join — same relation as the literal-list path."""
+    vt = VersionedTable(
+        str(tmp_path / "aj"), stats_col="k", checkpoint_interval=2
+    )
+    df = (
+        spark.range(40)
+        .select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        .repartitionByRange(4, "k")
+    )
+    vt.create(df)
+    vt.append(spark.createDataFrame([(100, 1.0)], "k bigint, v double"))
+    # v2 lands the checkpoint; v3 deletes a key range (removes files)
+    vt.append(spark.createDataFrame([(101, 2.0)], "k bigint, v double"))
+    vt.delete_where(spark, F.col("k") < 10)
+    rel_isin = vt.stats_relation(spark, 3)
+    vt._STATS_REMOVE_ISIN_MAX = 0
+    rel_anti = vt.stats_relation(spark, 3)
+    assert rel_isin is not None and rel_anti is not None
+    a = sorted((r["file"], r["lo"], r["hi"]) for r in rel_isin.collect())
+    b = sorted((r["file"], r["lo"], r["hi"]) for r in rel_anti.collect())
+    assert a == b
+    snap = vt.snapshot(3)
+    assert {x[0] for x in a} == set(snap["files"])
