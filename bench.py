@@ -25,6 +25,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# One JVM serves ~125 queries x 3 passes (warm-up + 2 timed): the
+# default 8g heap accumulates GC debt across the run and shows up as a
+# uniform ~1.1-1.3x drift on SUB-SECOND queries (r7 BENCHDIFF) — fixed
+# per-query overhead, not plan changes. 16g (an eighth of the target
+# box) keeps old-gen pressure off the timed passes; callers can still
+# override via the env var.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+
 from mapreduce_wordcounter_spark import get_spark
 from mapreduce_wordcounter_spark.registry import all_queries
 from mapreduce_wordcounter_spark.session import release_pinned
@@ -168,6 +176,9 @@ HEADLINE = [
     "dsir_importance_weights",
     "dsir_topk_selection",
     "stream_dsir_lang_mass",
+    # round 8: fraction-scale DSIR selection + PCA model surface
+    "dsir_sample_fraction",
+    "embedding_pca_explained_variance",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries
@@ -223,6 +234,14 @@ def main() -> None:
         # table), and per-pass clearing keeps rounds comparable.
         spark.catalog.clearCache()
         release_pinned()
+        try:
+            # Pass-boundary GC quiesce (the SCALE_CHECK discipline):
+            # collect the warm-up/previous pass's garbage OUTSIDE the
+            # timed window so it isn't charged to whichever sub-second
+            # query the collector happens to interrupt.
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         for name in HEADLINE:
             fn = queries[name]
             t0 = time.perf_counter()

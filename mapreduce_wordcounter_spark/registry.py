@@ -77,10 +77,18 @@ DRIVER_WINDOW: list[str] = [
     # the round-7 data-SELECTION family (DSIR importance resampling,
     # exact int64 keep boundary) under the driver's hash check. Green
     # in both full driver-style sweeps this round before entering.)
+    # (r8: wc_rdd_twin — the RDD semantic twin of wc_counts, identical
+    # audited token pipeline through a second API — ceded its slot to
+    # quality_lr_train_hashed, putting round 7's headline trained-model
+    # addition (17-dim hashing-trick GD fit, unrolled-K oracle) under
+    # the driver's hard hash check next to the 4-feature fit. The RDD
+    # twin keeps full parity coverage in the repo's own oracle layer
+    # (tests/test_oracle_parity.py) and its golden CLI tests. Green in
+    # the full driver-style sweep this round before entering.)
     "wc_counts",
     "wc_vocab",
     "wc_top100",
-    "wc_rdd_twin",
+    "quality_lr_train_hashed",
     # custom functions over the same token stream
     "udaf_weighted_mean",
     "udtf_tokenize_counts",

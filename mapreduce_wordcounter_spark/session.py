@@ -36,6 +36,17 @@ def get_spark(app_name: str = "mapreduce-wordcounter-spark", cpus: int | None = 
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Hundreds of distinct whole-stage-codegen classes JIT-compile
+        # over a long session; the JVM default 240m code cache fills,
+        # flushes hot compiled methods, and re-JITs them mid-query —
+        # uniform fixed overhead on sub-second queries (the r7 drift).
+        # 512m is the standard Spark recommendation for codegen-heavy
+        # workloads. Applies at JVM launch; ignored on an already-
+        # running gateway (harmless).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
     )
     # Opt-in RocksDB state store (SPARK_GRAFT_ROCKSDB=1): the 100 TB
     # posture for streaming state (SCALE.md §9) — state lives off-heap /

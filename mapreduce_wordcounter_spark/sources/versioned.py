@@ -37,7 +37,17 @@ manifests, both published):
 - manifests optionally carry per-file [min, max] stats (range
   skipping) and Bloom bitsets (equality skipping) over a key column,
   so both pruning families run driver-side on KB-scale metadata
-  before Spark lists a single file.
+  before Spark lists a single file;
+- **column mapping** (the published Delta column-mapping recipe):
+  once a table's schema metadata is initialized, every column carries
+  a stable id and a PHYSICAL parquet name decoupled from its logical
+  name — RENAME is a metadata-only commit (no data moves, old
+  snapshots keep serving the old name), DROP is a metadata tombstone
+  (the column disappears from reads while pre-drop snapshots still
+  serve it), and a re-added column with a previously-used logical
+  name gets a FRESH physical name so dropped data can never
+  resurface. Data files always store physical names; reads project
+  physical -> logical through the snapshot's own mapping.
 
 MERGE is copy-on-write with **file-level pruning** (the published
 Delta/Iceberg CoW strategy): only data files that actually contain a
@@ -61,6 +71,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _SNAP_DIR = "_snapshots"
+
+# Sentinel: "carry the parent's column-mapping metadata forward"
+# (distinct from an explicit None, which records a mapping downgrade).
+_INHERIT = object()
 
 
 class VersionConflictError(RuntimeError):
@@ -246,6 +260,10 @@ class VersionedTable:
             out["parent"] = meta.get("parent") if meta else None
         if "operation" not in out and meta:
             out["operation"] = meta.get("operation")
+        if "schema" not in out and base is not None and base.get("schema"):
+            # deltas written before schema initialization don't carry a
+            # mapping; a checkpoint base that has one stays in force
+            out["schema"] = base["schema"]
         return out
 
     def _write_checkpoint(self, snap: dict) -> None:
@@ -418,6 +436,7 @@ class VersionedTable:
         files: list[str],
         stats: dict,
         blooms: dict,
+        schema=_INHERIT,
         **extra,
     ) -> int:
         """Publish one commit as a DELTA manifest: only the files
@@ -425,13 +444,30 @@ class VersionedTable:
         files) are written — manifest bytes ∝ the commit's churn, not
         the table's file count. When the new version lands on the
         checkpoint cadence, also materialize the resolved state as a
-        sidecar so later resolves replay a bounded chain."""
+        sidecar so later resolves replay a bounded chain.
+
+        ``schema`` (column-mapping metadata) defaults to the parent's:
+        once a table has schema metadata, EVERY later manifest carries
+        the full (column-count-sized, so still churn-class) mapping —
+        resolution then never has to walk past its own commit to learn
+        the column mapping in force at that version."""
         version = 0 if parent is None else parent["version"] + 1
         files = sorted(files)  # canonical order: resolve-vs-cache identical
         prev = set(parent["files"]) if parent else set()
         now = set(files)
         add = sorted(now - prev)
         remove = sorted(prev - now)
+        if schema is _INHERIT:
+            schema = parent.get("schema") if parent else None
+        if schema is not None:
+            schema_entry = {"schema": schema}
+        elif parent is not None and parent.get("schema") is not None:
+            # explicit downgrade (rollback to a pre-mapping version):
+            # record null so resolution doesn't fall back to an
+            # ancestor checkpoint's mapping
+            schema_entry = {"schema": None}
+        else:
+            schema_entry = {}
         manifest = {
             "version": version,
             "parent": None if parent is None else parent["version"],
@@ -440,6 +476,7 @@ class VersionedTable:
             "remove": remove,
             "stats": {f: stats[f] for f in add if f in stats},
             "blooms": {f: blooms[f] for f in add if f in blooms},
+            **schema_entry,
             **extra,
         }
         self._publish(manifest, version)
@@ -454,12 +491,184 @@ class VersionedTable:
             self._write_checkpoint(snap)
         return version
 
+    # -- column mapping (logical <-> physical names) --------------------
+    #
+    # Schema metadata shape (manifest "schema" key, absent until a
+    # rename/drop initializes it — identity mapping before that):
+    #   {"cols": [{"id": 1, "name": <logical>, "phys": <physical>}, ...],
+    #    "max_id": <highest id ever allocated>,
+    #    "phys_used": [<every physical name ever allocated>]}
+    # Data files ALWAYS store physical names; stats/bloom metadata is
+    # keyed on the physical column (``stats_col`` names the PHYSICAL
+    # column, which never changes after allocation — so pruning
+    # metadata survives renames with no re-keying).
+
+    def _identity_schema(self, snap: dict) -> dict:
+        """Lazily initialize column-mapping metadata for a table that
+        predates it: one footer read per live file (pyarrow metadata,
+        first-seen column order — the same bounded driver-side class
+        as _file_stats), physical = logical for every existing column.
+        One-time cost at the first rename/drop, exactly Delta's
+        'enable column mapping' metadata upgrade."""
+        import pyarrow.parquet as pq
+
+        names: list[str] = []
+        seen: set[str] = set()
+        for rel in snap["files"]:
+            for n in pq.ParquetFile(
+                os.path.join(self.path, rel)
+            ).schema_arrow.names:
+                if n not in seen:
+                    seen.add(n)
+                    names.append(n)
+        return {
+            "cols": [
+                {"id": i + 1, "name": n, "phys": n}
+                for i, n in enumerate(names)
+            ],
+            "max_id": len(names),
+            "phys_used": list(names),
+        }
+
+    @staticmethod
+    def _evolve_schema(schema: dict, new_logical: list[str]) -> dict:
+        """Allocate mapping entries for columns appearing for the
+        first time. A logical name whose physical name was EVER used
+        (including by a since-dropped column) gets a fresh
+        id-qualified physical name — the invariant that makes DROP
+        safe: old files' data for a retired physical name can never
+        surface under a re-added logical column."""
+        used = set(schema["phys_used"])
+        cols = list(schema["cols"])
+        phys_used = list(schema["phys_used"])
+        mid = schema["max_id"]
+        for nm in new_logical:
+            mid += 1
+            phys = nm if nm not in used else f"{nm}__c{mid}"
+            cols.append({"id": mid, "name": nm, "phys": phys})
+            used.add(phys)
+            phys_used.append(phys)
+        return {"cols": cols, "max_id": mid, "phys_used": phys_used}
+
+    @staticmethod
+    def _to_physical(df: DataFrame, schema: dict | None) -> DataFrame:
+        """Rename a logical-named DataFrame to physical column names
+        for writing (identity when the table has no mapping)."""
+        if not schema:
+            return df
+        m = {c["name"]: c["phys"] for c in schema["cols"]}
+        return df.select(
+            *[F.col(c).alias(m.get(c, c)) for c in df.columns]
+        )
+
+    @staticmethod
+    def _project(df: DataFrame, snap: dict) -> DataFrame:
+        """Project a physical-named scan to the snapshot's LOGICAL
+        columns, in mapping order: renamed columns surface under their
+        current name, dropped columns (absent from the mapping)
+        disappear even though old data files still store them. A
+        mapped column present in no scanned file is skipped (additive
+        evolution surfaces it as NULL via mergeSchema whenever any
+        file carries it)."""
+        schema = snap.get("schema")
+        if not schema:
+            return df
+        avail = set(df.columns)
+        return df.select(
+            *[
+                F.col(c["phys"]).alias(c["name"])
+                for c in schema["cols"]
+                if c["phys"] in avail
+            ]
+        )
+
+    def _schema_for_write(self, snap: dict, df: DataFrame) -> dict | None:
+        """The mapping a commit writing ``df`` (logical names) must
+        carry: the parent's mapping extended with entries for any new
+        logical columns (additive evolution). None while the table has
+        no mapping (identity behavior, schema stays implicit)."""
+        schema = snap.get("schema")
+        if not schema:
+            return None
+        known = {c["name"] for c in schema["cols"]}
+        new = [c for c in df.columns if c not in known]
+        return self._evolve_schema(schema, new) if new else schema
+
+    def rename_column(self, old: str, new: str) -> int:
+        """RENAME a column as a METADATA-ONLY commit (Delta column
+        mapping): the file list is untouched, only the logical name in
+        the mapping changes — the physical parquet name (and with it
+        every per-file stat/bloom) stays put. Time travel both ways:
+        snapshots before this commit keep serving ``old``, snapshots
+        after serve ``new``. Initializes mapping metadata on first
+        use. Fails if ``old`` is absent or ``new`` already live."""
+        while True:
+            cur = self.snapshot()
+            schema = cur.get("schema") or self._identity_schema(cur)
+            names = [c["name"] for c in schema["cols"]]
+            if old not in names:
+                raise ValueError(f"no such column: {old!r}")
+            if new in names:
+                raise ValueError(f"column already exists: {new!r}")
+            cols = [
+                {**c, "name": new} if c["name"] == old else c
+                for c in schema["cols"]
+            ]
+            try:
+                return self._commit_delta(
+                    "rename_column", cur, cur["files"],
+                    cur.get("stats") or {}, cur.get("blooms") or {},
+                    schema={**schema, "cols": cols},
+                    renamed={"from": old, "to": new},
+                )
+            except VersionConflictError:
+                continue
+
+    def drop_column(self, name: str) -> int:
+        """DROP a column as a METADATA-ONLY tombstone: the entry
+        leaves the mapping (reads stop projecting it) while its
+        physical name stays RETIRED in ``phys_used`` — data files are
+        untouched, pre-drop snapshots still serve the column, and a
+        later re-add of the same logical name allocates a fresh
+        physical name so the dropped data never resurfaces. The
+        physical bytes decay as copy-on-write rewrites drop unmapped
+        columns. Refuses to drop the last column or the stats
+        column (pruning metadata would dangle)."""
+        while True:
+            cur = self.snapshot()
+            schema = cur.get("schema") or self._identity_schema(cur)
+            names = [c["name"] for c in schema["cols"]]
+            if name not in names:
+                raise ValueError(f"no such column: {name!r}")
+            if len(names) == 1:
+                raise ValueError("cannot drop the last column")
+            doomed = next(c for c in schema["cols"] if c["name"] == name)
+            if self.stats_col is not None and doomed["phys"] == self.stats_col:
+                raise ValueError(
+                    f"cannot drop the stats/pruning column {name!r}"
+                )
+            cols = [c for c in schema["cols"] if c["name"] != name]
+            try:
+                return self._commit_delta(
+                    "drop_column", cur, cur["files"],
+                    cur.get("stats") or {}, cur.get("blooms") or {},
+                    schema={**schema, "cols": cols},
+                    dropped=name,
+                )
+            except VersionConflictError:
+                continue
+
     # -- commits --------------------------------------------------------
 
-    def _write_data_files(self, df: DataFrame) -> list[str]:
+    def _write_data_files(
+        self, df: DataFrame, schema: dict | None = None
+    ) -> list[str]:
         """One distributed parquet write into an immutable, commit-
         unique subdirectory; returns the relative file list (bounded
-        metadata — one entry per task output file)."""
+        metadata — one entry per task output file). ``schema``
+        (column-mapping metadata) renames the logical-named ``df`` to
+        physical column names before writing."""
+        df = self._to_physical(df, schema)
         sub = os.path.join("data", uuid.uuid4().hex)
         full = os.path.join(self.path, sub)
         df.write.mode("overwrite").parquet(full)
@@ -610,8 +819,11 @@ class VersionedTable:
         files = self._bloom_candidates(snap, keys)
         if not files:
             return self.read(spark, snap["version"]).limit(0)
-        return spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(self.path, f) for f in files]
+        return self._project(
+            spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.path, f) for f in files]
+            ),
+            snap,
         )
 
     def create(self, df: DataFrame) -> int:
@@ -630,15 +842,27 @@ class VersionedTable:
         concurrent winner's files are retained, never overwritten (the
         lost-update hazard optimistic concurrency exists to prevent).
         Appends commute, so retrying with a fresh parent is always
-        valid — unlike read-modify-write (see merge_into)."""
-        files = self._write_data_files(df)
+        valid — unlike read-modify-write (see merge_into). With column
+        mapping active, ``df``'s logical names are written under their
+        physical names (new columns get fresh mapping entries —
+        additive evolution); a CONCURRENT schema change invalidates
+        the staged physical names, so that race fails rather than
+        committing a fork (Delta's metadata-conflict rule)."""
+        cur0 = self.snapshot()
+        schema = self._schema_for_write(cur0, df)
+        files = self._write_data_files(df, schema)
         while True:
             cur = self.snapshot()
+            if cur.get("schema") != cur0.get("schema"):
+                raise VersionConflictError(
+                    f"concurrent schema change during append at {self.path}"
+                )
             try:
                 return self._commit_delta(
                     "append", cur, cur["files"] + files,
                     self._merged_stats(cur, cur["files"], files),
                     self._merged_blooms(cur, cur["files"], files),
+                    schema=schema if schema is not None else _INHERIT,
                 )
             except VersionConflictError:
                 continue
@@ -659,6 +883,10 @@ class VersionedTable:
                     "rollback", cur, target["files"],
                     target.get("stats") or {},
                     target.get("blooms") or {},
+                    # restore the TARGET's column mapping too (an
+                    # explicit None here records a mapping downgrade
+                    # when rolling back past the mapping's creation)
+                    schema=target.get("schema"),
                     rolled_back_to=to_version,
                 )
             except VersionConflictError:
@@ -801,14 +1029,18 @@ class VersionedTable:
 
         ``mergeSchema`` is on because appends may evolve the schema
         (add columns): rows from pre-evolution files surface the new
-        columns as NULL — additive evolution, the only kind this tier
-        supports (type changes are the caller's migration). Cost is a
-        footer read per file of ONE snapshot — bounded metadata."""
+        columns as NULL — additive evolution plus metadata-only
+        RENAME/DROP via column mapping (type changes are the caller's
+        migration). With mapping active the physical scan is projected
+        to this snapshot's LOGICAL columns. Cost is a footer read per
+        file of ONE snapshot — bounded metadata."""
         snap = self.snapshot(version)
         files = [os.path.join(self.path, f) for f in snap["files"]]
         if not files:
             raise ValueError(f"snapshot v{snap['version']} is empty")
-        return spark.read.option("mergeSchema", "true").parquet(*files)
+        return self._project(
+            spark.read.option("mergeSchema", "true").parquet(*files), snap
+        )
 
     # -- manifest-stats data skipping -----------------------------------
 
@@ -896,8 +1128,11 @@ class VersionedTable:
         ]
         if not files:
             return self.read(spark, snap["version"]).limit(0)
-        return spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(self.path, f) for f in files]
+        return self._project(
+            spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.path, f) for f in files]
+            ),
+            snap,
         )
 
     # -- change feed (CDC between snapshots) ----------------------------
@@ -915,13 +1150,34 @@ class VersionedTable:
 
         Scale: one key-partitioned full-outer join between two
         snapshot scans — both sides prune/bucket at rest; the feed's
-        size is the churn, not the table."""
-        a = self.read(spark, v_from)
+        size is the churn, not the table.
+
+        ``key`` and the feed's column names are in ``v_to``'s LOGICAL
+        terms: when a rename lies between the two versions, the
+        v_from side is read through v_to's mapping (stable physical
+        names make the old files line up under the new names — the
+        column-mapping payoff for CDC); a column added between the
+        versions surfaces as old_<c> = NULL."""
+        snap_to = self.snapshot(v_to)
+        if snap_to.get("schema"):
+            snap_from = self.snapshot(v_from)
+            a = self._project(
+                spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(self.path, f) for f in snap_from["files"]]
+                ),
+                snap_to,
+            )
+        else:
+            a = self.read(spark, v_from)
         b = self.read(spark, v_to)
         cols = [c for c in b.columns if c != key]
+        a_cols = set(a.columns)
         a_sel = a.select(
             F.col(key).alias("__ka"),
-            *[F.col(c).alias(f"old_{c}") for c in cols],
+            *[
+                (F.col(c) if c in a_cols else F.lit(None)).alias(f"old_{c}")
+                for c in cols
+            ],
         )
         b_sel = b.select(
             F.col(key).alias("__kb"),
@@ -963,7 +1219,7 @@ class VersionedTable:
             df = self.read(spark, snap["version"]).repartitionByRange(
                 n_files, *cluster_by
             )
-            files = self._write_data_files(df)
+            files = self._write_data_files(df, snap.get("schema"))
             try:
                 return self._commit_delta(
                     "optimize", snap, files,
@@ -1009,11 +1265,16 @@ class VersionedTable:
             if rewritten:
                 # SQL DELETE semantics: remove rows where the predicate
                 # is TRUE; NULL-evaluating rows SURVIVE (a bare
-                # ~predicate would drop them too).
-                survivors = spark.read.option("mergeSchema", "true").parquet(
-                    *[os.path.join(self.path, f) for f in rewritten]
+                # ~predicate would drop them too). The predicate is in
+                # LOGICAL terms, so the raw scan projects through the
+                # mapping first; the rewrite maps back to physical.
+                survivors = self._project(
+                    spark.read.option("mergeSchema", "true").parquet(
+                        *[os.path.join(self.path, f) for f in rewritten]
+                    ),
+                    snap,
                 ).filter(F.coalesce(~predicate, F.lit(True)))
-                files = self._write_data_files(survivors)
+                files = self._write_data_files(survivors, snap.get("schema"))
             try:
                 return self._commit_delta(
                     "delete", snap, retained + files,
@@ -1043,8 +1304,13 @@ class VersionedTable:
             probe_rel = self._candidate_files(spark, kdf, "__dk", snap)
             matched_files: list[str] = []
             if probe_rel:
-                probe = spark.read.option("mergeSchema", "true").parquet(
-                    *[os.path.join(self.path, f) for f in probe_rel]
+                # projection first (logical ``key``), then
+                # input_file_name — still per-row from the same scan
+                probe = self._project(
+                    spark.read.option("mergeSchema", "true").parquet(
+                        *[os.path.join(self.path, f) for f in probe_rel]
+                    ),
+                    snap,
                 )
                 matched_files = [
                     r["f"]
@@ -1063,12 +1329,13 @@ class VersionedTable:
             ]
             files: list[str] = []
             if rewritten:
-                survivors = (
-                    spark.read.option("mergeSchema", "true")
-                    .parquet(*[os.path.join(self.path, f) for f in rewritten])
-                    .join(kdf, F.col(key) == F.col("__dk"), "left_anti")
-                )
-                files = self._write_data_files(survivors)
+                survivors = self._project(
+                    spark.read.option("mergeSchema", "true").parquet(
+                        *[os.path.join(self.path, f) for f in rewritten]
+                    ),
+                    snap,
+                ).join(kdf, F.col(key) == F.col("__dk"), "left_anti")
+                files = self._write_data_files(survivors, snap.get("schema"))
             try:
                 return self._commit_delta(
                     "delete", snap, retained + files,
@@ -1076,10 +1343,104 @@ class VersionedTable:
                     self._merged_blooms(snap, retained, files),
                 )
             except VersionConflictError:
+                # disjoint-commit admission before re-planning
+                v = self._rebase_after_conflict(
+                    spark, "delete", snap, rewritten, files, kdf, key
+                )
+                if v is not None:
+                    return v
                 continue
         raise VersionConflictError(
             f"delete_keys lost the commit race 8 times at {self.path}"
         )
+
+    # -- disjoint-commit admission (conflict rebase) --------------------
+
+    def _rebase_after_conflict(
+        self,
+        spark: SparkSession,
+        operation: str,
+        base_snap: dict,
+        rewritten: list[str],
+        new_files: list[str],
+        keys_df: DataFrame,
+        key: str,
+    ) -> int | None:
+        """Fast-path conflict resolution for key-driven
+        read-modify-write commits (MERGE / DELETE-by-keys), the
+        published Delta conflict-matrix admission: after losing the
+        commit race, if every winner commit since our ``base_snap``
+        (a) carried the SAME column mapping,
+        (b) removed none of the files we rewrote, and
+        (c) added no live file containing one of our source keys,
+        then our staged output is still the correct read-modify-write
+        against the winner's snapshot — RE-PARENT the staged files
+        onto it (one churn-sized metadata commit plus a bounded probe
+        of the winner's added files) instead of re-running the whole
+        plan. Sound because the attempt's matched-file probe puts
+        EVERY file containing a source key into ``rewritten``: source
+        keys cannot live in carried files at base, so winner changes
+        confined to other files commute with ours. Returns the
+        committed version, or None when the commits genuinely overlap
+        (the caller re-plans — the lost-update rule unchanged)."""
+        try:
+            cur = self.snapshot()
+        except FileNotFoundError:
+            return None
+        if cur.get("schema") != base_snap.get("schema"):
+            return None  # concurrent schema change: re-plan
+        removed_w: set[str] = set()
+        added_w: set[str] = set()
+        v = cur["version"]
+        while v > base_snap["version"]:
+            try:
+                m = self._load_manifest(v)
+            except FileNotFoundError:
+                return None  # vacuumed mid-race: re-plan
+            if "files" in m:
+                return None  # legacy full manifest: no cheap delta diff
+            removed_w.update(m.get("remove") or [])
+            added_w.update(m.get("add") or [])
+            if m.get("parent") is None:
+                break
+            v = m["parent"]
+        if removed_w & set(rewritten):
+            return None  # a winner touched rows we rewrote
+        live_added = sorted(set(cur["files"]) & added_w)
+        if live_added:
+            kcol = keys_df.columns[0]
+            probe = self._project(
+                spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(self.path, f) for f in live_added]
+                ),
+                cur,
+            )
+            hit = (
+                probe.join(
+                    F.broadcast(keys_df),
+                    F.col(key) == F.col(kcol),
+                    "left_semi",
+                )
+                .limit(1)
+                .count()
+            )
+            if hit:
+                return None  # a winner's new rows carry our keys
+        rewritten_base = {os.path.basename(f) for f in rewritten}
+        carried = [
+            f
+            for f in cur["files"]
+            if os.path.basename(f) not in rewritten_base
+        ]
+        try:
+            return self._commit_delta(
+                operation, cur, carried + new_files,
+                self._merged_stats(cur, carried, new_files),
+                self._merged_blooms(cur, carried, new_files),
+                rebased_from=base_snap["version"],
+            )
+        except VersionConflictError:
+            return None  # raced again; caller decides (re-plan loop)
 
     # -- MERGE (copy-on-write, file-pruned) -----------------------------
 
@@ -1112,9 +1473,13 @@ class VersionedTable:
         MERGE is read-modify-write, so a concurrent commit between
         reading the parent snapshot and publishing invalidates the
         rewrite (retrying the publish with stale files would silently
-        drop the winner's changes — the lost update). On conflict the
-        WHOLE merge re-runs against the new snapshot, which is exactly
-        Delta's documented conflict-resolution semantics for MERGE.
+        drop the winner's changes — the lost update). On conflict, a
+        provably-DISJOINT winner (touched none of our rewritten
+        files, added no row with our keys — _rebase_after_conflict)
+        admits the staged output by re-parenting it in one metadata
+        commit; otherwise the WHOLE merge re-runs against the new
+        snapshot — exactly Delta's documented conflict matrix for
+        MERGE.
 
         The source must have AT MOST ONE row per ``source_key`` —
         duplicate keys would fan the matched target row out through
@@ -1168,8 +1533,11 @@ class VersionedTable:
         # stats stay candidates (conservative).
         probe_rel = self._candidate_files(spark, skeys, "__mk", snap)
         if probe_rel:
-            probe = spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.path, f) for f in probe_rel]
+            probe = self._project(
+                spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(self.path, f) for f in probe_rel]
+                ),
+                snap,
             )
             matched_files = [
                 r["f"]
@@ -1195,9 +1563,13 @@ class VersionedTable:
             # mergeSchema like every other read path: matched files may
             # span an additive schema-evolution boundary, and a single-
             # footer inferred schema would drop (or fail on) the
-            # evolved columns target_cols includes.
-            affected = spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.path, f) for f in rewritten]
+            # evolved columns target_cols includes. Projected to
+            # LOGICAL names (update_set/insert_exprs are logical).
+            affected = self._project(
+                spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(self.path, f) for f in rewritten]
+                ),
+                snap,
             )
         else:  # no matches: rewrite set is empty, inserts only
             affected = target.limit(0)
@@ -1217,9 +1589,18 @@ class VersionedTable:
                 for c in target_cols
             ]
         )
-        files = self._write_data_files(merged)
-        return self._commit_delta(
-            "merge", snap, retained + files,
-            self._merged_stats(snap, retained, files),
-            self._merged_blooms(snap, retained, files),
-        )
+        files = self._write_data_files(merged, snap.get("schema"))
+        try:
+            return self._commit_delta(
+                "merge", snap, retained + files,
+                self._merged_stats(snap, retained, files),
+                self._merged_blooms(snap, retained, files),
+            )
+        except VersionConflictError:
+            # disjoint-commit admission before the wholesale re-plan
+            v = self._rebase_after_conflict(
+                spark, "merge", snap, rewritten, files, skeys, key
+            )
+            if v is not None:
+                return v
+            raise

@@ -27,7 +27,6 @@ def test_driver_window_covers_every_family() -> None:
     # Flagship + one representative per operator family.
     must_have = {
         "wc_counts",
-        "wc_rdd_twin",
         "tf_idf",
         "join_asof_last_purchase",
         "knn_brute_cosine",
@@ -57,6 +56,10 @@ def test_driver_window_covers_every_family() -> None:
         # r7 swap-ins: CDC protocol + data-selection representatives
         "table_changes_feed",
         "dsir_importance_weights",
+        # r8 swap-in: the hashed trained-model twin (wc_rdd_twin — the
+        # same audited token pipeline through the RDD API — ceded the
+        # slot; it keeps oracle-parity + golden CLI coverage)
+        "quality_lr_train_hashed",
     }
     assert must_have <= window
 

@@ -128,3 +128,159 @@ def test_create_race_exactly_one_winner(spark, tmp_path):
     assert sorted(outcomes) == ["conflict", "won"]
     assert vt.versions() == [0]
     assert vt.read(spark).count() == 1
+
+
+def _merge_keys(spark, vt, pairs, n_writes: list):
+    """MERGE the (key, value) pairs in, counting plan executions via
+    _write_data_files calls on this handle."""
+    src = spark.createDataFrame(pairs, "s_k bigint, nv double")
+    orig = vt._write_data_files
+
+    def counting(df, schema=None):
+        n_writes.append(1)
+        return orig(df, schema)
+
+    vt._write_data_files = counting
+    try:
+        return vt.merge_into(
+            spark, src, key="k", source_key="s_k",
+            update_set={"v": F.col("nv")},
+            insert_exprs={"k": F.col("s_k"), "v": F.col("nv")},
+        )
+    finally:
+        vt._write_data_files = orig
+
+
+def test_disjoint_merges_rebase_without_replan(spark, tmp_path):
+    """Two MERGEs on DISJOINT key ranges racing on the same table:
+    the loser detects the winner's delta touched none of its files
+    and none of its keys, re-parents its staged output (op metadata
+    records rebased_from) — BOTH merges run their plan exactly once.
+
+    The race is deterministic: writer A stages its files, then the
+    hook lands writer B's full merge before A publishes."""
+    path = str(tmp_path / "dj")
+    vt_a = VersionedTable(path)
+    vt_b = VersionedTable(path)
+    df = (
+        spark.range(100)
+        .select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        .repartitionByRange(4, "k")
+    )
+    vt_a.create(df)  # 4 range-clustered files
+    writes_a: list = []
+    writes_b: list = []
+    orig = vt_a._write_data_files
+
+    def hook(dfx, schema=None):
+        files = orig(dfx, schema)
+        if not writes_b:  # land B exactly once, between A's write & publish
+            _merge_keys(spark, vt_b, [(97, 970.0)], writes_b)
+        writes_a.append(1)
+        return files
+
+    vt_a._write_data_files = hook
+    try:
+        v = vt_a.merge_into(
+            spark,
+            spark.createDataFrame([(2, 20.0)], "s_k bigint, nv double"),
+            key="k", source_key="s_k",
+            update_set={"v": F.col("nv")},
+            insert_exprs={"k": F.col("s_k"), "v": F.col("nv")},
+        )
+    finally:
+        vt_a._write_data_files = orig
+    assert len(writes_a) == 1, "loser re-ran its plan despite disjoint keys"
+    assert len(writes_b) == 1
+    assert v == 2
+    snap = vt_a.snapshot(2)
+    assert snap["operation"] == "merge" and snap.get("rebased_from") == 0
+    got = {r["k"]: r["v"] for r in vt_a.read(spark).collect()}
+    assert got[2] == 20.0 and got[97] == 970.0  # neither update lost
+    assert len(got) == 100
+
+
+def test_overlapping_merges_still_replan(spark, tmp_path):
+    """Two MERGEs touching the SAME key: the rebase must refuse (the
+    winner's added file carries the loser's key) and the loser re-runs
+    its full plan against the winner — the lost-update rule intact."""
+    path = str(tmp_path / "ov")
+    vt_a = VersionedTable(path)
+    vt_b = VersionedTable(path)
+    df = (
+        spark.range(100)
+        .select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        .repartitionByRange(4, "k")
+    )
+    vt_a.create(df)
+    writes_a: list = []
+    writes_b: list = []
+    orig = vt_a._write_data_files
+    state = {"raced": False}
+
+    def hook(dfx, schema=None):
+        files = orig(dfx, schema)
+        if not state["raced"]:
+            state["raced"] = True
+            _merge_keys(spark, vt_b, [(5, 500.0)], writes_b)
+        writes_a.append(1)
+        return files
+
+    vt_a._write_data_files = hook
+    try:
+        vt_a.merge_into(
+            spark,
+            spark.createDataFrame([(5, 555.0)], "s_k bigint, nv double"),
+            key="k", source_key="s_k",
+            update_set={"v": F.col("nv")},
+            insert_exprs={"k": F.col("s_k"), "v": F.col("nv")},
+        )
+    finally:
+        vt_a._write_data_files = orig
+    assert len(writes_a) == 2, "overlapping merge must re-plan, not rebase"
+    # last writer's plan re-ran against the winner: final value is A's
+    got = {r["k"]: r["v"] for r in vt_a.read(spark).collect()}
+    assert got[5] == 555.0
+    assert len(got) == 100
+    assert "rebased_from" not in vt_a.snapshot()
+
+
+def test_disjoint_delete_keys_rebases(spark, tmp_path):
+    """DELETE-by-keys gets the same admission: a delete racing a
+    disjoint-range merge re-parents instead of re-scanning."""
+    path = str(tmp_path / "dd")
+    vt_a = VersionedTable(path)
+    vt_b = VersionedTable(path)
+    df = (
+        spark.range(100)
+        .select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        .repartitionByRange(4, "k")
+    )
+    vt_a.create(df)
+    writes_a: list = []
+    writes_b: list = []
+    orig = vt_a._write_data_files
+    state = {"raced": False}
+
+    def hook(dfx, schema=None):
+        files = orig(dfx, schema)
+        if not state["raced"]:
+            state["raced"] = True
+            _merge_keys(spark, vt_b, [(98, 980.0)], writes_b)
+        writes_a.append(1)
+        return files
+
+    vt_a._write_data_files = hook
+    try:
+        vt_a.delete_keys(
+            spark,
+            spark.createDataFrame([(3,), (7,)], "dk bigint"),
+            key="k", source_key="dk",
+        )
+    finally:
+        vt_a._write_data_files = orig
+    assert len(writes_a) == 1, "disjoint delete re-ran its plan"
+    got = {r["k"]: r["v"] for r in vt_a.read(spark).collect()}
+    assert 3 not in got and 7 not in got and got[98] == 980.0
+    assert len(got) == 98
+    assert vt_a.snapshot().get("rebased_from") == 0
