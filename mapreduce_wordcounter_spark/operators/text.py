@@ -2569,6 +2569,157 @@ def dsir_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSIR_GUMBEL_SEED = 42  # seeded: re-runs select the SAME sample
+
+# Strictly-interior uniform from the portable 60-bit md5 hash:
+# (h % p + 1) / (p + 2) in (0, 1) — integer arithmetic exact on both
+# engines, one exact double division. p = 1e9+7.
+_GUMBEL_P = 1_000_000_007
+
+
+# Shared oracle fragment: per-doc exact int64 log-weight sum plus the
+# seeded Gumbel-perturbed key (consumed by both gumbel selections).
+_DSIR_GUMBEL_CTES = f"""{_DSIR_LW_CTES},
+    d AS (
+        SELECT t.doc_id, CAST(SUM(l.lw) AS BIGINT) AS lw_micro
+        FROM tok t JOIN lw l ON t.word = l.word
+        WHERE t.word <> ''
+        GROUP BY t.doc_id),
+    g AS (
+        SELECT doc_id, lw_micro,
+               lw_micro + CAST(FLOOR(-LN(-LN(
+                   (({{md5h}}) % {{p}} + 1)
+                   / {{p2}}.0)) * 1000000.0 + 0.5) AS BIGINT)
+               AS key_micro
+        FROM d)"""
+
+
+def _gumbel_ctes() -> str:
+    # .replace, not .format: the embedded token regex carries literal
+    # braces (\p{L}) that str.format would try to interpolate
+    return (
+        _DSIR_GUMBEL_CTES.replace(
+            "{md5h}",
+            _DUCK_MD5H.format(
+                s=f"'gumbel:{_DSIR_GUMBEL_SEED}:' || CAST(doc_id AS VARCHAR)"
+            ),
+        )
+        .replace("{p2}", str(_GUMBEL_P + 2))
+        .replace("{p}", str(_GUMBEL_P))
+    )
+
+
+def _gumbel_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lw_micro, key_micro): the exact int64 per-doc
+    log-weight sum plus the seeded micro-quantized Gumbel
+    perturbation — the relation both gumbel selections rank."""
+    t = tokens(spark, sf_dir)
+    weights = _dsir_word_weights(spark, sf_dir)
+    d = (
+        t.join(F.broadcast(weights), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("lw").cast("long").alias("lw_micro"))
+    )
+    h = F.expr(
+        _SPARK_MD5H.format(
+            s=f"concat('gumbel:{_DSIR_GUMBEL_SEED}:', cast(doc_id as string))"
+        )
+    )
+    u = ((h % _GUMBEL_P) + 1).cast("double") / F.lit(float(_GUMBEL_P + 2))
+    g = F.floor(-F.log(-F.log(u)) * 1_000_000 + F.lit(0.5)).cast("long")
+    return d.select(
+        "doc_id", "lw_micro", (F.col("lw_micro") + g).alias("key_micro")
+    )
+
+
+@query(
+    "dsir_gumbel_sample",
+    oracle=f"""
+    WITH {_gumbel_ctes()}
+    SELECT doc_id, lw_micro, key_micro FROM g
+    ORDER BY key_micro DESC, doc_id
+    LIMIT {_DSIR_TOPK}
+    """,
+)
+def dsir_gumbel_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's STOCHASTIC selection half: weighted sampling WITHOUT
+    replacement, K documents with inclusion ∝ importance weight — the
+    Gumbel top-k construction (taking the top K of
+    ``log w_i + Gumbel_i`` is distributionally identical to K
+    successive without-replacement draws ∝ w_i), which is how the
+    published resampling recipe (Xie et al., 2023) draws a
+    target-distribution-shaped sample rather than a deterministic
+    head (``dsir_sample_fraction``'s quantile cut). Seeded and
+    engine-exact: u_i comes from the repo's portable 60-bit md5 hash
+    of (seed, doc_id) mapped to a strictly-interior rational — both
+    engines compute the SAME double — and the perturbed key is the
+    exact int64 log-weight sum plus the micro-quantized Gumbel term,
+    so the selected set and its order replay exactly (the ln calls
+    ride the same quantize-then-floor margin argument as the weight
+    model itself, tests/test_quantization_margin.py).
+
+    Scale: the weights pipeline (one vocabulary aggregate + one
+    doc-grain rollup), a map-side hash/perturb expression, and a
+    TakeOrdered top-K — per-partition heaps, K driver rows, no global
+    sort. The fraction-sized stochastic selection is
+    dsir_gumbel_sample_fraction (same key, distributed-rank threshold
+    instead of the LIMIT)."""
+    return (
+        _gumbel_keyed(spark, sf_dir)
+        .orderBy(F.desc("key_micro"), F.asc("doc_id"))
+        .limit(_DSIR_TOPK)
+    )
+
+
+@query(
+    "dsir_gumbel_sample_fraction",
+    oracle=f"""
+    WITH {_gumbel_ctes()},
+    r AS (
+        SELECT doc_id, lw_micro, key_micro,
+               ROW_NUMBER() OVER (
+                   ORDER BY key_micro DESC, doc_id) AS sel_rank,
+               COUNT(*) OVER () AS n_docs
+        FROM g)
+    SELECT doc_id, lw_micro, key_micro,
+           CAST(sel_rank AS BIGINT) AS sel_rank
+    FROM r WHERE sel_rank * {_DSIR_SAMPLE_DEN} <= n_docs
+    """,
+)
+def dsir_gumbel_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE published DSIR resampling step at production shape: a
+    target-FRACTION weighted sample without replacement — the seeded
+    Gumbel-perturbed key (sampling ∝ importance weight, see
+    dsir_gumbel_sample) ranked by the collect-free distributed rank
+    and cut at the exact integer quantile threshold
+    (``sel_rank * 10 <= n_docs``, dsir_sample_fraction's
+    construction). Completes the selection matrix: deterministic
+    head / stochastic sample, each at top-K and at fraction scale.
+
+    Scale: one corpus pass for the weights, a map-side perturbation,
+    one range exchange for the rank, a 1-row count scalar from the
+    same persisted range assignment — no TakeOrdered (the selection
+    is millions of rows at 100 TB), no global sort, no
+    single-partition window."""
+    from mapreduce_wordcounter_spark.operators.layout import distributed_rank
+
+    keyed = _gumbel_keyed(spark, sf_dir)
+    ranked = distributed_rank(
+        keyed, [F.desc("key_micro"), F.asc("doc_id")], out="sel_rank"
+    )
+    tot = ranked.agg(F.max("sel_rank").cast("long").alias("__nd"))
+    return (
+        ranked.join(F.broadcast(tot))
+        .filter(F.col("sel_rank") * _DSIR_SAMPLE_DEN <= F.col("__nd"))
+        .select(
+            "doc_id",
+            "lw_micro",
+            "key_micro",
+            F.col("sel_rank").cast("long").alias("sel_rank"),
+        )
+    )
+
+
 # --- Source-level (domain-level) curation -----------------------------------
 #
 # CCNet/RefinedWeb gate whole DOMAINS, not just documents: a source whose

@@ -215,3 +215,28 @@ def test_concurrent_schema_change_fails_append(spark, tmp_path):
     # table state is the racer's commit, untouched by the failed append
     assert vt.read(spark).columns == ["k", "amount"]
     assert vt.read(spark).count() == 10
+
+
+def test_schema_downgrade_survives_checkpoint_resolution(spark, tmp_path):
+    """A rollback past the mapping's creation records an EXPLICIT
+    schema downgrade; later commits that merely inherit must not
+    resurrect the checkpoint's stale mapping during delta-chain
+    resolution (the schema tracks THROUGH the chain, not from the
+    base's value)."""
+    vt = VersionedTable(str(tmp_path / "dg"), checkpoint_interval=2)
+    vt.create(spark.createDataFrame([(0, 0.0)], "k bigint, v double"))
+    vt.rename_column("v", "price")  # v1: mapping active
+    vt.append(
+        spark.createDataFrame([(1, 1.0)], "k bigint, price double")
+    )  # v2: checkpoint carries the mapping
+    import os as _os
+
+    assert _os.path.exists(vt._checkpoint_path(2))
+    vt.rollback(0)  # v3: explicit downgrade to the unmapped v0
+    vt.append(spark.createDataFrame([(2, 2.0)], "k bigint, v double"))  # v4
+    fresh = VersionedTable(str(tmp_path / "dg"), checkpoint_interval=2)
+    df = fresh.read(spark, 4)  # resolves v4 <- v3 <- checkpoint@v2
+    assert df.columns == ["k", "v"]
+    assert df.count() == 2
+    # and the mapped snapshot still time-travels under its own name
+    assert fresh.read(spark, 2).columns == ["k", "price"]

@@ -191,3 +191,49 @@ def test_dsir_sample_fraction_invariants(spark):
     )
     assert [r["sel_rank"] for r in sel] == list(range(1, n // 10 + 1))
     assert [r["doc_id"] for r in sel] == expect_ids
+
+
+def test_dsir_gumbel_sample_invariants(spark):
+    """Seeded Gumbel top-k: exactly K rows, deterministic across
+    invocations (fixed seed), ordered by the perturbed key, and NOT
+    the deterministic weight head — the Gumbel noise must actually
+    change the selection vs pure top-K by weight."""
+    K = 64
+    a = _QUERIES["dsir_gumbel_sample"](spark, SF_ORACLE).collect()
+    b = _QUERIES["dsir_gumbel_sample"](spark, SF_ORACLE).collect()
+    assert len(a) == K
+    assert [(r["doc_id"], r["key_micro"]) for r in a] == [
+        (r["doc_id"], r["key_micro"]) for r in b
+    ]
+    keys = [r["key_micro"] for r in a]
+    assert keys == sorted(keys, reverse=True)
+    # the stochastic sample differs from the deterministic weight head
+    full = _QUERIES["dsir_importance_weights"](spark, SF_ORACLE).collect()
+    det_head = {
+        r["doc_id"]
+        for r in sorted(
+            full, key=lambda r: (-r["mean_log_ratio"], r["doc_id"])
+        )[:K]
+    }
+    assert {r["doc_id"] for r in a} != det_head
+
+
+def test_dsir_gumbel_fraction_invariants(spark):
+    """Fraction-scale Gumbel sample: exactly floor(n/10) rows, dense
+    contiguous ranks ordered by the perturbed key, and a superset
+    check against the K=64 gumbel head (same key, same order — the
+    top-64 must be the fraction selection's prefix when n/10 >= 64)."""
+    n = len(_QUERIES["dsir_importance_weights"](spark, SF_ORACLE).collect())
+    sel = (
+        _QUERIES["dsir_gumbel_sample_fraction"](spark, SF_ORACLE)
+        .orderBy("sel_rank")
+        .collect()
+    )
+    assert [r["sel_rank"] for r in sel] == list(range(1, n // 10 + 1))
+    keys = [r["key_micro"] for r in sel]
+    assert keys == sorted(keys, reverse=True)
+    head = _QUERIES["dsir_gumbel_sample"](spark, SF_ORACLE).collect()
+    if n // 10 >= len(head):
+        assert [r["doc_id"] for r in sel[: len(head)]] == [
+            r["doc_id"] for r in head
+        ]

@@ -61,6 +61,8 @@ _ALLOWED_BOUNDED_BNLJ = {
     "dsir_importance_weights",  # 1-row (N, N_t, V) totals scalar onto the vocab
     "dsir_topk_selection",  # same scalar one level down (TakeOrdered on top)
     "dsir_sample_fraction",  # 1-row corpus-count scalar (quantile threshold)
+    "dsir_gumbel_sample",  # the same 1-row totals scalar inside the weights
+    "dsir_gumbel_sample_fraction",  # + the 1-row corpus-count scalar
     "doc_bigram_logprob",  # 1-row vocab-size scalar onto the bigram model
     "skew_top_keys",  # 1-row total scalar onto the 5-row top-k
     "source_lang_chisq",  # 1-row chi-square scalar joined onto 1-row dims

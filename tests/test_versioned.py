@@ -950,3 +950,120 @@ def test_stats_relation_antijoin_remove_path(spark, tmp_path):
     assert a == b
     snap = vt.snapshot(3)
     assert {x[0] for x in a} == set(snap["files"])
+
+
+def _feed_key(rows):
+    return sorted(
+        (r["k"], r["change_type"], r["old_v"], r["new_v"]) for r in rows
+    )
+
+
+def test_cdc_log_single_hop_equals_snapshot_diff(spark, tmp_path):
+    """A cdc-enabled MERGE's write-time change files must serve the
+    IDENTICAL feed the snapshot diff computes — updates with old/new,
+    inserts with null old, no-op updates absent."""
+    vt = _mk(spark, tmp_path, n=20, files=2)
+    src = spark.createDataFrame(
+        [(3, 333.0), (7, 7.0), (100, 100.0)], "s_k bigint, nv double"
+    )  # update, NO-OP update (same value), insert
+    vt.merge_into(
+        spark, src, key="k", source_key="s_k",
+        update_set={"v": F.col("nv")},
+        insert_exprs={"k": F.col("s_k"), "v": F.col("nv")},
+        cdc=True,
+    )
+    assert "cdc" in vt._load_manifest(1)
+    log = vt.read_changes_log(spark, "k", 0, 1).collect()
+    diff = vt.read_changes(spark, "k", 0, 1).collect()
+    assert _feed_key(log) == _feed_key(diff)
+    assert _feed_key(log) == [
+        (3, "update", 3.0, 333.0),
+        (100, "insert", None, 100.0),
+    ]
+
+
+def test_cdc_log_multi_hop_composes_like_diff(spark, tmp_path):
+    """Multi-commit feed composition: insert-then-delete vanishes,
+    update chains net first-old/last-new, reverted updates vanish,
+    appends surface as inserts — all equal to the snapshot diff."""
+    vt = _mk(spark, tmp_path, n=20, files=2)  # v0
+    vt.merge_into(  # v1: update 3 -> 333, insert 100
+        spark,
+        spark.createDataFrame([(3, 333.0), (100, 100.0)], "s_k bigint, nv double"),
+        key="k", source_key="s_k",
+        update_set={"v": F.col("nv")},
+        insert_exprs={"k": F.col("s_k"), "v": F.col("nv")},
+        cdc=True,
+    )
+    vt.merge_into(  # v2: revert 3 -> 3.0, update 5 -> 555
+        spark,
+        spark.createDataFrame([(3, 3.0), (5, 555.0)], "s_k bigint, nv double"),
+        key="k", source_key="s_k",
+        update_set={"v": F.col("nv")},
+        insert_exprs={"k": F.col("s_k"), "v": F.col("nv")},
+        cdc=True,
+    )
+    vt.delete_keys(  # v3: delete the v1 insert (net: vanishes) + key 7
+        spark,
+        spark.createDataFrame([(100,), (7,)], "dk bigint"),
+        key="k", source_key="dk", cdc=True,
+    )
+    vt.append(  # v4: pure inserts
+        spark.createDataFrame([(200, 200.0)], "k bigint, v double")
+    )
+    log = vt.read_changes_log(spark, "k", 0, 4).collect()
+    diff = vt.read_changes(spark, "k", 0, 4).collect()
+    assert _feed_key(log) == _feed_key(diff)
+    assert _feed_key(log) == [
+        (5, "update", 5.0, 555.0),
+        (7, "delete", 7.0, None),
+        (200, "insert", None, 200.0),
+    ]
+    # partial ranges compose too
+    for a, b in [(0, 2), (1, 3), (2, 4)]:
+        assert _feed_key(vt.read_changes_log(spark, "k", a, b).collect()) == \
+            _feed_key(vt.read_changes(spark, "k", a, b).collect()), (a, b)
+
+
+def test_cdc_log_falls_back_without_change_files(spark, tmp_path):
+    """A merge committed WITHOUT cdc in the range: the log reader must
+    fall back to the snapshot diff, never serve a partial feed."""
+    vt = _mk(spark, tmp_path, n=10, files=1)
+    _merge_bump(spark, vt, [2])  # v1, no cdc
+    assert "cdc" not in vt._load_manifest(1)
+    log = vt.read_changes_log(spark, "k", 0, 1).collect()
+    diff = vt.read_changes(spark, "k", 0, 1).collect()
+    assert _feed_key(log) == _feed_key(diff)
+    assert len(log) == 1
+
+
+def test_vacuum_collects_expired_cdc_files(spark, tmp_path):
+    """Vacuum GCs change files of EXPIRED commits (grace-aged) while
+    keeping those referenced by surviving manifests."""
+    vt = _mk(spark, tmp_path, n=10, files=1)
+    vt.merge_into(  # v1 with cdc
+        spark,
+        spark.createDataFrame([(2, 22.0)], "s_k bigint, nv double"),
+        key="k", source_key="s_k",
+        update_set={"v": F.col("nv")},
+        insert_exprs={"k": F.col("s_k"), "v": F.col("nv")},
+        cdc=True,
+    )
+    vt.merge_into(  # v2 with cdc
+        spark,
+        spark.createDataFrame([(3, 33.0)], "s_k bigint, nv double"),
+        key="k", source_key="s_k",
+        update_set={"v": F.col("nv")},
+        insert_exprs={"k": F.col("s_k"), "v": F.col("nv")},
+        cdc=True,
+    )
+    cdc_v1 = vt._load_manifest(1)["cdc"]
+    cdc_v2 = vt._load_manifest(2)["cdc"]
+    assert cdc_v1 and cdc_v2
+    vt.vacuum(retain_last=1, orphan_grace_sec=0, force_orphan_grace=True)
+    assert not any(
+        os.path.exists(os.path.join(vt.path, f)) for f in cdc_v1
+    )
+    assert all(os.path.exists(os.path.join(vt.path, f)) for f in cdc_v2)
+    # the surviving feed still serves
+    assert vt.read_changes_log(spark, "k", 1, 2).count() == 1

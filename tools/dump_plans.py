@@ -188,6 +188,16 @@ SHOWCASE = [
     "dsir_importance_weights",
     "dsir_topk_selection",
     "zipf_slope",
+    # round 8: fraction-scale DSIR selection (distributed rank +
+    # integer quantile threshold), the PCA model surface, the
+    # stochastic Gumbel resamplers, and the lakehouse protocol
+    # additions (column mapping + write-time CDC)
+    "dsir_sample_fraction",
+    "embedding_pca_explained_variance",
+    "dsir_gumbel_sample",
+    "dsir_gumbel_sample_fraction",
+    "table_column_mapping",
+    "table_changes_feed_log",
 ]
 
 # Belt-and-braces: a duplicated SHOWCASE entry (it has happened) would

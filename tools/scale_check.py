@@ -68,6 +68,10 @@ TARGETS = [
     # are symlinked unchanged, so a measurement would be vacuous.)
     "dsir_importance_weights",
     "doc_mean_word_rank",
+    # round 8: fraction-scale DSIR selection — the weights pipeline
+    # plus a distributed rank (range exchange + local windows), so the
+    # exponent shows the rank's cost growing with the corpus
+    "dsir_sample_fraction",
 ]
 
 
