@@ -184,6 +184,7 @@ HEADLINE = [
     "dsir_gumbel_sample_fraction",
     "table_column_mapping",
     "table_changes_feed_log",
+    "merge_delete_branch_versioned",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries

@@ -927,3 +927,84 @@ def table_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in rows[1:]:
         out = out.unionAll(df)
     return out.select("version", "cols", "n_rows", "sum_val")
+
+
+_MDB_VT_PATHS: dict[tuple[str, str], str] = {}
+
+
+def _merge_delete_orders(spark: SparkSession, sf_dir: str) -> VersionedTable:
+    """2-version lineage for the MERGE DELETE branch (Delta's WHEN
+    MATCHED ... THEN DELETE):
+
+      v0  create  orders with o_orderkey % 7 = 0     (o_orderkey, o_totalprice)
+      v1  merge   source = keys with o_orderkey % 14 = 0 (all matched)
+                  plus inserts (o_orderkey + 200M, 50.0) for % 77 = 0;
+                  WHEN MATCHED AND o_totalprice < 1000 THEN DELETE
+                  WHEN MATCHED THEN UPDATE price * 0.9
+                  WHEN NOT MATCHED THEN INSERT
+
+    cdc=True so the delete events also land in the write-time feed."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _MDB_VT_PATHS.get(key)
+    if path is not None and len(VersionedTable(path).versions()) < 2:
+        path = None
+    if path is None:
+        path = os.path.join(scratch_dir("versioned_mdb_"), "orders_mdb")
+        vt = VersionedTable(path, stats_col="o_orderkey")
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        k = F.col("o_orderkey")
+        vt.create(o.filter(k % 7 == 0).repartitionByRange(4, "o_orderkey"))
+        updates = o.filter(k % 14 == 0).select(k.alias("s_key"))
+        inserts = o.filter(k % 77 == 0).select(
+            (k + 200_000_000).alias("s_key")
+        )
+        vt.merge_into(
+            spark,
+            updates.unionAll(inserts),
+            key="o_orderkey",
+            source_key="s_key",
+            update_set={"o_totalprice": F.col("o_totalprice") * 0.9},
+            insert_exprs={
+                "o_orderkey": F.col("s_key"),
+                "o_totalprice": F.lit(50.0),
+            },
+            delete_when=F.col("o_totalprice") < 1000,
+            cdc=True,
+        )
+        _MDB_VT_PATHS[key] = path
+    return VersionedTable(path, stats_col="o_orderkey")
+
+
+@query(
+    "merge_delete_branch_versioned",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 14 = 0 THEN o_totalprice * 0.9
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+      AND NOT (o_orderkey % 14 = 0 AND o_totalprice < 1000)
+    UNION ALL
+    SELECT o_orderkey + 200000000, 50.0 FROM orders
+    WHERE o_orderkey % 77 = 0
+    """,
+)
+def merge_delete_branch_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three-branch MERGE (Delta's full matched-clause matrix —
+    closes the tier's last stated non-goal): WHEN MATCHED AND
+    predicate THEN DELETE / WHEN MATCHED THEN UPDATE / WHEN NOT
+    MATCHED THEN INSERT, committed copy-on-write and read back
+    through the snapshot. The oracle replays all three branches from
+    the raw table, row for row: deleted rows absent, updated prices
+    the identical double product, untouched and inserted rows
+    bit-stable — so the driver hash checks the committed DATA of the
+    branch semantics, not a side channel.
+
+    Scale: exactly merge_into's posture — metadata-first candidate
+    pruning, only matched files rewrite, the delete branch is a
+    filter inside the same rewrite (no extra pass), and the delete
+    events ride the commit's write-time CDC files."""
+    vt = _merge_delete_orders(spark, sf_dir)
+    return vt.read(spark, 1).select("o_orderkey", "o_totalprice")

@@ -1639,6 +1639,7 @@ class VersionedTable:
         update_set: dict,
         insert_exprs: dict,
         cdc: bool = False,
+        delete_when=None,
     ) -> int:
         """``MERGE INTO target USING source ON target.key = source.
         source_key WHEN MATCHED THEN UPDATE SET col = update_set[col]
@@ -1684,9 +1685,18 @@ class VersionedTable:
         relation the merge computes anyway — one extra churn-sized
         write, no extra table scan.
 
-        Non-goals (honest scope): single UPDATE clause, no DELETE
-        branch, no schema evolution — the transactional commit +
-        pruning + time travel are what this tier exists to prove.
+        ``delete_when`` (a Column predicate over the joined relation —
+        target columns plus the source's) adds the ``WHEN MATCHED AND
+        delete_when THEN DELETE`` branch: matched rows satisfying it
+        leave the table (they simply don't survive into the rewrite);
+        matched rows failing it take the UPDATE branch as before.
+        NULL-evaluating predicates keep the row (SQL semantics, same
+        rule as delete_where). With ``cdc=True`` the dropped rows
+        surface as 'delete' events.
+
+        Non-goals (honest scope): single UPDATE clause, no schema
+        evolution — the transactional commit + pruning + time travel
+        are what this tier exists to prove.
         """
         dup = (
             source.groupBy(F.col(source_key))
@@ -1705,7 +1715,7 @@ class VersionedTable:
             try:
                 return self._merge_attempt(
                     spark, source, key, source_key, update_set,
-                    insert_exprs, cdc,
+                    insert_exprs, cdc, delete_when,
                 )
             except VersionConflictError:
                 continue
@@ -1722,6 +1732,7 @@ class VersionedTable:
         update_set: dict,
         insert_exprs: dict,
         cdc: bool = False,
+        delete_when=None,
     ) -> int:
         snap = self.snapshot()
         target = self.read(spark, snap["version"])
@@ -1775,8 +1786,18 @@ class VersionedTable:
         joined = affected.join(
             source, F.col(key) == F.col(source_key), "full_outer"
         )
+        # WHEN MATCHED AND delete_when THEN DELETE: a matched row
+        # satisfying the predicate does not survive into the rewrite.
+        # NULL keeps the row (SQL semantics; coalesce like delete_where).
+        is_matched = F.col(key).isNotNull() & F.col(source_key).isNotNull()
+        if delete_when is not None:
+            doomed = is_matched & F.coalesce(delete_when, F.lit(False))
+            survivors_joined = joined.filter(~doomed)
+        else:
+            doomed = F.lit(False)
+            survivors_joined = joined
         target_cols = target.columns
-        merged = joined.select(
+        merged = survivors_joined.select(
             *[
                 F.when(F.col(key).isNull(), insert_exprs[c])  # insert
                 .when(
@@ -1792,23 +1813,26 @@ class VersionedTable:
         extra: dict = {}
         if cdc:
             # Change rows from the SAME joined relation: inserts (no
-            # target match) and updates (no-op updates excluded, the
-            # snapshot-diff feed's exact semantics).
+            # target match), updates (no-op updates excluded, the
+            # snapshot-diff feed's exact semantics), and — with the
+            # delete branch — 'delete' events for the doomed rows.
             non_key = [c for c in target_cols if c != key]
             ev = joined.filter(F.col(source_key).isNotNull()).select(
                 F.coalesce(F.col(key), F.col(source_key)).alias(key),
-                F.when(F.col(key).isNull(), F.lit("insert"))
+                F.when(doomed, F.lit("delete"))
+                .when(F.col(key).isNull(), F.lit("insert"))
                 .otherwise(F.lit("update"))
                 .alias("change_type"),
                 *[F.col(c).alias(f"old_{c}") for c in non_key],
                 *[
-                    F.when(F.col(key).isNull(), insert_exprs[c])
+                    F.when(doomed, F.when(F.lit(False), F.col(c)))
+                    .when(F.col(key).isNull(), insert_exprs[c])
                     .otherwise(update_set.get(c, F.col(c)))
                     .alias(f"new_{c}")
                     for c in non_key
                 ],
             )
-            changed = F.col("change_type") == "insert"
+            changed = F.col("change_type").isin("insert", "delete")
             for c in non_key:
                 changed = changed | ~F.col(f"old_{c}").eqNullSafe(
                     F.col(f"new_{c}")

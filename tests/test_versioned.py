@@ -1067,3 +1067,56 @@ def test_vacuum_collects_expired_cdc_files(spark, tmp_path):
     assert all(os.path.exists(os.path.join(vt.path, f)) for f in cdc_v2)
     # the surviving feed still serves
     assert vt.read_changes_log(spark, "k", 1, 2).count() == 1
+
+
+def test_merge_delete_branch_and_cdc(spark, tmp_path):
+    """The WHEN MATCHED AND pred THEN DELETE branch: doomed matched
+    rows leave the table, surviving matched rows take the UPDATE,
+    unmatched source rows INSERT — and the write-time feed records
+    the delete events exactly as the snapshot diff sees them."""
+    vt = _mk(spark, tmp_path, n=20, files=2)
+    src = spark.createDataFrame(
+        [(3, 999.0), (5, 555.0), (100, 100.0)], "s_k bigint, nv double"
+    )
+    vt.merge_into(
+        spark, src, key="k", source_key="s_k",
+        update_set={"v": F.col("nv")},
+        insert_exprs={"k": F.col("s_k"), "v": F.col("nv")},
+        delete_when=F.col("v") < 4,  # dooms key 3 (v=3.0) only
+        cdc=True,
+    )
+    got = {r["k"]: r["v"] for r in vt.read(spark).collect()}
+    assert 3 not in got  # deleted
+    assert got[5] == 555.0  # updated (predicate false)
+    assert got[100] == 100.0  # inserted
+    assert len(got) == 20  # 20 - 1 deleted + 1 inserted
+    log = vt.read_changes_log(spark, "k", 0, 1).collect()
+    diff = vt.read_changes(spark, "k", 0, 1).collect()
+    assert _feed_key(log) == _feed_key(diff)
+    assert _feed_key(log) == [
+        (3, "delete", 3.0, None),
+        (5, "update", 5.0, 555.0),
+        (100, "insert", None, 100.0),
+    ]
+    # time travel: v0 still has the deleted row
+    assert {r["k"] for r in vt.read(spark, 0).collect()} == set(range(20))
+
+
+def test_merge_delete_branch_null_predicate_keeps_row(spark, tmp_path):
+    """SQL semantics: a NULL-evaluating delete predicate KEEPS the
+    matched row (it falls to the UPDATE branch)."""
+    vt = VersionedTable(str(tmp_path / "np"))
+    vt.create(
+        spark.createDataFrame(
+            [(1, 1.0), (2, None)], "k bigint, v double"
+        )
+    )
+    src = spark.createDataFrame([(1, 10.0), (2, 20.0)], "s_k bigint, nv double")
+    vt.merge_into(
+        spark, src, key="k", source_key="s_k",
+        update_set={"v": F.col("nv")},
+        insert_exprs={"k": F.col("s_k"), "v": F.col("nv")},
+        delete_when=F.col("v") < 0,  # NULL for key 2 -> keep, update
+    )
+    got = {r["k"]: r["v"] for r in vt.read(spark).collect()}
+    assert got == {1: 10.0, 2: 20.0}

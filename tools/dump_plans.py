@@ -198,6 +198,7 @@ SHOWCASE = [
     "dsir_gumbel_sample_fraction",
     "table_column_mapping",
     "table_changes_feed_log",
+    "merge_delete_branch_versioned",
 ]
 
 # Belt-and-braces: a duplicated SHOWCASE entry (it has happened) would
