@@ -63,9 +63,11 @@ probe is one semi-join aggregating to a bounded distinct-file list.
 
 from __future__ import annotations
 
+import copy
 import json
 import os
 import uuid
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -190,8 +192,19 @@ class VersionedTable:
             self._cache_snapshot(version, snap)
         out = dict(snap)
         out["files"] = list(snap.get("files") or [])
-        out["stats"] = dict(snap.get("stats") or {})
-        out["blooms"] = dict(snap.get("blooms") or {})
+        # stats/blooms values and the nested schema dict must not share
+        # references with the cached entry: a caller mutating
+        # snap["schema"]["cols"] or a stats list would corrupt every
+        # later resolve of that version (ADVICE r8). All three are
+        # column-/file-metadata-sized, so the deep copy is cheap.
+        out["stats"] = {
+            f: list(s) for f, s in (snap.get("stats") or {}).items()
+        }
+        out["blooms"] = {
+            f: dict(b) for f, b in (snap.get("blooms") or {}).items()
+        }
+        if out.get("schema"):
+            out["schema"] = copy.deepcopy(out["schema"])
         return out
 
     def _cache_snapshot(self, version: int, snap: dict) -> None:
@@ -373,7 +386,14 @@ class VersionedTable:
             # would rebuild the wall this relation exists to remove
             # (ADVICE r7). Materialize a FRESH sidecar at this version
             # (bounded pyarrow metadata write, idempotent) and read it.
-            self._write_checkpoint_stats(snap)
+            # The sidecar is DERIVED acceleration data: a pyarrow
+            # import/IO failure degrades this read-only probe to the
+            # JSON fallback instead of raising (ADVICE r8, matching
+            # _write_checkpoint's posture).
+            try:
+                self._write_checkpoint_stats(snap)
+            except Exception:
+                return None
             fresh = self._checkpoint_stats_path(v)
             if not os.path.exists(fresh):
                 return None  # nothing stats-bearing to materialize
@@ -551,7 +571,14 @@ class VersionedTable:
         mid = schema["max_id"]
         for nm in new_logical:
             mid += 1
-            phys = nm if nm not in used else f"{nm}__c{mid}"
+            # The generated suffixed name must ITSELF be unused: a table
+            # whose columns ever literally included e.g. 'a__c3' would
+            # otherwise alias two mapping entries onto one physical name
+            # (duplicate writes, dropped data resurfacing — ADVICE r8).
+            phys, bump = nm, mid
+            while phys in used:
+                phys = f"{nm}__c{bump}"
+                bump += 1
             cols.append({"id": mid, "name": nm, "phys": phys})
             used.add(phys)
             phys_used.append(phys)
@@ -1119,12 +1146,23 @@ class VersionedTable:
                     .distinct()
                     .collect()
                 )
-        except Exception:
+        except Exception as exc:
             # Derived acceleration metadata only: a malformed/stale
             # sidecar (e.g. null-typed columns from a pre-fix writer)
             # must degrade to the JSON-resolved maps, never fail the
-            # probe (ADVICE r7).
-            pass
+            # probe (ADVICE r7) — but not SILENTLY: a regression in the
+            # fast path would otherwise defeat the acceleration with no
+            # signal on every probe, so warn once per table naming the
+            # sidecar path (ADVICE r8).
+            if not getattr(self, "_stats_rel_warned", False):
+                self._stats_rel_warned = True
+                warnings.warn(
+                    "parquet stats-sidecar probe failed under "
+                    f"{self.snap_dir} ({type(exc).__name__}: {exc}); "
+                    "falling back to JSON-resolved stats",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
         no_stats = [f for f in snap["files"] if f not in stats]
         stat_rows = [(f, s[0], s[1]) for f, s in stats.items()]
         sdf = spark.createDataFrame(stat_rows, ["__f", "__lo", "__hi"])
@@ -1255,7 +1293,13 @@ class VersionedTable:
         cannot serve (rollback, a merge/delete written without
         ``cdc=True``, a legacy manifest, or a schema change whose
         renamed feed columns would not line up)."""
-        feed_schema_cols: list[str] | None = None
+        # The composed feed's old_/new_ column set is the UNION of all
+        # parts' columns (first-seen order), not any single widest part:
+        # two commits carrying disjoint evolved columns of equal width
+        # (e.g. two appends each adding a different column) must both
+        # surface in the aggregated feed (ADVICE r8).
+        feed_schema_cols: list[str] = []
+        feed_cols_seen: set[str] = set()
         parts: list[DataFrame] = []
         for v in range(v_from + 1, v_to + 1):
             try:
@@ -1298,10 +1342,10 @@ class VersionedTable:
             else:  # rollback / create / unknown: content not in the log
                 return self.read_changes(spark, key, v_from, v_to)
             parts.append(df.withColumn("__v", F.lit(v)))
-            if feed_schema_cols is None or len(df.columns) > len(
-                feed_schema_cols
-            ):
-                feed_schema_cols = df.columns
+            for c in df.columns:
+                if c not in feed_cols_seen:
+                    feed_cols_seen.add(c)
+                    feed_schema_cols.append(c)
         if not parts:
             b = self.read(spark, v_to)
             cols = [c for c in b.columns if c != key]
@@ -1847,6 +1891,367 @@ class VersionedTable:
             )
         except VersionConflictError:
             # disjoint-commit admission before the wholesale re-plan
+            v = self._rebase_after_conflict(
+                spark, "merge", snap, rewritten, files, skeys, key,
+                extra_commit=extra,
+            )
+            if v is not None:
+                return v
+            raise
+
+    # -- MERGE: full clause matrix ---------------------------------------
+
+    @staticmethod
+    def _validate_merge_clauses(matched, not_matched, not_matched_by_source, key):
+        """Structural validation of the Delta/Iceberg clause matrix:
+        per category, clauses evaluate IN ORDER and the first whose
+        predicate holds fires — so any clause after an unconditional
+        one is unreachable (Delta requires all but the last clause to
+        carry a condition; enforced here as 'no unreachable clause').
+        UPDATE needs ``set``, DELETE must not carry one, INSERT must
+        produce the merge key."""
+        for label, clauses, kinds in (
+            ("matched", matched, ("update", "delete")),
+            ("not_matched_by_source", not_matched_by_source,
+             ("update", "delete")),
+        ):
+            for i, cl in enumerate(clauses):
+                act = cl.get("action")
+                if act not in kinds:
+                    raise ValueError(
+                        f"{label}[{i}]: action must be one of {kinds}, "
+                        f"got {act!r}"
+                    )
+                if act == "update" and not cl.get("set"):
+                    raise ValueError(f"{label}[{i}]: UPDATE needs a 'set' map")
+                if act == "delete" and cl.get("set"):
+                    raise ValueError(f"{label}[{i}]: DELETE takes no 'set'")
+                if cl.get("when") is None and i != len(clauses) - 1:
+                    raise ValueError(
+                        f"{label}[{i}]: unconditional clause makes later "
+                        f"{label} clauses unreachable"
+                    )
+        for j, cl in enumerate(not_matched):
+            if not cl.get("insert"):
+                raise ValueError(f"not_matched[{j}]: needs an 'insert' map")
+            if key not in cl["insert"]:
+                raise ValueError(
+                    f"not_matched[{j}]: insert must produce the merge "
+                    f"key {key!r}"
+                )
+            if cl.get("when") is None and j != len(not_matched) - 1:
+                raise ValueError(
+                    f"not_matched[{j}]: unconditional clause makes later "
+                    "insert clauses unreachable"
+                )
+
+    def merge_full(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key: str,
+        source_key: str,
+        matched: list[dict] | None = None,
+        not_matched: list[dict] | None = None,
+        not_matched_by_source: list[dict] | None = None,
+        cdc: bool = False,
+        evolve: bool = False,
+    ) -> int:
+        """MERGE with the FULL Delta/Iceberg clause matrix — multiple
+        ordered conditional branches per row category, one transactional
+        copy-on-write commit:
+
+        - ``matched``: ``[{"when": Column|None, "action": "update"|
+          "delete", "set": {col: Column}}, ...]`` — ``WHEN MATCHED
+          [AND pred] THEN UPDATE/DELETE``, evaluated in order, first
+          satisfied predicate fires (``when=None`` = unconditional, so
+          only legal last — Delta's rule); a matched row firing no
+          clause passes through unchanged.
+        - ``not_matched``: ``[{"when": Column|None, "insert":
+          {col: Column}}, ...]`` — ``WHEN NOT MATCHED [AND pred] THEN
+          INSERT``; a source row firing no clause is NOT inserted.
+          Unlisted target columns insert as NULL (SQL INSERT default).
+        - ``not_matched_by_source``: same shape as ``matched`` —
+          ``WHEN NOT MATCHED BY SOURCE [AND pred] THEN UPDATE/DELETE``
+          over target rows with no source match.
+
+        All clause predicates and set/insert expressions see the joined
+        relation (target columns + source columns); NULL-evaluating
+        predicates do not fire (SQL semantics). Every branch executes
+        inside ONE full-outer join + one rewrite — there is no
+        per-clause pass.
+
+        ``evolve=True`` (Delta's ``withSchemaEvolution()``): set/insert
+        expressions may target NEW columns; they join the table schema
+        additively (rows not producing them read NULL, old snapshots
+        time-travel without them, column mapping extends when active).
+        With ``evolve=False`` (default) a new column name raises.
+
+        File pruning: with only matched/not-matched clauses, exactly
+        merge_into's posture — stats/manifest candidate selection, only
+        files containing a matched key rewrite. ``not_matched_by_source``
+        clauses can touch ANY unmatched target row, so they force a
+        full rewrite (Delta documents the same scan obligation) — at
+        100 TB, prefer expressing bulk retirement as ``delete_where``
+        (file-pruned) unless source-absence is genuinely the predicate.
+        Disjoint-commit rebase is also bypassed for NMBS merges: a
+        concurrent append's rows would be unmatched-by-source, so
+        re-parenting staged output past it is unsound.
+
+        ``cdc=True``: per-branch write-time change rows (insert /
+        update / delete, old_/new_ per non-key column, no-op updates
+        excluded) land under ``cdc/`` exactly like merge_into — the
+        feed composes in read_changes_log.
+
+        Same source-key-uniqueness contract as merge_into. Cites the
+        published Delta MERGE clause matrix; the reference has no
+        update path at all (main.go:174-181 prints and exits).
+        """
+        matched = list(matched or [])
+        not_matched = list(not_matched or [])
+        not_matched_by_source = list(not_matched_by_source or [])
+        self._validate_merge_clauses(
+            matched, not_matched, not_matched_by_source, key
+        )
+        dup = (
+            source.groupBy(F.col(source_key))
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"merge_full source has duplicate {source_key!r} values "
+                f"(e.g. {dup[0][0]!r}): each source key must match at most "
+                f"one row — dedupe the source first"
+            )
+        for _ in range(8):
+            try:
+                return self._merge_full_attempt(
+                    spark, source, key, source_key, matched, not_matched,
+                    not_matched_by_source, cdc, evolve,
+                )
+            except VersionConflictError:
+                continue
+        raise VersionConflictError(
+            f"merge_full lost the commit race 8 times at {self.path}"
+        )
+
+    def _merge_full_attempt(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key: str,
+        source_key: str,
+        matched: list[dict],
+        not_matched: list[dict],
+        not_matched_by_source: list[dict],
+        cdc: bool,
+        evolve: bool,
+    ) -> int:
+        snap = self.snapshot()
+        target = self.read(spark, snap["version"])
+        target_cols = target.columns
+        # -- schema evolution: new logical columns referenced by any
+        #    set/insert map, first-seen order
+        new_cols: list[str] = []
+        seen = set(target_cols)
+        for cl in matched + not_matched_by_source:
+            for c in cl.get("set") or {}:
+                if c not in seen:
+                    seen.add(c)
+                    new_cols.append(c)
+        for cl in not_matched:
+            for c in cl["insert"]:
+                if c not in seen:
+                    seen.add(c)
+                    new_cols.append(c)
+        if new_cols and not evolve:
+            raise ValueError(
+                f"merge references columns not in the target "
+                f"{new_cols!r}; pass evolve=True for additive schema "
+                "evolution"
+            )
+        out_cols = target_cols + new_cols
+        skeys = source.select(F.col(source_key).alias("__mk")).distinct()
+        if not_matched_by_source:
+            # any unmatched target row may change: full rewrite
+            rewritten = list(snap["files"])
+            retained: list[str] = []
+        else:
+            probe_rel = self._candidate_files(spark, skeys, "__mk", snap)
+            if probe_rel:
+                probe = self._project(
+                    spark.read.option("mergeSchema", "true").parquet(
+                        *[os.path.join(self.path, f) for f in probe_rel]
+                    ),
+                    snap,
+                )
+                matched_files = [
+                    r["f"]
+                    for r in probe.withColumn("f", F.input_file_name())
+                    .join(skeys, F.col(key) == F.col("__mk"))
+                    .select("f")
+                    .distinct()
+                    .collect()
+                ]
+            else:
+                matched_files = []
+            matched_base = {os.path.basename(f) for f in matched_files}
+            rewritten = [
+                f for f in snap["files"]
+                if os.path.basename(f) in matched_base
+            ]
+            retained = [
+                f for f in snap["files"]
+                if os.path.basename(f) not in matched_base
+            ]
+        if rewritten:
+            affected = self._project(
+                spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(self.path, f) for f in rewritten]
+                ),
+                snap,
+            )
+        else:
+            affected = target.limit(0)
+        joined = affected.join(
+            source, F.col(key) == F.col(source_key), "full_outer"
+        )
+        is_matched = F.col(key).isNotNull() & F.col(source_key).isNotNull()
+        is_src_only = F.col(key).isNull()
+        is_tgt_only = F.col(source_key).isNull() & F.col(key).isNotNull()
+        # -- one action label per row: first satisfied clause in its
+        #    category fires (chained WHEN preserves clause order);
+        #    categories are disjoint so cross-category order is moot
+        w = None
+
+        def _arm(cond, label):
+            nonlocal w
+            w = F.when(cond, label) if w is None else w.when(cond, label)
+
+        def _gate(base, pred):
+            if pred is None:
+                return base
+            return base & F.coalesce(pred, F.lit(False))
+
+        for i, cl in enumerate(matched):
+            _arm(_gate(is_matched, cl.get("when")), f"m{i}")
+        for j, cl in enumerate(not_matched):
+            _arm(_gate(is_src_only, cl.get("when")), f"i{j}")
+        for m, cl in enumerate(not_matched_by_source):
+            _arm(_gate(is_tgt_only, cl.get("when")), f"s{m}")
+        act = w.otherwise(F.lit("pass")) if w is not None else F.lit("pass")
+        joined = joined.withColumn("__act", act)
+        delete_labels = [
+            f"m{i}" for i, cl in enumerate(matched)
+            if cl["action"] == "delete"
+        ] + [
+            f"s{m}" for m, cl in enumerate(not_matched_by_source)
+            if cl["action"] == "delete"
+        ]
+        keep = ~(is_src_only & (F.col("__act") == "pass"))
+        if delete_labels:
+            keep = keep & ~F.col("__act").isin(delete_labels)
+
+        def _passthrough(c):
+            return F.col(c) if c in target_cols else F.lit(None)
+
+        def _value(c):
+            """Output value of column c under the fired clause."""
+            v = None
+            for i, cl in enumerate(matched):
+                if cl["action"] != "update":
+                    continue
+                e = cl["set"].get(c, _passthrough(c))
+                v = (F.when(F.col("__act") == f"m{i}", e) if v is None
+                     else v.when(F.col("__act") == f"m{i}", e))
+            for j, cl in enumerate(not_matched):
+                e = cl["insert"].get(c, F.lit(None))
+                v = (F.when(F.col("__act") == f"i{j}", e) if v is None
+                     else v.when(F.col("__act") == f"i{j}", e))
+            for m, cl in enumerate(not_matched_by_source):
+                if cl["action"] != "update":
+                    continue
+                e = cl["set"].get(c, _passthrough(c))
+                v = (F.when(F.col("__act") == f"s{m}", e) if v is None
+                     else v.when(F.col("__act") == f"s{m}", e))
+            base = _passthrough(c)
+            return base if v is None else v.otherwise(base)
+
+        merged = joined.filter(keep).select(
+            *[_value(c).alias(c) for c in out_cols]
+        )
+        write_schema = self._schema_for_write(snap, merged)
+        files = self._write_data_files(merged, write_schema)
+        extra: dict = {}
+        if cdc:
+            non_key = [c for c in out_cols if c != key]
+            type_map = {"update": "update", "delete": "delete"}
+            tw = None
+            for i, cl in enumerate(matched):
+                t = type_map[cl["action"]]
+                tw = (F.when(F.col("__act") == f"m{i}", t) if tw is None
+                      else tw.when(F.col("__act") == f"m{i}", t))
+            for j, _cl in enumerate(not_matched):
+                tw = (F.when(F.col("__act") == f"i{j}", "insert")
+                      if tw is None
+                      else tw.when(F.col("__act") == f"i{j}", "insert"))
+            for m, cl in enumerate(not_matched_by_source):
+                t = type_map[cl["action"]]
+                tw = (F.when(F.col("__act") == f"s{m}", t) if tw is None
+                      else tw.when(F.col("__act") == f"s{m}", t))
+            ctype = (tw.otherwise(F.lit(None).cast("string"))
+                     if tw is not None else F.lit(None).cast("string"))
+            is_delete = ctype == "delete"
+            is_insert = ctype == "insert"
+
+            def _old(c):
+                # typed NULL for evolved columns / insert rows
+                base = (F.col(c) if c in target_cols
+                        else F.when(F.lit(False), _value(c)))
+                return F.when(~is_insert, base).alias(f"old_{c}")
+
+            def _new(c):
+                return (
+                    F.when(is_delete, F.when(F.lit(False), _value(c)))
+                    .otherwise(_value(c))
+                    .alias(f"new_{c}")
+                )
+
+            ev = (
+                joined.filter(F.col("__act") != "pass")
+                .select(
+                    _value(key).alias(key),
+                    ctype.alias("change_type"),
+                    *[_old(c) for c in non_key],
+                    *[_new(c) for c in non_key],
+                )
+            )
+            changed = F.col("change_type").isin("insert", "delete")
+            for c in non_key:
+                changed = changed | ~F.col(f"old_{c}").eqNullSafe(
+                    F.col(f"new_{c}")
+                )
+            extra["cdc"] = self._write_cdc_files(ev.filter(changed))
+        schema_kw = (
+            {"schema": write_schema}
+            if write_schema is not None
+            and write_schema != snap.get("schema")
+            else {}
+        )
+        try:
+            return self._commit_delta(
+                "merge", snap, retained + files,
+                self._merged_stats(snap, retained, files),
+                self._merged_blooms(snap, retained, files),
+                **schema_kw,
+                **extra,
+            )
+        except VersionConflictError:
+            if not_matched_by_source:
+                raise  # rebase admission unsound past ANY winner
             v = self._rebase_after_conflict(
                 spark, "merge", snap, rewritten, files, skeys, key,
                 extra_commit=extra,

@@ -1120,3 +1120,327 @@ def test_merge_delete_branch_null_predicate_keeps_row(spark, tmp_path):
     )
     got = {r["k"]: r["v"] for r in vt.read(spark).collect()}
     assert got == {1: 10.0, 2: 20.0}
+
+def test_cdc_log_disjoint_evolved_columns_compose(spark, tmp_path):
+    """ADVICE r8 (medium): two commits carrying DISJOINT evolved
+    columns of equal width (two appends each adding a different new
+    column, under column mapping so _project skips file-absent
+    columns) — the composed feed must carry the UNION of old_/new_
+    columns, equal to the snapshot diff, not one widest part."""
+    vt = _mk(spark, tmp_path, n=4, files=1)
+    vt.rename_column("v", "w")  # v1: initializes column mapping
+    vt.append(  # v2: evolves with column a
+        spark.createDataFrame([(100, 1.0, 11.0)], "k bigint, w double, a double")
+    )
+    vt.append(  # v3: evolves with column b (disjoint from a)
+        spark.createDataFrame([(200, 2.0, 22.0)], "k bigint, w double, b double")
+    )
+    log = vt.read_changes_log(spark, "k", 1, 3)
+    diff = vt.read_changes(spark, "k", 1, 3)
+    assert {"old_a", "new_a", "old_b", "new_b"} <= set(log.columns)
+    assert sorted(log.columns) == sorted(diff.columns)
+
+    def key(rows):
+        return sorted(
+            (r["k"], r["change_type"], r["new_w"], r["new_a"], r["new_b"])
+            for r in rows
+        )
+
+    assert key(log.collect()) == key(diff.collect())
+    assert key(log.collect()) == [
+        (100, "insert", 1.0, 11.0, None),
+        (200, "insert", 2.0, None, 22.0),
+    ]
+
+
+def test_evolve_schema_generated_phys_never_collides():
+    """ADVICE r8 (low): a pre-existing column literally named like the
+    generated suffixed form must not alias the fresh allocation —
+    cols 'a' and 'a__c3', drop 'a', re-add 'a' at id 3."""
+    schema = {
+        "cols": [{"id": 2, "name": "a__c3", "phys": "a__c3"}],
+        "max_id": 2,
+        "phys_used": ["a", "a__c3"],  # 'a' retired by a drop
+    }
+    out = VersionedTable._evolve_schema(schema, ["a"])
+    phys = [c["phys"] for c in out["cols"]]
+    assert len(phys) == len(set(phys))  # no duplicate physical names
+    fresh = out["cols"][-1]
+    assert fresh["name"] == "a"
+    assert fresh["phys"] not in ("a", "a__c3")
+
+
+def test_snapshot_schema_mutation_isolated(spark, tmp_path):
+    """ADVICE r8 (low): mutating the nested schema dict (or a stats
+    list) of a returned snapshot must not corrupt the cached entry."""
+    vt = _mk(spark, tmp_path, n=4, files=1)
+    vt.rename_column("v", "w")
+    s1 = vt.snapshot(1)
+    s1["schema"]["cols"][0]["name"] = "corrupted"
+    s1["schema"]["cols"].append({"id": 99, "name": "x", "phys": "x"})
+    s2 = vt.snapshot(1)
+    assert [c["name"] for c in s2["schema"]["cols"]] == ["k", "w"]
+    # stats lists are isolated too
+    vt2 = VersionedTable(str(tmp_path / "st"), stats_col="k")
+    vt2.create(spark.range(4).select(F.col("id").alias("k")))
+    t1 = vt2.snapshot(0)
+    for lohi in t1["stats"].values():
+        lohi[0] = -999
+    t2 = vt2.snapshot(0)
+    assert all(lohi[0] != -999 for lohi in t2["stats"].values())
+
+
+def test_candidate_files_sidecar_failure_warns_once(spark, tmp_path):
+    """ADVICE r8 (low): a failing parquet-sidecar fast path degrades
+    to the JSON fallback WITH a one-time RuntimeWarning naming the
+    sidecar path — never silently, never failing the probe."""
+    import warnings as _w
+
+    vt = VersionedTable(str(tmp_path / "warn"), stats_col="k")
+    vt.create(
+        spark.range(20)
+        .select(F.col("id").alias("k"))
+        .repartitionByRange(2, "k")
+    )
+
+    def boom(*a, **kw):
+        raise ValueError("sidecar corrupted")
+
+    vt.stats_relation = boom
+    keys = spark.createDataFrame([(3,)], ["__mk"])
+    snap = vt.snapshot()
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        c1 = vt._candidate_files(spark, keys, "__mk", snap)
+        c2 = vt._candidate_files(spark, keys, "__mk", snap)
+    msgs = [str(r.message) for r in rec if r.category is RuntimeWarning]
+    assert len(msgs) == 1 and "_snapshots" in msgs[0]
+    # JSON fallback still prunes correctly: key 3 lives in one file
+    assert len(c1) == 1 and c1 == c2
+
+# -- merge_full: the full Delta clause matrix -----------------------------
+
+
+def test_merge_full_ordered_matched_clauses(spark, tmp_path):
+    """Multiple WHEN MATCHED AND pred clauses fire FIRST-MATCH-WINS in
+    listed order; a matched row satisfying none passes through."""
+    vt = _mk(spark, tmp_path, n=10, files=2)  # k=0..9, v=k*1.0
+    src = spark.createDataFrame(
+        [(2, 0.0), (3, 0.0), (8, 0.0)], "s_k bigint, nv double"
+    )
+    vt.merge_full(
+        spark, src, key="k", source_key="s_k",
+        matched=[
+            # clause 0: v < 3 -> DELETE (fires for k=2)
+            {"when": F.col("v") < 3, "action": "delete"},
+            # clause 1: v < 5 -> v = 100 (fires for k=3; k=2 already took 0)
+            {"when": F.col("v") < 5, "action": "update",
+             "set": {"v": F.lit(100.0)}},
+            # clause 2: unconditional -> v = 200 (k=8)
+            {"action": "update", "set": {"v": F.lit(200.0)}},
+        ],
+    )
+    got = {r["k"]: r["v"] for r in vt.read(spark).collect()}
+    assert 2 not in got
+    assert got[3] == 100.0
+    assert got[8] == 200.0
+    assert got[5] == 5.0  # untouched non-matched target row
+    assert len(got) == 9
+
+
+def test_merge_full_not_matched_by_source(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE UPDATE/DELETE over target-only rows,
+    alongside matched update + conditional insert."""
+    vt = _mk(spark, tmp_path, n=6, files=2)  # k=0..5
+    src = spark.createDataFrame(
+        [(1, 11.0), (100, 100.0), (200, 3.0)], "s_k bigint, nv double"
+    )
+    vt.merge_full(
+        spark, src, key="k", source_key="s_k",
+        matched=[{"action": "update", "set": {"v": F.col("nv")}}],
+        not_matched=[
+            # only sources with nv > 50 insert
+            {"when": F.col("nv") > 50, "insert":
+                {"k": F.col("s_k"), "v": F.col("nv")}},
+        ],
+        not_matched_by_source=[
+            # stale small rows leave; others get flagged value
+            {"when": F.col("v") < 3, "action": "delete"},
+            {"action": "update", "set": {"v": F.col("v") + 1000}},
+        ],
+    )
+    got = {r["k"]: r["v"] for r in vt.read(spark).collect()}
+    assert got[1] == 11.0          # matched update
+    assert got[100] == 100.0       # insert (nv > 50)
+    assert 200 not in got          # insert clause predicate false
+    assert 0 not in got and 2 not in got  # NMBS delete (v < 3, k!=1)
+    assert got[3] == 1003.0 and got[5] == 1005.0  # NMBS update
+    # time travel: v0 intact
+    assert {r["k"] for r in vt.read(spark, 0).collect()} == set(range(6))
+
+
+def test_merge_full_cdc_matches_snapshot_diff(spark, tmp_path):
+    """Per-branch write-time CDC across all five branch kinds equals
+    the snapshot diff (no-op updates excluded)."""
+    vt = _mk(spark, tmp_path, n=6, files=2)
+    src = spark.createDataFrame(
+        [(1, 11.0), (4, 4.0), (100, 100.0), (200, 3.0)],
+        "s_k bigint, nv double",
+    )
+    vt.merge_full(
+        spark, src, key="k", source_key="s_k",
+        matched=[
+            {"when": F.col("v") > 3, "action": "delete"},  # k=4
+            {"action": "update", "set": {"v": F.col("nv")}},  # k=1
+        ],
+        not_matched=[
+            {"when": F.col("nv") > 50, "insert":
+                {"k": F.col("s_k"), "v": F.col("nv")}},  # k=100
+        ],
+        not_matched_by_source=[
+            {"when": F.col("v") < 1, "action": "delete"},  # k=0
+            {"when": F.col("v") > 4, "action": "update",
+             "set": {"v": F.col("v")}},  # k=5: NO-OP update -> no event
+        ],
+        cdc=True,
+    )
+    log = vt.read_changes_log(spark, "k", 0, 1).collect()
+    diff = vt.read_changes(spark, "k", 0, 1).collect()
+    assert _feed_key(log) == _feed_key(diff)
+    assert _feed_key(log) == [
+        (0, "delete", 0.0, None),
+        (1, "update", 1.0, 11.0),
+        (4, "delete", 4.0, None),
+        (100, "insert", None, 100.0),
+    ]
+
+
+def test_merge_full_schema_evolution(spark, tmp_path):
+    """evolve=True: set/insert expressions targeting a NEW column grow
+    the schema additively — untouched rows read NULL, pre-evolution
+    snapshots time-travel without the column; evolve=False raises."""
+    vt = _mk(spark, tmp_path, n=4, files=1)
+    src = spark.createDataFrame(
+        [(1, "gold"), (100, "new")], "s_k bigint, tier string"
+    )
+    import pytest as _pt
+    with _pt.raises(ValueError, match="evolve=True"):
+        vt.merge_full(
+            spark, src, key="k", source_key="s_k",
+            matched=[{"action": "update", "set": {"tier": F.col("tier")}}],
+        )
+    vt.merge_full(
+        spark, src, key="k", source_key="s_k",
+        matched=[{"action": "update", "set": {"tier": F.col("tier")}}],
+        not_matched=[{"insert": {
+            "k": F.col("s_k"), "v": F.lit(0.5), "tier": F.col("tier")}}],
+        evolve=True,
+    )
+    got = {r["k"]: (r["v"], r["tier"]) for r in vt.read(spark).collect()}
+    assert got[1] == (1.0, "gold")      # matched update writes new col
+    assert got[100] == (0.5, "new")     # insert provides it
+    assert got[2] == (2.0, None)        # untouched row reads NULL
+    assert len(got) == 5
+    # pre-evolution snapshot has no such column
+    assert "tier" not in vt.read(spark, 0).columns
+
+
+def test_merge_full_schema_evolution_under_column_mapping(spark, tmp_path):
+    """Evolution composes with column mapping: the new logical column
+    gets a mapping entry; rename/time-travel still line up."""
+    vt = _mk(spark, tmp_path, n=4, files=1)
+    vt.rename_column("v", "w")  # v1: mapping active
+    src = spark.createDataFrame([(1, 9.0)], "s_k bigint, bonus double")
+    vt.merge_full(
+        spark, src, key="k", source_key="s_k",
+        matched=[{"action": "update", "set": {"bonus": F.col("bonus")}}],
+        evolve=True,
+    )  # v2
+    got = {r["k"]: (r["w"], r["bonus"]) for r in vt.read(spark).collect()}
+    assert got[1] == (1.0, 9.0) and got[2] == (2.0, None)
+    snap = vt.snapshot()
+    names = [c["name"] for c in snap["schema"]["cols"]]
+    assert names == ["k", "w", "bonus"]
+    # v1 time travel: renamed but not evolved
+    assert vt.read(spark, 1).columns == ["k", "w"]
+
+
+def test_merge_full_equals_merge_into_on_its_matrix(spark, tmp_path):
+    """merge_into's (delete_when, update, insert) triple is the
+    2-matched-clause special case of merge_full — identical table."""
+    vt_a = _mk(spark, tmp_path / "a", n=20, files=2)
+    vt_b = _mk(spark, tmp_path / "b", n=20, files=2)
+    src = spark.createDataFrame(
+        [(3, 999.0), (5, 555.0), (100, 100.0)], "s_k bigint, nv double"
+    )
+    vt_a.merge_into(
+        spark, src, key="k", source_key="s_k",
+        update_set={"v": F.col("nv")},
+        insert_exprs={"k": F.col("s_k"), "v": F.col("nv")},
+        delete_when=F.col("v") < 4,
+    )
+    vt_b.merge_full(
+        spark, src, key="k", source_key="s_k",
+        matched=[
+            {"when": F.col("v") < 4, "action": "delete"},
+            {"action": "update", "set": {"v": F.col("nv")}},
+        ],
+        not_matched=[{"insert": {"k": F.col("s_k"), "v": F.col("nv")}}],
+    )
+    a = sorted((r["k"], r["v"]) for r in vt_a.read(spark).collect())
+    b = sorted((r["k"], r["v"]) for r in vt_b.read(spark).collect())
+    assert a == b
+
+
+def test_merge_full_clause_validation(spark, tmp_path):
+    """Unreachable clauses, malformed actions, and keyless inserts are
+    rejected up front."""
+    vt = _mk(spark, tmp_path, n=4, files=1)
+    src = spark.createDataFrame([(1, 1.0)], "s_k bigint, nv double")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unreachable"):
+        vt.merge_full(
+            spark, src, key="k", source_key="s_k",
+            matched=[
+                {"action": "update", "set": {"v": F.col("nv")}},
+                {"when": F.col("v") > 0, "action": "delete"},
+            ],
+        )
+    with _pt.raises(ValueError, match="DELETE takes no"):
+        vt.merge_full(
+            spark, src, key="k", source_key="s_k",
+            matched=[{"action": "delete", "set": {"v": F.col("nv")}}],
+        )
+    with _pt.raises(ValueError, match="merge key"):
+        vt.merge_full(
+            spark, src, key="k", source_key="s_k",
+            not_matched=[{"insert": {"v": F.col("nv")}}],
+        )
+    with _pt.raises(ValueError, match="duplicate"):
+        vt.merge_full(
+            spark,
+            spark.createDataFrame([(1, 1.0), (1, 2.0)], "s_k bigint, nv double"),
+            key="k", source_key="s_k",
+            matched=[{"action": "update", "set": {"v": F.col("nv")}}],
+        )
+
+
+def test_merge_full_prunes_files_without_nmbs(spark, tmp_path):
+    """Without NMBS clauses merge_full keeps merge_into's file-pruned
+    posture: untouched files carry by reference into the new snapshot."""
+    vt = VersionedTable(str(tmp_path / "p"), stats_col="k")
+    df = (
+        spark.range(100)
+        .select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        .repartitionByRange(4, "k")
+    )
+    vt.create(df)
+    v0_files = set(vt.snapshot(0)["files"])
+    src = spark.createDataFrame([(3, 0.0)], "s_k bigint, nv double")
+    vt.merge_full(
+        spark, src, key="k", source_key="s_k",
+        matched=[{"action": "update", "set": {"v": F.col("nv")}}],
+    )
+    v1_files = set(vt.snapshot(1)["files"])
+    carried = v0_files & v1_files
+    assert len(carried) == 3  # only the file holding k=3 rewrote
