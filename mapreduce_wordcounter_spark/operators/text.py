@@ -2107,10 +2107,10 @@ def doc_mean_word_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRGM_PATTERN = "hash join"
 
-
-@query(
-    "trigram_index_match",
-    oracle=f"""
+# Shared oracle: replay the posting-index construction + intersection
+# + verify from the raw table (all three Spark variants below must
+# equal it — the index is lossless for containment).
+_TRGM_ORACLE = f"""
     WITH pat AS (
         SELECT DISTINCT substring('{_TRGM_PATTERN}', i, 3) AS tri
         FROM (SELECT unnest(generate_series(1,
@@ -2130,26 +2130,28 @@ _TRGM_PATTERN = "hash join"
                AS first_pos
     FROM cand c JOIN documents d ON c.doc_id = d.doc_id
     WHERE strpos(lower(d.text), '{_TRGM_PATTERN}') > 0
-    """,
-)
-def trigram_index_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Substring search through a trigram inverted index: intersect
-    the pattern's trigram posting lists for candidates, verify only
-    those with contains() — never a full-corpus LIKE scan. Returns
-    matching doc_ids with the first match position. The oracle runs
-    the identical index construction, and the repo's parity layer
-    compares it against what a direct LIKE would return (they must be
-    equal — the index is lossless for containment)."""
+    """
+
+
+@query("trigram_match_scan", oracle=_TRGM_ORACLE)
+def trigram_match_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-LESS substring search (the one-off-pattern fallback):
+    build the pattern-relevant posting slice on the fly, intersect,
+    verify candidates with contains(). This is what you run when no
+    at-rest index exists (a single ad-hoc pattern doesn't amortize an
+    index build); it reads the corpus once, so it scales like a scan
+    (SCALE_CHECK r8 measured exponent 1.17 under its old serve-tier
+    name trigram_index_match) — the SERVING path for repeated
+    substring queries is trigram_index_match below, which probes the
+    at-rest posting index at exponent ~0.2 (VERDICT r8 #2).
+
+    Plan: array_intersect BEFORE the explode — generate only the
+    pattern's ≤ |pattern|-2 posting rows per doc instead of ~|text|;
+    array_intersect also dedups, matching the DISTINCT posting grain."""
     docs = load_table(spark, sf_dir, "documents")
     pat_tris = sorted(
         {_TRGM_PATTERN[i : i + 3] for i in range(len(_TRGM_PATTERN) - 2)}
     )
-    # array_intersect BEFORE the explode: the probe only ever reads
-    # the pattern's posting rows, so generate exactly those — ≤
-    # |pattern|-2 rows per doc instead of ~|text| (1.2× on the whole
-    # query at sf0.1 — trigram STRING construction, not the explode,
-    # is the remaining cost; an at-rest index pays it once at build).
-    # array_intersect also dedups, matching the DISTINCT posting grain.
     pat_arr = F.array(*[F.lit(t) for t in pat_tris])
     posting = docs.select(
         "doc_id",
@@ -2228,41 +2230,16 @@ def _trigram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(base + "/posting")
 
 
-@query(
-    "trigram_index_probe",
-    oracle=f"""
-    WITH pat AS (
-        SELECT DISTINCT substring('{_TRGM_PATTERN}', i, 3) AS tri
-        FROM (SELECT unnest(generate_series(1,
-                     {len(_TRGM_PATTERN) - 2})) AS i)),
-    posting AS (
-        SELECT DISTINCT doc_id, substring(lower(text), i, 3) AS tri
-        FROM documents,
-             LATERAL (SELECT unnest(generate_series(1, len(lower(text)) - 2))
-                      AS i) g),
-    cand AS (
-        SELECT p.doc_id
-        FROM posting p JOIN pat ON p.tri = pat.tri
-        GROUP BY p.doc_id
-        HAVING COUNT(*) = (SELECT COUNT(*) FROM pat))
-    SELECT d.doc_id,
-           CAST(strpos(lower(d.text), '{_TRGM_PATTERN}') AS BIGINT)
-               AS first_pos
-    FROM cand c JOIN documents d ON c.doc_id = d.doc_id
-    WHERE strpos(lower(d.text), '{_TRGM_PATTERN}') > 0
-    """,
-)
-def trigram_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """trigram_index_match's query against the AT-REST posting index:
-    the probe reads only the pattern's partitions (partition pruning
-    on the trigram's first char) and posting rows (pushed tri
-    filter), intersects posting lists, and verifies candidates with
-    contains(). Identical results to the on-the-fly variant — the
-    index is lossless for containment — but the per-char substring
-    construction over the corpus is paid once at build (ingest time
-    at 100 TB), not per query. The probe's cost is
+def _substring_search_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring search against the AT-REST posting index: read only
+    the pattern's partitions (partition pruning on the trigram's
+    first char) and posting rows (pushed tri filter), intersect
+    posting lists, verify candidates with contains(). The per-char
+    substring construction over the corpus is paid once at build
+    (ingest time at 100 TB), not per query; the probe's cost is
     |pattern trigrams| posting scans + a doc-grain verify join —
-    independent of corpus growth except through posting-list length."""
+    independent of corpus growth except through posting-list length
+    (SCALE_CHECK exponent ~0.2 at ×10)."""
     idx = _trigram_index(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     pat_tris = sorted(
@@ -2288,6 +2265,26 @@ def trigram_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("first_pos"),
         )
     )
+
+
+@query("trigram_index_match", oracle=_TRGM_ORACLE)
+def trigram_index_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE serving entry for substring search — probes the at-rest
+    trigram posting index (pg_trgm posture). Until r8 this name
+    carried the index-less on-the-fly variant (now
+    trigram_match_scan), whose per-query posting construction scaled
+    like a corpus scan (SCALE_CHECK exponent 1.17 — the repo's only
+    superlinear serve entry); per VERDICT r8 #2 the serving name now
+    IS the probe plan, and the construction cost lives in the build
+    tier (_trigram_index, paid once per corpus at ingest)."""
+    return _substring_search_at_rest(spark, sf_dir)
+
+
+@query("trigram_index_probe", oracle=_TRGM_ORACLE)
+def trigram_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alias of trigram_index_match (kept for bench continuity — this
+    name has carried the at-rest probe plan since round 5)."""
+    return _substring_search_at_rest(spark, sf_dir)
 
 
 @query(

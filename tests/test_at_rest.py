@@ -68,10 +68,13 @@ def test_bpe_subword_vocab_consistent_with_merges(spark):
 
 
 def test_trigram_probe_equals_on_the_fly(spark):
+    """The at-rest probe (serving entry trigram_index_match, r9) must
+    equal the index-less on-the-fly scan (trigram_match_scan) — the
+    posting index is lossless for containment."""
     from mapreduce_wordcounter_spark.operators import text
 
-    probe = _rows(text.trigram_index_probe(spark, SF_ORACLE))
-    direct = _rows(text.trigram_index_match(spark, SF_ORACLE))
+    probe = _rows(text.trigram_index_match(spark, SF_ORACLE))
+    direct = _rows(text.trigram_match_scan(spark, SF_ORACLE))
     assert probe == direct
     assert len(probe) > 0
 

@@ -199,6 +199,12 @@ SHOWCASE = [
     "table_column_mapping",
     "table_changes_feed_log",
     "merge_delete_branch_versioned",
+    # round 9: full MERGE clause matrix + schema evolution; the
+    # index-less trigram scan under its new build-tier name
+    "merge_full_matrix_versioned",
+    "merge_full_cdc_versioned",
+    "merge_schema_evolution_versioned",
+    "trigram_match_scan",
 ]
 
 # Belt-and-braces: a duplicated SHOWCASE entry (it has happened) would

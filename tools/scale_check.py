@@ -43,6 +43,12 @@ TARGETS = [
     "graph_common_neighbors",
     "graph_kcore_peel",
     "graph_modularity",
+    # r9: trigram_index_match now probes the AT-REST posting index
+    # (VERDICT r8 #2) — the serve-tier substring entry. The index-less
+    # scan variant (trigram_match_scan, exponent ~1.2 by construction:
+    # it reads the corpus once per query) is deliberately NOT a scale
+    # target: it is the documented one-off-pattern fallback, not a
+    # serving path.
     "trigram_index_match",
     "trigram_index_probe",
     "pipeline_curate",
@@ -183,7 +189,8 @@ def timed(spark, queries, sf_dir: str) -> dict[str, float]:
         # GC-quiesce at PASS boundaries (outside any timer): the heavy
         # verification joins (jaccard_prefix_join at 10x, last in the
         # pass) leave enough old-gen pressure to inflate the next
-        # pass's early queries 2x+ — measured on trigram_index_match,
+        # pass's early queries 2x+ — measured on the index-less trigram
+        # scan (then serving as trigram_index_match),
         # 30s vs 67s depending only on what ran before it in the same
         # JVM. Per-QUERY gc is worse: it tears down cleaner-tracked
         # shared state mid-pass and inflated the graph family ~2x.
