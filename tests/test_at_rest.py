@@ -80,12 +80,21 @@ def test_trigram_probe_equals_on_the_fly(spark):
 
 
 def test_dedup_components_train_once(spark):
+    """r9: the component labels are a CATALOG artifact — the second
+    call reads the same published data dir (no retrain), and the key
+    carries no session identity (cross-session reuse is pinned in
+    tests/test_index_catalog.py)."""
+    import os
+
     from mapreduce_wordcounter_spark.operators import dedup
+    from mapreduce_wordcounter_spark.sources import index_catalog as ic
 
     first = _rows(dedup.dedup_components_canonical(spark, SF_ORACLE))
-    key = (spark.sparkContext.applicationId, SF_ORACLE)
-    path = dedup._COMP_PATHS[key]
+    src = os.path.join(SF_ORACLE, "documents.parquet")
+    m1 = ic.manifest("dedup_comp", src, None)
+    assert m1 is not None and m1.get("data")
     second = _rows(dedup.dedup_components_canonical(spark, SF_ORACLE))
-    assert dedup._COMP_PATHS[key] == path
+    m2 = ic.manifest("dedup_comp", src, None)
+    assert m2["data"] == m1["data"]  # same published artifact
     assert first == second
     assert len(first) > 0

@@ -53,7 +53,11 @@ def build(mode: str) -> str:
 
 
 def measure(spark, sf_dir: str) -> dict:
-    from mapreduce_wordcounter_spark.operators.dedup import _prefix_join_parts
+    from mapreduce_wordcounter_spark.operators.dedup import (
+        _prefix_join_parts,
+        jaccard_pairs_strategy,
+        jaccard_prefix_join,
+    )
 
     # warm-up (codegen + the pinned shingle build)
     parts = _prefix_join_parts(spark, sf_dir)
@@ -69,7 +73,27 @@ def measure(spark, sf_dir: str) -> dict:
     wall = round(time.perf_counter() - t0, 3)
     spark.catalog.clearCache()
     release_pinned()
-    return {**{f"n_{k}": v for k, v in counts.items()}, "wall_sec": wall}
+    # The ADAPTIVE serving entry (r9): on the replica corpus the mass
+    # guard escalates to banded LSH, so its wall stays bounded while
+    # the pure exact plan above shows the candidate blow-up.
+    strategy = jaccard_pairs_strategy(spark, sf_dir)
+    spark.catalog.clearCache()
+    release_pinned()
+    spark.sparkContext._jvm.System.gc()
+    t0 = time.perf_counter()
+    jaccard_prefix_join(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    adaptive_wall = round(time.perf_counter() - t0, 3)
+    spark.catalog.clearCache()
+    release_pinned()
+    return {
+        **{f"n_{k}": v for k, v in counts.items()},
+        "wall_sec": wall,
+        "adaptive_strategy": strategy["strategy"],
+        "adaptive_mass_per_doc": round(strategy["mass_per_doc"], 2),
+        "adaptive_wall_sec": adaptive_wall,
+    }
 
 
 def main() -> None:
@@ -81,7 +105,7 @@ def main() -> None:
         b, x = out["base"], out[f"x10_{mode}"]
         out[f"exponents_{mode}"] = {
             k: round(math.log10(max(x[k] / max(b[k], 1e-9), 1e-9)), 2)
-            for k in ("n_cand", "n_pairs", "wall_sec")
+            for k in ("n_cand", "n_pairs", "wall_sec", "adaptive_wall_sec")
         }
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
