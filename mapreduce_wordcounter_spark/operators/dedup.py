@@ -1268,6 +1268,11 @@ def lsh_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # separated by the threshold with margin on both sides.
 _PREFIX_MASS_PER_DOC_MAX = 120.0
 
+# (strategy, mass_per_doc, n_docs) per (applicationId, sf_dir) — the
+# estimate is deterministic per corpus, so serving calls after the
+# first skip the two estimate aggregates.
+_JACCARD_STRATEGY: dict[tuple[str, str], tuple[str, float, int]] = {}
+
 
 def jaccard_pairs_strategy(spark: SparkSession, sf_dir: str) -> dict:
     """Size-adaptive strategy pick for exact-Jaccard pair search (the
@@ -1286,10 +1291,24 @@ def jaccard_pairs_strategy(spark: SparkSession, sf_dir: str) -> dict:
 
     Returns {"strategy", "mass_per_doc", "n_docs", "parts"}; the pin
     on the prefix relation is reused by both sides of the candidate
-    self-join when the prefix plan runs."""
+    self-join when the prefix plan runs. The (strategy, mass) pair is
+    deterministic per corpus, so it is memoized per (session, sf_dir)
+    — repeated serving calls skip the estimate aggregates."""
     from mapreduce_wordcounter_spark.session import pin
 
     parts = _prefix_join_parts(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _JACCARD_STRATEGY.get(key)
+    if cached is not None:
+        strategy, mass_per_doc, n_docs = cached
+        if strategy == "prefix":
+            pin(parts["prefix"])  # still reused by both join sides
+        return {
+            "strategy": strategy,
+            "mass_per_doc": mass_per_doc,
+            "n_docs": n_docs,
+            "parts": parts,
+        }
     prefix = pin(parts["prefix"])
     mass = (
         prefix.groupBy("s")
@@ -1305,6 +1324,7 @@ def jaccard_pairs_strategy(spark: SparkSession, sf_dir: str) -> dict:
     strategy = (
         "prefix" if mass_per_doc <= _PREFIX_MASS_PER_DOC_MAX else "lsh"
     )
+    _JACCARD_STRATEGY[key] = (strategy, mass_per_doc, n_docs)
     return {
         "strategy": strategy,
         "mass_per_doc": mass_per_doc,

@@ -485,19 +485,26 @@ def _lpa_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 # query itself — comes from the table. The DuckDB oracle still replays
 # the training from scratch, so the at-rest content stays
 # differentially verified end-to-end.
-_LPA_PATHS: dict[tuple[str, str], str] = {}
-
-
 def _lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mapreduce_wordcounter_spark.session import scratch_dir
+    """The trained label table as a CATALOG artifact (r9): keyed on
+    the documents table's fingerprint + K, published once, reused
+    across SparkSessions (sources/index_catalog.py)."""
+    import os as _os
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    base = _LPA_PATHS.get(key)
-    if base is None:
-        base = scratch_dir("lpa_labels_")
-        _LPA_PATHS[key] = base
-        _lpa_train(spark, sf_dir).write.parquet(base + "/labels")
-    return spark.read.parquet(base + "/labels")
+    from mapreduce_wordcounter_spark.sources import index_catalog as ic
+
+    def build(data: str) -> None:
+        _lpa_train(spark, sf_dir).write.parquet(data + "/labels")
+
+    rel = ic.table_index(
+        spark,
+        "lpa",
+        [_os.path.join(sf_dir, "events.parquet")],  # the LPA graph's source
+        {"k": _LPA_K},
+        build,
+        ["labels"],
+    )
+    return rel["labels"]
 
 
 @query("graph_label_propagation", oracle=_lpa_oracle(_LPA_K))

@@ -3047,22 +3047,19 @@ def _bpe_merges_oracle(k: int) -> str:
     """
 
 
-_BPE_PATHS: dict[tuple[str, str], str] = {}
-
-
 def _bpe_train(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Run the K-merge loop once per (session, sf_dir); returns the
-    (merges, vocab) parquet paths of the at-rest tokenizer. The loop's
-    only driver reads are the per-iteration 1-row argmax (the
-    connected-components scalar-read posture) — the vocabulary
-    relation itself never leaves the executors."""
-    from mapreduce_wordcounter_spark.session import scratch_dir
+    """Run the K-merge loop once per source fingerprint; returns the
+    (merges, vocab) parquet paths of the at-rest tokenizer — a
+    CATALOG artifact since r9 (sources/index_catalog.py): published
+    once, reused across SparkSessions, invalidated when the corpus
+    changes. The loop's only driver reads are the per-iteration 1-row
+    argmax (the connected-components scalar-read posture) — the
+    vocabulary relation itself never leaves the executors."""
+    import os as _os
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    base = _BPE_PATHS.get(key)
-    if base is None:
-        base = scratch_dir("bpe_index_")
-        _BPE_PATHS[key] = base
+    from mapreduce_wordcounter_spark.sources import index_catalog as ic
+
+    def build(base: str) -> None:
         v = (
             tokens(spark, sf_dir)
             .groupBy("word")
@@ -3113,7 +3110,16 @@ def _bpe_train(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         ).write.parquet(base + "/merges")
         v.select("word", "cnt", "s").write.parquet(base + "/vocab")
         v.unpersist()
-    return base + "/merges", base + "/vocab"
+
+    src = _os.path.join(sf_dir, "documents.parquet")
+    params = {"k": _BPE_MERGES}
+    fp = ic.parquet_fingerprint(src)
+    data = ic.lookup("bpe", src, params, fp)
+    if data is None:
+        data = ic.allocate("bpe", src, params)
+        build(data)
+        ic.publish("bpe", src, params, fp, data)
+    return data + "/merges", data + "/vocab"
 
 
 @query("bpe_learn_merges", oracle=_bpe_merges_oracle(_BPE_MERGES))

@@ -1738,166 +1738,27 @@ class VersionedTable:
         rule as delete_where). With ``cdc=True`` the dropped rows
         surface as 'delete' events.
 
-        Non-goals (honest scope): single UPDATE clause, no schema
-        evolution — the transactional commit + pruning + time travel
-        are what this tier exists to prove.
+        Since r9 this is a thin adapter over :meth:`merge_full` — the
+        (delete_when, update, insert) triple IS the 2-matched-clause
+        special case of the full Delta clause matrix, so every
+        merge_into caller (and its oracles and concurrency tests)
+        exercises the one shared copy-on-write rewrite. Equivalence of
+        the two spellings is pinned by
+        tests/test_versioned.py::test_merge_full_equals_merge_into_on_its_matrix.
         """
-        dup = (
-            source.groupBy(F.col(source_key))
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
-            .collect()
-        )
-        if dup:
-            raise ValueError(
-                f"merge_into source has duplicate {source_key!r} values "
-                f"(e.g. {dup[0][0]!r}): each source key must match at most "
-                f"one row — dedupe the source first"
-            )
-        for _ in range(8):
-            try:
-                return self._merge_attempt(
-                    spark, source, key, source_key, update_set,
-                    insert_exprs, cdc, delete_when,
-                )
-            except VersionConflictError:
-                continue
-        raise VersionConflictError(
-            f"merge lost the commit race 8 times at {self.path}"
-        )
-
-    def _merge_attempt(
-        self,
-        spark: SparkSession,
-        source: DataFrame,
-        key: str,
-        source_key: str,
-        update_set: dict,
-        insert_exprs: dict,
-        cdc: bool = False,
-        delete_when=None,
-    ) -> int:
-        snap = self.snapshot()
-        target = self.read(spark, snap["version"])
-        skeys = source.select(F.col(source_key).alias("__mk")).distinct()
-        # Metadata-first candidate selection: manifest min/max stats
-        # cut the probe to files whose key range can contain a source
-        # key; only those are SCANNED for exact matches. Files without
-        # stats stay candidates (conservative).
-        probe_rel = self._candidate_files(spark, skeys, "__mk", snap)
-        if probe_rel:
-            probe = self._project(
-                spark.read.option("mergeSchema", "true").parquet(
-                    *[os.path.join(self.path, f) for f in probe_rel]
-                ),
-                snap,
-            )
-            matched_files = [
-                r["f"]
-                for r in probe.withColumn("f", F.input_file_name())
-                .join(skeys, F.col(key) == F.col("__mk"))
-                .select("f")
-                .distinct()
-                .collect()
-            ]
-        else:
-            matched_files = []
-        # input_file_name returns absolute URIs; map back to the
-        # snapshot's relative paths by basename (commit-unique dirs
-        # make basenames unique per table).
-        matched_base = {os.path.basename(f) for f in matched_files}
-        rewritten = [
-            f for f in snap["files"] if os.path.basename(f) in matched_base
-        ]
-        retained = [
-            f for f in snap["files"] if os.path.basename(f) not in matched_base
-        ]
-        if rewritten:
-            # mergeSchema like every other read path: matched files may
-            # span an additive schema-evolution boundary, and a single-
-            # footer inferred schema would drop (or fail on) the
-            # evolved columns target_cols includes. Projected to
-            # LOGICAL names (update_set/insert_exprs are logical).
-            affected = self._project(
-                spark.read.option("mergeSchema", "true").parquet(
-                    *[os.path.join(self.path, f) for f in rewritten]
-                ),
-                snap,
-            )
-        else:  # no matches: rewrite set is empty, inserts only
-            affected = target.limit(0)
-        joined = affected.join(
-            source, F.col(key) == F.col(source_key), "full_outer"
-        )
-        # WHEN MATCHED AND delete_when THEN DELETE: a matched row
-        # satisfying the predicate does not survive into the rewrite.
-        # NULL keeps the row (SQL semantics; coalesce like delete_where).
-        is_matched = F.col(key).isNotNull() & F.col(source_key).isNotNull()
+        matched: list[dict] = []
         if delete_when is not None:
-            doomed = is_matched & F.coalesce(delete_when, F.lit(False))
-            survivors_joined = joined.filter(~doomed)
-        else:
-            doomed = F.lit(False)
-            survivors_joined = joined
-        target_cols = target.columns
-        merged = survivors_joined.select(
-            *[
-                F.when(F.col(key).isNull(), insert_exprs[c])  # insert
-                .when(
-                    F.col(source_key).isNotNull(),  # matched: update
-                    update_set.get(c, F.col(c)),
-                )
-                .otherwise(F.col(c))  # unmatched target: pass through
-                .alias(c)
-                for c in target_cols
-            ]
+            matched.append({"when": delete_when, "action": "delete"})
+        matched.append({"action": "update", "set": dict(update_set)})
+        return self.merge_full(
+            spark,
+            source,
+            key,
+            source_key,
+            matched=matched,
+            not_matched=[{"insert": dict(insert_exprs)}],
+            cdc=cdc,
         )
-        files = self._write_data_files(merged, snap.get("schema"))
-        extra: dict = {}
-        if cdc:
-            # Change rows from the SAME joined relation: inserts (no
-            # target match), updates (no-op updates excluded, the
-            # snapshot-diff feed's exact semantics), and — with the
-            # delete branch — 'delete' events for the doomed rows.
-            non_key = [c for c in target_cols if c != key]
-            ev = joined.filter(F.col(source_key).isNotNull()).select(
-                F.coalesce(F.col(key), F.col(source_key)).alias(key),
-                F.when(doomed, F.lit("delete"))
-                .when(F.col(key).isNull(), F.lit("insert"))
-                .otherwise(F.lit("update"))
-                .alias("change_type"),
-                *[F.col(c).alias(f"old_{c}") for c in non_key],
-                *[
-                    F.when(doomed, F.when(F.lit(False), F.col(c)))
-                    .when(F.col(key).isNull(), insert_exprs[c])
-                    .otherwise(update_set.get(c, F.col(c)))
-                    .alias(f"new_{c}")
-                    for c in non_key
-                ],
-            )
-            changed = F.col("change_type").isin("insert", "delete")
-            for c in non_key:
-                changed = changed | ~F.col(f"old_{c}").eqNullSafe(
-                    F.col(f"new_{c}")
-                )
-            extra["cdc"] = self._write_cdc_files(ev.filter(changed))
-        try:
-            return self._commit_delta(
-                "merge", snap, retained + files,
-                self._merged_stats(snap, retained, files),
-                self._merged_blooms(snap, retained, files),
-                **extra,
-            )
-        except VersionConflictError:
-            # disjoint-commit admission before the wholesale re-plan
-            v = self._rebase_after_conflict(
-                spark, "merge", snap, rewritten, files, skeys, key,
-                extra_commit=extra,
-            )
-            if v is not None:
-                return v
-            raise
 
     # -- MERGE: full clause matrix ---------------------------------------
 

@@ -3,6 +3,9 @@ per test session, mirroring the driver's harness setup."""
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 import duckdb
 import pytest
 
@@ -10,6 +13,17 @@ from mapreduce_wordcounter_spark import TABLES, get_spark
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
+
+# Isolate the persistent index catalog per test run (unless the caller
+# pinned one): the catalog deliberately survives sessions, so a code
+# change to an index BUILDER with unchanged params would otherwise
+# serve a stale artifact built by a previous pytest run and turn a
+# real regression into a confusing parity flake. Cross-RUN reuse is
+# pinned explicitly in tests/test_index_catalog.py with its own root.
+os.environ.setdefault(
+    "SPARK_GRAFT_INDEX_DIR",
+    tempfile.mkdtemp(prefix="mrwc_idxcat_pytest_"),
+)
 
 
 @pytest.fixture(scope="session")

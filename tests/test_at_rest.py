@@ -23,25 +23,35 @@ def _rows(df):
 
 
 def test_lpa_labels_train_once(spark):
+    """r9: the trained labels are a CATALOG artifact — the second call
+    reads the same published data dir, no retrain."""
+    import os
+
     from mapreduce_wordcounter_spark.operators import graph
+    from mapreduce_wordcounter_spark.sources import index_catalog as ic
 
     first = _rows(graph.graph_label_propagation(spark, SF_ORACLE))
-    key = (spark.sparkContext.applicationId, SF_ORACLE)
-    path = graph._LPA_PATHS[key]
+    src = os.path.join(SF_ORACLE, "events.parquet")
+    m1 = ic.manifest("lpa", src, {"k": graph._LPA_K})
+    assert m1 is not None and m1.get("data")
     second = _rows(graph.graph_label_propagation(spark, SF_ORACLE))
-    assert graph._LPA_PATHS[key] == path  # no retrain
+    assert ic.manifest("lpa", src, {"k": graph._LPA_K})["data"] == m1["data"]
     assert first == second
     assert len(first) > 0
 
 
 def test_bpe_trains_once_and_merges_are_dense(spark):
+    import os
+
     from mapreduce_wordcounter_spark.operators import text
+    from mapreduce_wordcounter_spark.sources import index_catalog as ic
 
     merges = _rows(text.bpe_learn_merges(spark, SF_ORACLE))
-    key = (spark.sparkContext.applicationId, SF_ORACLE)
-    path = text._BPE_PATHS[key]
+    src = os.path.join(SF_ORACLE, "documents.parquet")
+    m1 = ic.manifest("bpe", src, {"k": text._BPE_MERGES})
+    assert m1 is not None and m1.get("data")
     again = _rows(text.bpe_learn_merges(spark, SF_ORACLE))
-    assert text._BPE_PATHS[key] == path
+    assert ic.manifest("bpe", src, {"k": text._BPE_MERGES})["data"] == m1["data"]
     assert merges == again
     # Dense 1..K ranks; every merged symbol is the concatenation of
     # its pair; counts positive.

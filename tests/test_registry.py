@@ -24,42 +24,56 @@ def test_driver_window_all_oracle_backed() -> None:
 
 def test_driver_window_covers_every_family() -> None:
     window = set(DRIVER_WINDOW)
-    # Flagship + one representative per operator family.
+    # Flagship + one representative per operator family. (r9 rotation,
+    # VERDICT r8 #6: the window was rebuilt with a majority of
+    # never-sampled entries; this set now pins the r9 composition —
+    # every family keeps at least one hard-checked representative.)
     must_have = {
+        # flagship word count
         "wc_counts",
+        # custom function surface
+        "udtf_tokenize_counts",
+        # text analysis
         "tf_idf",
+        "bm25_topk",
+        # BPE tokenizer (never sampled before r9)
+        "bpe_learn_merges",
+        "bpe_tokenize",
+        # winnowing dedup (never sampled before r9)
+        "winnowing_fingerprints",
+        # data selection
+        "dsir_sample_fraction",
+        "embedding_pca_explained_variance",
+        # temporal / as-of
         "join_asof_last_purchase",
+        # similarity / ANN
         "knn_brute_cosine",
+        "ann_ivf_topk",
+        # graph (kcore/modularity never sampled before r9)
+        "graph_pagerank",
+        "graph_kcore_peel",
+        # streaming (incl. the Python data source roundtrips)
         "ev_tumbling_hourly",
         "stream_tumbling_live",
+        "stream_pyds_wordcount",
+        # dedup (the adaptive exact/LSH entry stays hard-checked)
         "dedup_exact",
-        "mm_meta",
-        "q1_pricing_summary",
-        "simhash32",
-        "agg_conditional",
-        # r5 swap-ins: graph / PII / paragraph-dedup / quality-classifier
-        # representatives so the driver window spans every family.
-        "graph_pagerank",
-        "pii_counts",
         "dedup_paragraphs",
-        "quality_classifier_score",
-        # late-r5 swap-ins: data-layout family + the lossless exact
-        # prefix join (each replaced an intermediate subsumed by a
-        # downstream window query)
-        "zorder_layout",
         "jaccard_prefix_join",
-        # r6 swap-ins: trained-model, lakehouse/MV, and iterative
-        # linear-algebra representatives
-        "quality_lr_train",
-        "mv_incremental_refresh",
-        "embedding_pca_top_component",
-        # r7 swap-ins: CDC protocol + data-selection representatives
-        "table_changes_feed",
-        "dsir_importance_weights",
-        # r8 swap-in: the hashed trained-model twin (wc_rdd_twin — the
-        # same audited token pipeline through the RDD API — ceded the
-        # slot; it keeps oracle-parity + golden CLI coverage)
-        "quality_lr_train_hashed",
+        "lsh_verified_pairs",
+        # multimodal
+        "mm_meta",
+        # relational / SQL surfaces
+        "q1_pricing_summary",
+        "sql_recursive_calendar",
+        # lakehouse protocol (column mapping, CDC log, full MERGE
+        # matrix + schema evolution — never sampled before r9)
+        "table_column_mapping",
+        "table_changes_feed_log",
+        "merge_full_matrix_versioned",
+        "merge_full_cdc_versioned",
+        "merge_schema_evolution_versioned",
+        "zorder_probe",
     }
     assert must_have <= window
 
