@@ -191,6 +191,7 @@ HEADLINE = [
     "merge_full_matrix_versioned",
     "merge_full_cdc_versioned",
     "merge_schema_evolution_versioned",
+    "index_staleness_catalog",
     "trigram_match_scan",
 ]
 
