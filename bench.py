@@ -193,6 +193,9 @@ HEADLINE = [
     "merge_schema_evolution_versioned",
     "index_staleness_catalog",
     "trigram_match_scan",
+    # round 9, second wave: SimHash near-dup pairs (60-bit signature,
+    # pigeonhole block buckets — the bucketed sibling of the LSH path)
+    "simhash_hamming_pairs",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries

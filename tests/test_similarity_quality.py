@@ -207,6 +207,41 @@ def test_simhash_hamming_tracks_similarity(spark, nearly_dup_sf):
     assert sum(unrelated_d) / len(unrelated_d) > max(near_d), (unrelated_d, near_d)
 
 
+def test_simhash_hamming_pairs_pigeonhole_complete(spark, nearly_dup_sf):
+    """The block-bucketed pair query must equal the brute-force spec:
+    the pigeonhole construction (4 disjoint 15-bit blocks, threshold 3)
+    guarantees zero misses, and the verify step guarantees zero false
+    positives — so the candidate optimization must be invisible in the
+    result. Planted exact dups must appear at hamming 0."""
+    from mapreduce_wordcounter_spark.operators.dedup import (
+        _HAM_BLOCKS,
+        _HAM_MAX,
+        _SIMHASH_BITS,
+        _simhash60,
+    )
+
+    # the no-miss guarantee only holds while H < B and blocks tile the sig
+    assert _HAM_MAX < _HAM_BLOCKS
+    assert _SIMHASH_BITS % _HAM_BLOCKS == 0
+
+    sf, exact, _near = nearly_dup_sf
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in _QUERIES["simhash_hamming_pairs"](spark, sf).collect()
+    }
+    sig = {r["doc_id"]: int(r["simhash"]) for r in _simhash60(spark, sf).collect()}
+    ids = sorted(sig)
+    brute = {
+        (a, b): bin(sig[a] ^ sig[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sig[a] ^ sig[b]).count("1") <= _HAM_MAX
+    }
+    assert got == brute
+    for a, b in exact:
+        assert got[(min(a, b), max(a, b))] == 0
+
+
 def test_kmeans_recovers_planted_clusters(spark, clustered_sf):
     """Lloyd training from the hash init (which knows nothing about the
     planted structure) must rediscover the 10 tight clusters: per true
