@@ -196,6 +196,9 @@ HEADLINE = [
     # round 9, second wave: SimHash near-dup pairs (60-bit signature,
     # pigeonhole block buckets — the bucketed sibling of the LSH path)
     "simhash_hamming_pairs",
+    # round 9, second wave: hive-partitioned versioned tables
+    "table_partition_pruning",
+    "table_partition_delete_versioned",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries

@@ -1317,3 +1317,97 @@ def index_staleness_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in rows[1:]:
         out = out.unionAll(df)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Hive-partitioned versioned tables: partition pruning + DROP PARTITION
+# ---------------------------------------------------------------------------
+
+_PART_PATHS: dict[tuple[str, str], str] = {}
+
+
+def _partitioned_docs(spark: SparkSession, sf_dir: str) -> VersionedTable:
+    """Build (once per session+sf) the partitioned-documents lineage:
+    v0 create (even doc_ids) + v1 append (odd doc_ids), both written
+    under hive ``_p__lang=…`` directories with the lang column kept in
+    the data files (Iceberg identity-partition posture), then v2 DROP
+    PARTITION lang='de' — a metadata-only commit (zero bytes
+    rewritten; pinned by tests/test_versioned.py)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _PART_PATHS.get(key)
+    if path is not None and len(VersionedTable(path).versions()) < 3:
+        path = None  # evicted or partially built -> rebuild
+    if path is None:
+        path = os.path.join(scratch_dir("versioned_"), "docs_part")
+        vt = VersionedTable(path, partition_by=["lang"])
+        docs = load_table(spark, sf_dir, "documents")
+        vt.create(docs.filter(F.col("doc_id") % 2 == 0))
+        vt.append(docs.filter(F.col("doc_id") % 2 == 1))
+        vt.delete_partitions(spark, {"lang": ["de"]})
+        _PART_PATHS[key] = path
+    return VersionedTable(path, partition_by=["lang"])
+
+
+@query(
+    "table_partition_pruning",
+    oracle="""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE lang IN ('en', 'fr')
+    GROUP BY source
+    """,
+)
+def table_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning from path metadata: a per-source aggregate of
+    the en+fr slice served through ``read_partitions`` — the driver
+    matches the manifest's ``_p__lang=…`` path segments and hands
+    Spark ONLY the en/fr files; de/es/zh partitions are never listed,
+    opened, or scheduled. Reads v1 (the full pre-delete snapshot), so
+    the oracle is the whole raw table. Same rows as a full-scan filter
+    (tests pin scanned-file set ⊆ matching partition dirs).
+
+    Scale: THE first-order 100 TB lever — a date/lang-partitioned
+    table turns a full-corpus scan into one partition's scan, before
+    stats or bloom skipping even apply. Candidate selection is
+    driver-side string matching over the KB-sized manifest file list."""
+    vt = _partitioned_docs(spark, sf_dir)
+    return (
+        vt.read_partitions(spark, {"lang": ["en", "fr"]}, version=1)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+@query(
+    "table_partition_delete_versioned",
+    oracle="""
+    SELECT 1 AS version, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 2 AS version, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents WHERE lang <> 'de' GROUP BY lang
+    """,
+)
+def table_partition_delete_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DROP PARTITION under time travel: v2 deleted the lang='de'
+    partition as a METADATA-ONLY commit (matching files dropped from
+    the manifest, zero bytes rewritten), and v1 still serves the full
+    table through its own manifest. Per-(version, lang) counts replay
+    both snapshots; the oracle replays them from the raw table.
+
+    Scale: retention deletes (drop old date partitions) are the most
+    common mutation on a 100 TB table — this commit costs one manifest
+    write regardless of table size, while copy-on-write row deletes
+    would rewrite every touched file."""
+    vt = _partitioned_docs(spark, sf_dir)
+    per_version = [
+        vt.read(spark, v)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .select(F.lit(v).cast("int").alias("version"), "lang", "n_docs")
+        for v in (1, 2)
+    ]
+    return per_version[0].unionAll(per_version[1])

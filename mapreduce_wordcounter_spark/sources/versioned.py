@@ -74,6 +74,12 @@ from pyspark.sql import functions as F
 
 _SNAP_DIR = "_snapshots"
 
+# Partition-directory prefix: ``data/<commit>/_p__lang=en/part-*.parquet``.
+# The prefix (a) keeps the raw column in the data file (partitionBy
+# removes the DUPLICATE, not the original) and (b) makes partition
+# segments unambiguous when parsing values back out of file paths.
+_PART_PREFIX = "_p__"
+
 # Sentinel: "carry the parent's column-mapping metadata forward"
 # (distinct from an explicit None, which records a mapping downgrade).
 _INHERIT = object()
@@ -100,10 +106,22 @@ class VersionedTable:
         stats_col: str | None = None,
         bloom: bool = False,
         checkpoint_interval: int = 10,
+        partition_by: list[str] | None = None,
     ):
         self.path = path
         self.snap_dir = os.path.join(path, _SNAP_DIR)
         self.stats_col = stats_col
+        # Hive-layout partitioning, Iceberg-identity style: the
+        # partition column STAYS in the data file (an RLE-constant
+        # parquet column is ~free) and the ``_p__<col>=<value>/``
+        # directory segment exists purely as driver-side metadata —
+        # reads never depend on Spark's partition-discovery inference,
+        # and a snapshot may freely mix partitioned and pre-partitioning
+        # files (the unpartitioned ones just can't be pruned/dropped by
+        # partition value). Only WRITES consult this setting; reads and
+        # partition pruning parse values back out of the committed file
+        # paths, so any handle on the table prunes correctly.
+        self.partition_by = list(partition_by) if partition_by else None
         # Opt-in per-file Bloom filters over stats_col: the equality-
         # lookup complement to the [min, max] range stats (on a
         # hash-scattered layout every file's range spans the whole key
@@ -705,6 +723,34 @@ class VersionedTable:
         df = self._to_physical(df, schema)
         sub = os.path.join("data", uuid.uuid4().hex)
         full = os.path.join(self.path, sub)
+        if self.partition_by:
+            m = (
+                {c["name"]: c["phys"] for c in schema["cols"]}
+                if schema
+                else {}
+            )
+            pcols = [m.get(c, c) for c in self.partition_by]
+            missing = [c for c in pcols if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"partition column(s) {missing} absent from write at "
+                    f"{self.path}"
+                )
+            # duplicate under the reserved prefix so partitionBy's
+            # column-removal hits the DUPLICATE and the original stays
+            # in the file (Iceberg identity-partition posture: reads
+            # never depend on directory inference)
+            for c in pcols:
+                df = df.withColumn(_PART_PREFIX + c, F.col(c))
+            df.write.mode("overwrite").partitionBy(
+                *[_PART_PREFIX + c for c in pcols]
+            ).parquet(full)
+            return sorted(
+                os.path.relpath(os.path.join(r, f), self.path)
+                for r, _dirs, fs in os.walk(full)
+                for f in fs
+                if f.endswith(".parquet")
+            )
         df.write.mode("overwrite").parquet(full)
         return sorted(
             os.path.join(sub, f)
@@ -1063,13 +1109,14 @@ class VersionedTable:
             return 0
         cutoff = _time.time() - grace_sec
         deleted = 0
-        for sub in os.listdir(rootdir):
-            subdir = os.path.join(rootdir, sub)
-            if not os.path.isdir(subdir):
-                continue
-            for name in os.listdir(subdir):
-                rel = os.path.join(root, sub, name)
-                full = os.path.join(subdir, name)
+        # bottom-up walk: partitioned commits nest ``_p__col=value/``
+        # levels under the commit dir, so files are deleted first and
+        # every emptied directory (partition dirs, then the commit dir)
+        # can be pruned on the way up
+        for dirpath, _dirs, names in os.walk(rootdir, topdown=False):
+            for name in names:
+                full = os.path.join(dirpath, name)
+                rel = os.path.relpath(full, self.path)
                 if rel in keep or not os.path.isfile(full):
                     continue
                 try:
@@ -1078,10 +1125,11 @@ class VersionedTable:
                         deleted += 1
                 except FileNotFoundError:
                     continue  # raced by a concurrent vacuum
-            try:
-                os.rmdir(subdir)  # succeeds only when emptied
-            except OSError:
-                pass
+            if dirpath != rootdir:
+                try:
+                    os.rmdir(dirpath)  # succeeds only when emptied
+                except OSError:
+                    pass
         return deleted
 
     # -- reads ----------------------------------------------------------
@@ -1206,6 +1254,127 @@ class VersionedTable:
                 *[os.path.join(self.path, f) for f in files]
             ),
             snap,
+        )
+
+    # -- partition pruning / partition-granular delete -------------------
+
+    @staticmethod
+    def _partition_values(rel: str) -> dict[str, str]:
+        """Parse the hive ``_p__col=value`` segments out of a committed
+        file's relative path (PHYSICAL column names; values unescaped
+        the way Spark's hive layout escapes them). Empty for files
+        written before partitioning was enabled."""
+        from urllib.parse import unquote
+
+        out: dict[str, str] = {}
+        for seg in rel.split(os.sep)[:-1]:
+            if seg.startswith(_PART_PREFIX) and "=" in seg:
+                k, v = seg[len(_PART_PREFIX):].split("=", 1)
+                out[k] = unquote(v)
+        return out
+
+    def _split_by_partition(
+        self, snap: dict, filters: dict
+    ) -> tuple[list[str], list[str], list[str]]:
+        """Classify one snapshot's files against partition-value
+        ``filters`` (logical col -> scalar or list of values), entirely
+        from path metadata: (matched, unmatched, unknown) where
+        ``unknown`` files predate partitioning on some filter column
+        and may contain anything. Values compare as their hive string
+        form (str(v)) — how the layout itself encodes them."""
+        schema = snap.get("schema")
+        m = (
+            {c["name"]: c["phys"] for c in schema["cols"]}
+            if schema
+            else {}
+        )
+        want = {
+            m.get(k, k): {str(v) for v in (vv if isinstance(vv, (list, tuple, set)) else [vv])}
+            for k, vv in filters.items()
+        }
+        matched, unmatched, unknown = [], [], []
+        for f in snap["files"]:
+            pv = self._partition_values(f)
+            if not all(k in pv for k in want):
+                unknown.append(f)
+            elif all(pv[k] in want[k] for k in want):
+                matched.append(f)
+            else:
+                unmatched.append(f)
+        return matched, unmatched, unknown
+
+    def read_partitions(
+        self,
+        spark: SparkSession,
+        filters: dict,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Read one snapshot scanning ONLY the files whose partition
+        directories match ``filters`` (logical col -> value or list of
+        values) — partition pruning resolved driver-side from path
+        metadata before Spark lists a file. Files that predate
+        partitioning on a filter column are scanned too (they may
+        contain anything) and the row-level filter, applied in all
+        cases, keeps the result exactly ``read(...).filter(...)``
+        (pinned by tests). At 100 TB with a date/lang layout this is
+        the difference between scanning one partition and the table."""
+        snap = self.snapshot(version)
+        matched, _unmatched, unknown = self._split_by_partition(snap, filters)
+        pred = None
+        for k, vv in filters.items():
+            vals = list(vv) if isinstance(vv, (list, tuple, set)) else [vv]
+            term = F.col(k).isin(vals)
+            pred = term if pred is None else pred & term
+        files = matched + unknown
+        if not files:
+            return self.read(spark, snap["version"]).filter(F.lit(False))
+        df = self._project(
+            spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.path, f) for f in files]
+            ),
+            snap,
+        )
+        return df.filter(pred) if pred is not None else df
+
+    def delete_partitions(self, spark: SparkSession, filters: dict) -> int:
+        """DROP PARTITION: delete every row whose partition values
+        match ``filters``. Files wholly inside matching partition
+        directories are dropped **metadata-only** (removed from the
+        manifest — zero bytes rewritten, the reason date-partitioned
+        retention deletes are cheap on every production table format);
+        only files that PREDATE partitioning on a filter column pay a
+        copy-on-write rewrite of their survivors. Time travel to the
+        pre-delete snapshot is unaffected. Read-modify-write: re-runs
+        wholesale on a lost commit race."""
+        pred = None
+        for k, vv in filters.items():
+            vals = list(vv) if isinstance(vv, (list, tuple, set)) else [vv]
+            term = F.col(k).isin(vals)
+            pred = term if pred is None else pred & term
+        for _ in range(8):
+            snap = self.snapshot()
+            matched, unmatched, unknown = self._split_by_partition(
+                snap, filters
+            )
+            files: list[str] = []
+            if unknown and pred is not None:
+                survivors = self._project(
+                    spark.read.option("mergeSchema", "true").parquet(
+                        *[os.path.join(self.path, f) for f in unknown]
+                    ),
+                    snap,
+                ).filter(F.coalesce(~pred, F.lit(True)))
+                files = self._write_data_files(survivors, snap.get("schema"))
+            try:
+                return self._commit_delta(
+                    "delete_partitions", snap, unmatched + files,
+                    self._merged_stats(snap, unmatched, files),
+                    self._merged_blooms(snap, unmatched, files),
+                )
+            except VersionConflictError:
+                continue
+        raise VersionConflictError(
+            f"delete_partitions lost the commit race 8 times at {self.path}"
         )
 
     # -- change feed (CDC between snapshots) ----------------------------

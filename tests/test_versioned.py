@@ -1444,3 +1444,157 @@ def test_merge_full_prunes_files_without_nmbs(spark, tmp_path):
     v1_files = set(vt.snapshot(1)["files"])
     carried = v0_files & v1_files
     assert len(carried) == 3  # only the file holding k=3 rewrote
+
+
+# ---------------------------------------------------------------------------
+# Hive-partitioned tables: pruning, DROP PARTITION, mixed lineages
+# ---------------------------------------------------------------------------
+
+
+def _mk_part(spark, tmp_path, langs=("en", "de", "fr"), n=90):
+    """Partitioned table: key k, lang = langs[k % 3], value v."""
+    vt = VersionedTable(str(tmp_path / "pt"), partition_by=["lang"])
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.element_at(
+            F.array(*[F.lit(l) for l in langs]), (F.col("id") % 3 + 1).cast("int")
+        ).alias("lang"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    vt.create(df)
+    return vt, df
+
+
+def test_partitioned_write_keeps_column_in_files(spark, tmp_path):
+    """Identity-partition posture: the partition column survives INSIDE
+    the data files (reads never depend on directory inference), and
+    every committed file sits under a ``_p__lang=...`` segment."""
+    vt, df = _mk_part(spark, tmp_path)
+    snap = vt.snapshot()
+    assert all("_p__lang=" in f for f in snap["files"])
+    got = vt.read(spark)
+    assert set(got.columns) == {"k", "lang", "v"}
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_read_partitions_scans_only_matching_files(spark, tmp_path):
+    """Pruning is observable: the scanned-file set of a partition read
+    is exactly the matching partition directories, and the rows equal
+    read().filter(...)."""
+    vt, df = _mk_part(spark, tmp_path)
+    got = vt.read_partitions(spark, {"lang": ["en", "fr"]})
+    scanned = {
+        r["f"]
+        for r in got.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert scanned and all(
+        "_p__lang=en" in f or "_p__lang=fr" in f for f in scanned
+    )
+    want = df.filter(F.col("lang").isin("en", "fr"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_read_partitions_scalar_filter_and_empty(spark, tmp_path):
+    vt, df = _mk_part(spark, tmp_path)
+    got = vt.read_partitions(spark, {"lang": "de"})
+    assert got.count() == df.filter("lang = 'de'").count()
+    assert vt.read_partitions(spark, {"lang": "xx"}).count() == 0
+
+
+def test_delete_partitions_is_metadata_only(spark, tmp_path):
+    """DROP PARTITION on a fully-partitioned table adds ZERO data files
+    (the manifest drops the matching files by reference); the deleted
+    rows are gone at the new version and intact at the old one."""
+    vt, df = _mk_part(spark, tmp_path)
+    v = vt.delete_partitions(spark, {"lang": ["de"]})
+    m = vt._load_manifest(v)
+    assert m["operation"] == "delete_partitions"
+    assert m["add"] == []          # zero bytes rewritten
+    assert len(m["remove"]) > 0
+    assert vt.read(spark).filter("lang = 'de'").count() == 0
+    assert vt.read(spark).count() == df.filter("lang <> 'de'").count()
+    assert vt.read(spark, 0).count() == df.count()  # time travel intact
+
+
+def test_partition_ops_on_mixed_lineage(spark, tmp_path):
+    """A table whose FIRST commit predates partitioning: partition
+    reads must still be exact (unpartitioned files are scanned and
+    row-filtered), and DROP PARTITION rewrites ONLY the unpartitioned
+    files while dropping matching partition dirs by reference."""
+    path = str(tmp_path / "mix")
+    df = spark.range(60).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    VersionedTable(path).create(df.filter("k < 30"))          # unpartitioned
+    vt = VersionedTable(path, partition_by=["lang"])
+    vt.append(df.filter("k >= 30"))                           # partitioned
+    got = vt.read_partitions(spark, {"lang": "en"})
+    want = df.filter("lang = 'en'")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    v = vt.delete_partitions(spark, {"lang": ["de"]})
+    m = vt._load_manifest(v)
+    # the v0 files were rewritten (survivors), the de partition dir of
+    # v1 was dropped by reference, and the en partition dir carried
+    assert all("_p__lang=" in f for f in m["add"])  # rewrite is partitioned
+    assert any("_p__lang=de" in f for f in m["remove"])
+    assert vt.read(spark).filter("lang = 'de'").count() == 0
+    assert vt.read(spark).count() == df.filter("lang = 'en'").count()
+
+
+def test_delete_partitions_null_semantics_on_unknown_files(spark, tmp_path):
+    """Rows whose partition column is NULL live only in unpartitioned
+    files (hive writes NULL as __HIVE_DEFAULT_PARTITION__; our identity
+    posture keeps the raw NULL in the file). A DROP PARTITION on a
+    value list must keep NULL rows (SQL delete semantics: NULL
+    predicate rows survive)."""
+    path = str(tmp_path / "nulls")
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "de"), (3, None)], "k bigint, lang string"
+    )
+    VersionedTable(path).create(df)  # unpartitioned: NULLs allowed
+    vt = VersionedTable(path, partition_by=["lang"])
+    vt.delete_partitions(spark, {"lang": ["de"]})
+    got = sorted((r["k"], r["lang"]) for r in vt.read(spark).collect())
+    assert got == [(1, "en"), (3, None)]
+
+
+def test_vacuum_collects_partitioned_orphans(spark, tmp_path):
+    """After DROP PARTITION + retention expiry, vacuum must delete the
+    orphaned files inside nested partition directories and prune the
+    emptied dirs (the recursive walk)."""
+    vt, df = _mk_part(spark, tmp_path)
+    vt.delete_partitions(spark, {"lang": ["de"]})
+    out = vt.vacuum(retain_last=1, orphan_grace_sec=0.0, force_orphan_grace=True)
+    assert out["deleted_files"] > 0
+    # the de partition dirs are gone from disk
+    for root, dirs, files in os.walk(os.path.join(vt.path, "data")):
+        assert "_p__lang=de" not in root or not files
+    # current version unaffected
+    assert vt.read(spark).count() == df.filter("lang <> 'de'").count()
+    with pytest.raises(Exception):
+        vt.read(spark, 0).collect()  # expired snapshot no longer readable
+
+
+def test_partitioned_table_under_column_mapping(spark, tmp_path):
+    """RENAME of the partition column: physical path segments keep the
+    (stable) physical name, logical reads and partition filters use
+    the NEW logical name — pruning metadata survives renames with no
+    directory moves, same rule as stats re-keying."""
+    vt, df = _mk_part(spark, tmp_path)
+    vt.rename_column("lang", "language")
+    got = vt.read_partitions(spark, {"language": ["en"]})
+    assert set(got.columns) == {"k", "language", "v"}
+    assert got.count() == df.filter("lang = 'en'").count()
+    scanned = {
+        r["f"]
+        for r in got.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert scanned and all("_p__lang=en" in f for f in scanned)
+    # writes after the rename land under the SAME physical segment
+    extra = spark.createDataFrame([(1000, "en", 1.0)], "k bigint, language string, v double")
+    vt.append(extra)
+    snap = vt.snapshot()
+    assert all("_p__language=" not in f for f in snap["files"])
+    assert vt.read_partitions(spark, {"language": "en"}).count() == df.filter("lang = 'en'").count() + 1
