@@ -196,9 +196,11 @@ HEADLINE = [
     # round 9, second wave: SimHash near-dup pairs (60-bit signature,
     # pigeonhole block buckets — the bucketed sibling of the LSH path)
     "simhash_hamming_pairs",
-    # round 9, second wave: hive-partitioned versioned tables
+    # round 9, second wave: hive-partitioned versioned tables +
+    # write-time expectations
     "table_partition_pruning",
     "table_partition_delete_versioned",
+    "table_expectations_audit",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries

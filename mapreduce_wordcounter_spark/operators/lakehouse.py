@@ -1411,3 +1411,79 @@ def table_partition_delete_versioned(spark: SparkSession, sf_dir: str) -> DataFr
         for v in (1, 2)
     ]
     return per_version[0].unionAll(per_version[1])
+
+
+# ---------------------------------------------------------------------------
+# Write-time expectations (quality gates on table ingest)
+# ---------------------------------------------------------------------------
+
+_EXP_PATHS: dict[tuple[str, str], str] = {}
+
+
+def _expectations_docs(spark: SparkSession, sf_dir: str) -> VersionedTable:
+    """Build (once per session+sf) the gated-ingest lineage: v0 create
+    (even doc_ids, pre-expectation seed), v1-v3 register the rules
+    (metadata-only commits), v4 append (odd doc_ids) THROUGH the gates
+    — fail-mode validated green, drop-mode rows excluded from the
+    written files, warn-mode counted only, all metrics observed by the
+    write job itself (Observation API, no second scan)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _EXP_PATHS.get(key)
+    if path is not None and len(VersionedTable(path).versions()) < 5:
+        path = None  # evicted or partially built -> rebuild
+    if path is None:
+        path = os.path.join(scratch_dir("versioned_"), "docs_exp")
+        vt = VersionedTable(path)
+        docs = load_table(spark, sf_dir, "documents")
+        vt.create(docs.filter(F.col("doc_id") % 2 == 0))
+        vt.set_expectation(spark, "nonneg_len", "n_chars >= 0", mode="fail")
+        vt.set_expectation(spark, "min_len", "n_chars >= 300", mode="drop")
+        vt.set_expectation(spark, "short_tail", "n_chars <= 500", mode="warn")
+        vt.append(docs.filter(F.col("doc_id") % 2 == 1))
+        _EXP_PATHS[key] = path
+    return VersionedTable(path)
+
+
+@query(
+    "table_expectations_audit",
+    oracle="""
+    SELECT 'min_len' AS rule, 'drop' AS mode,
+           CAST(SUM(CASE WHEN n_chars >= 300 THEN 0 ELSE 1 END) AS BIGINT) AS n
+    FROM documents WHERE doc_id % 2 = 1
+    UNION ALL
+    SELECT 'nonneg_len', 'fail',
+           CAST(SUM(CASE WHEN n_chars >= 0 THEN 0 ELSE 1 END) AS BIGINT)
+    FROM documents WHERE doc_id % 2 = 1
+    UNION ALL
+    SELECT 'short_tail', 'warn',
+           CAST(SUM(CASE WHEN n_chars <= 500 THEN 0 ELSE 1 END) AS BIGINT)
+    FROM documents WHERE doc_id % 2 = 1
+    UNION ALL
+    SELECT '_rows_committed', 'table',
+           CAST(COUNT(*) AS BIGINT)
+    FROM documents
+    WHERE doc_id % 2 = 0 OR n_chars >= 300
+    """,
+)
+def table_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-time expectations (the DLT/Delta-constraint quality-gate
+    recipe): per-rule violation counts from the gated append's manifest
+    metrics plus the committed row count — fail-mode green, drop-mode
+    rows excluded from the table, warn-mode counted through. The
+    oracle replays the gates over the raw ingest slice.
+
+    Scale: enforcement costs ZERO extra passes — the violation
+    counters ride the write job via Observation — and the audit reads
+    KB-scale manifest metadata, not data. At 100 TB the gate is the
+    difference between quarantining bad ingest at the door and
+    discovering it in a trained model."""
+    vt = _expectations_docs(spark, sf_dir)
+    m = vt._load_manifest(vt.latest_version())
+    metrics = m.get("expectation_metrics") or {}
+    rows = [
+        (rule, v["mode"], int(v["violations"]))
+        for rule, v in sorted(metrics.items())
+    ]
+    n = vt.read(spark).count()
+    rows.append(("_rows_committed", "table", int(n)))
+    return spark.createDataFrame(rows, "rule string, mode string, n bigint")

@@ -89,6 +89,11 @@ class VersionConflictError(RuntimeError):
     """Another writer committed this version first (O_EXCL lost)."""
 
 
+class ExpectationViolationError(RuntimeError):
+    """A fail-mode expectation rejected a write (no manifest was
+    published; staged files are orphans for vacuum)."""
+
+
 class VersionedTable:
     """A snapshot-versioned parquet table rooted at ``path``.
 
@@ -139,6 +144,9 @@ class VersionedTable:
         # session doing many time-travel reads can't grow it without
         # limit, and served as COPIES (see snapshot()).
         self._snap_cache: dict[int, dict] = {}
+        # violation counts observed by the most recent data-file write,
+        # staged for the manifest that commits those files
+        self._pending_exp_metrics: dict | None = None
 
     _SNAP_CACHE_MAX = 128
     # stats_relation replay bounds (ADVICE r7): past this much chain
@@ -223,6 +231,8 @@ class VersionedTable:
         }
         if out.get("schema"):
             out["schema"] = copy.deepcopy(out["schema"])
+        if out.get("expectations"):
+            out["expectations"] = copy.deepcopy(out["expectations"])
         return out
 
     def _cache_snapshot(self, version: int, snap: dict) -> None:
@@ -270,10 +280,13 @@ class VersionedTable:
         # past the mapping's creation) overrides; deltas without the
         # key inherit whatever is in force at their parent.
         schema = base.get("schema")
+        expectations = base.get("expectations")
         meta = base if not chain else None
         for delta in reversed(chain):
             if "schema" in delta:
                 schema = delta["schema"]
+            if "expectations" in delta:
+                expectations = delta["expectations"]
             removed = set(delta.get("remove") or [])
             files = sorted(
                 [f for f in files if f not in removed]
@@ -299,6 +312,7 @@ class VersionedTable:
         if "operation" not in out and meta:
             out["operation"] = meta.get("operation")
         out["schema"] = schema
+        out["expectations"] = expectations
         return out
 
     def _write_checkpoint(self, snap: dict) -> None:
@@ -479,6 +493,7 @@ class VersionedTable:
         stats: dict,
         blooms: dict,
         schema=_INHERIT,
+        expectations=_INHERIT,
         **extra,
     ) -> int:
         """Publish one commit as a DELTA manifest: only the files
@@ -510,6 +525,23 @@ class VersionedTable:
             schema_entry = {"schema": None}
         else:
             schema_entry = {}
+        # expectations metadata: same inherit/override/downgrade rules
+        # as the column mapping (see the schema block above)
+        if expectations is _INHERIT:
+            expectations = parent.get("expectations") if parent else None
+        if expectations:
+            exp_entry = {"expectations": expectations}
+        elif parent is not None and parent.get("expectations"):
+            exp_entry = {"expectations": None}
+        else:
+            exp_entry = {}
+        # per-commit write metrics (violation counts observed during
+        # this commit's data-file write) — NOT inherited: they describe
+        # one commit's ingest, not table state
+        pending = getattr(self, "_pending_exp_metrics", None)
+        if pending:
+            exp_entry["expectation_metrics"] = pending
+            self._pending_exp_metrics = None
         manifest = {
             "version": version,
             "parent": None if parent is None else parent["version"],
@@ -519,6 +551,7 @@ class VersionedTable:
             "stats": {f: stats[f] for f in add if f in stats},
             "blooms": {f: blooms[f] for f in add if f in blooms},
             **schema_entry,
+            **exp_entry,
             **extra,
         }
         self._publish(manifest, version)
@@ -529,7 +562,7 @@ class VersionedTable:
         }
         snap.update(
             {"files": files, "stats": stats, "blooms": blooms,
-             "schema": schema}
+             "schema": schema, "expectations": expectations}
         )
         self._cache_snapshot(version, snap)
         if version > 0 and version % self.checkpoint_interval == 0:
@@ -710,6 +743,132 @@ class VersionedTable:
             except VersionConflictError:
                 continue
 
+    # -- expectations (write-time quality gates) -------------------------
+    #
+    # Manifest "expectations" key (inherited commit-to-commit like the
+    # column mapping): {name: {"expr": <SQL predicate over LOGICAL
+    # columns>, "mode": "fail" | "drop" | "warn"}}. A row PASSES a rule
+    # iff the predicate evaluates TRUE — NULL fails (the DLT-expectation
+    # posture, stricter than SQL CHECK's null-passes; documented here
+    # because the two standards differ). Every data-file write
+    # validates: fail-mode violations abort BEFORE the manifest is
+    # published (staged files become vacuum orphans — the commit
+    # protocol makes aborts transactionally invisible), drop-mode rows
+    # are excluded from the written files, warn-mode rows pass through;
+    # all three record per-rule violation counts in the committing
+    # manifest's "expectation_metrics" (per-commit ingest metrics, not
+    # inherited). Metrics ride Spark's Observation API — collected
+    # DURING the write job, no second scan of the data.
+
+    def set_expectation(
+        self,
+        spark: SparkSession,
+        name: str,
+        expr: str,
+        mode: str = "fail",
+    ) -> int:
+        """Register (or replace) a named expectation as a metadata-only
+        commit. Adding a fail-mode rule validates EXISTING data first
+        (one aggregate over the current snapshot — the Delta ADD
+        CONSTRAINT contract: a table never holds data violating an
+        active CHECK)."""
+        if mode not in ("fail", "drop", "warn"):
+            raise ValueError(f"unknown expectation mode: {mode!r}")
+        if mode == "fail":
+            bad = (
+                self.read(spark)
+                .filter(~F.coalesce(F.expr(expr), F.lit(False)))
+                .limit(1)
+                .count()
+            )
+            if bad:
+                raise ExpectationViolationError(
+                    f"existing rows violate {name!r} ({expr}) at {self.path}"
+                )
+        while True:
+            cur = self.snapshot()
+            exps = dict(cur.get("expectations") or {})
+            exps[name] = {"expr": expr, "mode": mode}
+            try:
+                return self._commit_delta(
+                    "set_expectation", cur, cur["files"],
+                    cur.get("stats") or {}, cur.get("blooms") or {},
+                    expectations=exps,
+                )
+            except VersionConflictError:
+                continue
+
+    def drop_expectation(self, name: str) -> int:
+        """Remove a named expectation (metadata-only commit)."""
+        while True:
+            cur = self.snapshot()
+            exps = dict(cur.get("expectations") or {})
+            if name not in exps:
+                raise KeyError(f"no expectation {name!r} at {self.path}")
+            del exps[name]
+            try:
+                return self._commit_delta(
+                    "drop_expectation", cur, cur["files"],
+                    cur.get("stats") or {}, cur.get("blooms") or {},
+                    # an emptied dict records an explicit downgrade
+                    expectations=exps if exps else None,
+                )
+            except VersionConflictError:
+                continue
+
+    def _apply_expectations(self, df: DataFrame):
+        """Attach the active expectations to a logical-named write
+        plan: per-rule violation counters via ``observe`` (computed by
+        the write job itself) + drop-mode filtering. Returns
+        ``(df, observation, rules)`` — ``rules`` empty when the table
+        has no expectations (or no snapshot yet)."""
+        try:
+            snap = self.snapshot()
+        except FileNotFoundError:
+            return df, None, {}
+        rules = snap.get("expectations") or {}
+        if not rules:
+            return df, None, {}
+        from pyspark.sql import Observation
+
+        obs = Observation(f"expectations_{uuid.uuid4().hex}")
+        df = df.observe(
+            obs,
+            *[
+                F.coalesce(
+                    F.sum(
+                        F.when(F.expr(r["expr"]), F.lit(0)).otherwise(F.lit(1))
+                    ),
+                    F.lit(0),
+                ).cast("long").alias(name)
+                for name, r in sorted(rules.items())
+            ],
+        )
+        for name, r in sorted(rules.items()):
+            if r["mode"] == "drop":
+                # keep iff TRUE: NULL-evaluating rows are dropped too
+                df = df.filter(F.coalesce(F.expr(r["expr"]), F.lit(False)))
+        return df, obs, rules
+
+    def _harvest_expectations(self, obs, rules) -> None:
+        """After the write job: raise on fail-mode violations (the
+        manifest is not yet published, so the abort is transactional)
+        and stage per-rule metrics for the upcoming commit."""
+        if not rules:
+            return
+        got = obs.get
+        metrics = {}
+        for name, r in sorted(rules.items()):
+            n = int(got.get(name) or 0)
+            metrics[name] = {"mode": r["mode"], "violations": n}
+            if r["mode"] == "fail" and n > 0:
+                self._pending_exp_metrics = None
+                raise ExpectationViolationError(
+                    f"{n} row(s) violate fail-mode expectation {name!r} "
+                    f"({r['expr']}) at {self.path}"
+                )
+        self._pending_exp_metrics = metrics
+
     # -- commits --------------------------------------------------------
 
     def _write_data_files(
@@ -719,7 +878,11 @@ class VersionedTable:
         unique subdirectory; returns the relative file list (bounded
         metadata — one entry per task output file). ``schema``
         (column-mapping metadata) renames the logical-named ``df`` to
-        physical column names before writing."""
+        physical column names before writing. Active expectations are
+        enforced here — the chokepoint every data write passes through
+        (ingest AND copy-on-write rewrites: a file rewritten under a
+        newer rule must satisfy it, Delta's constraint contract)."""
+        df, obs, rules = self._apply_expectations(df)
         df = self._to_physical(df, schema)
         sub = os.path.join("data", uuid.uuid4().hex)
         full = os.path.join(self.path, sub)
@@ -745,6 +908,7 @@ class VersionedTable:
             df.write.mode("overwrite").partitionBy(
                 *[_PART_PREFIX + c for c in pcols]
             ).parquet(full)
+            self._harvest_expectations(obs, rules)
             return sorted(
                 os.path.relpath(os.path.join(r, f), self.path)
                 for r, _dirs, fs in os.walk(full)
@@ -752,6 +916,7 @@ class VersionedTable:
                 if f.endswith(".parquet")
             )
         df.write.mode("overwrite").parquet(full)
+        self._harvest_expectations(obs, rules)
         return sorted(
             os.path.join(sub, f)
             for f in os.listdir(full)
@@ -982,6 +1147,7 @@ class VersionedTable:
                     # explicit None here records a mapping downgrade
                     # when rolling back past the mapping's creation)
                     schema=target.get("schema"),
+                    expectations=target.get("expectations"),
                     rolled_back_to=to_version,
                 )
             except VersionConflictError:

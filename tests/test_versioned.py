@@ -1598,3 +1598,126 @@ def test_partitioned_table_under_column_mapping(spark, tmp_path):
     snap = vt.snapshot()
     assert all("_p__language=" not in f for f in snap["files"])
     assert vt.read_partitions(spark, {"language": "en"}).count() == df.filter("lang = 'en'").count() + 1
+
+
+# ---------------------------------------------------------------------------
+# Write-time expectations
+# ---------------------------------------------------------------------------
+
+
+def _mk_exp(spark, tmp_path):
+    vt = _mk(spark, tmp_path)  # keys 0..99, v = k*1.0
+    return vt
+
+
+def test_expectation_fail_mode_blocks_commit(spark, tmp_path):
+    """A fail-mode violation aborts BEFORE the manifest publishes: the
+    table version and contents are untouched (staged files are vacuum
+    orphans, invisible to every reader)."""
+    from mapreduce_wordcounter_spark.sources.versioned import (
+        ExpectationViolationError,
+    )
+
+    vt = _mk_exp(spark, tmp_path)
+    vt.set_expectation(spark, "v_nonneg", "v >= 0", mode="fail")
+    v_before = vt.latest_version()
+    bad = spark.createDataFrame([(500, -1.0)], "k bigint, v double")
+    with pytest.raises(ExpectationViolationError):
+        vt.append(bad)
+    assert vt.latest_version() == v_before
+    assert vt.read(spark).count() == 100
+
+
+def test_expectation_drop_mode_filters_and_records_metrics(spark, tmp_path):
+    vt = _mk_exp(spark, tmp_path)
+    vt.set_expectation(spark, "k_bounded", "k < 1000", mode="drop")
+    vt.set_expectation(spark, "v_even", "v % 2 = 0", mode="warn")
+    src = spark.createDataFrame(
+        [(2000, 2.0), (500, 3.0), (501, 4.0)], "k bigint, v double"
+    )
+    v = vt.append(src)
+    m = vt._load_manifest(v)
+    assert m["expectation_metrics"] == {
+        "k_bounded": {"mode": "drop", "violations": 1},
+        "v_even": {"mode": "warn", "violations": 1},
+    }
+    got = vt.read(spark)
+    assert got.count() == 102          # k=2000 dropped, warn rows kept
+    assert got.filter("k = 2000").count() == 0
+    assert got.filter("k = 500").count() == 1
+
+
+def test_expectation_null_predicate_fails_row(spark, tmp_path):
+    """DLT posture (documented divergence from SQL CHECK): a row passes
+    iff the predicate is TRUE — NULL fails, so drop-mode removes
+    NULL-evaluating rows and fail-mode rejects them."""
+    vt = _mk_exp(spark, tmp_path)
+    vt.set_expectation(spark, "v_pos", "v > 0", mode="drop")
+    src = spark.createDataFrame([(300, None), (301, 5.0)], "k bigint, v double")
+    vt.append(src)
+    got = vt.read(spark).filter("k >= 300")
+    assert [(r["k"], r["v"]) for r in got.collect()] == [(301, 5.0)]
+
+
+def test_set_expectation_validates_existing_data(spark, tmp_path):
+    from mapreduce_wordcounter_spark.sources.versioned import (
+        ExpectationViolationError,
+    )
+
+    vt = _mk_exp(spark, tmp_path)
+    with pytest.raises(ExpectationViolationError):
+        vt.set_expectation(spark, "impossible", "v > 10000", mode="fail")
+    # drop/warn modes never validate existing data
+    vt.set_expectation(spark, "lenient", "v > 10000", mode="drop")
+
+
+def test_expectations_inherit_and_rollback(spark, tmp_path):
+    """Expectations ride the manifest chain like the column mapping:
+    inherited by later commits, removable, restored by rollback, and
+    visible to a fresh handle (pure metadata round-trip)."""
+    vt = _mk_exp(spark, tmp_path)
+    v_rule = vt.set_expectation(spark, "v_nonneg", "v >= 0", mode="fail")
+    vt.append(spark.createDataFrame([(200, 1.0)], "k bigint, v double"))
+    assert "v_nonneg" in (vt.snapshot().get("expectations") or {})
+    vt.drop_expectation("v_nonneg")
+    assert not (vt.snapshot().get("expectations") or {})
+    vt.rollback(v_rule)
+    assert "v_nonneg" in (vt.snapshot().get("expectations") or {})
+    vt2 = VersionedTable(vt.path)
+    assert "v_nonneg" in (vt2.snapshot().get("expectations") or {})
+    with pytest.raises(KeyError):
+        vt2.drop_expectation("never_was")
+
+
+def test_expectations_enforced_on_rewrite(spark, tmp_path):
+    """Copy-on-write rewrites pass through the same gate: a drop-mode
+    rule added AFTER data was ingested scrubs violating rows from any
+    file a later delete/merge rewrites (Delta's constraint contract:
+    rewritten files satisfy active rules)."""
+    vt = _mk_exp(spark, tmp_path)
+    vt.set_expectation(spark, "v_cap", "v < 98", mode="drop")  # 98, 99 violate
+    # delete k=0: rewrites the file holding small keys; the file holding
+    # 98/99 is NOT rewritten, so those rows survive until touched
+    vt.delete_where(spark, F.col("k") == 0)
+    remaining = vt.read(spark)
+    assert remaining.filter("k = 0").count() == 0
+    assert remaining.filter("k >= 98").count() == 2  # untouched file
+    # now touch the top file: its rewrite scrubs 98/99 too
+    vt.delete_where(spark, F.col("k") == 97)
+    got = vt.read(spark)
+    assert got.filter("k >= 97").count() == 0
+    assert got.count() == 96  # 0, 97, 98, 99 gone
+
+
+def test_expectations_compose_with_partitioning(spark, tmp_path):
+    """Gates and hive partitioning share the write chokepoint: drop-mode
+    filtering applies before partition dirs are laid out."""
+    vt, df = _mk_part(spark, tmp_path)
+    vt.set_expectation(spark, "k_cap", "k < 1000", mode="drop")
+    vt.append(
+        spark.createDataFrame(
+            [(1000, "en", 1.0), (50, "xx", 2.0)], "k bigint, lang string, v double"
+        )
+    )
+    assert vt.read(spark).filter("k = 1000").count() == 0
+    assert vt.read_partitions(spark, {"lang": "xx"}).count() == 1
