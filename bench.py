@@ -201,6 +201,7 @@ HEADLINE = [
     "table_partition_pruning",
     "table_partition_delete_versioned",
     "table_expectations_audit",
+    "table_clone_divergence",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries

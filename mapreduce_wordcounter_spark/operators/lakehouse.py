@@ -1487,3 +1487,68 @@ def table_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = vt.read(spark).count()
     rows.append(("_rows_committed", "table", int(n)))
     return spark.createDataFrame(rows, "rule string, mode string, n bigint")
+
+
+# ---------------------------------------------------------------------------
+# Shallow clone
+# ---------------------------------------------------------------------------
+
+_CLONE_PATHS: dict[tuple[str, str], str] = {}
+
+
+def _cloned_docs(spark: SparkSession, sf_dir: str):
+    """Clone the partitioned-documents table at v1 (zero-copy: one
+    manifest referencing the source's files absolutely), then DROP the
+    en partition ON THE CLONE — the source must be bit-identical
+    after."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    src = _partitioned_docs(spark, sf_dir)
+    path = _CLONE_PATHS.get(key)
+    if path is not None and not VersionedTable(path).versions():
+        path = None
+    if path is None:
+        path = os.path.join(scratch_dir("versioned_"), "docs_clone")
+        cl = src.clone_to(path, version=1)
+        cl.delete_partitions(spark, {"lang": ["en"]})
+        _CLONE_PATHS[key] = path
+    return src, VersionedTable(path, partition_by=["lang"])
+
+
+@query(
+    "table_clone_divergence",
+    oracle="""
+    SELECT 'source_v1' AS rel, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    UNION ALL
+    SELECT 'clone_v0', CAST(COUNT(*) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'clone_after_drop', CAST(COUNT(*) AS BIGINT)
+    FROM documents WHERE lang <> 'en'
+    """,
+)
+def table_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE semantics under divergence: the clone's v0 serves
+    the source's files by reference (zero bytes copied at clone time);
+    a DROP PARTITION on the clone is invisible to the source, and the
+    clone's own v0 still time-travels. The oracle replays all three
+    relations from the raw table.
+
+    Scale: cloning a 100 TB table costs ONE manifest write — the
+    experiment-fork primitive (train on a scrubbed clone, keep the
+    source serving) every production format ships."""
+    src, cl = _cloned_docs(spark, sf_dir)
+    parts = [
+        src.read(spark, 1).agg(
+            F.lit("source_v1").alias("rel"), F.count("*").alias("n_docs")
+        ),
+        cl.read(spark, 0).agg(
+            F.lit("clone_v0").alias("rel"), F.count("*").alias("n_docs")
+        ),
+        cl.read(spark).agg(
+            F.lit("clone_after_drop").alias("rel"), F.count("*").alias("n_docs")
+        ),
+    ]
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionAll(df)
+    return out

@@ -695,6 +695,7 @@ class VersionedTable:
                 raise ValueError(f"no such column: {old!r}")
             if new in names:
                 raise ValueError(f"column already exists: {new!r}")
+            self._check_expectations_reference(cur, old, "rename")
             cols = [
                 {**c, "name": new} if c["name"] == old else c
                 for c in schema["cols"]
@@ -732,6 +733,7 @@ class VersionedTable:
                 raise ValueError(
                     f"cannot drop the stats/pruning column {name!r}"
                 )
+            self._check_expectations_reference(cur, name, "drop")
             cols = [c for c in schema["cols"] if c["name"] != name]
             try:
                 return self._commit_delta(
@@ -815,6 +817,23 @@ class VersionedTable:
                 )
             except VersionConflictError:
                 continue
+
+    @staticmethod
+    def _check_expectations_reference(snap: dict, col: str, op: str) -> None:
+        """Refuse to rename/drop a column an active expectation's SQL
+        predicate references (Delta's CHECK-constraint rule: the stored
+        expression would silently dangle). Word-boundary text match —
+        conservative: a column name inside a string literal also
+        blocks, which errs toward safety."""
+        import re
+
+        for name, r in (snap.get("expectations") or {}).items():
+            if re.search(rf"\b{re.escape(col)}\b", r["expr"]):
+                raise ValueError(
+                    f"cannot {op} column {col!r}: referenced by "
+                    f"expectation {name!r} ({r['expr']}); drop the "
+                    "expectation first"
+                )
 
     def _apply_expectations(self, df: DataFrame):
         """Attach the active expectations to a logical-named write
@@ -1127,6 +1146,44 @@ class VersionedTable:
             except VersionConflictError:
                 continue
 
+    def clone_to(
+        self, dest: str, version: int | None = None
+    ) -> "VersionedTable":
+        """SHALLOW CLONE: a new table at ``dest`` whose v0 references
+        this table's data files BY ABSOLUTE PATH — zero bytes copied,
+        one manifest written, regardless of table size (the Delta
+        shallow-clone recipe: fork a 100 TB table for an experiment in
+        milliseconds). The clone carries the source snapshot's column
+        mapping, expectations, stats and blooms; subsequent commits on
+        the clone write their OWN (relative-path) files, so the two
+        tables diverge independently and the clone's vacuum never
+        deletes source data (absolute references are skipped — the
+        source's own vacuum owns them; dropping source snapshots the
+        clone still references is the caller's retention contract, as
+        in Delta)."""
+        snap = self.snapshot(version)
+        dst = VersionedTable(
+            dest,
+            stats_col=self.stats_col,
+            bloom=self.bloom,
+            checkpoint_interval=self.checkpoint_interval,
+            partition_by=self.partition_by,
+        )
+        def _abs(f: str) -> str:
+            return f if os.path.isabs(f) else os.path.join(self.path, f)
+
+        files = [_abs(f) for f in snap["files"]]
+        stats = {_abs(f): s for f, s in (snap.get("stats") or {}).items()}
+        blooms = {_abs(f): b for f, b in (snap.get("blooms") or {}).items()}
+        dst._commit_delta(
+            "clone", None, files, stats, blooms,
+            schema=snap.get("schema"),
+            expectations=snap.get("expectations"),
+            cloned_from=self.path,
+            cloned_version=snap["version"],
+        )
+        return dst
+
     def rollback(self, to_version: int) -> int:
         """Roll the table back to an earlier snapshot by COMMITTING a
         new version that references exactly that snapshot's files (op
@@ -1237,6 +1294,11 @@ class VersionedTable:
                 os.unlink(cks)
             self._snap_cache.pop(v, None)
         for f in sorted(drop):
+            if os.path.isabs(f):
+                # shallow-clone reference into ANOTHER table's data —
+                # never ours to delete (Delta's shallow-clone vacuum
+                # rule); the source table's own vacuum owns its files
+                continue
             p = os.path.join(self.path, f)
             if os.path.exists(p):
                 os.unlink(p)

@@ -1721,3 +1721,74 @@ def test_expectations_compose_with_partitioning(spark, tmp_path):
     )
     assert vt.read(spark).filter("k = 1000").count() == 0
     assert vt.read_partitions(spark, {"lang": "xx"}).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Shallow clone
+# ---------------------------------------------------------------------------
+
+
+def test_clone_is_metadata_only_and_reads_equal(spark, tmp_path):
+    vt = _mk(spark, tmp_path)
+    cl = vt.clone_to(str(tmp_path / "clone"))
+    assert sorted(map(tuple, cl.read(spark).collect())) == sorted(
+        map(tuple, vt.read(spark).collect())
+    )
+    # zero data bytes under the clone: no data/ dir at all yet
+    assert not os.path.isdir(os.path.join(cl.path, "data"))
+    m = cl._load_manifest(0)
+    assert m["operation"] == "clone"
+    assert m["cloned_from"] == vt.path
+    assert all(os.path.isabs(f) for f in m["add"])
+
+
+def test_clone_diverges_independently(spark, tmp_path):
+    vt = _mk(spark, tmp_path)
+    cl = vt.clone_to(str(tmp_path / "clone"))
+    cl.append(spark.createDataFrame([(500, 5.0)], "k bigint, v double"))
+    cl.delete_where(spark, F.col("k") < 10)
+    vt.append(spark.createDataFrame([(900, 9.0)], "k bigint, v double"))
+    assert vt.read(spark).count() == 101          # source unaffected by clone
+    assert cl.read(spark).count() == 91           # 100 - 10 + 1
+    assert cl.read(spark).filter("k = 900").count() == 0
+    assert cl.read(spark, 0).count() == 100       # clone time-travel intact
+
+
+def test_clone_vacuum_never_deletes_source_files(spark, tmp_path):
+    vt = _mk(spark, tmp_path)
+    cl = vt.clone_to(str(tmp_path / "clone"))
+    # clone rewrites everything (optimize), then expires v0 — the
+    # dropped v0 files are the SOURCE's data and must survive
+    cl.optimize(spark, cluster_by=["k"], n_files=2)
+    cl.vacuum(retain_last=1, orphan_grace_sec=0.0, force_orphan_grace=True)
+    assert vt.read(spark).count() == 100          # source intact
+    with pytest.raises(Exception):
+        cl.read(spark, 0).collect()               # clone's v0 expired
+
+
+def test_clone_carries_metadata(spark, tmp_path):
+    vt = _mk(spark, tmp_path)
+    vt.set_expectation(spark, "v_nonneg", "v >= 0", mode="fail")
+    # renaming a column an expectation references is refused (the
+    # stored predicate would dangle — Delta's CHECK-constraint rule)
+    with pytest.raises(ValueError):
+        vt.rename_column("v", "val")
+    with pytest.raises(ValueError):
+        vt.drop_column("v")
+    vt.rename_column("k", "key")  # unreferenced: fine
+    cl = vt.clone_to(str(tmp_path / "clone"))
+    assert set(cl.read(spark).columns) == {"key", "v"}
+    assert "v_nonneg" in (cl.snapshot().get("expectations") or {})
+    from mapreduce_wordcounter_spark.sources.versioned import (
+        ExpectationViolationError,
+    )
+    with pytest.raises(ExpectationViolationError):
+        cl.append(spark.createDataFrame([(1, -5.0)], "key bigint, v double"))
+
+
+def test_clone_pinned_version(spark, tmp_path):
+    vt = _mk(spark, tmp_path)
+    vt.append(spark.createDataFrame([(500, 5.0)], "k bigint, v double"))
+    cl = vt.clone_to(str(tmp_path / "clone"), version=0)
+    assert cl.read(spark).count() == 100
+    assert cl._load_manifest(0)["cloned_version"] == 0
