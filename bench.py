@@ -202,6 +202,7 @@ HEADLINE = [
     "table_partition_delete_versioned",
     "table_expectations_audit",
     "table_clone_divergence",
+    "table_delete_mor_versioned",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries

@@ -1552,3 +1552,70 @@ def table_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in parts[1:]:
         out = out.unionAll(df)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read deletes (deletion vectors)
+# ---------------------------------------------------------------------------
+
+_MOR_PATHS: dict[tuple[str, str], str] = {}
+
+
+def _mor_orders(spark: SparkSession, sf_dir: str) -> VersionedTable:
+    """v0 create (orderkey % 3 == 0 slice, range-clustered), v1
+    merge-on-read DELETE of orderkey % 7 == 0 — a DV-sidecar-only
+    commit whose data file list is bit-identical to v0's (pinned by
+    tests/test_versioned.py)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _MOR_PATHS.get(key)
+    if path is not None and len(VersionedTable(path).versions()) < 2:
+        path = None
+    if path is None:
+        path = os.path.join(scratch_dir("versioned_"), "orders_mor")
+        vt = VersionedTable(path, stats_col="o_orderkey")
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        vt.create(
+            o.filter(F.col("o_orderkey") % 3 == 0).repartitionByRange(
+                4, "o_orderkey"
+            )
+        )
+        vt.delete_where_mor(spark, F.col("o_orderkey") % 7 == 0)
+        _MOR_PATHS[key] = path
+    return VersionedTable(path, stats_col="o_orderkey")
+
+
+@query(
+    "table_delete_mor_versioned",
+    oracle=f"""
+    SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 1, CAST(COUNT(*) AS BIGINT),
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0
+    """,
+)
+def table_delete_mor_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors: v1 tombstones the
+    %7 rows in a churn-sized positional sidecar — ZERO data files
+    rewritten (v1's file list is v0's) — and reads anti-join the DV at
+    scan time; v0 still serves every row. The oracle replays both
+    snapshots from the raw table.
+
+    Scale: THE low-churn delete answer at 100 TB — GDPR/row-level
+    erasure of 0.1% of rows costs KBs of DV parquet instead of
+    rewriting every touched file; the broadcast anti-join tax is paid
+    per read until purge_dvs compacts it away."""
+    vt = _mor_orders(spark, sf_dir)
+    per_version = [
+        vt.read(spark, v).agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count("*").alias("n_rows"),
+            dsum(F.col("o_totalprice"), "sum_price"),
+        )
+        for v in (0, 1)
+    ]
+    return per_version[0].unionAll(per_version[1])

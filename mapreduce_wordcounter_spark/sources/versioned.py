@@ -233,6 +233,9 @@ class VersionedTable:
             out["schema"] = copy.deepcopy(out["schema"])
         if out.get("expectations"):
             out["expectations"] = copy.deepcopy(out["expectations"])
+        out["dv"] = {
+            b: list(l) for b, l in (snap.get("dv") or {}).items()
+        }
         return out
 
     def _cache_snapshot(self, version: int, snap: dict) -> None:
@@ -281,6 +284,7 @@ class VersionedTable:
         # key inherit whatever is in force at their parent.
         schema = base.get("schema")
         expectations = base.get("expectations")
+        dv = {b: list(l) for b, l in (base.get("dv") or {}).items()}
         meta = base if not chain else None
         for delta in reversed(chain):
             if "schema" in delta:
@@ -288,6 +292,16 @@ class VersionedTable:
             if "expectations" in delta:
                 expectations = delta["expectations"]
             removed = set(delta.get("remove") or [])
+            if "dv_state" in delta:
+                dv = {
+                    b: list(l)
+                    for b, l in (delta["dv_state"] or {}).items()
+                }
+            else:
+                for gone in removed:
+                    dv.pop(os.path.basename(gone), None)
+                for b, lst in (delta.get("dv_add") or {}).items():
+                    dv[b] = dv.get(b, []) + list(lst)
             files = sorted(
                 [f for f in files if f not in removed]
                 + list(delta.get("add") or [])
@@ -313,6 +327,7 @@ class VersionedTable:
             out["operation"] = meta.get("operation")
         out["schema"] = schema
         out["expectations"] = expectations
+        out["dv"] = dv
         return out
 
     def _write_checkpoint(self, snap: dict) -> None:
@@ -494,6 +509,8 @@ class VersionedTable:
         blooms: dict,
         schema=_INHERIT,
         expectations=_INHERIT,
+        dv_add: dict | None = None,
+        dv_state=_INHERIT,
         **extra,
     ) -> int:
         """Publish one commit as a DELTA manifest: only the files
@@ -542,6 +559,23 @@ class VersionedTable:
         if pending:
             exp_entry["expectation_metrics"] = pending
             self._pending_exp_metrics = None
+        # deletion-vector state: removed data files shed their DVs
+        # (replayed the same way in _resolve), a merge-on-read delete
+        # attaches new DV files via dv_add, and rollback/clone set the
+        # full state explicitly via dv_state
+        dv_entry = {}
+        if dv_state is _INHERIT:
+            dvstate = dict(parent.get("dv") or {}) if parent else {}
+            for gone in remove:
+                dvstate.pop(os.path.basename(gone), None)
+            if dv_add:
+                dv_entry["dv_add"] = dv_add
+                for b, lst in dv_add.items():
+                    dvstate[b] = (dvstate.get(b) or []) + list(lst)
+        else:
+            dvstate = dict(dv_state or {})
+            if dvstate or (parent is not None and parent.get("dv")):
+                dv_entry["dv_state"] = dvstate
         manifest = {
             "version": version,
             "parent": None if parent is None else parent["version"],
@@ -552,17 +586,20 @@ class VersionedTable:
             "blooms": {f: blooms[f] for f in add if f in blooms},
             **schema_entry,
             **exp_entry,
+            **dv_entry,
             **extra,
         }
         self._publish(manifest, version)
         snap = {
             k: v
             for k, v in manifest.items()
-            if k not in ("add", "remove", "stats", "blooms")
+            if k not in ("add", "remove", "stats", "blooms",
+                         "dv_add", "dv_state")
         }
         snap.update(
             {"files": files, "stats": stats, "blooms": blooms,
-             "schema": schema, "expectations": expectations}
+             "schema": schema, "expectations": expectations,
+             "dv": dvstate}
         )
         self._cache_snapshot(version, snap)
         if version > 0 and version % self.checkpoint_interval == 0:
@@ -647,14 +684,16 @@ class VersionedTable:
         )
 
     @staticmethod
-    def _project(df: DataFrame, snap: dict) -> DataFrame:
+    def _project(df: DataFrame, snap: dict, extra: tuple = ()) -> DataFrame:
         """Project a physical-named scan to the snapshot's LOGICAL
         columns, in mapping order: renamed columns surface under their
         current name, dropped columns (absent from the mapping)
         disappear even though old data files still store them. A
         mapped column present in no scanned file is skipped (additive
         evolution surfaces it as NULL via mergeSchema whenever any
-        file carries it)."""
+        file carries it). ``extra`` names pass-through columns
+        (position metadata for deletion-vector writes) kept alongside
+        the mapped set."""
         schema = snap.get("schema")
         if not schema:
             return df
@@ -664,8 +703,62 @@ class VersionedTable:
                 F.col(c["phys"]).alias(c["name"])
                 for c in schema["cols"]
                 if c["phys"] in avail
-            ]
+            ],
+            *[F.col(c) for c in extra if c in avail],
         )
+
+    def _scan(
+        self,
+        spark: SparkSession,
+        snap: dict,
+        files: list[str] | None = None,
+        proj_snap: dict | None = None,
+        keep_pos: bool = False,
+    ) -> DataFrame:
+        """THE data-scan chokepoint: read ``files`` (default: the whole
+        snapshot), anti-join away any rows the snapshot's DELETION
+        VECTORS tombstone, and project physical -> logical. Every read
+        and every copy-on-write rewrite goes through here, so a
+        merge-on-read delete can never resurrect.
+
+        The DV anti-join keys on (file basename, parquet row index) —
+        ``_metadata.row_index`` is stable because data files are
+        immutable. Only DVs attached to files in THIS scan are loaded;
+        the DV relation is churn-sized (one row per deleted row), so it
+        broadcasts. ``keep_pos=True`` keeps the (file, pos) columns for
+        the DV writer itself."""
+        rels = snap["files"] if files is None else files
+        raw = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.path, f) for f in rels]
+        )
+        dv = snap.get("dv") or {}
+        basenames = {os.path.basename(f) for f in rels}
+        dv_paths = sorted(
+            {p for b, lst in dv.items() if b in basenames for p in lst}
+        )
+        if dv_paths or keep_pos:
+            raw = raw.withColumn(
+                "__dv_file",
+                F.expr("substring_index(_metadata.file_path, '/', -1)"),
+            ).withColumn("__dv_pos", F.col("_metadata.row_index"))
+        if dv_paths:
+            dvdf = (
+                spark.read.parquet(
+                    *[os.path.join(self.path, p) for p in dv_paths]
+                )
+                .select(
+                    F.col("file").alias("__dv_file"),
+                    F.col("pos").alias("__dv_pos"),
+                )
+                .distinct()
+            )
+            raw = raw.join(
+                F.broadcast(dvdf), ["__dv_file", "__dv_pos"], "left_anti"
+            )
+            if not keep_pos:
+                raw = raw.drop("__dv_file", "__dv_pos")
+        extra = ("__dv_file", "__dv_pos") if keep_pos else ()
+        return self._project(raw, proj_snap or snap, extra=extra)
 
     def _schema_for_write(self, snap: dict, df: DataFrame) -> dict | None:
         """The mapping a commit writing ``df`` (logical names) must
@@ -1098,12 +1191,7 @@ class VersionedTable:
         files = self._bloom_candidates(snap, keys)
         if not files:
             return self.read(spark, snap["version"]).limit(0)
-        return self._project(
-            spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.path, f) for f in files]
-            ),
-            snap,
-        )
+        return self._scan(spark, snap, files=files)
 
     def create(self, df: DataFrame) -> int:
         """Commit v0. A conflict here means the table already exists —
@@ -1175,10 +1263,15 @@ class VersionedTable:
         files = [_abs(f) for f in snap["files"]]
         stats = {_abs(f): s for f, s in (snap.get("stats") or {}).items()}
         blooms = {_abs(f): b for f, b in (snap.get("blooms") or {}).items()}
+        dv = {
+            b: [_abs(p) for p in lst]
+            for b, lst in (snap.get("dv") or {}).items()
+        }
         dst._commit_delta(
             "clone", None, files, stats, blooms,
             schema=snap.get("schema"),
             expectations=snap.get("expectations"),
+            dv_state=dv,
             cloned_from=self.path,
             cloned_version=snap["version"],
         )
@@ -1205,6 +1298,7 @@ class VersionedTable:
                     # when rolling back past the mapping's creation)
                     schema=target.get("schema"),
                     expectations=target.get("expectations"),
+                    dv_state=target.get("dv") or {},
                     rolled_back_to=to_version,
                 )
             except VersionConflictError:
@@ -1314,6 +1408,16 @@ class VersionedTable:
         orphans += self._collect_orphans(
             keep_cdc, orphan_grace_sec, root="cdc"
         )
+        # deletion-vector sidecars: keep those any RETAINED snapshot's
+        # DV state references (snapshot-resolved, like data files — a
+        # purge drops the reference, expiry makes the sidecar an orphan)
+        keep_dv: set[str] = set()
+        for snap in retained_snaps:
+            for lst in (snap.get("dv") or {}).values():
+                keep_dv.update(lst)
+        orphans += self._collect_orphans(
+            keep_dv, orphan_grace_sec, root="dv"
+        )
         return {
             "expired_versions": expired,
             "deleted_files": len(drop),
@@ -1376,9 +1480,7 @@ class VersionedTable:
         files = [os.path.join(self.path, f) for f in snap["files"]]
         if not files:
             raise ValueError(f"snapshot v{snap['version']} is empty")
-        return self._project(
-            spark.read.option("mergeSchema", "true").parquet(*files), snap
-        )
+        return self._scan(spark, snap)
 
     # -- manifest-stats data skipping -----------------------------------
 
@@ -1477,12 +1579,7 @@ class VersionedTable:
         ]
         if not files:
             return self.read(spark, snap["version"]).limit(0)
-        return self._project(
-            spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.path, f) for f in files]
-            ),
-            snap,
-        )
+        return self._scan(spark, snap, files=files)
 
     # -- partition pruning / partition-granular delete -------------------
 
@@ -1556,12 +1653,7 @@ class VersionedTable:
         files = matched + unknown
         if not files:
             return self.read(spark, snap["version"]).filter(F.lit(False))
-        df = self._project(
-            spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.path, f) for f in files]
-            ),
-            snap,
-        )
+        df = self._scan(spark, snap, files=files)
         return df.filter(pred) if pred is not None else df
 
     def delete_partitions(self, spark: SparkSession, filters: dict) -> int:
@@ -1586,12 +1678,9 @@ class VersionedTable:
             )
             files: list[str] = []
             if unknown and pred is not None:
-                survivors = self._project(
-                    spark.read.option("mergeSchema", "true").parquet(
-                        *[os.path.join(self.path, f) for f in unknown]
-                    ),
-                    snap,
-                ).filter(F.coalesce(~pred, F.lit(True)))
+                survivors = self._scan(spark, snap, files=unknown).filter(
+                    F.coalesce(~pred, F.lit(True))
+                )
                 files = self._write_data_files(survivors, snap.get("schema"))
             try:
                 return self._commit_delta(
@@ -1603,6 +1692,106 @@ class VersionedTable:
                 continue
         raise VersionConflictError(
             f"delete_partitions lost the commit race 8 times at {self.path}"
+        )
+
+    # -- merge-on-read deletes (deletion vectors) ------------------------
+
+    def delete_where_mor(self, spark: SparkSession, predicate) -> int:
+        """Merge-on-read DELETE via DELETION VECTORS (the modern
+        Delta/Iceberg recipe): instead of rewriting every file that
+        contains a matching row (copy-on-write), write a churn-sized
+        positional sidecar — (data file basename, parquet row index)
+        per deleted row — and let every subsequent read anti-join it
+        away at scan time. Deleting 0.1% of a 100 TB table costs KBs
+        of DV parquet instead of rewriting ~every touched file; the
+        read-side tax is one broadcast anti-join until
+        :meth:`purge_dvs` compacts the state back into pure data
+        files. Data files, stats and blooms are untouched (stats stay
+        conservative: pruning may scan a fully-deleted file, never
+        miss). SQL DELETE semantics: rows where the predicate is TRUE
+        are tombstoned; NULL-evaluating rows survive. Time travel to
+        the pre-delete snapshot is unaffected (DVs are snapshot
+        state, replayed through the manifest chain like files)."""
+        import pyarrow.parquet as pq
+
+        for _ in range(8):
+            snap = self.snapshot()
+            matched = (
+                self._scan(spark, snap, keep_pos=True)
+                .filter(predicate)
+                .select(
+                    F.col("__dv_file").alias("file"),
+                    F.col("__dv_pos").alias("pos"),
+                )
+            )
+            sub = os.path.join("dv", uuid.uuid4().hex)
+            full = os.path.join(self.path, sub)
+            matched.write.mode("overwrite").parquet(full)
+            dvfiles = sorted(
+                os.path.join(sub, f)
+                for f in os.listdir(full)
+                if f.endswith(".parquet")
+            )
+            # affected data files, read driver-side from the DV parquet
+            # itself (churn-sized metadata, same class as _file_stats)
+            affected: set[str] = set()
+            for rel in dvfiles:
+                t = pq.read_table(
+                    os.path.join(self.path, rel), columns=["file"]
+                )
+                affected.update(t.column("file").to_pylist())
+            dv_add = (
+                {b: dvfiles for b in sorted(affected)} if affected else None
+            )
+            try:
+                # a predicate matching nothing commits a pure metadata
+                # snapshot, same audit posture as delete_where
+                return self._commit_delta(
+                    "delete_mor", snap, snap["files"],
+                    snap.get("stats") or {}, snap.get("blooms") or {},
+                    dv_add=dv_add,
+                )
+            except VersionConflictError:
+                continue
+        raise VersionConflictError(
+            f"delete_mor lost the commit race 8 times at {self.path}"
+        )
+
+    def purge_dvs(self, spark: SparkSession) -> int:
+        """Compact merge-on-read state: rewrite ONLY the data files
+        that carry deletion vectors (with their tombstoned rows
+        dropped), carry every clean file by reference, and shed the DV
+        entries — the REWRITE/OPTIMIZE half of the DV lifecycle, run
+        when the read-side anti-join tax outweighs the rewrite cost.
+        The orphaned DV parquet files are vacuum's to collect once the
+        snapshots naming them expire."""
+        for _ in range(8):
+            snap = self.snapshot()
+            dv = snap.get("dv") or {}
+            if not dv:
+                return snap["version"]
+            rewritten = [
+                f
+                for f in snap["files"]
+                if os.path.basename(f) in dv
+            ]
+            retained = [
+                f
+                for f in snap["files"]
+                if os.path.basename(f) not in dv
+            ]
+            survivors = self._scan(spark, snap, files=rewritten)
+            files = self._write_data_files(survivors, snap.get("schema"))
+            try:
+                return self._commit_delta(
+                    "purge_dvs", snap, retained + files,
+                    self._merged_stats(snap, retained, files),
+                    self._merged_blooms(snap, retained, files),
+                )
+            except VersionConflictError:
+                continue
+        raise VersionConflictError(
+            f"purge_dvs lost the commit race 8 times at {self.path}"
         )
 
     # -- change feed (CDC between snapshots) ----------------------------
@@ -1631,12 +1820,7 @@ class VersionedTable:
         snap_to = self.snapshot(v_to)
         if snap_to.get("schema"):
             snap_from = self.snapshot(v_from)
-            a = self._project(
-                spark.read.option("mergeSchema", "true").parquet(
-                    *[os.path.join(self.path, f) for f in snap_from["files"]]
-                ),
-                snap_to,
-            )
+            a = self._scan(spark, snap_from, proj_snap=snap_to)
         else:
             a = self.read(spark, v_from)
         b = self.read(spark, v_to)
@@ -1841,14 +2025,17 @@ class VersionedTable:
         for _ in range(8):
             snap = self.snapshot()
             target = self.read(spark, snap["version"])
-            matched_files = [
+            # __dv_file is already the file BASENAME (and, unlike
+            # input_file_name(), _metadata binds to its own scan even
+            # when deletion vectors make the plan multi-source)
+            matched_base = {
                 r["f"]
-                for r in target.filter(predicate)
-                .select(F.input_file_name().alias("f"))
+                for r in self._scan(spark, snap, keep_pos=True)
+                .filter(predicate)
+                .select(F.col("__dv_file").alias("f"))
                 .distinct()
                 .collect()
-            ]
-            matched_base = {os.path.basename(f) for f in matched_files}
+            }
             rewritten = [
                 f for f in snap["files"] if os.path.basename(f) in matched_base
             ]
@@ -1862,12 +2049,9 @@ class VersionedTable:
                 # ~predicate would drop them too). The predicate is in
                 # LOGICAL terms, so the raw scan projects through the
                 # mapping first; the rewrite maps back to physical.
-                survivors = self._project(
-                    spark.read.option("mergeSchema", "true").parquet(
-                        *[os.path.join(self.path, f) for f in rewritten]
-                    ),
-                    snap,
-                ).filter(F.coalesce(~predicate, F.lit(True)))
+                survivors = self._scan(spark, snap, files=rewritten).filter(
+                    F.coalesce(~predicate, F.lit(True))
+                )
                 files = self._write_data_files(survivors, snap.get("schema"))
             try:
                 return self._commit_delta(
@@ -1905,23 +2089,19 @@ class VersionedTable:
             probe_rel = self._candidate_files(spark, kdf, "__dk", snap)
             matched_files: list[str] = []
             if probe_rel:
-                # projection first (logical ``key``), then
-                # input_file_name — still per-row from the same scan
-                probe = self._project(
-                    spark.read.option("mergeSchema", "true").parquet(
-                        *[os.path.join(self.path, f) for f in probe_rel]
-                    ),
-                    snap,
-                )
+                # projection first (logical ``key``), then the scan's
+                # own _metadata basename — per-row from the same scan,
+                # DV-safe (input_file_name cannot bind multi-source)
+                probe = self._scan(spark, snap, files=probe_rel, keep_pos=True)
                 matched_files = [
                     r["f"]
-                    for r in probe.withColumn("f", F.input_file_name())
+                    for r in probe.withColumnRenamed("__dv_file", "f")
                     .join(kdf, F.col(key) == F.col("__dk"))
                     .select("f")
                     .distinct()
                     .collect()
                 ]
-            matched_base = {os.path.basename(f) for f in matched_files}
+            matched_base = set(matched_files)
             rewritten = [
                 f for f in snap["files"] if os.path.basename(f) in matched_base
             ]
@@ -1931,12 +2111,7 @@ class VersionedTable:
             files: list[str] = []
             extra: dict = {}
             if rewritten:
-                affected = self._project(
-                    spark.read.option("mergeSchema", "true").parquet(
-                        *[os.path.join(self.path, f) for f in rewritten]
-                    ),
-                    snap,
-                )
+                affected = self._scan(spark, snap, files=rewritten)
                 survivors = affected.join(
                     kdf, F.col(key) == F.col("__dk"), "left_anti"
                 )
@@ -2035,12 +2210,7 @@ class VersionedTable:
         live_added = sorted(set(cur["files"]) & added_w)
         if live_added:
             kcol = keys_df.columns[0]
-            probe = self._project(
-                spark.read.option("mergeSchema", "true").parquet(
-                    *[os.path.join(self.path, f) for f in live_added]
-                ),
-                cur,
-            )
+            probe = self._scan(spark, cur, files=live_added)
             hit = (
                 probe.join(
                     F.broadcast(keys_df),
@@ -2340,15 +2510,12 @@ class VersionedTable:
         else:
             probe_rel = self._candidate_files(spark, skeys, "__mk", snap)
             if probe_rel:
-                probe = self._project(
-                    spark.read.option("mergeSchema", "true").parquet(
-                        *[os.path.join(self.path, f) for f in probe_rel]
-                    ),
-                    snap,
+                probe = self._scan(
+                    spark, snap, files=probe_rel, keep_pos=True
                 )
                 matched_files = [
                     r["f"]
-                    for r in probe.withColumn("f", F.input_file_name())
+                    for r in probe.withColumnRenamed("__dv_file", "f")
                     .join(skeys, F.col(key) == F.col("__mk"))
                     .select("f")
                     .distinct()
@@ -2366,12 +2533,7 @@ class VersionedTable:
                 if os.path.basename(f) not in matched_base
             ]
         if rewritten:
-            affected = self._project(
-                spark.read.option("mergeSchema", "true").parquet(
-                    *[os.path.join(self.path, f) for f in rewritten]
-                ),
-                snap,
-            )
+            affected = self._scan(spark, snap, files=rewritten)
         else:
             affected = target.limit(0)
         joined = affected.join(

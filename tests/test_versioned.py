@@ -1792,3 +1792,121 @@ def test_clone_pinned_version(spark, tmp_path):
     cl = vt.clone_to(str(tmp_path / "clone"), version=0)
     assert cl.read(spark).count() == 100
     assert cl._load_manifest(0)["cloned_version"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read deletes (deletion vectors)
+# ---------------------------------------------------------------------------
+
+
+def test_delete_mor_tombstones_without_rewrite(spark, tmp_path):
+    """THE merge-on-read contract: the delete commits ONLY a DV sidecar
+    — the data file list is bit-identical to the parent's — yet every
+    read excludes the tombstoned rows, and the pre-delete snapshot
+    still serves them (DV state is versioned like files)."""
+    vt = _mk(spark, tmp_path)
+    v = vt.delete_where_mor(spark, F.col("k") % 10 == 0)
+    snap = vt.snapshot()
+    assert snap["files"] == vt.snapshot(0)["files"]  # zero data rewrite
+    assert snap["dv"]                                 # sidecar attached
+    assert vt.read(spark).count() == 90
+    assert vt.read(spark).filter("k % 10 = 0").count() == 0
+    assert vt.read(spark, 0).count() == 100
+    m = vt._load_manifest(v)
+    assert m["operation"] == "delete_mor" and m["add"] == []
+
+
+def test_delete_mor_equals_delete_where(spark, tmp_path):
+    """MoR and CoW deletes are semantically identical — same surviving
+    rows, same NULL semantics (NULL-evaluating rows survive)."""
+    a = VersionedTable(str(tmp_path / "a"))
+    b = VersionedTable(str(tmp_path / "b"))
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, -1.0)], "k bigint, v double"
+    )
+    a.create(df)
+    b.create(df)
+    a.delete_where(spark, F.col("v") < 0)
+    b.delete_where_mor(spark, F.col("v") < 0)
+    rows_a = sorted((r["k"], r["v"]) for r in a.read(spark).collect())
+    rows_b = sorted((r["k"], r["v"]) for r in b.read(spark).collect())
+    assert rows_a == rows_b == [(1, 5.0), (2, None)]
+
+
+def test_delete_mor_accumulates_and_composes_with_cow(spark, tmp_path):
+    """Multiple DVs stack; a later copy-on-write delete that rewrites a
+    DV'd file must NOT resurrect its tombstoned rows (the rewrite scans
+    through _scan, which applies DVs)."""
+    vt = _mk(spark, tmp_path)
+    vt.delete_where_mor(spark, F.col("k") == 5)
+    vt.delete_where_mor(spark, F.col("k") == 6)
+    assert vt.read(spark).count() == 98
+    # CoW delete of k=7 rewrites the low-range file where 5 and 6 live
+    vt.delete_where(spark, F.col("k") == 7)
+    got = vt.read(spark)
+    assert got.count() == 97
+    assert got.filter("k in (5, 6, 7)").count() == 0
+
+
+def test_delete_mor_pruned_and_partition_reads_apply_dvs(spark, tmp_path):
+    """Every read path shares the DV-aware scan: stats-pruned reads and
+    partition reads exclude tombstoned rows too."""
+    vt = VersionedTable(str(tmp_path / "s"), stats_col="k")
+    df = (
+        spark.range(100)
+        .select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        .repartitionByRange(4, "k")
+    )
+    vt.create(df)
+    vt.delete_where_mor(spark, F.col("k") == 10)
+    pruned = vt.read_pruned(spark, 0, 30).filter("k between 0 and 30")
+    assert pruned.count() == 30 and pruned.filter("k = 10").count() == 0
+
+    pt, pdf = _mk_part(spark, tmp_path)
+    pt.delete_where_mor(spark, F.col("k") == 0)   # k=0 is lang 'en'
+    got = pt.read_partitions(spark, {"lang": "en"})
+    assert got.filter("k = 0").count() == 0
+    assert got.count() == pdf.filter("lang = 'en'").count() - 1
+
+
+def test_purge_dvs_rewrites_only_dvd_files(spark, tmp_path):
+    vt = _mk(spark, tmp_path)
+    vt.delete_where_mor(spark, F.col("k") == 5)
+    snap = vt.snapshot()
+    dvd = set(snap["dv"])
+    v = vt.purge_dvs(spark)
+    m = vt._load_manifest(v)
+    assert m["operation"] == "purge_dvs"
+    assert {os.path.basename(f) for f in m["remove"]} == dvd
+    untouched = [f for f in snap["files"] if os.path.basename(f) not in dvd]
+    assert set(untouched) <= set(vt.snapshot()["files"])  # by reference
+    assert not vt.snapshot()["dv"]
+    assert vt.read(spark).count() == 99
+    assert vt.purge_dvs(spark) == v  # idempotent no-op without DVs
+
+
+def test_delete_mor_merge_and_changes_feed_respect_dvs(spark, tmp_path):
+    """A merge after a MoR delete must not resurrect or re-match the
+    tombstoned row, and the snapshot-diff change feed sees the MoR
+    delete as row deletes."""
+    vt = _mk(spark, tmp_path)
+    v1 = vt.delete_where_mor(spark, F.col("k") == 3)
+    feed = vt.read_changes(spark, "k", 0, v1)
+    assert [(r["k"], r["change_type"]) for r in feed.collect()] == [(3, "delete")]
+    _merge_bump(spark, vt, [3, 4])  # 3 is deleted: must INSERT, not update
+    got = {r["k"]: r["v"] for r in vt.read(spark).filter("k in (3, 4)").collect()}
+    assert got == {3: 1003.0, 4: 1004.0}
+
+
+def test_delete_mor_rollback_clone_vacuum(spark, tmp_path):
+    vt = _mk(spark, tmp_path)
+    v1 = vt.delete_where_mor(spark, F.col("k") < 50)
+    vt.purge_dvs(spark)
+    vt.rollback(v1)
+    assert vt.read(spark).count() == 50
+    cl = vt.clone_to(str(tmp_path / "clone"))
+    assert cl.read(spark).count() == 50          # clone carries DV state
+    # expire everything but the purge+rollback window on the source:
+    # the DV sidecars are still referenced by the rollback snapshot
+    out = vt.vacuum(retain_last=1, orphan_grace_sec=0.0, force_orphan_grace=True)
+    assert vt.read(spark).count() == 50          # current still DV-filtered
