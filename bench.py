@@ -203,6 +203,7 @@ HEADLINE = [
     "table_expectations_audit",
     "table_clone_divergence",
     "table_delete_mor_versioned",
+    "stream_expectations_gated",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries

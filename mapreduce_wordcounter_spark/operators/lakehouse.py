@@ -1619,3 +1619,107 @@ def table_delete_mor_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         for v in (0, 1)
     ]
     return per_version[0].unionAll(per_version[1])
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingest through expectation gates (DLT-style gated pipeline)
+# ---------------------------------------------------------------------------
+
+_GATED_STREAM_PATHS: dict[tuple[str, str], str] = {}
+
+
+def _gated_stream_docs(spark: SparkSession, sf_dir: str) -> VersionedTable:
+    """Build (once per session+sf) the gated streaming-ingest lineage:
+    an empty-seeded table with drop/warn expectations, then 4
+    micro-batch appends of the documents corpus — every batch passes
+    the same write-time gate, each commit records its own
+    expectation_metrics (violation counts observed by the batch's own
+    write job)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _GATED_STREAM_PATHS.get(key)
+    if path is not None and len(VersionedTable(path).versions()) < 3:
+        path = None
+    if path is None:
+        base_dir = scratch_dir("versioned_gated_")
+        path = os.path.join(base_dir, "docs_v")
+        vt = VersionedTable(path)
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "n_chars"
+        )
+        # deterministic chunking: each doc lands in exactly one batch,
+        # so the gated end state is batching-invariant
+        src_dir = os.path.join(base_dir, "incoming")
+        (
+            docs.withColumn("chunk", F.pmod(F.col("doc_id"), F.lit(4)))
+            .repartition(4, "chunk")
+            .drop("chunk")
+            .write.mode("overwrite")
+            .parquet(src_dir)
+        )
+        vt.create(docs.limit(0))  # empty seed carries the schema
+        vt.set_expectation(spark, "min_len", "n_chars >= 300", mode="drop")
+        vt.set_expectation(spark, "short_tail", "n_chars <= 500", mode="warn")
+        stream = (
+            spark.readStream.schema(
+                "doc_id bigint, lang string, source string, n_chars bigint"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+        def apply_batch(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            vt.append(batch_df)  # the gate lives in the write path
+
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(base_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        _GATED_STREAM_PATHS[key] = path
+    return VersionedTable(path)
+
+
+@query(
+    "stream_expectations_gated",
+    oracle="""
+    SELECT 'min_len_dropped' AS metric, CAST(SUM(CASE WHEN n_chars >= 300 THEN 0 ELSE 1 END) AS BIGINT) AS n
+    FROM documents
+    UNION ALL
+    SELECT 'short_tail_warned', CAST(SUM(CASE WHEN n_chars <= 500 THEN 0 ELSE 1 END) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'rows_committed', CAST(COUNT(*) AS BIGINT)
+    FROM documents WHERE n_chars >= 300
+    """,
+)
+def stream_expectations_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLT-style gated streaming ingest: micro-batch appends into a
+    versioned table whose write-time expectations drop short documents
+    and count warnings — per-commit metrics summed across the whole
+    stream equal the single-pass batch numbers (batching-invariant,
+    the property that makes gated metrics trustworthy), and the final
+    table holds exactly the passing rows. The oracle replays the gate
+    over the raw corpus.
+
+    Scale: each micro-batch pays its own Observation-carried counter —
+    no replays, no second scans; the audit reads manifest metadata."""
+    vt = _gated_stream_docs(spark, sf_dir)
+    dropped = warned = 0
+    for v in vt.versions():
+        m = vt._load_manifest(v).get("expectation_metrics") or {}
+        dropped += (m.get("min_len") or {}).get("violations", 0)
+        warned += (m.get("short_tail") or {}).get("violations", 0)
+    rows = [
+        ("min_len_dropped", int(dropped)),
+        ("short_tail_warned", int(warned)),
+    ]
+    n = vt.read(spark).count()
+    rows.append(("rows_committed", int(n)))
+    return spark.createDataFrame(rows, "metric string, n bigint")
