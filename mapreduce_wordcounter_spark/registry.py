@@ -107,10 +107,12 @@ DRIVER_WINDOW: list[str] = [
     "quality_score",
     "lang_marker_score",
     "bm25_topk",
-    # BPE tokenizer training + application (never sampled before r9)
-    "bpe_top_pairs",
+    # BPE tokenizer training + application (never sampled before r9;
+    # late r9: bpe_top_pairs and bpe_subword_vocab ceded their slots —
+    # both are views over the SAME fit that bpe_learn_merges /
+    # bpe_tokenize replay end-to-end in the window — to the round's
+    # new table-format flagships below)
     "bpe_learn_merges",
-    "bpe_subword_vocab",
     "bpe_tokenize",
     "bpe_pack_sequences",
     # winnowing fingerprint dedup (never sampled before r9)
@@ -125,11 +127,12 @@ DRIVER_WINDOW: list[str] = [
     "knn_brute_cosine",
     "ann_ivf_topk",
     "embedding_top_pairs_bucketed",
-    # graph (kcore/modularity/jaccard never sampled before r9)
+    # graph (kcore/modularity never sampled before r9; late r9:
+    # graph_jaccard_neighbors ceded its slot — family still repped by
+    # three window entries — to simhash_hamming_pairs below)
     "graph_pagerank",
     "graph_kcore_peel",
     "graph_modularity",
-    "graph_jaccard_neighbors",
     # streaming (batch-equivalence oracles; pyds = Python data source
     # roundtrips, never sampled before r9)
     "ev_tumbling_hourly",
@@ -142,9 +145,12 @@ DRIVER_WINDOW: list[str] = [
     "dedup_paragraphs",
     "jaccard_prefix_join",
     "lsh_verified_pairs",
-    # multimodal
+    # SimHash near-dup pairs (late r9: 60-bit signature, pigeonhole
+    # block buckets — the round's new bucketed dedup path)
+    "simhash_hamming_pairs",
+    # multimodal (late r9: mm_features_pandas, hard-checked green in
+    # r8, ceded its slot to the table-format tier; mm_meta remains)
     "mm_meta",
-    "mm_features_pandas",
     # relational / TPC-H / SQL surfaces
     "q1_pricing_summary",
     "q5_regional_revenue",
@@ -163,6 +169,12 @@ DRIVER_WINDOW: list[str] = [
     "pipeline_curate_versioned",
     "zorder_probe",
     "dpp_partitioned_join",
+    # late r9: the table-format completion tier — hive-partition
+    # pruning, merge-on-read deletion vectors, write-time expectation
+    # gates — each swept green repeatedly at sf0.01 before landing
+    "table_partition_pruning",
+    "table_delete_mor_versioned",
+    "table_expectations_audit",
 ]
 
 

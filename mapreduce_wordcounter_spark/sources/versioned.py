@@ -1757,6 +1757,64 @@ class VersionedTable:
             f"delete_mor lost the commit race 8 times at {self.path}"
         )
 
+    def delete_keys_mor(
+        self,
+        spark: SparkSession,
+        keys: DataFrame,
+        key: str,
+        source_key: str,
+    ) -> int:
+        """Merge-on-read form of :meth:`delete_keys` — GDPR
+        erase-these-ids at DV cost: the doomed positions come from a
+        semi-join of the (stats-candidate-pruned) scan against the key
+        set, and the commit is a churn-sized DV sidecar; no data file
+        is rewritten. The join-driven twin of delete_where_mor (a key
+        LIST does not fit a scalar predicate at scale: isin() builds
+        an O(|keys|) literal tree, a broadcast/shuffle join does not)."""
+        import pyarrow.parquet as pq
+
+        kdf = keys.select(F.col(source_key).alias("__dk")).distinct()
+        for _ in range(8):
+            snap = self.snapshot()
+            probe_rel = self._candidate_files(spark, kdf, "__dk", snap)
+            dv_add = None
+            if probe_rel:
+                matched = (
+                    self._scan(spark, snap, files=probe_rel, keep_pos=True)
+                    .join(kdf, F.col(key) == F.col("__dk"), "left_semi")
+                    .select(
+                        F.col("__dv_file").alias("file"),
+                        F.col("__dv_pos").alias("pos"),
+                    )
+                )
+                sub = os.path.join("dv", uuid.uuid4().hex)
+                full = os.path.join(self.path, sub)
+                matched.write.mode("overwrite").parquet(full)
+                dvfiles = sorted(
+                    os.path.join(sub, f)
+                    for f in os.listdir(full)
+                    if f.endswith(".parquet")
+                )
+                affected: set[str] = set()
+                for rel in dvfiles:
+                    t = pq.read_table(
+                        os.path.join(self.path, rel), columns=["file"]
+                    )
+                    affected.update(t.column("file").to_pylist())
+                if affected:
+                    dv_add = {b: dvfiles for b in sorted(affected)}
+            try:
+                return self._commit_delta(
+                    "delete_keys_mor", snap, snap["files"],
+                    snap.get("stats") or {}, snap.get("blooms") or {},
+                    dv_add=dv_add,
+                )
+            except VersionConflictError:
+                continue
+        raise VersionConflictError(
+            f"delete_keys_mor lost the commit race 8 times at {self.path}"
+        )
+
     def purge_dvs(self, spark: SparkSession) -> int:
         """Compact merge-on-read state: rewrite ONLY the data files
         that carry deletion vectors (with their tombstoned rows

@@ -1910,3 +1910,32 @@ def test_delete_mor_rollback_clone_vacuum(spark, tmp_path):
     # the DV sidecars are still referenced by the rollback snapshot
     out = vt.vacuum(retain_last=1, orphan_grace_sec=0.0, force_orphan_grace=True)
     assert vt.read(spark).count() == 50          # current still DV-filtered
+
+
+def test_delete_keys_mor_matches_delete_keys(spark, tmp_path):
+    """The MoR key delete equals the CoW key delete row-for-row, with
+    zero data files rewritten and candidate pruning intact."""
+    a = VersionedTable(str(tmp_path / "a"), stats_col="k")
+    b = VersionedTable(str(tmp_path / "b"), stats_col="k")
+    df = (
+        spark.range(100)
+        .select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        .repartitionByRange(4, "k")
+    )
+    a.create(df)
+    b.create(df)
+    doomed = spark.createDataFrame([(7,), (8,), (55,)], "dk bigint")
+    a.delete_keys(spark, doomed, key="k", source_key="dk")
+    v = b.delete_keys_mor(spark, doomed, key="k", source_key="dk")
+    assert sorted(map(tuple, a.read(spark).collect())) == sorted(
+        map(tuple, b.read(spark).collect())
+    )
+    m = b._load_manifest(v)
+    assert m["operation"] == "delete_keys_mor" and m["add"] == []
+    assert b.snapshot()["files"] == b.snapshot(0)["files"]
+    # keys matching nothing: pure metadata commit, no DV entry
+    v2 = b.delete_keys_mor(
+        spark, spark.createDataFrame([(10**9,)], "dk bigint"), "k", "dk"
+    )
+    assert "dv_add" not in b._load_manifest(v2)
+    assert b.read(spark).count() == 97

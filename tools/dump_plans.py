@@ -206,6 +206,14 @@ SHOWCASE = [
     "merge_schema_evolution_versioned",
     "index_staleness_catalog",
     "trigram_match_scan",
+    # round 9 (late): table-format completion + bucketed SimHash
+    "simhash_hamming_pairs",
+    "table_partition_pruning",
+    "table_partition_delete_versioned",
+    "table_expectations_audit",
+    "table_clone_divergence",
+    "table_delete_mor_versioned",
+    "stream_expectations_gated",
 ]
 
 # Belt-and-braces: a duplicated SHOWCASE entry (it has happened) would

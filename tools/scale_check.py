@@ -78,6 +78,15 @@ TARGETS = [
     # plus a distributed rank (range exchange + local windows), so the
     # exponent shows the rank's cost growing with the corpus
     "dsir_sample_fraction",
+    # round 9 (late): SimHash near-dup pairs — documents-driven; the
+    # signature is one map-combined shuffle, candidates come from the
+    # 4-block bucket join (bucket-collision-bounded, never all-pairs)
+    "simhash_hamming_pairs",
+    # round 9 (late): hive-partition-pruned read over the versioned
+    # documents table (the at-rest build — create + append + the
+    # metadata-only partition drop — is paid once in the warm-up pass;
+    # timed passes measure the pruned scan, the path that sees 100 TB)
+    "table_partition_pruning",
 ]
 
 
