@@ -204,6 +204,7 @@ HEADLINE = [
     "table_clone_divergence",
     "table_delete_mor_versioned",
     "stream_expectations_gated",
+    "table_partition_overwrite",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries

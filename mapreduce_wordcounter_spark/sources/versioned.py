@@ -576,10 +576,15 @@ class VersionedTable:
             dvstate = dict(dv_state or {})
             if dvstate or (parent is not None and parent.get("dv")):
                 dv_entry["dv_state"] = dvstate
+        import time as _time
+
         manifest = {
             "version": version,
             "parent": None if parent is None else parent["version"],
             "operation": operation,
+            # wall-clock commit time: serves AS OF TIMESTAMP resolution
+            # (version_at); versions stay the authoritative order
+            "committed_at": _time.time(),
             "add": add,
             "remove": remove,
             "stats": {f: stats[f] for f in add if f in stats},
@@ -1234,6 +1239,33 @@ class VersionedTable:
             except VersionConflictError:
                 continue
 
+    def version_at(self, ts: float) -> int:
+        """AS OF TIMESTAMP: the latest version committed at or before
+        the (epoch-seconds) instant — Delta/Iceberg's timestamp travel,
+        resolved from per-manifest commit times (KB metadata; manifest
+        mtime serves for pre-timestamp legacy manifests). Raises if
+        the table did not exist yet at ``ts``."""
+        best = None
+        for v in self.versions():
+            try:
+                m = self._load_manifest(v)
+            except FileNotFoundError:
+                continue  # raced by vacuum
+            t = m.get("committed_at")
+            if t is None:
+                t = os.path.getmtime(self._manifest_path(v))
+            if t <= ts and (best is None or v > best):
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no snapshot at or before ts={ts} at {self.path}"
+            )
+        return best
+
+    def read_at(self, spark: SparkSession, ts: float) -> DataFrame:
+        """Time-travel read by wall-clock instant (AS OF TIMESTAMP)."""
+        return self.read(spark, self.version_at(ts))
+
     def clone_to(
         self, dest: str, version: int | None = None
     ) -> "VersionedTable":
@@ -1655,6 +1687,61 @@ class VersionedTable:
             return self.read(spark, snap["version"]).filter(F.lit(False))
         df = self._scan(spark, snap, files=files)
         return df.filter(pred) if pred is not None else df
+
+    def overwrite_partitions(self, spark: SparkSession, df: DataFrame) -> int:
+        """DYNAMIC PARTITION OVERWRITE (Spark's
+        ``partitionOverwriteMode=dynamic``, on the versioned
+        protocol): atomically replace exactly the partitions present
+        in ``df`` — the idempotent-backfill primitive (recompute one
+        day/lang and swap it in; re-running the job converges to the
+        same state). The new files are written first (through the
+        expectation gate like every write); the commit retains every
+        file of an untouched partition by reference and drops the
+        touched partitions' files — so the swap is one manifest
+        publish, and time travel serves the pre-overwrite partition.
+        Refuses on a snapshot holding pre-partitioning files (their
+        rows cannot be attributed to partitions from metadata)."""
+        if not self.partition_by:
+            raise ValueError(
+                f"overwrite_partitions requires partition_by at {self.path}"
+            )
+        cur0 = self.snapshot()
+        schema = self._schema_for_write(cur0, df)
+        files = self._write_data_files(df, schema)
+        pcols_set = set(self.partition_by)
+        if schema:
+            m = {c["name"]: c["phys"] for c in schema["cols"]}
+            pcols_set = {m.get(c, c) for c in self.partition_by}
+        touched = {
+            tuple(sorted(self._partition_values(f).items()))
+            for f in files
+        }
+        while True:
+            cur = self.snapshot()
+            if cur.get("schema") != cur0.get("schema"):
+                raise VersionConflictError(
+                    f"concurrent schema change during overwrite at {self.path}"
+                )
+            retained = []
+            for f in cur["files"]:
+                pv = self._partition_values(f)
+                if not pcols_set <= set(pv):
+                    raise ValueError(
+                        f"file {f!r} predates partitioning: its rows "
+                        "cannot be attributed to a partition from "
+                        "metadata; compact (optimize) first"
+                    )
+                if tuple(sorted(pv.items())) not in touched:
+                    retained.append(f)
+            try:
+                return self._commit_delta(
+                    "overwrite_partitions", cur, retained + files,
+                    self._merged_stats(cur, retained, files),
+                    self._merged_blooms(cur, retained, files),
+                    schema=schema if schema is not None else _INHERIT,
+                )
+            except VersionConflictError:
+                continue
 
     def delete_partitions(self, spark: SparkSession, filters: dict) -> int:
         """DROP PARTITION: delete every row whose partition values

@@ -1939,3 +1939,63 @@ def test_delete_keys_mor_matches_delete_keys(spark, tmp_path):
     )
     assert "dv_add" not in b._load_manifest(v2)
     assert b.read(spark).count() == 97
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition overwrite + AS OF TIMESTAMP
+# ---------------------------------------------------------------------------
+
+
+def test_overwrite_partitions_swaps_only_touched(spark, tmp_path):
+    """Dynamic overwrite replaces exactly the partitions present in the
+    incoming frame; untouched partitions carry by reference; the
+    pre-overwrite partition still time-travels. Re-running the same
+    overwrite converges (idempotent backfill)."""
+    vt, df = _mk_part(spark, tmp_path)  # en/de/fr, 90 rows
+    before = vt.snapshot()
+    new_en = spark.createDataFrame(
+        [(1000, "en", 7.0), (1001, "en", 8.0)], "k bigint, lang string, v double"
+    )
+    v = vt.overwrite_partitions(spark, new_en)
+    got = vt.read(spark)
+    assert got.filter("lang = 'en'").count() == 2
+    assert got.filter("lang = 'de'").count() == df.filter("lang='de'").count()
+    m = vt._load_manifest(v)
+    assert all("_p__lang=en" in f for f in m["remove"])  # only en swapped
+    # untouched partitions carried by reference
+    de_before = {f for f in before["files"] if "_p__lang=de" in f}
+    assert de_before <= set(vt.snapshot()["files"])
+    assert vt.read(spark, v - 1).filter("lang = 'en'").count() == 30
+    # idempotent: overwriting again converges to the same rows
+    vt.overwrite_partitions(spark, new_en)
+    assert vt.read(spark).filter("lang = 'en'").count() == 2
+
+
+def test_overwrite_partitions_refuses_mixed_lineage(spark, tmp_path):
+    path = str(tmp_path / "mix")
+    df = spark.createDataFrame([(1, "en", 1.0)], "k bigint, lang string, v double")
+    VersionedTable(path).create(df)  # unpartitioned first commit
+    vt = VersionedTable(path, partition_by=["lang"])
+    with pytest.raises(ValueError):
+        vt.overwrite_partitions(spark, df)
+    plain = VersionedTable(str(tmp_path / "p"))
+    plain.create(df)
+    with pytest.raises(ValueError):
+        plain.overwrite_partitions(spark, df)  # no partition_by at all
+
+
+def test_version_at_timestamp(spark, tmp_path):
+    import time
+
+    vt = _mk(spark, tmp_path)
+    t0 = time.time()
+    time.sleep(0.05)
+    vt.append(spark.createDataFrame([(500, 5.0)], "k bigint, v double"))
+    t1 = time.time()
+    assert vt.version_at(t0) == 0
+    assert vt.version_at(t1) == 1
+    assert vt.version_at(time.time() + 100) == 1
+    assert vt.read_at(spark, t0).count() == 100
+    assert vt.read_at(spark, t1).count() == 101
+    with pytest.raises(ValueError):
+        vt.version_at(t0 - 10**6)  # before the table existed
