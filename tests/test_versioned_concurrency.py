@@ -284,3 +284,82 @@ def test_disjoint_delete_keys_rebases(spark, tmp_path):
     assert 3 not in got and 7 not in got and got[98] == 980.0
     assert len(got) == 98
     assert vt_a.snapshot().get("rebased_from") == 0
+
+
+def test_mor_deletes_racing_appends(spark, tmp_path):
+    """MoR deletes and appends race on the same table: every commit
+    lands, DV tombstones apply only to the rows that existed when the
+    delete's scan ran (optimistic snapshot semantics), and no appended
+    row is lost. The DV commit retries like every read-modify-write."""
+    vt = VersionedTable(str(tmp_path / "t"), partition_by=["p"])
+    vt.create(
+        spark.range(40).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("string").alias("p"),
+        )
+    )
+    errors: list[Exception] = []
+
+    def deleter() -> None:
+        try:
+            for i in range(4):
+                vt.delete_where_mor(spark, F.col("k") == i * 10)
+        except Exception as e:
+            errors.append(e)
+
+    def appender() -> None:
+        try:
+            for i in range(4):
+                vt.append(
+                    spark.createDataFrame([(1000 + i, "1")], "k bigint, p string")
+                )
+        except Exception as e:
+            errors.append(e)
+
+    t1 = threading.Thread(target=deleter)
+    t2 = threading.Thread(target=appender)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors
+    got = vt.read(spark)
+    assert got.filter("k in (0, 10, 20, 30)").count() == 0
+    assert got.filter("k >= 1000").count() == 4
+    assert got.count() == 40 - 4 + 4
+    assert vt.latest_version() == 8  # create + 4 deletes + 4 appends
+
+
+def test_delete_partitions_racing_append(spark, tmp_path):
+    """DROP PARTITION racing an append into a DIFFERENT partition:
+    both commits land; the append's rows survive because the delete's
+    retry re-reads the winner's file list before classifying files."""
+    vt = VersionedTable(str(tmp_path / "t"), partition_by=["p"])
+    vt.create(
+        spark.range(20).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("p"),
+        )
+    )
+    errors: list[Exception] = []
+
+    def dropper() -> None:
+        try:
+            vt.delete_partitions(spark, {"p": ["a"]})
+        except Exception as e:
+            errors.append(e)
+
+    def appender() -> None:
+        try:
+            for i in range(3):
+                vt.append(
+                    spark.createDataFrame([(100 + i, "b")], "k bigint, p string")
+                )
+        except Exception as e:
+            errors.append(e)
+
+    t1 = threading.Thread(target=dropper)
+    t2 = threading.Thread(target=appender)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors
+    got = vt.read(spark)
+    assert got.filter("p = 'a'").count() == 0
+    assert got.filter("k >= 100").count() == 3
+    assert got.count() == 10 + 3
