@@ -205,6 +205,7 @@ HEADLINE = [
     "table_delete_mor_versioned",
     "stream_expectations_gated",
     "table_partition_overwrite",
+    "stream_versioned_source",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries

@@ -1797,3 +1797,86 @@ def table_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         for v in (0, 1)
     ]
     return per_version[0].unionAll(per_version[1])
+
+
+# ---------------------------------------------------------------------------
+# Versioned table as a streaming SOURCE
+# ---------------------------------------------------------------------------
+
+_VSTREAM_PATHS: dict[tuple[str, str], str] = {}
+
+
+@query(
+    "stream_versioned_source",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def stream_versioned_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned table as a STREAMING SOURCE (the Delta
+    streaming-source recipe via the Python DataSource API,
+    sources/pydatasource.py make_versioned_stream_source): offsets are
+    table VERSIONS, each micro-batch is the commits' added files —
+    planned driver-side from KB manifest metadata, read
+    partition-parallel as one task per added file yielding Arrow
+    RecordBatches. A 3-commit build drains under availableNow into a
+    per-lang count that must equal the batch aggregate (the oracle) —
+    append-only streaming off the table format closes the loop:
+    streams write INTO versioned tables (stream_merge_versioned,
+    stream_expectations_gated) and now read OUT of them.
+
+    Scale: incremental consumers (index refresh, downstream training
+    shards) read each commit's churn exactly once — never the table;
+    manifests are immutable, so any committed range replays exactly
+    (exactly-once with zero external state)."""
+    import uuid as _uuid
+
+    from mapreduce_wordcounter_spark.sources.pydatasource import register
+
+    try:
+        register(spark)
+    except Exception:
+        pass  # already registered in this session
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _VSTREAM_PATHS.get(key)
+    if path is not None and len(VersionedTable(path).versions()) < 3:
+        path = None
+    if path is None:
+        base_dir = scratch_dir("versioned_src_")
+        path = os.path.join(base_dir, "docs_v")
+        vt = VersionedTable(path)
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "n_chars"
+        )
+        third = F.pmod(F.col("doc_id"), F.lit(3))
+        vt.create(docs.filter(third == 0))
+        vt.append(docs.filter(third == 1))
+        vt.append(docs.filter(third == 2))
+        _VSTREAM_PATHS[key] = path
+    s = (
+        spark.readStream.format("versioned_stream")
+        .option("path", path)
+        .load()
+    )
+    agg = s.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    name = "vstream_" + _uuid.uuid4().hex[:8]
+    ckpt = scratch_dir("vstream_ck_", base="/dev/shm")
+    from mapreduce_wordcounter_spark.streaming.windows import (
+        stream_shuffle_partitions,
+    )
+
+    with stream_shuffle_partitions(spark, 2):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(ckpt, "q"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+    return spark.table(name)

@@ -230,6 +230,7 @@ def make_arrow_datasource(words: tuple[str, ...] = _WORDS):
 def register(spark) -> None:
     spark.dataSource.register(make_datasource())
     spark.dataSource.register(make_arrow_datasource())
+    spark.dataSource.register(make_versioned_stream_source())
 
 
 def manifest_files(path: str) -> list[str]:
@@ -392,3 +393,164 @@ def make_sink_datasource():
             return JsonlStreamWriter(self.options)
 
     return JsonlManifestSink
+
+
+def make_versioned_stream_source():
+    """Streaming SOURCE over a versioned table (sources/versioned.py)
+    — the Delta streaming-source recipe: the offset IS the table
+    version, each micro-batch is the rows the commits in
+    ``(start_v, end_v]`` ADDED, and manifests are immutable so any
+    committed range replays exactly (exactly-once without external
+    state). The driver plans one InputPartition per added data file
+    (KB-scale manifest metadata); executors read their file with
+    pyarrow and yield RecordBatches — partition-parallel like every
+    production table-source.
+
+    Options: ``path`` (table root, required); ``ignoreChanges``
+    ("true"/"false", default false) — a commit that REMOVES files
+    (merge/delete/optimize/purge) breaks append-only streaming, so it
+    raises unless set, in which case the commit's added files are
+    re-emitted raw (Delta's documented ignoreChanges semantics:
+    downstream must tolerate re-delivered rows); metadata-only
+    commits (expectations, DV-only deletes, renames) contribute
+    nothing. Tables using column mapping are refused (physical names
+    in files; a streaming projection layer is future surface).
+
+    Same by-value pickling posture as the other factories."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    _ARROW_DDL = {
+        "int64": "bigint",
+        "int32": "int",
+        "double": "double",
+        "float": "float",
+        "string": "string",
+        "large_string": "string",
+        "bool": "boolean",
+        "date32[day]": "date",
+    }
+
+    class FilePartition(InputPartition):
+        def __init__(self, full_path: str, fields: list):
+            self.full_path = full_path
+            self.fields = fields  # [(name, arrow_type_str)]
+
+    class VersionedStreamReader(DataSourceStreamReader):
+        def __init__(self, options, fields):
+            self.path = options["path"]
+            self.snap_dir = _os.path.join(self.path, "_snapshots")
+            self.ignore_changes = (
+                str(options.get("ignoreChanges", "false")).lower() == "true"
+            )
+            self.fields = fields
+
+        def _versions(self):
+            out = []
+            for f in _os.listdir(self.snap_dir):
+                if f.startswith("v") and f.endswith(".json") and "checkpoint" not in f:
+                    out.append(int(f[1:-5]))
+            return sorted(out)
+
+        def initialOffset(self):
+            return {"version": -1}
+
+        def latestOffset(self):
+            vs = self._versions()
+            return {"version": vs[-1] if vs else -1}
+
+        def partitions(self, start, end):
+            parts = []
+            for v in range(start["version"] + 1, end["version"] + 1):
+                with open(_os.path.join(self.snap_dir, f"v{v:05d}.json")) as fh:
+                    m = _json.load(fh)
+                adds = m.get("add")
+                if adds is None:  # legacy full manifest: the create
+                    adds = m.get("files") or []
+                removes = m.get("remove") or []
+                if removes and not self.ignore_changes:
+                    raise ValueError(
+                        f"commit v{v} ({m.get('operation')}) removes "
+                        "files: not an append-only stream; set "
+                        "ignoreChanges=true to re-emit rewritten rows"
+                    )
+                for rel in adds:
+                    full = (
+                        rel
+                        if _os.path.isabs(rel)
+                        else _os.path.join(self.path, rel)
+                    )
+                    parts.append(FilePartition(full, self.fields))
+            return parts
+
+        def read(self, partition):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(partition.full_path)
+            n = t.num_rows
+            cols, names = [], []
+            for name, typ in partition.fields:
+                if name in t.column_names:
+                    cols.append(t.column(name).combine_chunks())
+                else:  # schema-evolved older file: surface NULLs
+                    cols.append(pa.nulls(n, type=pa.type_for_alias(typ)))
+                names.append(name)
+            for batch in pa.table(cols, names=names).to_batches():
+                yield batch
+
+        def commit(self, end):
+            pass  # manifests are immutable; nothing to GC
+
+    class VersionedStreamSource(DataSource):
+        """spark.readStream.format("versioned_stream").option("path", ...)"""
+
+        @classmethod
+        def name(cls) -> str:
+            return "versioned_stream"
+
+        def _fields(self):
+            import pyarrow.parquet as pq
+
+            path = self.options["path"]
+            snap_dir = _os.path.join(path, "_snapshots")
+            vs = sorted(
+                int(f[1:-5])
+                for f in _os.listdir(snap_dir)
+                if f.startswith("v") and f.endswith(".json")
+                and "checkpoint" not in f
+            )
+            # resolve the LATEST schema-bearing commit's first added
+            # file (metadata-only commits add nothing)
+            for v in reversed(vs):
+                with open(_os.path.join(snap_dir, f"v{v:05d}.json")) as fh:
+                    m = _json.load(fh)
+                if m.get("schema"):
+                    raise ValueError(
+                        "versioned_stream does not support column-mapped "
+                        "tables (files store physical names)"
+                    )
+                adds = m.get("add") or m.get("files") or []
+                if adds:
+                    rel = adds[0]
+                    full = rel if _os.path.isabs(rel) else _os.path.join(path, rel)
+                    sch = pq.read_schema(full)
+                    return [(f.name, str(f.type)) for f in sch]
+            raise ValueError(f"no data files at {path}")
+
+        def schema(self) -> str:
+            return ", ".join(
+                f"{name} {_ARROW_DDL.get(typ, typ)}"
+                for name, typ in self._fields()
+            )
+
+        def streamReader(self, schema):
+            return VersionedStreamReader(self.options, self._fields())
+
+    return VersionedStreamSource

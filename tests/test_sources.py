@@ -619,3 +619,142 @@ def test_arrow_stream_source_contract_and_equivalence(spark):
         (r["doc_id"], r["text"], r["n_words"]) for r in batch_df.collect()
     )
     assert streamed == batched
+
+
+# ---------------------------------------------------------------------------
+# Versioned table as a streaming SOURCE (versioned_stream)
+# ---------------------------------------------------------------------------
+
+
+def _register_pyds(spark):
+    from mapreduce_wordcounter_spark.sources.pydatasource import register
+
+    try:
+        register(spark)
+    except Exception:
+        pass  # already registered in this session
+
+
+def _drain(df, name, ckpt, timeout=90):
+    q = (
+        df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    return q
+
+
+def test_versioned_stream_source_drains_commits(spark, tmp_path):
+    """availableNow over a 3-commit table equals the batch aggregate;
+    a LATER commit is picked up incrementally by a second run on the
+    SAME checkpoint (the offset is the table version)."""
+    from mapreduce_wordcounter_spark.sources.versioned import VersionedTable
+
+    _register_pyds(spark)
+    path = str(tmp_path / "t")
+    vt = VersionedTable(path)
+    df = spark.range(30).select(
+        F.col("k_id").alias("k") if False else F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("g"),
+    )
+    vt.create(df.filter("k < 10"))
+    vt.append(df.filter("k >= 10 and k < 20"))
+    vt.append(df.filter("k >= 20"))
+    s = spark.readStream.format("versioned_stream").option("path", path).load()
+    assert s.schema.simpleString() == "struct<k:bigint,g:string>"
+    agg = s.groupBy("g").agg(F.count("*").alias("n"))
+    _drain(agg, "vst_a", str(tmp_path / "ck"))
+    got = sorted(map(tuple, spark.table("vst_a").collect()))
+    assert got == [("0", 10), ("1", 10), ("2", 10)]
+    # incremental pickup: only the NEW commit's rows enter batch 2
+    vt.append(spark.createDataFrame([(100, "0"), (101, "0")], "k bigint, g string"))
+    _drain(agg, "vst_b", str(tmp_path / "ck"))
+    got2 = dict(map(tuple, spark.table("vst_b").collect()))
+    assert got2["0"] == 12 and got2["1"] == 10
+
+
+def test_versioned_stream_source_rejects_non_append(spark, tmp_path):
+    """A commit removing files (CoW delete) fails the stream unless
+    ignoreChanges=true, which re-emits the rewritten files' rows
+    (Delta's documented semantics); a DV-only MoR delete removes no
+    files and passes silently (metadata commit)."""
+    from mapreduce_wordcounter_spark.sources.versioned import VersionedTable
+
+    _register_pyds(spark)
+    path = str(tmp_path / "t")
+    vt = VersionedTable(path)
+    vt.create(
+        spark.range(10)
+        .select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        .repartition(1)  # one data file: the CoW delete rewrites IT
+    )
+    vt.delete_where(spark, F.col("k") == 0)  # CoW: removes + re-adds
+    s = spark.readStream.format("versioned_stream").option("path", path).load()
+    q = (
+        s.groupBy().count().writeStream.outputMode("complete")
+        .format("memory").queryName("vst_fail")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True).start()
+    )
+    with pytest.raises(Exception) as ei:
+        q.awaitTermination(90)
+        if q.exception() is not None:
+            raise q.exception()
+    assert "ignoreChanges" in str(ei.value)
+
+    s2 = (
+        spark.readStream.format("versioned_stream")
+        .option("path", path).option("ignoreChanges", "true").load()
+    )
+    q2 = (
+        s2.groupBy().agg(F.count("*").alias("n"), F.sum("k").alias("sk"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("vst_ic")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(90)
+    row = spark.table("vst_ic").collect()[0]
+    # create's 10 rows + the rewrite re-emits its 9 survivors
+    assert row["n"] == 19 and row["sk"] == 45 + 45
+
+    # DV-only delete: no files removed -> stream continues clean
+    vt.delete_where_mor(spark, F.col("k") == 1)
+    vt.append(spark.createDataFrame([(50, 5.0)], "k bigint, v double"))
+    q3 = (
+        s.groupBy().count().writeStream.outputMode("complete")
+        .format("memory").queryName("vst_dv")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True).start()
+    )
+    with pytest.raises(Exception):
+        q3.awaitTermination(90)  # ck3 replays the CoW delete: still fails
+    # but with ignoreChanges the DV commit contributes nothing and the
+    # append flows
+    q4 = (
+        s2.groupBy().agg(F.count("*").alias("n"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("vst_dv2")
+        .option("checkpointLocation", str(tmp_path / "ck4"))
+        .trigger(availableNow=True).start()
+    )
+    q4.awaitTermination(90)
+    # full replay: 10 (create) + 9 (rewrite re-emit) + 0 (DV-only) + 1
+    assert spark.table("vst_dv2").collect()[0]["n"] == 20
+
+
+def test_versioned_stream_source_refuses_column_mapping(spark, tmp_path):
+    from mapreduce_wordcounter_spark.sources.versioned import VersionedTable
+
+    _register_pyds(spark)
+    path = str(tmp_path / "t")
+    vt = VersionedTable(path)
+    vt.create(spark.range(5).select(F.col("id").alias("k")))
+    vt.rename_column("k", "key")
+    with pytest.raises(Exception) as ei:
+        spark.readStream.format("versioned_stream").option("path", path).load().schema
+    assert "column-mapped" in str(ei.value)
