@@ -1850,6 +1850,7 @@ class VersionedTable:
         keys: DataFrame,
         key: str,
         source_key: str,
+        cdc: bool = False,
     ) -> int:
         """Merge-on-read form of :meth:`delete_keys` — GDPR
         erase-these-ids at DV cost: the doomed positions come from a
@@ -1865,14 +1866,17 @@ class VersionedTable:
             snap = self.snapshot()
             probe_rel = self._candidate_files(spark, kdf, "__dk", snap)
             dv_add = None
+            extra: dict = {}
             if probe_rel:
-                matched = (
+                doomed = (
                     self._scan(spark, snap, files=probe_rel, keep_pos=True)
                     .join(kdf, F.col(key) == F.col("__dk"), "left_semi")
-                    .select(
-                        F.col("__dv_file").alias("file"),
-                        F.col("__dv_pos").alias("pos"),
-                    )
+                )
+                if cdc:
+                    doomed = doomed.persist()
+                matched = doomed.select(
+                    F.col("__dv_file").alias("file"),
+                    F.col("__dv_pos").alias("pos"),
                 )
                 sub = os.path.join("dv", uuid.uuid4().hex)
                 full = os.path.join(self.path, sub)
@@ -1890,11 +1894,33 @@ class VersionedTable:
                     affected.update(t.column("file").to_pylist())
                 if affected:
                     dv_add = {b: dvfiles for b in sorted(affected)}
+                if cdc:
+                    # same delete-event shape as delete_keys, from the
+                    # SAME churn-sized doomed relation the DV came from
+                    non_key = [
+                        c
+                        for c in doomed.columns
+                        if c not in (key, "__dv_file", "__dv_pos")
+                    ]
+                    ev = doomed.select(
+                        F.col(key),
+                        F.lit("delete").alias("change_type"),
+                        *[F.col(c).alias(f"old_{c}") for c in non_key],
+                        *[
+                            F.when(F.lit(False), F.col(c)).alias(f"new_{c}")
+                            for c in non_key
+                        ],
+                    )
+                    extra["cdc"] = self._write_cdc_files(ev)
+                    doomed.unpersist()
+            elif cdc:
+                extra["cdc"] = []  # nothing matched: empty feed
             try:
                 return self._commit_delta(
                     "delete_keys_mor", snap, snap["files"],
                     snap.get("stats") or {}, snap.get("blooms") or {},
                     dv_add=dv_add,
+                    **extra,
                 )
             except VersionConflictError:
                 continue
@@ -2033,11 +2059,16 @@ class VersionedTable:
             except FileNotFoundError:
                 return self.read_changes(spark, key, v_from, v_to)
             op = m.get("operation")
-            if op in ("optimize",):
-                continue  # pure layout: no content change
+            if op in (
+                "optimize",
+                "purge_dvs",          # DV compaction: rows identical
+                "set_expectation",    # metadata-only
+                "drop_expectation",
+            ):
+                continue  # pure layout/metadata: no content change
             if op in ("rename_column", "drop_column") or "files" in m:
                 return self.read_changes(spark, key, v_from, v_to)
-            if op in ("merge", "delete"):
+            if op in ("merge", "delete", "delete_keys_mor"):
                 if "cdc" not in m:
                     return self.read_changes(spark, key, v_from, v_to)
                 if not m["cdc"]:

@@ -1999,3 +1999,60 @@ def test_version_at_timestamp(spark, tmp_path):
     assert vt.read_at(spark, t1).count() == 101
     with pytest.raises(ValueError):
         vt.version_at(t0 - 10**6)  # before the table existed
+
+
+def test_delete_keys_mor_cdc_log_matches_diff(spark, tmp_path):
+    """MoR key deletes with cdc=True serve the write-time change log at
+    churn cost: the composed log feed equals the snapshot diff across
+    a range containing appends, the MoR delete, and a purge (which,
+    like OPTIMIZE, contributes nothing — rows identical)."""
+    vt = VersionedTable(str(tmp_path / "t"), stats_col="k")
+    df = (
+        spark.range(50)
+        .select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        .repartitionByRange(4, "k")
+    )
+    vt.create(df)
+    vt.append(spark.createDataFrame([(100, 1.0)], "k bigint, v double"))
+    vt.delete_keys_mor(
+        spark,
+        spark.createDataFrame([(7,), (100,)], "dk bigint"),
+        key="k",
+        source_key="dk",
+        cdc=True,
+    )
+    v_end = vt.purge_dvs(spark)
+    log = vt.read_changes_log(spark, "k", 0, v_end)
+    diff = vt.read_changes(spark, "k", 0, v_end)
+    assert sorted(map(tuple, log.collect())) == sorted(map(tuple, diff.collect()))
+    # the range includes set_expectation metadata commits too
+    vt.set_expectation(spark, "nonneg", "v >= 0", mode="warn")
+    log2 = vt.read_changes_log(spark, "k", 0, vt.latest_version())
+    assert sorted(map(tuple, log2.collect())) == sorted(map(tuple, diff.collect()))
+    # without cdc the MoR delete falls back to the snapshot diff
+    vt2 = VersionedTable(str(tmp_path / "u"))
+    vt2.create(df)
+    vt2.delete_keys_mor(
+        spark, spark.createDataFrame([(3,)], "dk bigint"), "k", "dk"
+    )
+    fb = vt2.read_changes_log(spark, "k", 0, 1)
+    assert [(r["k"], r["change_type"]) for r in fb.collect()] == [(3, "delete")]
+
+
+def test_optimize_preserves_partition_layout(spark, tmp_path):
+    """OPTIMIZE on a partitioned table re-clusters WITHIN the hive
+    layout: every rewritten file still sits under a partition dir, and
+    partition pruning keeps working on the compacted snapshot."""
+    vt, df = _mk_part(spark, tmp_path)
+    vt.append(df.limit(10))  # fragment a little
+    vt.optimize(spark, cluster_by=["k"], n_files=2)
+    snap = vt.snapshot()
+    assert all("_p__lang=" in f for f in snap["files"])
+    got = vt.read_partitions(spark, {"lang": "en"})
+    scanned = {
+        r["f"]
+        for r in got.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert scanned and all("_p__lang=en" in f for f in scanned)
+    want = df.unionAll(df.limit(10)).filter("lang = 'en'")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
