@@ -449,7 +449,16 @@ def make_versioned_stream_source():
             self.ignore_changes = (
                 str(options.get("ignoreChanges", "false")).lower() == "true"
             )
+            # rate limit (Delta's maxFilesPerTrigger analog, at commit
+            # granularity): each micro-batch advances at most this many
+            # versions, bounding per-trigger state growth on a long
+            # backlog; 0/absent = drain to latest. For CONTINUOUS
+            # triggers only — Trigger.AvailableNow snapshots
+            # latestOffset once for Python sources, so a limit there
+            # would truncate the drain at the first advance.
+            self.max_versions = int(options.get("maxVersionsPerBatch", 0))
             self.fields = fields
+            self._committed = -1
 
         def _versions(self):
             out = []
@@ -463,7 +472,13 @@ def make_versioned_stream_source():
 
         def latestOffset(self):
             vs = self._versions()
-            return {"version": vs[-1] if vs else -1}
+            latest = vs[-1] if vs else -1
+            if self.max_versions > 0:
+                nxt = min(latest, self._committed + self.max_versions)
+                self._committed = nxt
+                return {"version": nxt}
+            self._committed = latest
+            return {"version": latest}
 
         def partitions(self, start, end):
             parts = []
@@ -506,7 +521,14 @@ def make_versioned_stream_source():
                 yield batch
 
         def commit(self, end):
-            pass  # manifests are immutable; nothing to GC
+            # manifests are immutable — nothing to GC; track the
+            # committed point so the rate limit advances from reality
+            # after a checkpoint restart (until the first commit() the
+            # limiter may emit empty catch-up batches, never duplicates:
+            # Spark only ever plans ranges above ITS committed offset)
+            v = end["version"] if isinstance(end, dict) else -1
+            if v > self._committed:
+                self._committed = v
 
     class VersionedStreamSource(DataSource):
         """spark.readStream.format("versioned_stream").option("path", ...)"""

@@ -758,3 +758,59 @@ def test_versioned_stream_source_refuses_column_mapping(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         spark.readStream.format("versioned_stream").option("path", path).load().schema
     assert "column-mapped" in str(ei.value)
+
+
+def test_versioned_stream_rate_limit(spark, tmp_path):
+    """maxVersionsPerBatch=1 drains a 3-commit table in 3 micro-batches
+    (one commit per trigger — bounded per-trigger work on a backlog),
+    with the same final result as the unlimited drain."""
+    from mapreduce_wordcounter_spark.sources.versioned import VersionedTable
+
+    _register_pyds(spark)
+    path = str(tmp_path / "t")
+    vt = VersionedTable(path)
+    df = spark.range(30).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("g")
+    )
+    vt.create(df.filter("k < 10"))
+    vt.append(df.filter("k >= 10 and k < 20"))
+    vt.append(df.filter("k >= 20"))
+    s = (
+        spark.readStream.format("versioned_stream")
+        .option("path", path)
+        .option("maxVersionsPerBatch", "1")
+        .load()
+    )
+    agg = s.groupBy("g").agg(F.count("*").alias("n"))
+    # processingTime trigger: availableNow snapshots latestOffset ONCE
+    # for Python sources, so a rate limit would truncate the drain —
+    # the limiter is for continuous triggers (documented in the source)
+    import time
+
+    q = (
+        agg.writeStream.outputMode("complete").format("memory")
+        .queryName("vst_rl")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="0 seconds").start()
+    )
+    try:
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            total = sum(
+                p["sources"][0]["numInputRows"] for p in q.recentProgress
+            )
+            if total >= 30:
+                break
+            time.sleep(0.05)
+        else:
+            raise TimeoutError("rate-limited stream never drained 30 rows")
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.table("vst_rl").collect()))
+    assert got == [("0", 10), ("1", 10), ("2", 10)]
+    batches = [
+        p["sources"][0]["numInputRows"]
+        for p in q.recentProgress
+        if p["sources"][0]["numInputRows"] > 0
+    ]
+    assert len(batches) == 3 and all(b == 10 for b in batches)
