@@ -206,6 +206,7 @@ HEADLINE = [
     "stream_expectations_gated",
     "table_partition_overwrite",
     "stream_versioned_source",
+    "table_dv_maintenance_decision",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries

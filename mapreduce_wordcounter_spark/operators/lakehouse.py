@@ -1880,3 +1880,96 @@ def stream_versioned_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# DV maintenance planning
+# ---------------------------------------------------------------------------
+
+_DVM_PATHS: dict[tuple[str, str], str] = {}
+
+
+def _dv_maintenance_docs(spark: SparkSession, sf_dir: str) -> VersionedTable:
+    """Partitioned docs table with a MoR delete leaving UNEVEN
+    per-partition tombstone density: every 5th doc_id everywhere plus
+    ALL of lang 'de' — so the decision query has both partitions worth
+    compacting and partitions not worth it."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _DVM_PATHS.get(key)
+    if path is not None and len(VersionedTable(path).versions()) < 2:
+        path = None
+    if path is None:
+        path = os.path.join(scratch_dir("versioned_"), "docs_dvm")
+        vt = VersionedTable(path, partition_by=["lang"])
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "n_chars"
+        )
+        vt.create(docs)
+        vt.delete_where_mor(
+            spark, (F.col("doc_id") % 5 == 0) | (F.col("lang") == "de")
+        )
+        _DVM_PATHS[key] = path
+    return VersionedTable(path, partition_by=["lang"])
+
+
+@query(
+    "table_dv_maintenance_decision",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN doc_id % 5 = 0 OR lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstoned,
+           ROUND(SUM(CASE WHEN doc_id % 5 = 0 OR lang = 'de' THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS dead_frac,
+           SUM(CASE WHEN doc_id % 5 = 0 OR lang = 'de' THEN 1 ELSE 0 END) * 1.0 / COUNT(*) >= 0.5 AS compact
+    FROM documents GROUP BY lang
+    """,
+)
+def table_dv_maintenance_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DV maintenance planning (the decision half of the merge-on-read
+    lifecycle): per partition, how much is tombstoned — from the
+    CHURN-SIZED DV sidecar joined to a KB-scale (basename -> partition)
+    map parsed off the manifest file list — and whether the dead
+    fraction crosses the compaction threshold (0.5 here: partitions
+    mostly dead are worth rewriting, lightly-tombstoned ones keep
+    paying the cheap anti-join). The oracle replays the tombstone
+    predicate over the raw table.
+
+    Scale: the inputs are metadata (file list) + churn (DV rows) +
+    per-partition row counts (map-combined count over the pre-delete
+    snapshot) — the decision never scans live data; it is the same
+    at-rest-planning posture as index_staleness_catalog and
+    ann_rebuild_decision."""
+    vt = _dv_maintenance_docs(spark, sf_dir)
+    snap = vt.snapshot()
+    file_lang = [
+        (os.path.basename(f), vt._partition_values(f).get("lang"))
+        for f in snap["files"]
+    ]
+    fmap = spark.createDataFrame(file_lang, "file string, lang string")
+    dv = vt.dv_relation(spark)
+    dead = (
+        dv.join(F.broadcast(fmap), "file")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_tombstoned"))
+    )
+    totals = (
+        vt.read(spark, 0)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    out = (
+        totals.join(dead, "lang", "left")
+        .select(
+            "lang",
+            "n_rows",
+            F.coalesce(F.col("n_tombstoned"), F.lit(0)).alias("n_tombstoned"),
+        )
+        .withColumn(
+            "dead_frac",
+            F.round(F.col("n_tombstoned") / F.col("n_rows"), 4),
+        )
+        .withColumn(
+            "compact",
+            (F.col("n_tombstoned") / F.col("n_rows")) >= 0.5,
+        )
+    )
+    return out

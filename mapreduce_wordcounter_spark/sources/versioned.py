@@ -1026,12 +1026,24 @@ class VersionedTable:
                 *[_PART_PREFIX + c for c in pcols]
             ).parquet(full)
             self._harvest_expectations(obs, rules)
-            return sorted(
-                os.path.relpath(os.path.join(r, f), self.path)
-                for r, _dirs, fs in os.walk(full)
-                for f in fs
-                if f.endswith(".parquet")
-            )
+            # partitionBy gives the SAME task's outputs in different
+            # partition dirs the SAME basename (part-00000-<job-uuid>…)
+            # — but the whole protocol (deletion-vector keys, rewrite
+            # probes) keys files by basename, so rename each part file
+            # to a globally-unique name BEFORE the manifest names it
+            # (pre-publish, so nothing can reference the old name; the
+            # parquet file is self-contained under any name)
+            out = []
+            for r, _dirs, fs in os.walk(full):
+                for f in fs:
+                    if not f.endswith(".parquet"):
+                        continue
+                    uniq = f"{uuid.uuid4().hex[:12]}-{f}"
+                    os.rename(os.path.join(r, f), os.path.join(r, uniq))
+                    out.append(
+                        os.path.relpath(os.path.join(r, uniq), self.path)
+                    )
+            return sorted(out)
         df.write.mode("overwrite").parquet(full)
         self._harvest_expectations(obs, rules)
         return sorted(
@@ -1926,6 +1938,27 @@ class VersionedTable:
                 continue
         raise VersionConflictError(
             f"delete_keys_mor lost the commit race 8 times at {self.path}"
+        )
+
+    def dv_relation(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame | None:
+        """One snapshot's deletion-vector state as a relation —
+        (file basename, pos) per tombstoned row, churn-sized — the
+        input to DV maintenance planning (how much of which
+        file/partition is dead decides when purge_dvs pays for
+        itself). None when the snapshot carries no DVs."""
+        snap = self.snapshot(version)
+        dv = snap.get("dv") or {}
+        paths = sorted({p for lst in dv.values() for p in lst})
+        if not paths:
+            return None
+        return (
+            spark.read.parquet(
+                *[os.path.join(self.path, p) for p in paths]
+            )
+            .distinct()
+            .filter(F.col("file").isin(list(dv.keys())))
         )
 
     def purge_dvs(self, spark: SparkSession) -> int:

@@ -2056,3 +2056,22 @@ def test_optimize_preserves_partition_layout(spark, tmp_path):
     assert scanned and all("_p__lang=en" in f for f in scanned)
     want = df.unionAll(df.limit(10)).filter("lang = 'en'")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_partitioned_basenames_globally_unique(spark, tmp_path):
+    """partitionBy gives one task's outputs in different partition dirs
+    the SAME part-file basename; the protocol keys files by basename
+    (DV tombstones, rewrite probes), so the write must uniquify. The
+    regression this pins: a MoR delete of (file, pos) in one partition
+    must NOT tombstone the same-position row of a sibling partition."""
+    vt = VersionedTable(str(tmp_path / "t"), partition_by=["p"])
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b")], "k bigint, p string"
+    ).coalesce(1)  # one task: both partition dirs get the same part file
+    vt.create(df)
+    snap = vt.snapshot()
+    basenames = [os.path.basename(f) for f in snap["files"]]
+    assert len(basenames) == len(set(basenames))
+    vt.delete_where_mor(spark, F.col("k") == 1)
+    rows = sorted((r["k"], r["p"]) for r in vt.read(spark).collect())
+    assert rows == [(2, "a"), (3, "b"), (4, "b")]
