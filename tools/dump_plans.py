@@ -214,6 +214,9 @@ SHOWCASE = [
     "table_clone_divergence",
     "table_delete_mor_versioned",
     "stream_expectations_gated",
+    "table_partition_overwrite",
+    "table_dv_maintenance_decision",
+    "stream_versioned_source",
 ]
 
 # Belt-and-braces: a duplicated SHOWCASE entry (it has happened) would
