@@ -866,15 +866,28 @@ class VersionedTable:
         name: str,
         expr: str,
         mode: str = "fail",
+        max_frac: float | None = None,
     ) -> int:
         """Register (or replace) a named expectation as a metadata-only
         commit. Adding a fail-mode rule validates EXISTING data first
         (one aggregate over the current snapshot — the Delta ADD
         CONSTRAINT contract: a table never holds data violating an
-        active CHECK)."""
+        active CHECK).
+
+        ``max_frac`` adds a BATCH-LEVEL circuit breaker on any mode
+        (the DLT "expect or fail when too dirty" pattern): a write
+        whose violation RATE exceeds the fraction aborts before the
+        manifest publishes, even in drop/warn mode — a trickle of bad
+        rows is quality noise to drop or count, a flood is an upstream
+        incident to stop. fail-mode's row-level abort stays the
+        default (max_frac None ⇒ any violation aborts)."""
         if mode not in ("fail", "drop", "warn"):
             raise ValueError(f"unknown expectation mode: {mode!r}")
-        if mode == "fail":
+        if name.startswith("__"):
+            raise ValueError(f"expectation names may not start with __: {name!r}")
+        if max_frac is not None and not (0.0 <= max_frac <= 1.0):
+            raise ValueError(f"max_frac must be in [0, 1]: {max_frac}")
+        if mode == "fail" and max_frac is None:
             bad = (
                 self.read(spark)
                 .filter(~F.coalesce(F.expr(expr), F.lit(False)))
@@ -889,6 +902,8 @@ class VersionedTable:
             cur = self.snapshot()
             exps = dict(cur.get("expectations") or {})
             exps[name] = {"expr": expr, "mode": mode}
+            if max_frac is not None:
+                exps[name]["max_frac"] = max_frac
             try:
                 return self._commit_delta(
                     "set_expectation", cur, cur["files"],
@@ -960,6 +975,9 @@ class VersionedTable:
                 ).cast("long").alias(name)
                 for name, r in sorted(rules.items())
             ],
+            # incoming row count, for max_frac rate gates (reserved
+            # alias — user rule names cannot start with "__")
+            F.count(F.lit(1)).cast("long").alias("__exp_total__"),
         )
         for name, r in sorted(rules.items()):
             if r["mode"] == "drop":
@@ -974,11 +992,24 @@ class VersionedTable:
         if not rules:
             return
         got = obs.get
+        total = int(got.get("__exp_total__") or 0)
         metrics = {}
         for name, r in sorted(rules.items()):
             n = int(got.get(name) or 0)
             metrics[name] = {"mode": r["mode"], "violations": n}
-            if r["mode"] == "fail" and n > 0:
+            max_frac = r.get("max_frac")
+            if max_frac is not None:
+                # batch-level circuit breaker (any mode): a violation
+                # RATE past the threshold is an upstream incident, not
+                # quality noise — abort before the manifest publishes
+                if total > 0 and n / total > max_frac:
+                    self._pending_exp_metrics = None
+                    raise ExpectationViolationError(
+                        f"{n}/{total} rows ({n / total:.1%}) violate "
+                        f"{name!r} ({r['expr']}) — over the "
+                        f"max_frac={max_frac} gate at {self.path}"
+                    )
+            elif r["mode"] == "fail" and n > 0:
                 self._pending_exp_metrics = None
                 raise ExpectationViolationError(
                     f"{n} row(s) violate fail-mode expectation {name!r} "

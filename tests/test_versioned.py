@@ -2075,3 +2075,49 @@ def test_partitioned_basenames_globally_unique(spark, tmp_path):
     vt.delete_where_mor(spark, F.col("k") == 1)
     rows = sorted((r["k"], r["p"]) for r in vt.read(spark).collect())
     assert rows == [(2, "a"), (3, "b"), (4, "b")]
+
+
+def test_expectation_max_frac_circuit_breaker(spark, tmp_path):
+    """max_frac is a batch-level rate gate on any mode: a drop-mode
+    rule quietly drops a trickle of bad rows but ABORTS the commit
+    when the batch is mostly bad (upstream incident, not noise); a
+    fail-mode rule with max_frac tolerates violations under the rate
+    instead of aborting on the first row."""
+    from mapreduce_wordcounter_spark.sources.versioned import (
+        ExpectationViolationError,
+    )
+
+    vt = _mk(spark, tmp_path)
+    vt.set_expectation(spark, "v_pos", "v >= 0", mode="drop", max_frac=0.3)
+    # 1/4 bad (25% <= 30%): commits, bad row dropped
+    ok_batch = spark.createDataFrame(
+        [(200, 1.0), (201, 2.0), (202, 3.0), (203, -1.0)], "k bigint, v double"
+    )
+    v = vt.append(ok_batch)
+    assert vt.read(spark).count() == 103
+    assert vt._load_manifest(v)["expectation_metrics"]["v_pos"]["violations"] == 1
+    # 1/2 bad (50% > 30%): aborts, nothing committed
+    bad_batch = spark.createDataFrame(
+        [(300, 1.0), (301, -9.0)], "k bigint, v double"
+    )
+    with pytest.raises(ExpectationViolationError, match="max_frac"):
+        vt.append(bad_batch)
+    assert vt.latest_version() == v
+    assert vt.read(spark).count() == 103
+
+    # fail-mode + max_frac: violations under the rate pass THROUGH
+    # (rows kept — fail mode never filters), over the rate aborts
+    vt2 = _mk(spark, tmp_path / "f")
+    vt2.set_expectation(spark, "v_cap", "v < 1000", mode="fail", max_frac=0.5)
+    vt2.append(
+        spark.createDataFrame(
+            [(500, 5000.0), (501, 1.0), (502, 2.0)], "k bigint, v double"
+        )
+    )
+    assert vt2.read(spark).filter("v >= 1000").count() == 1  # kept
+    with pytest.raises(ExpectationViolationError):
+        vt2.append(spark.createDataFrame([(600, 9999.0)], "k bigint, v double"))
+    with pytest.raises(ValueError):
+        vt2.set_expectation(spark, "__reserved", "v > 0", mode="warn")
+    with pytest.raises(ValueError):
+        vt2.set_expectation(spark, "x", "v > 0", mode="drop", max_frac=1.5)
