@@ -207,6 +207,10 @@ HEADLINE = [
     "table_partition_overwrite",
     "stream_versioned_source",
     "table_dv_maintenance_decision",
+    # round 10: hidden partition transforms (days(ts) pruning through
+    # the checkpoint manifest tree) + the CDF streaming source
+    "table_partition_transform",
+    "stream_changes_feed",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries

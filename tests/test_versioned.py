@@ -762,10 +762,10 @@ def test_merge_across_schema_evolution_boundary(spark, tmp_path):
 
 def test_parquet_checkpoint_stats_relation(spark, tmp_path):
     """The columnar checkpoint half: past a checkpoint, stats_relation
-    resolves (parquet base + churn-sized delta patches) and matches the
-    JSON-resolved maps row for row; the metadata-first probe gives the
-    SAME candidate set through both paths; vacuum removes expired
-    parquet sidecars with their JSON twins."""
+    resolves (manifest-tree parts as the parquet base + churn-sized
+    delta patches) and matches the JSON-resolved maps row for row; the
+    metadata-first probe gives the SAME candidate set through both
+    paths; vacuum removes expired tree parts with their root."""
     vt = VersionedTable(
         str(tmp_path / "pc"), stats_col="k", bloom=True, checkpoint_interval=2
     )
@@ -781,7 +781,12 @@ def test_parquet_checkpoint_stats_relation(spark, tmp_path):
                 [(100 + i, float(i))], "k bigint, v double"
             ).coalesce(1)
         )
-    assert os.path.exists(vt._checkpoint_stats_path(2))
+    with open(vt._checkpoint_path(2)) as fh:
+        root = json.load(fh)
+    assert root.get("checkpoint_format") == "tree" and root["parts"]
+    assert root["has_stats"] is True
+    for p in root["parts"]:
+        assert os.path.exists(os.path.join(vt.snap_dir, p["path"]))
     # young version (v1, before any checkpoint): honest None fallback
     assert vt.stats_relation(spark, 1) is None
 
@@ -799,19 +804,24 @@ def test_parquet_checkpoint_stats_relation(spark, tmp_path):
     # probe equivalence: parquet-relation path == JSON-map path
     keys = spark.createDataFrame([(15,), (101,)], ["__k"])
     via_parquet = vt._candidate_files(spark, keys, "__k", snap)
-    cks = vt._checkpoint_stats_path(2)
-    saved = cks + ".hidden"
-    os.rename(cks, saved)
+    ck = vt._checkpoint_path(2)
+    saved = ck + ".hidden"
+    os.rename(ck, saved)  # hide the tree root: forces the JSON maps
     try:
         via_json = vt._candidate_files(spark, keys, "__k", snap)
     finally:
-        os.rename(saved, cks)
+        os.rename(saved, ck)
     assert via_parquet == via_json
     assert 0 < len(via_parquet) < len(snap["files"])
 
-    # vacuum expires the parquet sidecar together with the JSON one
+    # vacuum expires the tree parts together with their root
     vt.vacuum(retain_last=1, orphan_grace_sec=3600)
-    assert not os.path.exists(vt._checkpoint_stats_path(2))
+    assert not os.path.exists(vt._checkpoint_path(2))
+    assert not [
+        f
+        for f in os.listdir(vt.snap_dir)
+        if f.startswith("v00002.checkpoint.part-")
+    ]
 
 
 def test_parquet_checkpoint_stats_string_typed(spark, tmp_path):
@@ -841,12 +851,12 @@ def test_parquet_checkpoint_stats_string_typed(spark, tmp_path):
         assert rows[f] == tuple(s)
     keys = spark.createDataFrame([("bob",), ("erin",)], ["__k"])
     via_parquet = vt._candidate_files(spark, keys, "__k", snap)
-    cks = vt._checkpoint_stats_path(2)
-    os.rename(cks, cks + ".hidden")
+    ck = vt._checkpoint_path(2)
+    os.rename(ck, ck + ".hidden")  # hide the tree root: JSON fallback
     try:
         via_json = vt._candidate_files(spark, keys, "__k", snap)
     finally:
-        os.rename(cks + ".hidden", cks)
+        os.rename(ck + ".hidden", ck)
     assert via_parquet == via_json
     assert 0 < len(via_parquet) < len(snap["files"])
 
@@ -877,18 +887,290 @@ def test_snapshot_returns_isolated_copy(spark, tmp_path):
 
 
 def test_checkpoint_stats_sidecar_skipped_without_stats(spark, tmp_path):
-    """A checkpoint over a table with NO per-file stats must not write
-    the parquet stats sidecar (pyarrow would infer null-typed lo/hi
-    and later delta patches with real values would fail at probe
-    time); the JSON checkpoint still lands."""
+    """A checkpoint over a table with NO per-file stats writes its
+    manifest-tree parts WITHOUT lo/hi columns (pyarrow would infer
+    null-typed columns and later delta patches with real values would
+    fail at probe time) and the root records has_stats=false, so
+    stats_relation honestly returns None; resolution through the tree
+    stays correct."""
     vt = VersionedTable(str(tmp_path / "ns"), checkpoint_interval=2)
     vt.create(spark.createDataFrame([(0, 0.0)], "k bigint, v double"))
     vt.append(spark.createDataFrame([(1, 1.0)], "k bigint, v double"))
     vt.append(spark.createDataFrame([(2, 2.0)], "k bigint, v double"))
     assert os.path.exists(vt._checkpoint_path(2))
-    assert not os.path.exists(vt._checkpoint_stats_path(2))
+    with open(vt._checkpoint_path(2)) as fh:
+        root = json.load(fh)
+    assert root["checkpoint_format"] == "tree"
+    assert root["has_stats"] is False
+    import pyarrow.parquet as pq
+
+    for p in root["parts"]:
+        names = pq.read_schema(os.path.join(vt.snap_dir, p["path"])).names
+        assert "lo" not in names and "hi" not in names
+    assert vt.stats_relation(spark, 2) is None
     # and reads through the checkpoint stay correct
     assert vt.read(spark, 2).count() == 3
+
+
+def test_partition_transform_days_hidden_pruning(spark, tmp_path):
+    """Hidden partitioning (VERDICT r9 #2): days(ts) lays rows out by
+    day with NO user-materialized column; a raw ts range filter prunes
+    day directories from path metadata alone and the result equals
+    read().filter(between); a retention delete over a day range drops
+    whole partitions metadata-only (zero files written)."""
+    vt = VersionedTable(
+        str(tmp_path / "dt"), partition_by=["days(ts)"]
+    )
+    df = spark.range(240).select(
+        F.col("id").alias("k"),
+        F.expr(
+            "timestamp'2024-03-01 00:00:00' + "
+            "make_interval(0, 0, 0, 0, cast(id as int), 0, 0)"
+        ).alias("ts"),
+        (F.col("id") * 1.0).alias("v"),
+    )  # 240 hourly rows -> 10 days, 2024-03-01 .. 2024-03-10
+    vt.create(df)
+    snap = vt.snapshot()
+    days = {
+        vt._partition_values(f).get("ts_day") for f in snap["files"]
+    }
+    assert days == {f"2024-03-{d:02d}" for d in range(1, 11)}
+    # raw-column range filter: no derived column anywhere in sight
+    import datetime as _dt
+
+    lo = _dt.datetime(2024, 3, 4, 0, 0)
+    hi = _dt.datetime(2024, 3, 5, 23, 59, 59)
+    matched, unmatched, unknown = vt._split_by_partition(
+        snap, {"ts": ("range", lo, hi)}
+    )
+    assert not unknown
+    assert 0 < len(matched) < len(snap["files"])
+    assert {
+        vt._partition_values(f)["ts_day"] for f in matched
+    } == {"2024-03-04", "2024-03-05"}
+    got = vt.read_partitions(spark, {"ts": ("range", lo, hi)})
+    expect = vt.read(spark).filter(
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
+    # metadata-only retention drop of the first 3 days
+    before = vt.read(spark).count()
+    v = vt.delete_partitions(
+        spark,
+        {"ts": ("range", _dt.datetime(2024, 3, 1), _dt.datetime(2024, 3, 3, 23, 59, 59))},
+    )
+    m = vt._load_manifest(v)
+    assert m["remove"] and not m["add"]  # zero bytes rewritten
+    assert vt.read(spark).count() == before - 72
+
+
+def test_partition_transform_bucket_and_truncate(spark, tmp_path):
+    """bucket(N, k) prunes point lookups to the keys' buckets via the
+    portable md5 recipe (driver twin == Spark expr, pinned by layout
+    equality); truncate(W, s) prunes by string prefix."""
+    vt = VersionedTable(str(tmp_path / "bk"), partition_by=["bucket(8, k)"])
+    df = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    vt.create(df)
+    snap = vt.snapshot()
+    buckets = {
+        vt._partition_values(f).get("k_bucket") for f in snap["files"]
+    }
+    assert buckets <= {str(i) for i in range(8)}
+    assert len(buckets) == 8  # 200 keys hash across all 8
+    fld = vt._partition_fields(None)[0]
+    want = {vt._transform_value(fld, k) for k in (5, 17)}
+    matched, _un, unknown = vt._split_by_partition(snap, {"k": [5, 17]})
+    assert not unknown
+    assert {
+        vt._partition_values(f)["k_bucket"] for f in matched
+    } == want
+    got = vt.read_partitions(spark, {"k": [5, 17]})
+    assert sorted(r["k"] for r in got.collect()) == [5, 17]
+
+    vt2 = VersionedTable(
+        str(tmp_path / "tr"), partition_by=["truncate(2, s)"]
+    )
+    df2 = spark.createDataFrame(
+        [("alpha", 1), ("alto", 2), ("beta", 3), ("bear", 4), ("gamma", 5)],
+        "s string, n int",
+    )
+    vt2.create(df2)
+    snap2 = vt2.snapshot()
+    prefixes = {
+        vt2._partition_values(f).get("s_trunc") for f in snap2["files"]
+    }
+    assert prefixes == {"al", "be", "ga"}
+    got2 = vt2.read_partitions(spark, {"s": ["alpha", "alto"]})
+    assert sorted(r["s"] for r in got2.collect()) == ["alpha", "alto"]
+    # int truncate: width multiples
+    vt3 = VersionedTable(
+        str(tmp_path / "ti"), partition_by=["truncate(10, k)"]
+    )
+    vt3.create(
+        spark.range(35).select(F.col("id").alias("k"))
+    )
+    snap3 = vt3.snapshot()
+    assert {
+        vt3._partition_values(f).get("k_trunc") for f in snap3["files"]
+    } == {"0", "10", "20", "30"}
+    assert vt3.read_partitions(spark, {"k": [7, 23]}).count() == 2
+
+
+def test_partition_transform_composes_with_tree_and_overwrite(
+    spark, tmp_path
+):
+    """days(ts) composes with the checkpoint manifest tree (a ts range
+    reads only matching day parts) and with dynamic partition
+    overwrite (an idempotent one-day backfill swaps exactly that day's
+    partition)."""
+    import datetime as _dt
+
+    vt = VersionedTable(
+        str(tmp_path / "cp"),
+        partition_by=["days(ts)"],
+        checkpoint_interval=1,
+    )
+    df = spark.range(96).select(
+        F.col("id").alias("k"),
+        F.expr(
+            "timestamp'2024-03-01 00:00:00' + "
+            "make_interval(0, 0, 0, 0, cast(id as int), 0, 0)"
+        ).alias("ts"),
+    )  # 4 days
+    vt.create(df)
+    vt.append(df.withColumn("k", F.col("k") + 1000))  # v1: checkpointed
+    with open(vt._checkpoint_path(1)) as fh:
+        root = json.load(fh)
+    day2_parts = [
+        p["path"]
+        for p in root["parts"]
+        if p["partition"] == {"ts_day": "2024-03-02"}
+    ]
+    assert day2_parts
+    vt._last_part_reads = None
+    got = vt.read_partitions(
+        spark,
+        {"ts": ("range", _dt.datetime(2024, 3, 2), _dt.datetime(2024, 3, 2, 23, 59, 59))},
+    )
+    assert got.count() == 48  # 24 original + 24 appended
+    assert set(vt._last_part_reads) == set(day2_parts)
+    # dynamic overwrite of exactly that day
+    day2 = df.filter(F.to_date("ts") == F.lit("2024-03-02")).withColumn(
+        "k", F.col("k") + 9000
+    )
+    vt.overwrite_partitions(spark, day2)
+    assert vt.read(spark).filter("k >= 9000").count() == 24
+    assert vt.read(spark).count() == 96 + 96 - 48 + 24  # day 2 swapped
+    # untouched days kept both copies; day 2 holds only the backfill
+    got2 = vt.read_partitions(
+        spark,
+        {"ts": ("range", _dt.datetime(2024, 3, 2), _dt.datetime(2024, 3, 2, 23, 59, 59))},
+    )
+    assert got2.count() == 24 and got2.filter("k < 9000").count() == 0
+
+
+def test_checkpoint_tree_partition_pruned_resolution(spark, tmp_path):
+    """The manifest-tree protocol (VERDICT r9 #1): a partition-bounded
+    read through a tree checkpoint reads ONLY the matching partition's
+    manifest parts (plus none-partition parts, absent here) — never
+    the full file→stats map — and returns exactly the rows a
+    tree-less full resolve returns."""
+    vt = VersionedTable(
+        str(tmp_path / "pt"), partition_by=["lang"], checkpoint_interval=1
+    )
+    langs = ("en", "de", "fr")
+    df = spark.range(90).select(
+        F.col("id").alias("k"),
+        F.element_at(
+            F.array(*[F.lit(l) for l in langs]),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    vt.create(df)
+    vt.append(df.withColumn("k", F.col("k") + 1000))  # v1: checkpointed
+    with open(vt._checkpoint_path(1)) as fh:
+        root = json.load(fh)
+    assert root["checkpoint_format"] == "tree"
+    by_lang = {}
+    for p in root["parts"]:
+        assert p["partition"] is not None  # fully partitioned table
+        by_lang.setdefault(p["partition"]["lang"], []).append(p["path"])
+    assert set(by_lang) == set(langs)
+
+    vt._last_part_reads = None
+    got = vt.read_partitions(spark, {"lang": "de"})
+    assert vt._last_part_reads is not None
+    assert set(vt._last_part_reads) == set(by_lang["de"])  # ⊆ relevant
+    # equivalence with the tree-less full path
+    expect = sorted(
+        map(tuple, vt.read(spark, 1).filter("lang = 'de'").collect())
+    )
+    assert sorted(map(tuple, got.collect())) == expect
+
+    # a later delta's adds are NOT pruned away: append after the
+    # checkpoint, prune again — new rows must surface
+    vt.append(
+        spark.createDataFrame([(5000, "de", 5.0)], "k bigint, lang string, v double")
+    )
+    vt2 = VersionedTable(str(tmp_path / "pt"), partition_by=["lang"])
+    got2 = vt2.read_partitions(spark, {"lang": "de"}, version=None)
+    assert got2.filter("k = 5000").count() == 1
+    assert got2.count() == len(expect) + 1
+
+
+def test_checkpoint_tree_range_pruned_resolution(spark, tmp_path):
+    """read_pruned through a tree checkpoint reads only the parts
+    whose aggregate [lo, hi] intersects the probe (file groups are
+    range-disjoint here), with the same result as the full path; a
+    multi-part unpartitioned tree exercises the file-group chunker."""
+    vt = VersionedTable(
+        str(tmp_path / "rt"), stats_col="k", checkpoint_interval=1
+    )
+    vt._CHECKPOINT_PART_MAX_FILES = 2  # force several parts
+    df = (
+        spark.range(100)
+        .select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        .repartitionByRange(8, "k")
+    )
+    vt.create(df)
+    vt.append(
+        spark.createDataFrame([(100, 100.0)], "k bigint, v double")
+    )  # v1: checkpointed (interval=1)
+    with open(vt._checkpoint_path(1)) as fh:
+        root = json.load(fh)
+    assert len(root["parts"]) >= 4  # 9 files / 2 per part
+    vt._last_part_reads = None
+    got = vt.read_pruned(spark, 10, 20).filter("k between 10 and 20")
+    assert got.count() == 11
+    assert vt._last_part_reads is not None
+    relevant = [
+        p["path"]
+        for p in root["parts"]
+        if not p["stats_complete"] or not (p["hi"] < 10 or p["lo"] > 20)
+    ]
+    assert set(vt._last_part_reads) == set(relevant)
+    assert len(relevant) < len(root["parts"])  # pruning actually bit
+    # the stats relation prunes parts at the root the same way
+    vt._last_part_reads = None
+    rel = vt.stats_relation(spark, 1, key_range=(10, 20))
+    assert rel is not None
+    assert set(vt._last_part_reads) == set(relevant)
+    # candidate probe equivalence: part-pruned == JSON maps
+    snap = vt.snapshot(1)
+    keys = spark.createDataFrame([(15,), (100,)], ["__k"])
+    via_tree = vt._candidate_files(spark, keys, "__k", snap)
+    ck = vt._checkpoint_path(1)
+    os.rename(ck, ck + ".hidden")
+    try:
+        via_json = vt._candidate_files(spark, keys, "__k", snap)
+    finally:
+        os.rename(ck + ".hidden", ck)
+    assert via_tree == via_json
 
 
 def test_stats_relation_big_churn_writes_fresh_sidecar(spark, tmp_path):
@@ -1645,6 +1927,68 @@ def test_expectation_drop_mode_filters_and_records_metrics(spark, tmp_path):
     assert got.count() == 102          # k=2000 dropped, warn rows kept
     assert got.filter("k = 2000").count() == 0
     assert got.filter("k = 500").count() == 1
+
+
+def test_expectation_metrics_survive_commit_race(spark, tmp_path):
+    """Per-commit violation metrics must ride the commit RETRY: a
+    publish losing the version race (VersionConflictError) and
+    retrying on a fresh parent still carries the metrics its data
+    write observed — clearing them before publish succeeded silently
+    undercounted expectation audits under concurrency (ADVICE r9)."""
+    from mapreduce_wordcounter_spark.sources.versioned import (
+        VersionConflictError,
+    )
+
+    vt = _mk_exp(spark, tmp_path)
+    vt.set_expectation(spark, "k_bounded", "k < 1000", mode="drop")
+    orig = vt._publish
+    state = {"failed": False}
+
+    def flaky(manifest, version):
+        if not state["failed"]:
+            state["failed"] = True
+            raise VersionConflictError("simulated concurrent winner")
+        return orig(manifest, version)
+
+    vt._publish = flaky
+    v = vt.append(
+        spark.createDataFrame([(2000, 1.0), (5, 2.0)], "k bigint, v double")
+    )
+    assert state["failed"]  # the race actually fired
+    m = vt._load_manifest(v)
+    assert m["expectation_metrics"]["k_bounded"] == {
+        "mode": "drop",
+        "violations": 1,
+    }
+
+
+def test_changes_log_sees_rewrite_dropped_rows(spark, tmp_path):
+    """OPTIMIZE under an active drop-mode rule can DELETE rows (every
+    rewrite passes the expectation gate — test_expectations_enforced_
+    on_rewrite): the change feed must surface those deletes instead of
+    skipping the commit as layout-only, or incremental consumers
+    silently diverge (ADVICE r9)."""
+    vt = _mk_exp(spark, tmp_path)  # keys 0..99, v = k*1.0
+    v0 = vt.latest_version()
+    # drop rule that EXISTING rows 98, 99 violate (drop-mode rules may
+    # be set over violating data; they scrub on the next rewrite)
+    vt.set_expectation(spark, "v_cap", "v < 98", mode="drop")
+    v_opt = vt.optimize(spark, ["k"])
+    assert vt.read(spark).filter("k >= 98").count() == 0  # gate fired
+    log = vt.read_changes_log(spark, "k", v0, v_opt)
+    deletes = sorted(
+        r["k"] for r in log.filter("change_type = 'delete'").collect()
+    )
+    assert deletes == [98, 99]
+    # and metrics-aware skipping still works: a second optimize with
+    # ZERO drop violations contributes nothing to the feed
+    v_opt2 = vt.optimize(spark, ["k"])
+    m2 = vt._load_manifest(v_opt2)
+    assert all(
+        rec["violations"] == 0
+        for rec in (m2.get("expectation_metrics") or {}).values()
+    )
+    assert vt.read_changes_log(spark, "k", v_opt, v_opt2).count() == 0
 
 
 def test_expectation_null_predicate_fails_row(spark, tmp_path):

@@ -217,6 +217,9 @@ SHOWCASE = [
     "table_partition_overwrite",
     "table_dv_maintenance_decision",
     "stream_versioned_source",
+    # round 10: hidden partition transforms + the CDF streaming source
+    "table_partition_transform",
+    "stream_changes_feed",
 ]
 
 # Belt-and-braces: a duplicated SHOWCASE entry (it has happened) would
