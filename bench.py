@@ -211,6 +211,7 @@ HEADLINE = [
     # the checkpoint manifest tree) + the CDF streaming source
     "table_partition_transform",
     "stream_changes_feed",
+    "stream_cdf_incremental_mv",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries

@@ -2067,6 +2067,142 @@ def stream_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@query(
+    "stream_cdf_incremental_mv",
+    oracle=f"""
+    WITH final_state AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.1
+                    ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        UNION ALL
+        SELECT o_orderkey + 100000000, 100.0 FROM orders
+        WHERE o_orderkey % 100 = 0)
+    SELECT CAST(o_orderkey % 10 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum('price', 'sum_price')}
+    FROM final_state GROUP BY 1
+    """,
+)
+def stream_cdf_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full CDC loop closed (VERDICT r9 #4): a downstream
+    MATERIALIZED VIEW (per-bucket order counts + revenue) maintained
+    INCREMENTALLY from the upstream table's change feed — the CDF
+    stream (one version per micro-batch, maxVersionsPerBatch=1) flows
+    through ``foreachBatch``; each batch reduces its change events to
+    per-bucket DELTAS (insert → +1/+price, delete → −1/−old, update →
+    new−old, prices in the repo's integer micro-units so incremental
+    accumulation is bit-equal to a direct dsum) and MERGEs them into
+    the MV's own versioned table. The final MV must equal the direct
+    aggregate over the upstream's final state — the oracle replays
+    that aggregate from raw orders. Deltas telescope per key, so the
+    result is batching-invariant (pinned by the 3-commit /
+    3-micro-batch drain here).
+
+    Scale: this is why CDF exists — refreshing the MV costs the
+    CHANGES' churn per trigger (a per-bucket delta aggregate + one
+    bucket-keyed merge), never a rescan of the upstream table; at
+    100 TB with 0.1% daily churn that is ~GBs/day against ~100 TB/day
+    for recompute. A replayed micro-batch would re-apply its deltas
+    (at-least-once); production stamps the batch id into the MV
+    commit and skips applied ids — the manifest's extra-metadata slot
+    (_commit_delta(**extra)) is where it goes."""
+    import uuid as _uuid
+
+    from mapreduce_wordcounter_spark.functions.numeric import SCALE
+    from mapreduce_wordcounter_spark.sources.pydatasource import register
+    from mapreduce_wordcounter_spark.streaming.windows import (
+        stream_shuffle_partitions,
+    )
+
+    register(spark)  # idempotent (session-local flag)
+    vt = versioned_orders(spark, sf_dir)
+    mv_path = os.path.join(scratch_dir("cdf_mv_"), "mv")
+    mv = VersionedTable(mv_path)
+    s = (
+        spark.readStream.format("versioned_stream")
+        .option("path", vt.path)
+        .option("readChangeFeed", "true")
+        .option("key", "o_orderkey")
+        .option("maxVersionsPerBatch", "1")  # one commit per refresh
+        .load()
+    )
+    micro = lambda c: F.floor(c * SCALE + F.lit(0.5)).cast("long")  # noqa: E731
+
+    def apply_batch(batch, batch_id):
+        if batch.isEmpty():
+            return
+        d = (
+            batch.groupBy(
+                F.pmod(F.col("o_orderkey"), F.lit(10)).alias("b")
+            )
+            .agg(
+                F.sum(
+                    F.when(F.col("change_type") == "insert", 1)
+                    .when(F.col("change_type") == "delete", -1)
+                    .otherwise(0)
+                ).cast("long").alias("dn"),
+                F.sum(
+                    F.when(
+                        F.col("change_type") == "insert",
+                        micro(F.col("new_o_totalprice")),
+                    )
+                    .when(
+                        F.col("change_type") == "delete",
+                        -micro(F.col("old_o_totalprice")),
+                    )
+                    .otherwise(
+                        micro(F.col("new_o_totalprice"))
+                        - micro(F.col("old_o_totalprice"))
+                    )
+                ).cast("long").alias("ds"),
+            )
+        )
+        if not VersionedTable(mv_path).versions():
+            VersionedTable(mv_path).create(
+                d.select(
+                    F.col("b").alias("bucket"),
+                    F.col("dn").alias("n_orders"),
+                    F.col("ds").alias("s_micro"),
+                )
+            )
+            return
+        VersionedTable(mv_path).merge_into(
+            spark,
+            d,
+            key="bucket",
+            source_key="b",
+            update_set={
+                "n_orders": F.col("n_orders") + F.col("dn"),
+                "s_micro": F.col("s_micro") + F.col("ds"),
+            },
+            insert_exprs={
+                "bucket": F.col("b"),
+                "n_orders": F.col("dn"),
+                "s_micro": F.col("ds"),
+            },
+        )
+
+    ckpt = scratch_dir("cdf_mv_ck_", base="/dev/shm")
+    with stream_shuffle_partitions(spark, 2):
+        q = (
+            s.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(ckpt, "q"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            _drain_versioned_stream(q, vt.latest_version())
+        finally:
+            q.stop()
+    out = VersionedTable(mv_path).read(spark)
+    return out.select(
+        "bucket",
+        "n_orders",
+        (F.col("s_micro").cast("double") / SCALE).alias("sum_price"),
+    ).filter(F.col("n_orders") > 0)
+
+
 # ---------------------------------------------------------------------------
 # DV maintenance planning
 # ---------------------------------------------------------------------------

@@ -220,6 +220,7 @@ SHOWCASE = [
     # round 10: hidden partition transforms + the CDF streaming source
     "table_partition_transform",
     "stream_changes_feed",
+    "stream_cdf_incremental_mv",
 ]
 
 # Belt-and-braces: a duplicated SHOWCASE entry (it has happened) would

@@ -87,6 +87,11 @@ TARGETS = [
     # metadata-only partition drop — is paid once in the warm-up pass;
     # timed passes measure the pruned scan, the path that sees 100 TB)
     "table_partition_pruning",
+    # round 10: hidden days(ts) partitioning over the versioned events
+    # table — events grow in the blow-up, so the timed passes measure
+    # the transform-pruned read (5 day-partitions selected out of 30)
+    # through the checkpoint manifest tree (build paid in warm-up)
+    "table_partition_transform",
 ]
 
 
