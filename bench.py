@@ -212,6 +212,8 @@ HEADLINE = [
     "table_partition_transform",
     "stream_changes_feed",
     "stream_cdf_incremental_mv",
+    "table_history",
+    "table_partitions_metadata",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries

@@ -328,6 +328,84 @@ def table_changes_feed_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vt.read_changes_log(spark, "o_orderkey", 1, 2)
 
 
+@query(
+    "table_history",
+    oracle="""
+    SELECT CAST(0 AS INT) AS version, 'create' AS operation,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 1, 'append', CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    UNION ALL
+    SELECT 2, 'merge',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 IN (0, 1))
+                + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 100 = 0)
+                AS BIGINT)
+    """,
+)
+def table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY as a queryable surface: per retained version,
+    the operation and the METADATA-ONLY row count (per-file footer
+    counts recorded at commit time — Delta's numRecords / Iceberg's
+    record_count — minus deletion-vector tombstones). The oracle
+    replays each version's expected cardinality from raw orders, so
+    the driver hash pins that the metadata counts tell the truth
+    about every snapshot in the lineage.
+
+    Scale: the whole answer is KB-scale manifest metadata — no Spark
+    job reads a data file; at 100 TB, COUNT(*) and history audits
+    served this way cost the same as at 100 MB."""
+    vt = versioned_orders(spark, sf_dir)
+    rows = [
+        (h["version"], h["operation"], h["n_rows"])
+        for h in vt.history()
+    ]
+    assert all(r[2] is not None for r in rows)  # metadata must answer
+    return spark.createDataFrame(
+        rows, "version int, operation string, n_rows bigint"
+    )
+
+
+@query(
+    "table_partitions_metadata",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN doc_id % 5 = 0 OR lang = 'de'
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_live_rows
+    FROM documents GROUP BY lang
+    """,
+)
+def table_partitions_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg's ``.partitions`` metadata table: per-partition row
+    counts served from manifest metadata ALONE — recorded footer
+    counts per file, DV tombstones attributed to their file's
+    partition — over the MoR-deleted docs fixture (v0 = full table,
+    latest = after the deletion-vector delete). The oracle replays
+    both cardinalities from the raw table, so the driver hash pins
+    that per-partition metadata stays truthful THROUGH merge-on-read
+    deletes.
+
+    Scale: partition-level audits (which partitions grew, which are
+    mostly dead) read KBs of manifest regardless of table size — the
+    planning input for compaction and retention decisions."""
+    vt = _dv_maintenance_docs(spark, sf_dir)
+    full = {
+        p["partition"]["lang"]: p["n_rows"]
+        for p in vt.partitions_summary(0)
+    }
+    live = {
+        p["partition"]["lang"]: p["n_rows"]
+        for p in vt.partitions_summary()
+    }
+    assert None not in full.values() and None not in live.values()
+    rows = [(lang, full[lang], live.get(lang, 0)) for lang in sorted(full)]
+    return spark.createDataFrame(
+        rows, "lang string, n_rows bigint, n_live_rows bigint"
+    )
+
+
 def _deleted_orders(spark: SparkSession, sf_dir: str) -> VersionedTable:
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _DELETE_VT_PATHS.get(key)

@@ -261,6 +261,7 @@ class VersionedTable:
         out["dv"] = {
             b: list(l) for b, l in (snap.get("dv") or {}).items()
         }
+        out["rows"] = dict(snap.get("rows") or {})
         return out
 
     def _cache_snapshot(self, version: int, snap: dict) -> None:
@@ -306,6 +307,7 @@ class VersionedTable:
             "files": set(base.get("files") or []),
             "stats": dict(base.get("stats") or {}),
             "blooms": dict(base.get("blooms") or {}),
+            "rows": dict(base.get("rows") or {}),
             "schema": base.get("schema"),
             "expectations": base.get("expectations"),
             "dv": {b: list(l) for b, l in (base.get("dv") or {}).items()},
@@ -325,6 +327,7 @@ class VersionedTable:
                 "files": sorted(state["files"]),
                 "stats": state["stats"],
                 "blooms": state["blooms"],
+                "rows": state["rows"],
             }
         )
         if "parent" not in out:
@@ -363,8 +366,10 @@ class VersionedTable:
         for gone in removed:
             state["stats"].pop(gone, None)
             state["blooms"].pop(gone, None)
+            state["rows"].pop(gone, None)
         state["stats"].update(delta.get("stats") or {})
         state["blooms"].update(delta.get("blooms") or {})
+        state["rows"].update(delta.get("rows") or {})
 
     def _resolve_selected(self, version: int | None, part_filter) -> dict | None:
         """PARTIAL snapshot resolution through the checkpoint manifest
@@ -419,11 +424,12 @@ class VersionedTable:
             if "expectations" in delta:
                 meta["expectations"] = delta["expectations"]
         selected = [p for p in root["parts"] if part_filter(meta, p)]
-        files, stats, blooms = self._read_checkpoint_parts(selected)
+        files, stats, blooms, rows = self._read_checkpoint_parts(selected)
         state = {
             "files": set(files),
             "stats": stats,
             "blooms": blooms,
+            "rows": rows,
             "schema": root.get("schema"),
             "expectations": root.get("expectations"),
             "dv": {b: list(l) for b, l in (root.get("dv") or {}).items()},
@@ -453,6 +459,7 @@ class VersionedTable:
                 "files": sorted(state["files"]),
                 "stats": state["stats"],
                 "blooms": state["blooms"],
+                "rows": state["rows"],
                 "schema": state["schema"],
                 "expectations": state["expectations"],
                 "dv": state["dv"],
@@ -525,6 +532,7 @@ class VersionedTable:
         version = snap["version"]
         stats = snap.get("stats") or {}
         blooms = snap.get("blooms") or {}
+        rows_map = snap.get("rows") or {}
         groups: dict[tuple, list[str]] = {}
         for f in snap["files"]:
             key = tuple(sorted(self._partition_values(f).items()))
@@ -547,6 +555,9 @@ class VersionedTable:
                         [stats[f][1] if f in stats else None for f in chunk],
                         type=stat_type,
                     )
+                cols["n_rows"] = pa.array(
+                    [rows_map.get(f) for f in chunk], type=pa.int64()
+                )
                 cols["bloom_m"] = pa.array(
                     [
                         int(blooms[f]["m"]) if f in blooms else None
@@ -583,7 +594,7 @@ class VersionedTable:
 
     def _read_checkpoint_parts(
         self, summaries: list[dict]
-    ) -> tuple[list[str], dict, dict]:
+    ) -> tuple[list[str], dict, dict, dict]:
         """Read the given checkpoint parts (pyarrow, driver-side
         bounded metadata) back into (files, stats, blooms). Records
         which parts were read in ``_last_part_reads`` — the hook the
@@ -594,6 +605,7 @@ class VersionedTable:
         files: list[str] = []
         stats: dict = {}
         blooms: dict = {}
+        rows: dict = {}
         reads: list[str] = []
         for p in summaries:
             t = pq.read_table(os.path.join(self.snap_dir, p["path"]))
@@ -601,6 +613,7 @@ class VersionedTable:
             d = t.to_pydict()
             los = d.get("lo")
             his = d.get("hi")
+            nrs = d.get("n_rows")
             for i, f in enumerate(d["file"]):
                 files.append(f)
                 if los is not None and los[i] is not None:
@@ -610,8 +623,10 @@ class VersionedTable:
                         "m": int(d["bloom_m"][i]),
                         "hex": d["bloom_hex"][i],
                     }
+                if nrs is not None and nrs[i] is not None:
+                    rows[f] = int(nrs[i])
         self._last_part_reads = reads
-        return files, stats, blooms
+        return files, stats, blooms, rows
 
     def _load_checkpoint(self, version: int) -> dict:
         """A checkpoint as a fully-resolved base: tree root + ALL its
@@ -622,13 +637,18 @@ class VersionedTable:
             root = json.load(fh)
         if "parts" not in root:
             return root  # legacy monolith
-        files, stats, blooms = self._read_checkpoint_parts(root["parts"])
+        files, stats, blooms, rows = self._read_checkpoint_parts(
+            root["parts"]
+        )
         out = {
             k: v
             for k, v in root.items()
             if k not in ("parts", "checkpoint_format", "n_files", "has_stats")
         }
-        out.update({"files": sorted(files), "stats": stats, "blooms": blooms})
+        out.update(
+            {"files": sorted(files), "stats": stats, "blooms": blooms,
+             "rows": rows}
+        )
         return out
 
     def _write_checkpoint_stats(self, snap: dict) -> None:
@@ -757,7 +777,11 @@ class VersionedTable:
         if not base_paths:
             # every tree part pruned by key_range: nothing can match
             return None
-        rel = spark.read.parquet(*base_paths)
+        # normalize to the stats-relation schema (tree parts carry an
+        # extra n_rows column the delta-patch unions must not see)
+        rel = spark.read.parquet(*base_paths).select(
+            "file", "lo", "hi", "bloom_m", "bloom_hex"
+        )
         schema = rel.schema
         for delta in reversed(chain):
             removed = list(delta.get("remove") or [])
@@ -843,6 +867,16 @@ class VersionedTable:
         now = set(files)
         add = sorted(now - prev)
         remove = sorted(prev - now)
+        # per-file ROW COUNTS for the added files (parquet footer
+        # metadata, churn-sized driver work — Delta's numRecords /
+        # Iceberg's record_count): makes COUNT(*) and history row
+        # audits METADATA-ONLY reads (count_rows), never table scans
+        rows_entry: dict = {}
+        for f in add:
+            try:
+                rows_entry[f] = self._file_num_rows(f)
+            except Exception:
+                pass  # stats are acceleration; count_rows degrades
         if schema is _INHERIT:
             schema = parent.get("schema") if parent else None
         if schema is not None:
@@ -906,6 +940,7 @@ class VersionedTable:
             "remove": remove,
             "stats": {f: stats[f] for f in add if f in stats},
             "blooms": {f: blooms[f] for f in add if f in blooms},
+            "rows": rows_entry,
             **schema_entry,
             **exp_entry,
             **dv_entry,
@@ -920,12 +955,16 @@ class VersionedTable:
             k: v
             for k, v in manifest.items()
             if k not in ("add", "remove", "stats", "blooms",
-                         "dv_add", "dv_state")
+                         "dv_add", "dv_state", "rows")
         }
+        snap_rows = dict((parent or {}).get("rows") or {})
+        for gone in remove:
+            snap_rows.pop(gone, None)
+        snap_rows.update(rows_entry)
         snap.update(
             {"files": files, "stats": stats, "blooms": blooms,
              "schema": schema, "expectations": expectations,
-             "dv": dvstate}
+             "dv": dvstate, "rows": snap_rows}
         )
         self._cache_snapshot(version, snap)
         if version > 0 and version % self.checkpoint_interval == 0:
@@ -1450,6 +1489,115 @@ class VersionedTable:
             if lo is not None:
                 out[rel] = [lo, hi]
         return out
+
+    def _file_num_rows(self, rel: str) -> int:
+        """Row count of one data file from its parquet FOOTER (no data
+        pages touched) — recorded per added file at commit time."""
+        import pyarrow.parquet as pq
+
+        path = rel if os.path.isabs(rel) else os.path.join(self.path, rel)
+        return int(pq.ParquetFile(path).metadata.num_rows)
+
+    def count_rows(self, version: int | None = None) -> int | None:
+        """COUNT(*) as a METADATA-ONLY read (Delta numRecords /
+        Iceberg record_count): sum of the snapshot's per-file row
+        counts minus its deletion-vector tombstones — KB-scale driver
+        work at any table size, no Spark job, no data scan. Returns
+        None when some live file predates row-count recording (the
+        caller falls back to an honest scan); equality with
+        ``read().count()`` across every commit type is pinned in
+        tests/test_versioned.py."""
+        snap = self.snapshot(version)
+        rows = snap.get("rows") or {}
+        if any(f not in rows for f in snap["files"]):
+            return None  # pre-upgrade files: metadata can't answer
+        total = sum(rows[f] for f in snap["files"])
+        return total - sum(self._dv_tombstones(snap).values())
+
+    def _dv_tombstones(self, snap: dict) -> dict[str, int]:
+        """Tombstone counts per LIVE data-file basename: read the live
+        DV files' ``file`` column (churn-sized driver metadata — one
+        row per deleted row) and count positions attributed to live
+        bases. Per-base attribution matters twice: a DV part can span
+        many base files (dv_add maps every affected base to the whole
+        commit's parts), and it can reference bases a later rewrite
+        removed — raw footer sums would multi-count both ways.
+        (file, pos) pairs are unique across a base's live DV parts
+        (each MoR delete matches only still-visible rows)."""
+        import pyarrow.parquet as pq
+
+        live = {os.path.basename(f) for f in snap["files"]}
+        dv_files = sorted(
+            {
+                p
+                for b, lst in (snap.get("dv") or {}).items()
+                if b in live
+                for p in lst
+            }
+        )
+        counts: dict[str, int] = {}
+        for rel in dv_files:
+            path = rel if os.path.isabs(rel) else os.path.join(self.path, rel)
+            t = pq.read_table(path, columns=["file"])
+            for b in t.column("file").to_pylist():
+                if b in live:
+                    counts[b] = counts.get(b, 0) + 1
+        return counts
+
+    def history(self, limit: int | None = None) -> list[dict]:
+        """DESCRIBE HISTORY: newest-first commit audit rows from the
+        manifest log — (version, operation, committed_at, n_added,
+        n_removed, n_rows) where n_rows is the metadata-only row count
+        of that snapshot (None where unrecorded). Bounded driver-side
+        metadata: one manifest read per retained version (plus the
+        count_rows resolution, checkpoint-accelerated)."""
+        out = []
+        for v in reversed(self.versions()):
+            m = self._load_manifest(v)
+            out.append(
+                {
+                    "version": v,
+                    "operation": m.get("operation"),
+                    "committed_at": m.get("committed_at"),
+                    "n_added": len(m.get("add") or m.get("files") or []),
+                    "n_removed": len(m.get("remove") or []),
+                    "n_rows": self.count_rows(v),
+                }
+            )
+            if limit is not None and len(out) >= limit:
+                break
+        return out
+
+    def partitions_summary(self, version: int | None = None) -> list[dict]:
+        """Iceberg's ``.partitions`` metadata table: one row per live
+        partition — (partition values, n_files, n_rows) — computed
+        entirely from manifest metadata (file paths + recorded footer
+        counts), no data scan. ``n_rows`` is None for a partition
+        holding any file without a recorded count; DV tombstones are
+        attributed to their file's partition (basename → partition from
+        the live file list). Files written before partitioning group
+        under partition=None."""
+        snap = self.snapshot(version)
+        rows = snap.get("rows") or {}
+        by_base: dict[str, str] = {}
+        groups: dict[tuple, dict] = {}
+        for f in snap["files"]:
+            key = tuple(sorted(self._partition_values(f).items()))
+            g = groups.setdefault(
+                key, {"partition": dict(key) or None, "n_files": 0,
+                      "n_rows": 0}
+            )
+            g["n_files"] += 1
+            if g["n_rows"] is not None and f in rows:
+                g["n_rows"] += rows[f]
+            elif f not in rows:
+                g["n_rows"] = None
+            by_base[os.path.basename(f)] = key
+        for b, n in self._dv_tombstones(snap).items():
+            g = groups[by_base[b]]
+            if g["n_rows"] is not None:
+                g["n_rows"] -= n
+        return [groups[k] for k in sorted(groups)]
 
     def _merged_stats(
         self, parent_snap: dict | None, retained: list[str], new_files: list[str]

@@ -2465,3 +2465,85 @@ def test_expectation_max_frac_circuit_breaker(spark, tmp_path):
         vt2.set_expectation(spark, "__reserved", "v > 0", mode="warn")
     with pytest.raises(ValueError):
         vt2.set_expectation(spark, "x", "v > 0", mode="drop", max_frac=1.5)
+
+
+def test_metadata_row_counts_across_commit_types(spark, tmp_path):
+    """count_rows is a METADATA-ONLY COUNT(*) (per-file footer counts
+    recorded per commit, minus DV tombstones): it must equal
+    read().count() across create, append, CoW merge/delete, MoR
+    delete, purge, optimize, partition drop and rollback — and answer
+    None (honest scan fallback) when a live file predates recording."""
+    vt = _mk(spark, tmp_path)  # create: keys 0..99
+    assert vt.count_rows() == 100 == vt.read(spark).count()
+    vt.append(spark.createDataFrame([(100, 1.0), (101, 2.0)], "k bigint, v double"))
+    assert vt.count_rows() == 102 == vt.read(spark).count()
+    vt.delete_where(spark, F.col("k") % 10 == 0)  # CoW: 11 gone (0..100)
+    assert vt.count_rows() == vt.read(spark).count() == 91
+    vt.delete_where_mor(spark, F.col("k") % 7 == 0)  # MoR tombstones
+    assert vt.count_rows() == vt.read(spark).count()
+    n_mor = vt.count_rows()
+    vt.purge_dvs(spark)  # compacts tombstones back into data files
+    assert vt.count_rows() == vt.read(spark).count() == n_mor
+    vt.optimize(spark, ["k"])
+    assert vt.count_rows() == vt.read(spark).count() == n_mor
+    vt.rollback(1)
+    assert vt.count_rows() == 102 == vt.read(spark).count()
+    # time travel: every retained version still answers from metadata
+    assert vt.count_rows(0) == 100
+    # pre-upgrade file: strip the recorded counts from the create
+    # manifest -> metadata honestly declines
+    m = vt._load_manifest(0)
+    m.pop("rows", None)
+    with open(vt._manifest_path(0), "w") as fh:
+        json.dump(m, fh)
+    vt2 = VersionedTable(str(tmp_path / "t"))
+    assert vt2.count_rows(0) is None
+
+
+def test_history_audit_rows(spark, tmp_path):
+    """history() returns newest-first (version, operation, churn,
+    metadata row count) audit rows from the manifest log alone."""
+    vt = _mk(spark, tmp_path, n=50, files=2)
+    vt.append(spark.createDataFrame([(50, 1.0)], "k bigint, v double"))
+    vt.delete_where(spark, F.col("k") == 0)
+    h = vt.history()
+    assert [r["version"] for r in h] == [2, 1, 0]
+    assert [r["operation"] for r in h] == ["delete", "append", "create"]
+    assert [r["n_rows"] for r in h] == [50, 51, 50]
+    assert h[2]["n_added"] == 2 and h[2]["n_removed"] == 0
+    assert h[0]["n_removed"] >= 1  # the CoW rewrite dropped a file
+    assert vt.history(limit=1)[0]["version"] == 2
+
+
+def test_metadata_counts_through_checkpoint_tree_and_clone(spark, tmp_path):
+    """Row counts survive checkpoint-tree resolution (n_rows rides the
+    manifest parts) and shallow clones (absolute-path files re-footed
+    at clone commit)."""
+    vt = VersionedTable(str(tmp_path / "ck"), checkpoint_interval=2)
+    df = spark.range(60).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    vt.create(df.repartitionByRange(3, "k"))
+    vt.append(spark.createDataFrame([(60, 1.0)], "k bigint, v double"))
+    vt.append(spark.createDataFrame([(61, 2.0)], "k bigint, v double"))
+    assert os.path.exists(vt._checkpoint_path(2))
+    fresh = VersionedTable(str(tmp_path / "ck"), checkpoint_interval=2)
+    assert fresh.count_rows(2) == 62  # resolved THROUGH the tree base
+    clone = vt.clone_to(str(tmp_path / "cl"))
+    assert clone.count_rows() == 62
+
+
+def test_partitions_summary_metadata_only(spark, tmp_path):
+    """partitions_summary reports per-partition file/row counts from
+    manifest metadata, DV tombstones attributed to their partition;
+    a metadata-only partition drop removes the partition's row."""
+    vt, df = _mk_part(spark, tmp_path)  # 90 rows, 30 per lang
+    parts = {p["partition"]["lang"]: p for p in vt.partitions_summary()}
+    assert {k: p["n_rows"] for k, p in parts.items()} == {
+        "en": 30, "de": 30, "fr": 30
+    }
+    vt.delete_where_mor(spark, (F.col("lang") == "en") & (F.col("k") % 2 == 0))
+    parts = {p["partition"]["lang"]: p for p in vt.partitions_summary()}
+    assert parts["en"]["n_rows"] == vt.read(spark).filter("lang='en'").count()
+    assert parts["de"]["n_rows"] == 30  # untouched partitions exact
+    vt.delete_partitions(spark, {"lang": ["fr"]})
+    langs = {p["partition"]["lang"] for p in vt.partitions_summary()}
+    assert langs == {"en", "de"}

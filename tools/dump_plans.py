@@ -221,6 +221,8 @@ SHOWCASE = [
     "table_partition_transform",
     "stream_changes_feed",
     "stream_cdf_incremental_mv",
+    "table_history",
+    "table_partitions_metadata",
 ]
 
 # Belt-and-braces: a duplicated SHOWCASE entry (it has happened) would
