@@ -214,6 +214,7 @@ HEADLINE = [
     "stream_cdf_incremental_mv",
     "table_history",
     "table_partitions_metadata",
+    "table_scd2_from_cdf",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries

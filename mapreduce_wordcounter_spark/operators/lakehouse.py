@@ -406,6 +406,46 @@ def table_partitions_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "table_scd2_from_cdf",
+    oracle="""
+    SELECT o_orderkey, o_totalprice AS price,
+           CAST(CASE WHEN o_orderkey % 3 = 0 THEN 0 ELSE 1 END AS INT)
+               AS valid_from,
+           CAST(CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE NULL END AS INT)
+               AS valid_to,
+           o_orderkey % 10 <> 0 AS is_current
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    UNION ALL
+    SELECT o_orderkey, o_totalprice * 1.1, 2, NULL, TRUE
+    FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 = 0
+    UNION ALL
+    SELECT o_orderkey + 100000000, 100.0, 2, NULL, TRUE
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def table_scd2_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A TYPE-2 slowly-changing dimension built from the table's own
+    change feed — the canonical CDC consumer: every change event
+    (creates/appends as version-stamped inserts, merge updates with
+    their new values) becomes one validity row via a per-key window —
+    valid_from = the commit version, valid_to = the NEXT event's
+    version (lead; null = current), delete events close windows
+    without opening one. The oracle reconstructs the expected validity
+    windows from the deterministic lineage (v0/v1 inserts, every 10th
+    key re-priced at v2, v2 inserts).
+
+    Scale: SCD2 maintenance from CDF costs the feed's churn plus one
+    per-key window — never a scan of the dimension's history table;
+    this is the pattern warehouses run nightly against Delta CDF.
+    Delete-closes-window semantics are pinned separately in
+    tests/test_versioned.py::test_scd2_delete_closes_window."""
+    vt = versioned_orders(spark, sf_dir)
+    return vt.scd2(spark, "o_orderkey", "o_totalprice").withColumnRenamed(
+        "o_totalprice", "price"
+    )
+
+
 def _deleted_orders(spark: SparkSession, sf_dir: str) -> VersionedTable:
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _DELETE_VT_PATHS.get(key)

@@ -2812,6 +2812,59 @@ class VersionedTable:
         )
         return typed.filter(F.col("change_type").isNotNull())
 
+    def scd2(
+        self,
+        spark: SparkSession,
+        key: str,
+        value_col: str,
+        v_from: int = 0,
+        v_to: int | None = None,
+    ) -> DataFrame:
+        """A TYPE-2 slowly-changing dimension from this table's change
+        feed: the ``v_from`` snapshot's rows become version-stamped
+        inserts, each later commit's change events (read_changes_log,
+        churn-sized) append with their version, and one per-key window
+        assigns validity — valid_from = the event's commit version,
+        valid_to = the next event's version (lead; null = current).
+        DELETE events close the previous row's window without opening
+        one. Returns (key, value, valid_from, valid_to, is_current).
+
+        Scale: feed churn + one per-key window — never a rescan of
+        the dimension's history; the nightly-SCD2-off-Delta-CDF
+        pattern."""
+        from pyspark.sql import Window
+
+        if v_to is None:
+            v_to = self.latest_version()
+        events = (
+            self.read(spark, v_from)
+            .select(
+                key,
+                F.lit("insert").alias("change_type"),
+                F.col(value_col).alias(f"new_{value_col}"),
+            )
+            .withColumn("_v", F.lit(v_from))
+        )
+        for v in range(v_from + 1, v_to + 1):
+            feed = (
+                self.read_changes_log(spark, key, v - 1, v)
+                .select(key, "change_type", f"new_{value_col}")
+                .withColumn("_v", F.lit(v))
+            )
+            events = events.unionByName(feed)
+        w = Window.partitionBy(key).orderBy("_v")
+        return (
+            events.withColumn("valid_to", F.lead("_v").over(w))
+            .filter(F.col("change_type") != "delete")
+            .select(
+                key,
+                F.col(f"new_{value_col}").alias(value_col),
+                F.col("_v").cast("int").alias("valid_from"),
+                F.col("valid_to").cast("int").alias("valid_to"),
+                F.col("valid_to").isNull().alias("is_current"),
+            )
+        )
+
     def _rewrite_may_drop_rows(self, m: dict, v: int) -> bool:
         """Whether a layout-only rewrite commit (optimize/purge_dvs)
         may have DELETED rows through an active drop-mode expectation:

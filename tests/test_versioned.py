@@ -2547,3 +2547,39 @@ def test_partitions_summary_metadata_only(spark, tmp_path):
     vt.delete_partitions(spark, {"lang": ["fr"]})
     langs = {p["partition"]["lang"] for p in vt.partitions_summary()}
     assert langs == {"en", "de"}
+
+
+def test_scd2_delete_closes_window(spark, tmp_path):
+    """scd2(): a DELETE event closes the key's open validity window
+    without opening a new one; updates chain windows; untouched keys
+    stay current from their insert version."""
+    vt = VersionedTable(str(tmp_path / "s2"))
+    vt.create(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "k bigint, v double"
+        )
+    )
+    vt.merge_into(  # v1: update k=1, insert k=4
+        spark,
+        spark.createDataFrame([(1, 11.0), (4, 40.0)], "s_k bigint, nv double"),
+        key="k", source_key="s_k",
+        update_set={"v": F.col("nv")},
+        insert_exprs={"k": F.col("s_k"), "v": F.col("nv")},
+        cdc=True,
+    )
+    vt.delete_keys(  # v2: delete k=2
+        spark,
+        spark.createDataFrame([(2,)], "dk bigint"),
+        key="k", source_key="dk", cdc=True,
+    )
+    dim = {
+        (r["k"], r["valid_from"]): (r["v"], r["valid_to"], r["is_current"])
+        for r in vt.scd2(spark, "k", "v").collect()
+    }
+    assert dim == {
+        (1, 0): (10.0, 1, False),
+        (1, 1): (11.0, None, True),
+        (2, 0): (20.0, 2, False),   # closed by the delete, not reopened
+        (3, 0): (30.0, None, True),
+        (4, 1): (40.0, None, True),
+    }

@@ -223,6 +223,7 @@ SHOWCASE = [
     "stream_cdf_incremental_mv",
     "table_history",
     "table_partitions_metadata",
+    "table_scd2_from_cdf",
 ]
 
 # Belt-and-braces: a duplicated SHOWCASE entry (it has happened) would
