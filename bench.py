@@ -215,6 +215,7 @@ HEADLINE = [
     "table_history",
     "table_partitions_metadata",
     "table_scd2_from_cdf",
+    "table_symlink_manifest",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries

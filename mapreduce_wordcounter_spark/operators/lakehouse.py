@@ -446,6 +446,41 @@ def table_scd2_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "table_symlink_manifest",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def table_symlink_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interop export (Delta's GENERATE symlink_format_manifest): the
+    partitioned docs table's v1 snapshot is materialized as
+    per-partition text manifests of absolute file paths, then read
+    back EXACTLY the way an external engine (Presto / Trino / Athena)
+    would — plain parquet over the manifest-listed files, no snapshot
+    log in sight — and aggregated per lang. The oracle replays the
+    aggregate from the raw table, pinning that the export names
+    precisely one consistent snapshot's files.
+
+    Scale: manifest bytes ∝ file count (KBs of text at 10⁶ files per
+    partition tree), zero data read to generate; the external engine
+    scans data files directly."""
+    vt = _partitioned_docs(spark, sf_dir)
+    # regenerate at v1 (the full pre-delete snapshot the oracle sees)
+    root = vt.generate_symlink_manifest(version=1)
+    files = VersionedTable.read_symlink_manifest(root)
+    return (
+        spark.read.parquet(*files)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
 def _deleted_orders(spark: SparkSession, sf_dir: str) -> VersionedTable:
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _DELETE_VT_PATHS.get(key)

@@ -2812,6 +2812,71 @@ class VersionedTable:
         )
         return typed.filter(F.col("change_type").isNotNull())
 
+    def generate_symlink_manifest(self, version: int | None = None) -> str:
+        """Delta's ``GENERATE symlink_format_manifest``: materialize
+        one text manifest per partition directory (plus one at the
+        root for unpartitioned files) listing the snapshot's data
+        files as ABSOLUTE paths — the interop surface engines that
+        cannot read the snapshot log (Presto / Trino / Athena / Hive
+        external tables) consume to query exactly one consistent
+        snapshot. Written under ``_symlink_format_manifest/<partition
+        segments>/manifest`` via tmp+rename (regeneration is
+        idempotent; readers never observe a torn manifest). Returns
+        the manifest root.
+
+        Refuses when the snapshot carries DELETION VECTORS (row-level
+        tombstones are invisible to a file-listing consumer — Delta
+        documents the same restriction) or COLUMN MAPPING (data files
+        store physical names the external engine would surface).
+        Metadata-only: bytes written ∝ file count, no data read."""
+        snap = self.snapshot(version)
+        live = {os.path.basename(f) for f in snap["files"]}
+        if any(b in live and lst for b, lst in (snap.get("dv") or {}).items()):
+            raise ValueError(
+                "snapshot carries deletion vectors: a file-listing "
+                "consumer would resurrect deleted rows; purge_dvs first"
+            )
+        if snap.get("schema"):
+            raise ValueError(
+                "snapshot uses column mapping: data files store "
+                "physical column names an external reader would surface"
+            )
+        root = os.path.join(self.path, "_symlink_format_manifest")
+        groups: dict[tuple, list[str]] = {}
+        for f in snap["files"]:
+            key = tuple(sorted(self._partition_values(f).items()))
+            full = f if os.path.isabs(f) else os.path.join(self.path, f)
+            groups.setdefault(key, []).append(os.path.abspath(full))
+        # clear stale partition manifests from a previous generation
+        # (a dropped partition must not keep serving its old manifest)
+        if os.path.isdir(root):
+            import shutil
+
+            shutil.rmtree(root)
+        for key, paths in groups.items():
+            d = os.path.join(root, *[f"{k}={v}" for k, v in key])
+            os.makedirs(d, exist_ok=True)
+            final = os.path.join(d, "manifest")
+            tmp = final + f".{uuid.uuid4().hex}.tmp"
+            with open(tmp, "w") as fh:
+                fh.write("\n".join(sorted(paths)) + "\n")
+            os.replace(tmp, final)
+        return root
+
+    @staticmethod
+    def read_symlink_manifest(root: str) -> list[str]:
+        """The file list a symlink-manifest consumer resolves: every
+        path in every ``manifest`` file under ``root``."""
+        out: list[str] = []
+        for dirpath, _dirs, names in sorted(os.walk(root)):
+            for n in names:
+                if n == "manifest":
+                    with open(os.path.join(dirpath, n)) as fh:
+                        out.extend(
+                            line for line in fh.read().splitlines() if line
+                        )
+        return sorted(out)
+
     def scd2(
         self,
         spark: SparkSession,

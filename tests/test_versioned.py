@@ -2583,3 +2583,35 @@ def test_scd2_delete_closes_window(spark, tmp_path):
         (3, 0): (30.0, None, True),
         (4, 1): (40.0, None, True),
     }
+
+
+def test_symlink_manifest_export(spark, tmp_path):
+    """generate_symlink_manifest names exactly one snapshot's files
+    (per-partition manifests, absolute paths); regeneration at a newer
+    version replaces stale partition manifests; DV-bearing and
+    column-mapped snapshots refuse."""
+    vt, df = _mk_part(spark, tmp_path)  # 90 rows over en/de/fr
+    root = vt.generate_symlink_manifest()
+    files = VersionedTable.read_symlink_manifest(root)
+    snap = vt.snapshot()
+    assert sorted(files) == sorted(
+        os.path.abspath(os.path.join(vt.path, f)) for f in snap["files"]
+    )
+    assert spark.read.parquet(*files).count() == 90
+    # drop a partition, regenerate: its manifest dir disappears
+    vt.delete_partitions(spark, {"lang": ["fr"]})
+    root = vt.generate_symlink_manifest()
+    assert not os.path.exists(os.path.join(root, "_p__lang=fr"))
+    assert spark.read.parquet(
+        *VersionedTable.read_symlink_manifest(root)
+    ).count() == 60
+    # refusal: deletion vectors would resurrect rows for a file lister
+    vt.delete_where_mor(spark, F.col("k") % 2 == 0)
+    with pytest.raises(ValueError, match="deletion vectors"):
+        vt.generate_symlink_manifest()
+    vt.purge_dvs(spark)
+    vt.generate_symlink_manifest()  # purged: allowed again
+    # refusal: column mapping (physical names would surface)
+    vt.rename_column("v", "val")
+    with pytest.raises(ValueError, match="column mapping"):
+        vt.generate_symlink_manifest()

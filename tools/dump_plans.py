@@ -224,6 +224,7 @@ SHOWCASE = [
     "table_history",
     "table_partitions_metadata",
     "table_scd2_from_cdf",
+    "table_symlink_manifest",
 ]
 
 # Belt-and-braces: a duplicated SHOWCASE entry (it has happened) would
