@@ -597,7 +597,7 @@ def make_versioned_stream_source():
             op = m.get("operation")
             if op in ("set_expectation", "drop_expectation"):
                 return []  # metadata-only
-            if op in ("optimize", "purge_dvs"):
+            if op in ("optimize", "purge_dvs", "compact"):
                 rules = self._expectations_at(m, v)
                 drops = [
                     n for n, r in rules.items() if r.get("mode") == "drop"

@@ -2987,7 +2987,7 @@ class VersionedTable:
             op = m.get("operation")
             if op in ("set_expectation", "drop_expectation"):
                 continue  # metadata-only: no content change
-            if op in ("optimize", "purge_dvs"):
+            if op in ("optimize", "purge_dvs", "compact"):
                 # Layout-only rewrites are normally row-identical — but
                 # every rewrite passes through the drop-mode expectation
                 # gate (pinned by test_expectations_enforced_on_rewrite),
@@ -3119,6 +3119,72 @@ class VersionedTable:
                 continue
         raise VersionConflictError(
             f"optimize lost the commit race 8 times at {self.path}"
+        )
+
+    def compact_small_files(
+        self,
+        spark: SparkSession,
+        min_rows: int,
+        target_files: int = 1,
+    ) -> dict:
+        """Selective small-file compaction (Delta OPTIMIZE's
+        bin-packing semantics, as opposed to :meth:`optimize`'s
+        whole-table re-cluster): using the manifest's METADATA row
+        counts alone, pick the files holding fewer than ``min_rows``
+        rows — per partition, so hive layouts never mix — and rewrite
+        ONLY those into ``target_files`` per partition; every
+        adequately-sized file carries into the new snapshot by
+        reference, zero bytes of it re-read. Partitions with a single
+        small file (nothing to coalesce with) are left alone. Rows are
+        identical (a layout-only 'compact' commit; expectation drop
+        gates still apply at the write chokepoint like every rewrite).
+        Files without a recorded row count are treated as small
+        (conservative: they get counted by the rewrite). Returns
+        {'version', 'compacted_files', 'retained_files'} — version is
+        None when nothing qualified (no commit published).
+
+        Scale: the DECISION reads zero data (KB manifest metadata);
+        the rewrite reads only the small files — the nightly
+        ingest-tail compaction that keeps a streamed-into table's file
+        count bounded without ever rewriting the big files."""
+        for _ in range(8):
+            snap = self.snapshot()
+            rows = snap.get("rows") or {}
+            groups: dict[tuple, list[str]] = {}
+            for f in snap["files"]:
+                if f in rows and rows[f] >= min_rows:
+                    continue
+                key = tuple(sorted(self._partition_values(f).items()))
+                groups.setdefault(key, []).append(f)
+            small = [
+                f for grp in groups.values() if len(grp) > 1 for f in grp
+            ]
+            if not small:
+                return {
+                    "version": None,
+                    "compacted_files": 0,
+                    "retained_files": len(snap["files"]),
+                }
+            retained = [f for f in snap["files"] if f not in set(small)]
+            packed = self._scan(spark, snap, files=small).coalesce(
+                max(1, target_files)
+            )
+            files = self._write_data_files(packed, snap.get("schema"))
+            try:
+                v = self._commit_delta(
+                    "compact", snap, retained + files,
+                    self._merged_stats(snap, retained, files),
+                    self._merged_blooms(snap, retained, files),
+                )
+                return {
+                    "version": v,
+                    "compacted_files": len(small),
+                    "retained_files": len(retained),
+                }
+            except VersionConflictError:
+                continue
+        raise VersionConflictError(
+            f"compact_small_files lost the commit race 8 times at {self.path}"
         )
 
     # -- DELETE (copy-on-write, file-pruned) ----------------------------

@@ -2615,3 +2615,48 @@ def test_symlink_manifest_export(spark, tmp_path):
     vt.rename_column("v", "val")
     with pytest.raises(ValueError, match="column mapping"):
         vt.generate_symlink_manifest()
+
+
+def test_compact_small_files_metadata_selective(spark, tmp_path):
+    """compact_small_files picks ONLY sub-threshold files (decision =
+    manifest row counts, zero data read), per partition, rewrites them
+    into one file each commit, and retains every big file BY
+    REFERENCE; rows identical; a partition with one lone small file is
+    left alone; nothing-to-do returns no commit."""
+    vt = VersionedTable(str(tmp_path / "c"))
+    big = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    ).coalesce(1)
+    vt.create(big)
+    for i in range(4):  # ingest tail: four 2-row files
+        vt.append(
+            spark.createDataFrame(
+                [(10_000 + 2 * i, 1.0), (10_001 + 2 * i, 2.0)],
+                "k bigint, v double",
+            ).coalesce(1)
+        )
+    snap = vt.snapshot()
+    big_files = [f for f in snap["files"] if snap["rows"][f] >= 100]
+    res = vt.compact_small_files(spark, min_rows=100)
+    assert res["compacted_files"] == 4 and res["retained_files"] == len(big_files)
+    after = vt.snapshot()
+    assert set(big_files) <= set(after["files"])  # by reference
+    assert len(after["files"]) == len(big_files) + 1
+    assert vt.count_rows() == 1008 == vt.read(spark).count()
+    # idempotent: everything is big enough now (or a lone small file)
+    res2 = vt.compact_small_files(spark, min_rows=100)
+    assert res2["version"] is None
+    # partitioned: compaction never mixes partition dirs
+    vt2, _df = _mk_part(spark, tmp_path)
+    for i in range(2):
+        vt2.append(
+            spark.createDataFrame(
+                [(500 + i, "en", 1.0)], "k bigint, lang string, v double"
+            )
+        )
+    r = vt2.compact_small_files(spark, min_rows=5)
+    assert r["version"] is not None
+    snap2 = vt2.snapshot()
+    for f in snap2["files"]:
+        assert vt2._partition_values(f).get("lang") in {"en", "de", "fr"}
+    assert vt2.read_partitions(spark, {"lang": "en"}).count() == 32
