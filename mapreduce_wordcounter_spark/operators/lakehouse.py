@@ -2220,6 +2220,82 @@ def stream_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def apply_cdf_mv_batch(spark, mv_path: str, batch: DataFrame, batch_id: int):
+    """One micro-batch of the CDF→MV loop, EXACTLY-ONCE: reduce the
+    batch's change events to per-bucket deltas (integer micro-units)
+    and commit them into the MV's versioned table WITH the batch id
+    stamped into the commit manifest (``mv_batch_id``) — so a replayed
+    micro-batch (foreachBatch is at-least-once after a restart) is
+    detected from the MV's own transaction log and skipped instead of
+    double-applied. This is Delta's ``txnAppId/txnVersion``
+    idempotent-writer recipe: the dedup token and the data change are
+    ONE atomic commit, so no crash window can split them. Batch ids
+    are monotone per query, so the check reads manifests newest-first
+    and stops at the first stamped one — bounded driver metadata."""
+    from mapreduce_wordcounter_spark.functions.numeric import SCALE
+
+    mvt = VersionedTable(mv_path)
+    for v in reversed(mvt.versions()):
+        m = mvt._load_manifest(v)
+        if "mv_batch_id" in m:
+            if int(m["mv_batch_id"]) >= batch_id:
+                return  # replayed batch: already committed
+            break
+    if batch.isEmpty():
+        return
+    micro = lambda c: F.floor(c * SCALE + F.lit(0.5)).cast("long")  # noqa: E731
+    d = (
+        batch.groupBy(F.pmod(F.col("o_orderkey"), F.lit(10)).alias("b"))
+        .agg(
+            F.sum(
+                F.when(F.col("change_type") == "insert", 1)
+                .when(F.col("change_type") == "delete", -1)
+                .otherwise(0)
+            ).cast("long").alias("dn"),
+            F.sum(
+                F.when(
+                    F.col("change_type") == "insert",
+                    micro(F.col("new_o_totalprice")),
+                )
+                .when(
+                    F.col("change_type") == "delete",
+                    -micro(F.col("old_o_totalprice")),
+                )
+                .otherwise(
+                    micro(F.col("new_o_totalprice"))
+                    - micro(F.col("old_o_totalprice"))
+                )
+            ).cast("long").alias("ds"),
+        )
+    )
+    if not mvt.versions():
+        mvt.create(
+            d.select(
+                F.col("b").alias("bucket"),
+                F.col("dn").alias("n_orders"),
+                F.col("ds").alias("s_micro"),
+            ),
+            extra_meta={"mv_batch_id": batch_id},
+        )
+        return
+    mvt.merge_into(
+        spark,
+        d,
+        key="bucket",
+        source_key="b",
+        update_set={
+            "n_orders": F.col("n_orders") + F.col("dn"),
+            "s_micro": F.col("s_micro") + F.col("ds"),
+        },
+        insert_exprs={
+            "bucket": F.col("b"),
+            "n_orders": F.col("dn"),
+            "s_micro": F.col("ds"),
+        },
+        extra_meta={"mv_batch_id": batch_id},
+    )
+
+
 @query(
     "stream_cdf_incremental_mv",
     oracle=f"""
@@ -2256,10 +2332,12 @@ def stream_cdf_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     CHANGES' churn per trigger (a per-bucket delta aggregate + one
     bucket-keyed merge), never a rescan of the upstream table; at
     100 TB with 0.1% daily churn that is ~GBs/day against ~100 TB/day
-    for recompute. A replayed micro-batch would re-apply its deltas
-    (at-least-once); production stamps the batch id into the MV
-    commit and skips applied ids — the manifest's extra-metadata slot
-    (_commit_delta(**extra)) is where it goes."""
+    for recompute. EXACTLY-ONCE: each batch's commit carries its batch
+    id (apply_cdf_mv_batch — Delta's txnAppId/txnVersion
+    idempotent-writer recipe, the dedup token and the data change in
+    ONE atomic commit), so foreachBatch replays after a restart are
+    detected from the MV's own log and skipped (pinned in
+    tests/test_versioned.py::test_cdf_mv_batch_replay_idempotent)."""
     import uuid as _uuid
 
     from mapreduce_wordcounter_spark.functions.numeric import SCALE
@@ -2271,7 +2349,6 @@ def stream_cdf_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     register(spark)  # idempotent (session-local flag)
     vt = versioned_orders(spark, sf_dir)
     mv_path = os.path.join(scratch_dir("cdf_mv_"), "mv")
-    mv = VersionedTable(mv_path)
     s = (
         spark.readStream.format("versioned_stream")
         .option("path", vt.path)
@@ -2280,61 +2357,9 @@ def stream_cdf_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxVersionsPerBatch", "1")  # one commit per refresh
         .load()
     )
-    micro = lambda c: F.floor(c * SCALE + F.lit(0.5)).cast("long")  # noqa: E731
 
     def apply_batch(batch, batch_id):
-        if batch.isEmpty():
-            return
-        d = (
-            batch.groupBy(
-                F.pmod(F.col("o_orderkey"), F.lit(10)).alias("b")
-            )
-            .agg(
-                F.sum(
-                    F.when(F.col("change_type") == "insert", 1)
-                    .when(F.col("change_type") == "delete", -1)
-                    .otherwise(0)
-                ).cast("long").alias("dn"),
-                F.sum(
-                    F.when(
-                        F.col("change_type") == "insert",
-                        micro(F.col("new_o_totalprice")),
-                    )
-                    .when(
-                        F.col("change_type") == "delete",
-                        -micro(F.col("old_o_totalprice")),
-                    )
-                    .otherwise(
-                        micro(F.col("new_o_totalprice"))
-                        - micro(F.col("old_o_totalprice"))
-                    )
-                ).cast("long").alias("ds"),
-            )
-        )
-        if not VersionedTable(mv_path).versions():
-            VersionedTable(mv_path).create(
-                d.select(
-                    F.col("b").alias("bucket"),
-                    F.col("dn").alias("n_orders"),
-                    F.col("ds").alias("s_micro"),
-                )
-            )
-            return
-        VersionedTable(mv_path).merge_into(
-            spark,
-            d,
-            key="bucket",
-            source_key="b",
-            update_set={
-                "n_orders": F.col("n_orders") + F.col("dn"),
-                "s_micro": F.col("s_micro") + F.col("ds"),
-            },
-            insert_exprs={
-                "bucket": F.col("b"),
-                "n_orders": F.col("dn"),
-                "s_micro": F.col("ds"),
-            },
-        )
+        apply_cdf_mv_batch(spark, mv_path, batch, batch_id)
 
     ckpt = scratch_dir("cdf_mv_ck_", base="/dev/shm")
     with stream_shuffle_partitions(spark, 2):

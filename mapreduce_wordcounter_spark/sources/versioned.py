@@ -1714,14 +1714,17 @@ class VersionedTable:
             return self.read(spark, snap["version"]).limit(0)
         return self._scan(spark, snap, files=files)
 
-    def create(self, df: DataFrame) -> int:
+    def create(self, df: DataFrame, extra_meta: dict | None = None) -> int:
         """Commit v0. A conflict here means the table already exists —
-        that is the caller's bug, not a race to retry past."""
+        that is the caller's bug, not a race to retry past.
+        ``extra_meta`` rides the manifest (e.g. a streaming consumer's
+        batch id for exactly-once replay detection)."""
         files = self._write_data_files(df)
         return self._commit_delta(
             "create", None, files,
             self._merged_stats(None, [], files),
             self._merged_blooms(None, [], files),
+            **(extra_meta or {}),
         )
 
     def append(self, df: DataFrame) -> int:
@@ -3428,6 +3431,7 @@ class VersionedTable:
         insert_exprs: dict,
         cdc: bool = False,
         delete_when=None,
+        extra_meta: dict | None = None,
     ) -> int:
         """``MERGE INTO target USING source ON target.key = source.
         source_key WHEN MATCHED THEN UPDATE SET col = update_set[col]
@@ -3502,6 +3506,7 @@ class VersionedTable:
             matched=matched,
             not_matched=[{"insert": dict(insert_exprs)}],
             cdc=cdc,
+            extra_meta=extra_meta,
         )
 
     # -- MERGE: full clause matrix ---------------------------------------
@@ -3561,6 +3566,7 @@ class VersionedTable:
         not_matched_by_source: list[dict] | None = None,
         cdc: bool = False,
         evolve: bool = False,
+        extra_meta: dict | None = None,
     ) -> int:
         """MERGE with the FULL Delta/Iceberg clause matrix — multiple
         ordered conditional branches per row category, one transactional
@@ -3635,7 +3641,7 @@ class VersionedTable:
             try:
                 return self._merge_full_attempt(
                     spark, source, key, source_key, matched, not_matched,
-                    not_matched_by_source, cdc, evolve,
+                    not_matched_by_source, cdc, evolve, extra_meta,
                 )
             except VersionConflictError:
                 continue
@@ -3654,6 +3660,7 @@ class VersionedTable:
         not_matched_by_source: list[dict],
         cdc: bool,
         evolve: bool,
+        extra_meta: dict | None = None,
     ) -> int:
         snap = self.snapshot()
         target = self.read(spark, snap["version"])
@@ -3782,7 +3789,10 @@ class VersionedTable:
         )
         write_schema = self._schema_for_write(snap, merged)
         files = self._write_data_files(merged, write_schema)
-        extra: dict = {}
+        # caller-supplied commit metadata (e.g. a streaming consumer's
+        # batch id for exactly-once replay detection) rides the manifest
+        # through BOTH the direct commit and the rebase admission path
+        extra: dict = dict(extra_meta or {})
         if cdc:
             non_key = [c for c in out_cols if c != key]
             type_map = {"update": "update", "delete": "delete"}

@@ -2660,3 +2660,42 @@ def test_compact_small_files_metadata_selective(spark, tmp_path):
     for f in snap2["files"]:
         assert vt2._partition_values(f).get("lang") in {"en", "de", "fr"}
     assert vt2.read_partitions(spark, {"lang": "en"}).count() == 32
+
+
+def test_cdf_mv_batch_replay_idempotent(spark, tmp_path):
+    """apply_cdf_mv_batch stamps the batch id into the MV's own commit
+    (dedup token + data change = one atomic manifest): replaying ANY
+    applied batch — including batch 0's create — changes nothing, and
+    batches apply in order exactly once."""
+    from mapreduce_wordcounter_spark.operators.lakehouse import (
+        apply_cdf_mv_batch,
+    )
+
+    mv = str(tmp_path / "mv")
+    feed_schema = (
+        "o_orderkey bigint, change_type string, "
+        "old_o_totalprice double, new_o_totalprice double"
+    )
+    b0 = spark.createDataFrame(
+        [(1, "insert", None, 10.0), (2, "insert", None, 20.0)], feed_schema
+    )
+    b1 = spark.createDataFrame(
+        [(1, "update", 10.0, 15.0), (3, "insert", None, 30.0)], feed_schema
+    )
+
+    def state():
+        return sorted(
+            map(tuple, VersionedTable(mv).read(spark).collect())
+        )
+
+    apply_cdf_mv_batch(spark, mv, b0, 0)
+    s0 = state()
+    apply_cdf_mv_batch(spark, mv, b0, 0)  # replayed create: skipped
+    assert state() == s0 and VersionedTable(mv).latest_version() == 0
+    apply_cdf_mv_batch(spark, mv, b1, 1)
+    s1 = state()
+    assert {r[0]: (r[1], r[2]) for r in s1} == {
+        1: (1, 15_000_000), 2: (1, 20_000_000), 3: (1, 30_000_000)
+    }
+    apply_cdf_mv_batch(spark, mv, b1, 1)  # replayed merge: skipped
+    assert state() == s1 and VersionedTable(mv).latest_version() == 1
