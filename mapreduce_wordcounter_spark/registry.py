@@ -82,7 +82,6 @@ DRIVER_WINDOW: list[str] = [
     "gopher_repetition",
     "pii_redacted_stats",
     "vocab_top1k",
-    "zipf_slope",
     "lang_confusion_matrix",
     # -- never-sampled: function surfaces --
     "udf_arrow_vowel_ratio",
@@ -93,7 +92,6 @@ DRIVER_WINDOW: list[str] = [
     # -- never-sampled: data selection / sampling --
     "dsir_topk_selection",
     "stratified_sample_hash",
-    "mixture_weights",
     # -- never-sampled: dedup --
     "dedup_incremental_new",
     "dedup_keep_best_quality",
@@ -111,9 +109,11 @@ DRIVER_WINDOW: list[str] = [
     "ev_top_paths",
     "ev_retention_cohorts",
     "ev_funnel_conversion",
-    # -- never-sampled: streaming (incl. the r10 CDF source) --
+    # -- never-sampled: streaming (incl. the r10 CDF source and the
+    # exactly-once incremental MV it feeds) --
     "stream_versioned_source",
     "stream_changes_feed",
+    "stream_cdf_incremental_mv",
     "stream_ohlc_live",
     # -- never-sampled: multimodal / training --
     "mm_features_arrow",
@@ -125,6 +125,12 @@ DRIVER_WINDOW: list[str] = [
     "table_partition_overwrite",
     "table_clone_divergence",
     "index_staleness_catalog",
+    # (late r10: zipf_slope and mixture_weights — thin scalar/agg
+    # views of already-hard-checked pipelines — ceded their slots to
+    # the round's CDC-loop flagships, stream_cdf_incremental_mv and
+    # table_scd2_from_cdf, both swept green repeatedly at sf0.01
+    # before landing.)
+    "table_scd2_from_cdf",
 ]
 
 

@@ -56,10 +56,12 @@ def test_driver_window_covers_every_family() -> None:
         "embedding_quantize_int8",
         # graph
         "graph_triangle_counts",
-        # streaming (batch-equivalence + the r10 CDF source)
+        # streaming (batch-equivalence + the r10 CDF source and the
+        # exactly-once incremental MV it feeds)
         "ev_tumbling_hourly",
         "stream_versioned_source",
         "stream_changes_feed",
+        "stream_cdf_incremental_mv",
         # dedup (the adaptive exact/LSH entry stays hard-checked)
         "dedup_exact",
         "jaccard_prefix_join",
@@ -79,6 +81,7 @@ def test_driver_window_covers_every_family() -> None:
         "table_partition_overwrite",
         "table_clone_divergence",
         "index_staleness_catalog",
+        "table_scd2_from_cdf",
     }
     assert must_have <= window
 
