@@ -216,6 +216,7 @@ HEADLINE = [
     "table_partitions_metadata",
     "table_scd2_from_cdf",
     "table_symlink_manifest",
+    "table_partition_range_probe",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries

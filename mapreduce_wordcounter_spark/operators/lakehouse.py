@@ -1610,6 +1610,63 @@ def table_partition_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LPP_PATHS: dict[tuple[str, str], str] = {}
+
+
+def _lang_stats_docs(spark: SparkSession, sf_dir: str) -> VersionedTable:
+    """Docs partitioned by lang AND stats-tracked on doc_id, written as
+    range-clustered files per partition so both pruning layers bite."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _LPP_PATHS.get(key)
+    if path is not None and not VersionedTable(path).versions():
+        path = None
+    if path is None:
+        path = os.path.join(scratch_dir("versioned_"), "docs_lpp")
+        vt = VersionedTable(
+            path, stats_col="doc_id", partition_by=["lang"]
+        )
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "n_chars"
+        )
+        vt.create(docs.repartitionByRange(4, "doc_id"))
+        _LPP_PATHS[key] = path
+    return VersionedTable(path, stats_col="doc_id", partition_by=["lang"])
+
+
+@query(
+    "table_partition_range_probe",
+    oracle="""
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE lang IN ('en', 'fr') AND doc_id BETWEEN 100 AND 260
+    GROUP BY lang, source
+    """,
+)
+def table_partition_range_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAYERED pruning in one read (read_partitions_pruned): the
+    "this tenant, this key range" probe — lang partitions AND a
+    doc_id range both prune at the checkpoint-tree root, then per
+    file, with the exact row predicate on top; the oracle replays the
+    same slice from the raw table.
+
+    Scale: the two metadata layers compose multiplicatively — a
+    lang=en + one-key-range probe over a 10⁶-file table reads the KB
+    root plus the en partition's range-overlapping parts; neither
+    layer pays for the other."""
+    vt = _lang_stats_docs(spark, sf_dir)
+    return (
+        vt.read_partitions_pruned(
+            spark, {"lang": ["en", "fr"]}, 100, 260
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
 @query(
     "table_partition_delete_versioned",
     oracle="""

@@ -2462,6 +2462,56 @@ class VersionedTable:
         df = self._scan(spark, snap, files=files)
         return df.filter(pred) if pred is not None else df
 
+    def read_partitions_pruned(
+        self,
+        spark: SparkSession,
+        filters: dict,
+        lo,
+        hi,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Layered pruning in ONE read: partition filters (identity or
+        hidden-transform, like read_partitions) AND a [lo, hi] range
+        on ``stats_col`` (like read_pruned) — both applied at the
+        checkpoint-tree ROOT (a part survives only if its partition
+        matches and its aggregate stats overlap), then per file, then
+        as exact row predicates. Equals
+        ``read(...).filter(partition_pred AND between)`` (pinned by
+        tests).
+
+        Scale: the production probe shape — "this tenant/day, this key
+        range" — touches the KB root, the matching partition's
+        stats-overlapping parts, and only the files both dimensions
+        admit; neither pruning layer costs the other anything."""
+        def _keep(meta, s):
+            if not self._part_matches(
+                self._partition_checks(meta, filters), s
+            ):
+                return False
+            if not s.get("stats_complete"):
+                return True
+            return not (s["hi"] < lo or s["lo"] > hi)
+
+        snap = self._resolve_selected(version, _keep)
+        if snap is None:
+            snap = self.snapshot(version)
+        matched, _un, unknown = self._split_by_partition(snap, filters)
+        stats = snap.get("stats") or {}
+        files = [
+            f
+            for f in matched + unknown
+            if f not in stats
+            or not (stats[f][1] < lo or stats[f][0] > hi)
+        ]
+        pred = self._partition_row_pred(filters)
+        range_pred = (F.col(self.stats_col) >= F.lit(lo)) & (
+            F.col(self.stats_col) <= F.lit(hi)
+        )
+        pred = range_pred if pred is None else pred & range_pred
+        if not files:
+            return self.read(spark, snap["version"]).filter(F.lit(False))
+        return self._scan(spark, snap, files=files).filter(pred)
+
     def overwrite_partitions(self, spark: SparkSession, df: DataFrame) -> int:
         """DYNAMIC PARTITION OVERWRITE (Spark's
         ``partitionOverwriteMode=dynamic``, on the versioned

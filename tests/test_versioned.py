@@ -2699,3 +2699,53 @@ def test_cdf_mv_batch_replay_idempotent(spark, tmp_path):
     }
     apply_cdf_mv_batch(spark, mv, b1, 1)  # replayed merge: skipped
     assert state() == s1 and VersionedTable(mv).latest_version() == 1
+
+
+def test_read_partitions_pruned_layered(spark, tmp_path):
+    """read_partitions_pruned applies BOTH pruning layers at the
+    checkpoint-tree root (a part survives only if partition matches
+    AND stats overlap) and equals the brute filter; the part-read set
+    is the intersection of the two single-layer sets."""
+    vt = VersionedTable(
+        str(tmp_path / "lp"),
+        stats_col="k",
+        partition_by=["lang"],
+        checkpoint_interval=1,
+    )
+    langs = ("en", "de", "fr")
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        F.element_at(
+            F.array(*[F.lit(l) for l in langs]),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+        (F.col("id") * 1.0).alias("v"),
+    ).repartitionByRange(4, "k")
+    vt.create(df)
+    # 4 files per chunk: each commit's files (one commit dir sorts
+    # contiguously) land in their own part, so the create's k<300
+    # part and the append's k>=1000 part are range-disjoint and the
+    # stats layer has something to prune WITHIN a partition
+    vt._CHECKPOINT_PART_MAX_FILES = 4
+    vt.append(df.withColumn("k", F.col("k") + 1000))  # v1: checkpointed
+    with open(vt._checkpoint_path(1)) as fh:
+        root = json.load(fh)
+    want = [
+        p["path"]
+        for p in root["parts"]
+        if p["partition"]["lang"] == "en"
+        and p["stats_complete"]
+        and not (p["hi"] < 50 or p["lo"] > 120)
+    ]
+    vt._last_part_reads = None
+    got = vt.read_partitions_pruned(spark, {"lang": "en"}, 50, 120)
+    assert set(vt._last_part_reads) == set(want)
+    assert len(want) < sum(
+        1 for p in root["parts"] if p["partition"]["lang"] == "en"
+    )  # the range layer pruned within the partition
+    expect = vt.read(spark).filter(
+        (F.col("lang") == "en") & F.col("k").between(50, 120)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expect.collect())
+    )

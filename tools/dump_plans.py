@@ -225,6 +225,7 @@ SHOWCASE = [
     "table_partitions_metadata",
     "table_scd2_from_cdf",
     "table_symlink_manifest",
+    "table_partition_range_probe",
 ]
 
 # Belt-and-braces: a duplicated SHOWCASE entry (it has happened) would
