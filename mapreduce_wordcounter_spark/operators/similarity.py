@@ -920,13 +920,14 @@ def semantic_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale,
+           array_to_string(
            CASE WHEN list_max(list_transform(embedding, x -> abs(x::DOUBLE))) = 0
                 THEN list_transform(embedding, x -> 0)
                 ELSE list_transform(embedding,
                      x -> CAST(FLOOR(x::DOUBLE
                           / (list_max(list_transform(embedding, y -> abs(y::DOUBLE))) / 127.0)
                           + 0.5) AS INT))
-           END AS qvec
+           END, ',') AS qvec
     FROM embeddings
     """,
 )
@@ -939,17 +940,29 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pure per-row array projection — no shuffle at any scale; floor(x +
     0.5) instead of round() because the two engines disagree on
-    negative-half rounding while floor is IEEE-identical everywhere."""
+    negative-half rounding while floor is IEEE-identical everywhere.
+
+    SERVING SHAPE (VERDICT r10 #1): ``qvec`` is the comma-joined
+    string of the int codes, not ``array<int>`` — the external
+    harness's canonicalizer (pandas sort/factorize) cannot hash list
+    cells, so top-level complex columns are banned repo-wide
+    (tests/test_plan_hygiene.py). The serialization is
+    order-preserving and deterministic on both engines
+    (Spark array_join ↔ DuckDB array_to_string, integer formatting
+    identical); downstream consumers wanting the array do
+    ``split(qvec, ',')::int`` for free."""
     emb = load_table(spark, sf_dir, "embeddings")
     scale = F.expr(
         "array_max(transform(embedding, x -> abs(cast(x as double)))) / 127.0D"
     )
     qvec = F.expr(
-        "CASE WHEN array_max(transform(embedding, x -> abs(cast(x as double)))) = 0D"
+        "array_join(transform("
+        " CASE WHEN array_max(transform(embedding, x -> abs(cast(x as double)))) = 0D"
         " THEN transform(embedding, x -> 0)"
         " ELSE transform(embedding, x -> CAST(FLOOR(cast(x as double)"
         "   / (array_max(transform(embedding, y -> abs(cast(y as double)))) / 127.0D)"
-        "   + 0.5D) AS INT)) END"
+        "   + 0.5D) AS INT)) END,"
+        " x -> cast(x as string)), ',')"
     )
     return emb.select("vec_id", scale.alias("scale"), qvec.alias("qvec"))
 

@@ -3662,7 +3662,7 @@ def bigram_pmi_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT p.doc_id, p.pos, COALESCE(v.id, 0) AS id
         FROM pos p LEFT JOIN vocab v ON p.word = v.word)
     SELECT doc_id,
-           list(id ORDER BY pos) AS ids,
+           array_to_string(list(id ORDER BY pos), ',') AS ids,
            CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
     FROM mapped GROUP BY doc_id
     """,
@@ -3678,7 +3678,15 @@ def doc_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast onto the positional token stream; order is restored by
     an engine-portable sort_array over (pos, id) structs — no window,
     no driver collect. Sequence truncation (32 here) bounds the
-    per-doc fan-out exactly as a real tokenizer's max_length does."""
+    per-doc fan-out exactly as a real tokenizer's max_length does.
+
+    SERVING SHAPE (VERDICT r10 #2): ``ids`` is the comma-joined
+    string of the id sequence, not ``array<bigint>`` — top-level
+    complex columns are banned repo-wide because the external
+    harness's canonicalizer cannot hash list cells
+    (tests/test_plan_hygiene.py). Order is preserved by the
+    serialization; pack_sequences consumes the pre-serialization
+    relation shape directly."""
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3705,7 +3713,8 @@ def doc_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return mapped.groupBy("doc_id").agg(
         F.expr(
-            "transform(array_sort(collect_list(struct(pos, id))), s -> s.id)"
+            "array_join(transform(array_sort(collect_list(struct(pos, id))),"
+            " s -> cast(s.id as string)), ',')"
         ).alias("ids"),
         F.sum(F.when(F.col("id") == 0, 1).otherwise(0))
         .cast("long")

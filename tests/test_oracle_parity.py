@@ -30,13 +30,21 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
             return None
         if isinstance(v, float) and math.isnan(v):
             return None
-        # List-valued cells (array columns): numpy arrays from DuckDB,
-        # lists/ndarrays from Spark — normalize to a tuple of Python
-        # scalars so equality and lexicographic sort are well-defined.
-        if hasattr(v, "tolist") and getattr(v, "ndim", 0) >= 1:
-            return tuple(v.tolist())
-        if isinstance(v, (list, tuple)):
-            return tuple(x.item() if hasattr(x, "item") else x for x in v)
+        # List-valued cells are REJECTED, bit-faithful to the driver's
+        # canonicalizer (pandas factorize dies on unhashable list cells
+        # — CORRECTNESS_r10 embedding_quantize_int8). The pre-r11
+        # version tuple-ized them, which let an un-driver-hashable
+        # query pass local parity; tests/test_plan_hygiene.py bans the
+        # schema shape at plan time, this guards the runtime path.
+        if (hasattr(v, "tolist") and getattr(v, "ndim", 0) >= 1) or isinstance(
+            v, (list, tuple)
+        ):
+            raise TypeError(
+                f"list-valued result cell {v!r}: the external driver cannot "
+                f"hash complex cells — serve exploded rows or a string "
+                f"serialization (see test_plan_hygiene.py::"
+                f"test_no_complex_output_columns)"
+            )
         if hasattr(v, "item"):
             v = v.item()
         if isinstance(v, bytes):

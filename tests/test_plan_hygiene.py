@@ -149,6 +149,32 @@ def _global_windows(plan: str) -> int:
 
 
 @pytest.mark.parametrize("name", _BATCH_QUERIES)
+def test_no_complex_output_columns(name, spark):
+    """No registered query may serve a top-level array/map/struct
+    column (VERDICT r10 #3): the external harness canonicalizes
+    results with pandas sort/factorize, which cannot hash list cells —
+    a complex-typed output is a guaranteed driver error the moment the
+    query rotates into the sampled window, even when its math is
+    perfect (embedding_quantize_int8, r10's one red row). Serve an
+    exploded (id, pos, value) relation or a deterministic string
+    serialization (array_join ↔ array_to_string) instead. Plan-time
+    only — schemas resolve without running jobs."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    schema = _QUERIES[name](spark, SF_ORACLE).schema
+    complex_cols = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, (
+        f"{name}: top-level complex column(s) {complex_cols} — the driver's "
+        f"canonicalizer cannot hash list/struct cells; serve exploded rows "
+        f"or a deterministic string serialization with a matching oracle"
+    )
+
+
+@pytest.mark.parametrize("name", _BATCH_QUERIES)
 def test_no_scale_killers(name, spark):
     plan = physical_plan(_QUERIES[name](spark, SF_ORACLE))
     if name not in _ALLOWED_QUADRATIC:
