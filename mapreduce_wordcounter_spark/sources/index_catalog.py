@@ -71,12 +71,17 @@ _FP_WALKS = 0
 
 
 def _fp_probe(paths: tuple[str, ...]) -> tuple:
-    """O(#paths) freshness probe: stat of each root itself. Parquet
-    writers always touch the dataset root on a rewrite (fresh part
-    files / _SUCCESS at the top level), so a changed source flips the
-    probe; only a mutation confined to a nested subdir that leaves the
-    root untouched could serve a process-stale fingerprint — not a
-    write pattern any parquet writer produces."""
+    """O(#paths + #first-level entries) freshness probe: stat of each
+    root plus its immediate children. The root stat alone is NOT
+    enough (ADVICE r10): a partitioned append writes new part files
+    INTO existing hive partition subdirectories — the subdir's mtime
+    flips (a new directory entry) but the root's does not when
+    _SUCCESS is rewritten in place, so a root-only probe serves a
+    stale fingerprint and the index-staleness check reports a mutated
+    source as fresh for the rest of the process. One level down is
+    O(#partitions), not O(files), and every parquet writer either
+    touches the root (new top-level part files) or a first-level
+    partition dir (appended partitions)."""
     out = []
     for p in paths:
         try:
@@ -84,6 +89,15 @@ def _fp_probe(paths: tuple[str, ...]) -> tuple:
             out.append((p, st.st_mtime_ns, st.st_size))
         except FileNotFoundError:
             out.append((p, -1, -1))
+            continue
+        if os.path.isdir(p):
+            for name in sorted(os.listdir(p)):
+                try:
+                    cst = os.stat(os.path.join(p, name))
+                except FileNotFoundError:
+                    out.append((name, -1, -1))
+                    continue
+                out.append((name, cst.st_mtime_ns, cst.st_size))
     return tuple(out)
 
 

@@ -632,13 +632,20 @@ def make_versioned_stream_source():
                     for p in cdc
                 ]
             if op in ("create", "append"):
+                adds = m.get("add")
+                if adds is None:
+                    # legacy full manifest (a pre-delta create records
+                    # "files", not "add") — mirror the non-CDF path
+                    # above or the feed silently emits ZERO insert
+                    # events for the base data (ADVICE r10)
+                    adds = m.get("files") or []
                 return [
                     FilePartition(
                         p if _os.path.isabs(p)
                         else _os.path.join(self.path, p),
                         self.fields, kind="insert", key=self.key,
                     )
-                    for p in (m.get("add") or [])
+                    for p in adds
                 ]
             raise ValueError(
                 f"commit v{v} ({op}) is not servable as a change feed "

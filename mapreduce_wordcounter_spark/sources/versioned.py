@@ -496,10 +496,16 @@ class VersionedTable:
         last-writer-wins idempotent) is enough — no O_EXCL ceremony."""
         version = snap["version"]
         parts = self._write_checkpoint_parts(snap)
+        # "rows" is excluded like files/stats/blooms (ADVICE r10): the
+        # per-file counts are duplicated into the parts' n_rows column
+        # and both _load_checkpoint and _resolve_selected rebuild the
+        # map from part reads — keeping it here would make the root
+        # O(live files) instead of the bounded KB-scale summary the
+        # tree design exists for.
         root = {
             k: v
             for k, v in snap.items()
-            if k not in ("files", "stats", "blooms")
+            if k not in ("files", "stats", "blooms", "rows")
         }
         root["checkpoint_format"] = "tree"
         root["n_files"] = len(snap["files"])
@@ -968,7 +974,17 @@ class VersionedTable:
         )
         self._cache_snapshot(version, snap)
         if version > 0 and version % self.checkpoint_interval == 0:
-            self._write_checkpoint(snap)
+            # The commit is already PUBLISHED: a checkpoint failure
+            # here (pyarrow import/IO error, mixed-type stats breaking
+            # arrow type inference) must not raise to the caller,
+            # whose conflict-retry loop would re-apply the operation —
+            # e.g. a merge's update_set applied twice (ADVICE r10).
+            # Checkpoints are derived acceleration data; losing one
+            # only costs a longer delta replay at the next resolve.
+            try:
+                self._write_checkpoint(snap)
+            except Exception:
+                pass
         return version
 
     # -- column mapping (logical <-> physical names) --------------------
@@ -2385,6 +2401,114 @@ class VersionedTable:
             pred = term if pred is None else pred & term
         return pred
 
+    @staticmethod
+    def _at_period_start(fld: dict, v) -> bool:
+        """Is raw value ``v`` exactly at the start of its own rendered
+        time-transform period? The only case where a range bound that
+        renders ONTO a partition directory still covers that whole
+        partition from below (lo == period start ⇒ every row the
+        directory can hold is ≥ lo). Conservative by design:
+        unparseable or timezone-suffixed forms return False and cost a
+        copy-on-write rewrite, never a wrong metadata-only drop."""
+        t = fld["transform"]
+        if hasattr(v, "strftime"):
+            zero_t = (
+                getattr(v, "hour", 0) == 0
+                and getattr(v, "minute", 0) == 0
+                and getattr(v, "second", 0) == 0
+                and getattr(v, "microsecond", 0) == 0
+            )
+            if t == "hours":
+                return (
+                    getattr(v, "minute", 0) == 0
+                    and getattr(v, "second", 0) == 0
+                    and getattr(v, "microsecond", 0) == 0
+                )
+            if t == "days":
+                return zero_t
+            if t == "months":
+                return getattr(v, "day", 1) == 1 and zero_t
+            if t == "years":
+                return (
+                    getattr(v, "month", 1) == 1
+                    and getattr(v, "day", 1) == 1
+                    and zero_t
+                )
+            return False
+        s = str(v).replace("T", " ").strip()
+        if "." in s and set(s[s.rindex(".") + 1 :]) <= {"0"}:
+            s = s[: s.rindex(".")]  # strip an all-zero fractional part
+        if t not in VersionedTable._TIME_TRANSFORMS:
+            return False
+        start = {
+            "days": s[:10] + " 00:00:00",
+            "hours": s[:13] + ":00:00",
+            "months": s[:7] + "-01 00:00:00",
+            "years": s[:4] + "-01-01 00:00:00",
+        }[t]
+        if len(s) < len(start):  # date-only / prefix literals zero-fill
+            s = s + start[len(s) :]
+        return s == start
+
+    def _fully_covered(
+        self, snap: dict, filters: dict, f: str, stats: dict
+    ) -> bool:
+        """May a partition-matched file be dropped METADATA-ONLY by
+        delete_partitions? Only when every filter term provably
+        deletes every row the file can contain. A transform-rendered
+        directory match alone is partition-COARSE (ADVICE r10, high):
+        with days(ts) a range like (03-01 12:00, 03-04 00:00) renders
+        onto whole boundary days, a scalar {"ts": t} renders to t's
+        entire day, and {"k": 5} on bucket(8, k) admits every key
+        sharing 5's bucket — dropping those files would delete rows
+        outside the row predicate. Term-by-term proof obligations:
+
+        - identity transform: directory value == raw value, exact;
+        - time-transform range: covered when both bounds render
+          strictly around the directory value, or the lo bound renders
+          onto it at an exact period start (all rows ≥ lo) while the
+          hi bound renders strictly above (all rows < next period
+          ≤ hi);
+        - anything else (boundary partitions, scalars through
+          non-identity transforms): the file's own min/max stats on
+          ``stats_col`` may still prove full containment — the
+          standard Delta/Iceberg full-match file drop; incomparable
+          or absent stats fail closed.
+
+        Files that fail any term are rewritten with their row-exact
+        survivors (read_partitions row-refilters after the same coarse
+        match, so READS were always exact — only delete needed this)."""
+        fields = {
+            fl["src"]: fl
+            for fl in self._partition_fields(snap.get("schema"))
+        }
+        pv = self._partition_values(f)
+        for k, vv in filters.items():
+            fld = fields.get(k)
+            if fld is None or fld["transform"] == "identity":
+                continue  # directory value == raw value: term exact
+            is_range = (
+                isinstance(vv, tuple) and len(vv) == 3 and vv[0] == "range"
+            )
+            if is_range:
+                lo_r = self._transform_value(fld, vv[1])
+                hi_r = self._transform_value(fld, vv[2])
+                p = pv[fld["name"]]
+                lo_ok = lo_r < p or (
+                    lo_r == p and self._at_period_start(fld, vv[1])
+                )
+                if lo_ok and hi_r > p:
+                    continue  # partition interior to the raw range
+                if fld["phys"] == self.stats_col and f in stats:
+                    s_lo, s_hi = stats[f]
+                    try:
+                        if vv[1] <= s_lo and s_hi <= vv[2]:
+                            continue  # file-stats full containment
+                    except TypeError:
+                        pass  # incomparable types: not provable
+            return False
+        return True
+
     @classmethod
     def _part_matches(cls, checks: dict, summary: dict) -> bool:
         """May a checkpoint-tree part contain files matching the
@@ -2577,16 +2701,31 @@ class VersionedTable:
 
         Composes with hidden partitioning: a ``("range", lo, hi)``
         filter on the raw ts column drops whole days(ts) partitions
-        metadata-only — the date-partitioned retention delete."""
+        metadata-only — the date-partitioned retention delete. A
+        directory that merely INTERSECTS the rendered filter (a
+        boundary day of a non-aligned range, any scalar through a
+        non-identity transform) is NOT dropped wholesale: its files
+        are rewritten with their row-exact survivors unless per-file
+        ``stats_col`` min/max prove full containment
+        (:meth:`_fully_covered` — ADVICE r10, high)."""
         pred = self._partition_row_pred(filters)
         for _ in range(8):
             snap = self.snapshot()
             matched, unmatched, unknown = self._split_by_partition(
                 snap, filters
             )
+            stats = snap.get("stats") or {}
+            dropped, coarse = [], []
+            for f in matched:
+                (
+                    dropped
+                    if self._fully_covered(snap, filters, f, stats)
+                    else coarse
+                ).append(f)
+            rewrite = unknown + coarse
             files: list[str] = []
-            if unknown and pred is not None:
-                survivors = self._scan(spark, snap, files=unknown).filter(
+            if rewrite and pred is not None:
+                survivors = self._scan(spark, snap, files=rewrite).filter(
                     F.coalesce(~pred, F.lit(True))
                 )
                 files = self._write_data_files(survivors, snap.get("schema"))

@@ -87,6 +87,35 @@ def test_fingerprint_memoized_one_walk_per_source(tmp_path):
     assert ic._FP_WALKS == before + 2
 
 
+def test_fingerprint_detects_partitioned_append(tmp_path):
+    """ADVICE r10 (low): appending part files INTO existing hive
+    partition subdirectories (a normal partitioned append) changes
+    neither the root dir's mtime nor size when _SUCCESS is rewritten
+    in place — the root-only probe served a stale fingerprint and the
+    staleness check called a mutated source fresh for the rest of the
+    process. The probe now stats first-level children too
+    (O(#partitions), not O(files))."""
+    src = str(tmp_path / "part_corpus")
+    sub = os.path.join(src, "lang=en")
+    os.makedirs(sub)
+    with open(os.path.join(sub, "part-0.parquet"), "wb") as fh:
+        fh.write(b"x" * 8)
+    with open(os.path.join(src, "_SUCCESS"), "wb") as fh:
+        fh.write(b"")
+    fp1 = ic.parquet_fingerprint(src)
+    assert ic.parquet_fingerprint(src) == fp1  # memo hit, stable
+    root_stat = os.stat(src)
+    # partitioned append: new file in the EXISTING subdir only;
+    # _SUCCESS rewritten in place; root mtime pinned back as if the
+    # writer never touched the root
+    with open(os.path.join(sub, "part-1.parquet"), "wb") as fh:
+        fh.write(b"y" * 8)
+    with open(os.path.join(src, "_SUCCESS"), "wb") as fh:
+        fh.write(b"")
+    os.utime(src, ns=(root_stat.st_atime_ns, root_stat.st_mtime_ns))
+    assert ic.parquet_fingerprint(src) != fp1  # subdir stat flips probe
+
+
 def test_table_index_builds_once_and_across_sessions(
     spark, catalog_root, tmp_path
 ):

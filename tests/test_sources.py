@@ -902,6 +902,45 @@ def test_cdf_stream_matches_batch_feed_per_commit(spark, tmp_path):
     assert got_all.count() == 40 + 2 + 1  # + update(5) + delete(7)
 
 
+def test_cdf_stream_serves_legacy_files_create(spark, tmp_path):
+    """ADVICE r10 (low): a table whose CREATE is a legacy full
+    manifest (pre-delta format: "files", no "add") must still feed its
+    base rows as insert events — pre-fix the CDF create/append branch
+    read only m["add"] and silently emitted ZERO inserts for the base
+    data, while the non-CDF stream path had the fallback."""
+    import json as _json
+    import os as _os
+
+    from mapreduce_wordcounter_spark.sources.versioned import VersionedTable
+
+    _register_pyds(spark)
+    path = str(tmp_path / "tlegacy")
+    vt = VersionedTable(path)
+    df = spark.range(12).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    vt.create(df.filter("k < 8"))
+    # rewrite v0 into the legacy self-contained shape the oldest
+    # tables on disk carry: "files", no "add"/"remove"
+    mpath = _os.path.join(vt.snap_dir, "v00000.json")
+    with open(mpath) as fh:
+        m = _json.load(fh)
+    legacy = {
+        "version": 0,
+        "parent": None,
+        "operation": "create",
+        "committed_at": m["committed_at"],
+        "files": m["add"],
+    }
+    with open(mpath, "w") as fh:
+        _json.dump(legacy, fh)
+    vt2 = VersionedTable(path)  # fresh instance: no cached v0 snapshot
+    vt2.append(df.filter("k >= 8"))  # v1: modern delta append
+    got = _drain_cdf(spark, path, -1, vt2.latest_version(), tmp_path, "lgcy")
+    inserts = {r["k"] for r in got.filter("change_type = 'insert'").collect()}
+    assert inserts == set(range(12))  # base 8 rows + appended 4
+
+
 def test_cdf_stream_refuses_unsafe_commits(spark, tmp_path):
     """The CDF stream REFUSES ranges it cannot serve incrementally: an
     optimize that may have dropped rows through a drop-mode

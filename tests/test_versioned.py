@@ -824,6 +824,59 @@ def test_parquet_checkpoint_stats_relation(spark, tmp_path):
     ]
 
 
+def test_checkpoint_root_is_bounded_no_rows_map(spark, tmp_path):
+    """ADVICE r10 (medium): the tree root must stay KB-scale — the
+    per-file "rows" map belongs in the parts' n_rows column (where it
+    already lives), not in the root JSON, or the root grows O(live
+    files) and every pruned probe parses the full map just to discard
+    it. Both resolution paths rebuild the map from part reads."""
+    vt = VersionedTable(str(tmp_path / "rb"), checkpoint_interval=2)
+    df = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    vt.create(df)
+    vt.append(df.limit(3))
+    vt.append(df.limit(2))  # v2: checkpoint lands
+    with open(vt._checkpoint_path(2)) as fh:
+        root = json.load(fh)
+    assert root.get("checkpoint_format") == "tree"
+    assert "rows" not in root and "files" not in root
+    # full resolution rebuilds the map from the parts' n_rows column
+    loaded = vt._load_checkpoint(2)
+    snap = vt.snapshot(2)
+    assert loaded["rows"] and loaded["rows"] == snap["rows"]
+    assert set(loaded["rows"]) == set(snap["files"])
+    # metadata-only count still exact through the checkpointed base
+    assert sum(snap["rows"].values()) == vt.read(spark, 2).count()
+
+
+def test_published_commit_survives_checkpoint_write_failure(spark, tmp_path):
+    """ADVICE r10 (medium): _write_checkpoint runs AFTER _publish
+    succeeded — a pyarrow/IO failure there must not raise the
+    already-published commit to the caller, whose retry loop would
+    re-apply the operation (a merge's update_set applied twice).
+    Checkpoints are derived acceleration data: losing one only costs
+    a longer delta replay."""
+    vt = VersionedTable(str(tmp_path / "cf"), checkpoint_interval=2)
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    vt.create(df)
+    vt.append(df.limit(1))
+
+    def boom(_snap):
+        raise RuntimeError("simulated pyarrow failure")
+
+    vt._write_checkpoint = boom
+    v = vt.append(df.limit(2))  # v2: checkpoint attempt fails silently
+    assert v == 2
+    assert not os.path.exists(vt._checkpoint_path(2))  # no partial root
+    # resolution falls back to the delta replay and stays exact
+    fresh = VersionedTable(str(tmp_path / "cf"))
+    assert fresh.read(spark, 2).count() == 13
+    assert fresh.snapshot(2)["version"] == 2
+
+
 def test_parquet_checkpoint_stats_string_typed(spark, tmp_path):
     """stats_relation must survive a NON-numeric stats column: the
     parquet sidecar infers lo/hi as strings and churn-sized delta adds
@@ -917,9 +970,12 @@ def test_partition_transform_days_hidden_pruning(spark, tmp_path):
     day with NO user-materialized column; a raw ts range filter prunes
     day directories from path metadata alone and the result equals
     read().filter(between); a retention delete over a day range drops
-    whole partitions metadata-only (zero files written)."""
+    whole partitions metadata-only (zero files written). The delete's
+    hi bound (23:59:59) renders ONTO the last day, so that day's drop
+    is proven by per-file stats_col min/max containment, not by the
+    rendered-boundary rule — the Delta/Iceberg full-match file drop."""
     vt = VersionedTable(
-        str(tmp_path / "dt"), partition_by=["days(ts)"]
+        str(tmp_path / "dt"), partition_by=["days(ts)"], stats_col="ts"
     )
     df = spark.range(240).select(
         F.col("id").alias("k"),
@@ -1796,6 +1852,102 @@ def test_delete_partitions_is_metadata_only(spark, tmp_path):
     assert vt.read(spark).filter("lang = 'de'").count() == 0
     assert vt.read(spark).count() == df.filter("lang <> 'de'").count()
     assert vt.read(spark, 0).count() == df.count()  # time travel intact
+
+
+def test_delete_partitions_nonaligned_range_is_row_exact(spark, tmp_path):
+    """ADVICE r10 (high): a days(ts) range whose bounds do NOT land on
+    partition boundaries must not drop the boundary days wholesale —
+    pre-fix, (03-01 12:00, 03-04 00:00) rendered to day strings and
+    both boundary days were removed metadata-only, silently deleting
+    the 03-01 morning rows and 03-04's post-midnight rows. Boundary
+    partitions are now rewritten with their row-exact survivors (no
+    stats_col here, so the stats containment proof can't fire);
+    interior days still drop by reference."""
+    import datetime as _dt
+
+    vt = VersionedTable(str(tmp_path / "na"), partition_by=["days(ts)"])
+    df = spark.range(240).select(
+        F.col("id").alias("k"),
+        F.expr(
+            "timestamp'2024-03-01 00:00:00' + "
+            "make_interval(0, 0, 0, 0, cast(id as int), 0, 0)"
+        ).alias("ts"),
+    )
+    vt.create(df)
+    lo = _dt.datetime(2024, 3, 1, 12, 0)
+    hi = _dt.datetime(2024, 3, 4, 0, 0)
+    v = vt.delete_partitions(spark, {"ts": ("range", lo, hi)})
+    want = sorted(
+        map(
+            tuple,
+            df.filter(
+                ~F.col("ts").between(F.lit(lo), F.lit(hi))
+            ).collect(),
+        )
+    )
+    got = sorted(map(tuple, vt.read(spark).collect()))
+    assert got == want  # 03-01 morning + 03-04 afternoon rows survive
+    m = vt._load_manifest(v)
+    # interior days (03-02, 03-03) dropped by reference; boundary days
+    # rewritten (survivor files added)
+    removed_days = {
+        vt._partition_values(f).get("ts_day") for f in m["remove"]
+    }
+    assert {"2024-03-02", "2024-03-03"} <= removed_days
+    added_days = {
+        vt._partition_values(f).get("ts_day") for f in m["add"]
+    }
+    assert "2024-03-01" in added_days and "2024-03-04" in added_days
+    assert vt.read(spark, 0).count() == 240  # time travel intact
+
+
+def test_delete_partitions_scalar_through_time_transform(spark, tmp_path):
+    """ADVICE r10 (high): {"ts": t} on a days(ts) table renders to t's
+    whole day — pre-fix the entire day was dropped metadata-only.
+    Delete semantics are ts == t exactly: one row gone, the other 23
+    hourly rows of the day intact."""
+    import datetime as _dt
+
+    vt = VersionedTable(str(tmp_path / "sc"), partition_by=["days(ts)"])
+    df = spark.range(48).select(
+        F.col("id").alias("k"),
+        F.expr(
+            "timestamp'2024-03-01 00:00:00' + "
+            "make_interval(0, 0, 0, 0, cast(id as int), 0, 0)"
+        ).alias("ts"),
+    )
+    vt.create(df)
+    vt.delete_partitions(
+        spark, {"ts": _dt.datetime(2024, 3, 1, 7, 0)}
+    )
+    assert vt.read(spark).count() == 47
+    assert (
+        vt.read(spark)
+        .filter("ts = timestamp'2024-03-01 07:00:00'")
+        .count()
+        == 0
+    )
+
+
+def test_delete_partitions_scalar_through_bucket_transform(spark, tmp_path):
+    """ADVICE r10 (high): {"k": 5} on bucket(8, k) pre-fix deleted
+    every key sharing 5's bucket directory. Only k == 5 rows may go;
+    every other key in the same bucket survives."""
+    vt = VersionedTable(str(tmp_path / "bkdel"), partition_by=["bucket(8, k)"])
+    df = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    vt.create(df)
+    fld = vt._partition_fields(vt.snapshot().get("schema"))[0]
+    bucket_of_5 = vt._transform_value(fld, 5)
+    same_bucket = [
+        k for k in range(200) if vt._transform_value(fld, k) == bucket_of_5
+    ]
+    assert len(same_bucket) > 1, "test needs a shared bucket"
+    vt.delete_partitions(spark, {"k": 5})
+    got = {r["k"] for r in vt.read(spark).collect()}
+    assert 5 not in got
+    assert set(same_bucket) - {5} <= got  # bucket-mates survive
 
 
 def test_partition_ops_on_mixed_lineage(spark, tmp_path):
