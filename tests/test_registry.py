@@ -24,64 +24,63 @@ def test_driver_window_all_oracle_backed() -> None:
 
 def test_driver_window_covers_every_family() -> None:
     window = set(DRIVER_WINDOW)
-    # Flagship + one representative per operator family. (r10 rotation,
-    # VERDICT r9 #3: 37/50 window entries had never been driver-sampled;
-    # this set pins the r10 composition — every family keeps at least
-    # one hard-checked representative, and the round's new surfaces
-    # (hidden partition transforms, the CDF streaming source) are in.)
+    # Flagship + one representative per operator family. (r11 rotation,
+    # VERDICT r10 #4: 36/50 window entries had never been
+    # driver-sampled; this set pins the r11 composition — every family
+    # keeps at least one hard-checked representative, the round's
+    # reshaped array-output queries are both in (embedding_quantize_int8
+    # must re-prove green under its same name; doc_token_ids rotates in
+    # to prove its latent failure fixed), and the partition-coarse
+    # delete fix is exercised end-to-end.)
     must_have = {
         # flagship word count
         "wc_counts",
-        # custom function surfaces (UDTF + arrow UDF)
+        # custom function surface
         "udtf_tokenize_counts",
-        "udf_arrow_vowel_ratio",
-        # text analysis / curation filters
+        # text analysis
         "text_stats",
-        "quality_score_gopher",
-        "c4_line_filter",
-        "pii_redacted_stats",
-        # tokenizer / packing
-        "bpe_top_pairs",
-        "pack_sequences",
-        # data selection / sampling
-        "dsir_topk_selection",
-        "stratified_sample_hash",
-        # temporal / as-of + event analytics
+        # temporal as-of + streaming batch-equivalence
         "join_asof_last_purchase",
-        "ev_scd2_user_state",
-        "ev_retention_cohorts",
-        # similarity / ANN
-        "knn_brute_cosine",
-        "ann_ivfpq_topk",
-        "embedding_quantize_int8",
-        # graph
-        "graph_triangle_counts",
-        # streaming (batch-equivalence + the r10 CDF source and the
-        # exactly-once incremental MV it feeds)
         "ev_tumbling_hourly",
-        "stream_versioned_source",
-        "stream_changes_feed",
-        "stream_cdf_incremental_mv",
-        # dedup (the adaptive exact/LSH entry stays hard-checked)
+        # similarity / ANN — incl. r10's one red row, reshaped
+        "knn_brute_cosine",
+        "embedding_quantize_int8",
+        # dedup (exact + size-adaptive + winnowing)
         "dedup_exact",
         "jaccard_prefix_join",
-        "dedup_incremental_new",
+        "dedup_substring_spans",
         # multimodal
         "mm_meta",
-        "mm_features_arrow",
-        # training
-        "quality_lr_calibration_bins",
-        # relational / TPC-H
+        # relational / TPC-H breadth + SQL API surfaces
         "q1_pricing_summary",
-        "q9_product_profit",
-        # lakehouse protocol (MERGE matrix rep + r10 hidden
-        # partitioning + clone divergence + the index catalog)
+        "q2_min_cost_supplier",
+        "q8_market_share",
+        "sql_api_q",
+        "sql_pipe_q",
+        # join semantics + window functions
+        "join_bucketed_colocated",
+        "window_qualify_pareto",
+        # layout
+        "zorder3_layout",
+        "epoch_shuffle_assignments",
+        # graph
+        "graph_common_neighbors",
+        "graph_degree_assortativity",
+        # oracle-backed estimators
+        "agg_percentile_exact",
+        "agg_corr_covar",
+        # tokenizer bridge — the other reshaped array query
+        "doc_token_ids",
+        # lakehouse (MERGE rep + r10 metadata tier + delete fix proof)
         "merge_full_matrix_versioned",
-        "table_partition_transform",
-        "table_partition_overwrite",
-        "table_clone_divergence",
-        "index_staleness_catalog",
-        "table_scd2_from_cdf",
+        "table_history",
+        "table_partitions_metadata",
+        "table_partition_range_probe",
+        "table_symlink_manifest",
+        "table_partition_delete_versioned",
+        # streaming
+        "stream_incremental_dedup",
+        "stream_foreach_batch_upsert",
     }
     assert must_have <= window
 
