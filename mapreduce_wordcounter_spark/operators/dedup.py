@@ -1601,6 +1601,36 @@ def _prefix_join_parts(spark: SparkSession, sf_dir: str) -> dict:
     return {"shingles": sh, "prefix": prefix, "cand": cand, "pairs": pairs}
 
 
+def _exact_pairs_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact J >= 0.5 pair set as a CATALOG artifact (the
+    trigram-index pattern, sources/index_catalog.py — VERDICT r10 #6):
+    the prefix-join construction is an OFFLINE build paid once per
+    corpus fingerprint, and every recall audit after that reprices
+    against the at-rest relation instead of recomputing the exact side
+    per run. A changed corpus invalidates through the fingerprint; the
+    DuckDB oracle replays the construction from scratch, keeping the
+    at-rest content differentially verified exactly like the trigram
+    posting index."""
+    import os as _os
+
+    from mapreduce_wordcounter_spark.sources import index_catalog as ic
+
+    def build(data: str) -> None:
+        _prefix_join_parts(spark, sf_dir)["pairs"].write.parquet(
+            data + "/pairs"
+        )
+
+    rel = ic.table_index(
+        spark,
+        "exact_pairs",
+        [_os.path.join(sf_dir, "documents.parquet")],
+        {"tau": "0.5"},
+        build,
+        ["pairs"],
+    )
+    return rel["pairs"]
+
+
 @query(
     "lsh_recall_vs_exact",
     oracle="""
@@ -1631,10 +1661,11 @@ def lsh_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row. The exact side is the PURE prefix-join plan (not the
     adaptive serving entry, which may itself pick LSH on
     duplicate-heavy corpora — an audit comparing LSH to LSH would be
-    vacuous)."""
-    exact = _prefix_join_parts(spark, sf_dir)["pairs"].select(
-        "doc_a", "doc_b"
-    )
+    vacuous), served AT REST since r11 (VERDICT r10 #6): the
+    construction is paid once per corpus fingerprint in the catalog
+    (_exact_pairs_at_rest) and the per-run audit cost is one pair-grain
+    parquet read + the LSH side."""
+    exact = _exact_pairs_at_rest(spark, sf_dir).select("doc_a", "doc_b")
     lsh = lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
     hits = exact.join(lsh, ["doc_a", "doc_b"]).agg(
         F.count("*").cast("bigint").alias("n_hits")
