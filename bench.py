@@ -217,6 +217,11 @@ HEADLINE = [
     "table_scd2_from_cdf",
     "table_symlink_manifest",
     "table_partition_range_probe",
+    # round 11: CCNet perplexity gate, exact token-budget allocator,
+    # watermarked LEFT OUTER stream-stream attribution
+    "ccnet_perplexity_buckets",
+    "token_budget_allocation",
+    "stream_click_attribution_outer",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries

@@ -2352,6 +2352,153 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+    WITH tok AS ({{tok}}),
+    freq AS (
+        SELECT word, COUNT(*) AS n FROM tok WHERE word <> '' GROUP BY word),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM freq),
+    terms AS (
+        SELECT t.doc_id,
+               CAST(FLOOR(LN(CAST(f.n AS DOUBLE) / tot.total) * 1000000.0
+                          + 0.5) AS BIGINT) AS lp_micro
+        FROM tok t
+        JOIN freq f ON t.word = f.word
+        CROSS JOIN tot
+        WHERE t.word <> ''),
+    nll AS (
+        SELECT doc_id,
+               ROUND(-CAST(SUM(lp_micro) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
+                   AS mean_nll
+        FROM terms GROUP BY doc_id),
+    bucketed AS (
+        SELECT n.doc_id, d.lang, n.mean_nll,
+               CAST(NTILE(3) OVER (PARTITION BY d.lang
+                                   ORDER BY n.mean_nll, n.doc_id)
+                    AS BIGINT) AS bucket
+        FROM nll n JOIN documents d ON n.doc_id = d.doc_id)
+    SELECT doc_id, lang, mean_nll, bucket, bucket <= 2 AS keep
+    FROM bucketed
+    """,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's perplexity bucketing (Wenzek et al., 2020): within each
+    language, rank documents by LM perplexity (here the unigram-NLL
+    proxy, doc_unigram_logprob's relation) and split into
+    head/middle/tail terciles; the published pipeline keeps head +
+    middle and drops the tail — the standard first quality gate for
+    web-crawl pretraining corpora. Ties on mean_nll break on doc_id so
+    the tercile boundary is deterministic on both engines.
+
+    Plan: the NLL relation (vocab-probability broadcast, one doc_id
+    rollup) plus a per-lang NTILE window — partitioned by lang, never
+    single-partition; the documents join is doc-grain."""
+    from pyspark.sql import Window as W
+
+    rel = doc_unigram_logprob(spark, sf_dir).select("doc_id", "mean_nll")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = W.partitionBy("lang").orderBy("mean_nll", "doc_id")
+    bucket = F.ntile(3).over(w).cast("long")
+    return (
+        rel.join(docs, "doc_id")
+        .select("doc_id", "lang", "mean_nll", bucket.alias("bucket"))
+        .withColumn("keep", F.col("bucket") <= 2)
+    )
+
+
+ORACLE["ccnet_perplexity_buckets"] = ORACLE["ccnet_perplexity_buckets"].format(
+    tok=_SQL_TOKEN_ROWS
+)
+
+_BUDGET_TOKENS = 100_000  # the global training-token budget to allocate
+
+
+@query(
+    "token_budget_allocation",
+    oracle=f"""
+    WITH slice_tokens AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM ({{tok}}) t WHERE word <> '' GROUP BY lang),
+    sq AS (
+        SELECT lang, n_tokens,
+               CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5)
+                    AS BIGINT) AS sq_micro
+        FROM slice_tokens),
+    tot AS (SELECT CAST(SUM(sq_micro) AS BIGINT) AS tsq FROM sq),
+    base AS (
+        SELECT lang, n_tokens, sq_micro,
+               ({_BUDGET_TOKENS} * sq_micro) // tsq AS q0,
+               ({_BUDGET_TOKENS} * sq_micro) % tsq AS rem
+        FROM sq CROSS JOIN tot),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rr,
+               (SELECT {_BUDGET_TOKENS} - SUM(q0) FROM base) AS leftover
+        FROM base)
+    SELECT lang, n_tokens,
+           CAST(q0 + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS quota,
+           CAST(LEAST(q0 + CASE WHEN rr <= leftover THEN 1 ELSE 0 END,
+                      n_tokens) AS BIGINT) AS alloc
+    FROM ranked
+    """,
+)
+def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer token-budget allocator: split a fixed global training
+    budget (_BUDGET_TOKENS = 100k tokens) across languages proportionally
+    to the α=0.5 temperature weights (mixture_temperature_weights'
+    exact sq_micro construction) with LARGEST-REMAINDER rounding, so
+    the per-lang quotas are integers that sum to the budget EXACTLY —
+    the arithmetic a mixture sampler actually needs (a float weight
+    vector leaves the budget off by rounding drift). ``alloc`` caps
+    each quota at the language's availability; Σ quota == budget is
+    pinned in tests.
+
+    Exactness: budget × sq_micro stays far below 2^63, so the floor
+    quotas and remainders are exact int64 on both engines; the
+    remainder ranking breaks ties on lang. The only windows run over
+    the ≤|langs| slice relation (constant-bounded, whitelisted)."""
+    from pyspark.sql import Window as W
+
+    t = tokens(spark, sf_dir)
+    slices = t.groupBy("lang").agg(F.count("*").cast("long").alias("n_tokens"))
+    sq = slices.withColumn(
+        "sq_micro",
+        F.floor(
+            F.sqrt(F.col("n_tokens").cast("double")) * 1_000_000 + F.lit(0.5)
+        ).cast("long"),
+    )
+    tsq = F.sum("sq_micro").over(W.partitionBy())
+    base = sq.select(
+        "lang",
+        "n_tokens",
+        F.expr(f"({_BUDGET_TOKENS}L * sq_micro)").alias("num"),
+        tsq.alias("tsq"),
+    ).select(
+        "lang",
+        "n_tokens",
+        F.expr("num div tsq").alias("q0"),
+        F.expr("num % tsq").alias("rem"),
+    )
+    leftover = (
+        F.lit(_BUDGET_TOKENS) - F.sum("q0").over(W.partitionBy())
+    ).alias("leftover")
+    rr = F.row_number().over(W.orderBy(F.desc("rem"), F.asc("lang")))
+    ranked = base.select("lang", "n_tokens", "q0", rr.alias("rr"), leftover)
+    quota = F.col("q0") + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+    return ranked.select(
+        "lang",
+        "n_tokens",
+        quota.cast("long").alias("quota"),
+        F.least(quota, F.col("n_tokens")).cast("long").alias("alloc"),
+    )
+
+
+ORACLE["token_budget_allocation"] = ORACLE["token_budget_allocation"].format(
+    tok=_SQL_TOKEN_ROWS
+)
+
+
 # --- DSIR-style importance weighting -----------------------------------------
 #
 # Data Selection with Importance Resampling (Xie et al., 2023): score

@@ -237,3 +237,34 @@ def test_dsir_gumbel_fraction_invariants(spark):
         assert [r["doc_id"] for r in sel[: len(head)]] == [
             r["doc_id"] for r in head
         ]
+
+
+def test_token_budget_allocation_sums_exactly(spark):
+    """Largest-remainder property: per-lang integer quotas sum to the
+    global budget EXACTLY (no rounding drift), every quota is
+    non-negative, and alloc never exceeds availability."""
+    rows = _QUERIES["token_budget_allocation"](spark, SF_ORACLE).collect()
+    assert sum(r["quota"] for r in rows) == 100_000
+    assert all(r["quota"] >= 0 for r in rows)
+    assert all(r["alloc"] <= min(r["quota"], r["n_tokens"]) for r in rows)
+
+
+def test_ccnet_buckets_are_per_lang_terciles(spark):
+    """Within every language the three buckets differ in size by at
+    most one (NTILE contract), bucket boundaries respect the NLL
+    ordering, and keep == (bucket <= 2)."""
+    rows = _QUERIES["ccnet_perplexity_buckets"](spark, SF_ORACLE).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        sizes = [sum(1 for r in rs if r["bucket"] == b) for b in (1, 2, 3)]
+        present = [s for s in sizes if s > 0]
+        if len(rs) >= 3:
+            assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        # NLL ordering: every head doc <= every tail doc
+        rs.sort(key=lambda r: (r["bucket"], r["mean_nll"]))
+        for a, b in zip(rs, rs[1:]):
+            if a["bucket"] < b["bucket"]:
+                assert a["mean_nll"] <= b["mean_nll"], lang
+        assert all(r["keep"] == (r["bucket"] <= 2) for r in rs)

@@ -58,6 +58,7 @@ _ALLOWED_BOUNDED_BNLJ = {
     "ev_funnel_conversion",  # joins of four 1-row funnel-stage counts
     "ev_value_histogram",  # 1-row global MIN/MAX bin-edge scalar
     "doc_unigram_logprob",  # 1-row corpus-token-total scalar onto the vocab
+    "ccnet_perplexity_buckets",  # inherits doc_unigram_logprob's 1-row scalar
     "dsir_importance_weights",  # 1-row (N, N_t, V) totals scalar onto the vocab
     "dsir_topk_selection",  # same scalar one level down (TakeOrdered on top)
     "dsir_sample_fraction",  # 1-row corpus-count scalar (quantile threshold)
@@ -100,6 +101,7 @@ _ALLOWED_BOUNDED_GLOBAL_WINDOW: set[str] = {
     "layout_span_compare",  # same bucket offsets, both layouts
     "mixture_weights",  # lang x source slice grid (dozens of rows)
     "mixture_temperature_weights",  # same slice grid
+    "token_budget_allocation",  # same <=|langs| slice grid (quota windows)
     "source_lang_chisq",  # source x lang grid
     "orders_open_backlog",  # month-grain relation (~84 rows)
     "vocab_top1k",  # LIMIT-1000-capped relation feeds the id window
