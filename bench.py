@@ -222,6 +222,7 @@ HEADLINE = [
     "ccnet_perplexity_buckets",
     "token_budget_allocation",
     "stream_click_attribution_outer",
+    "table_multicol_skip_probe",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries

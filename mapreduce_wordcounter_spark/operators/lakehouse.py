@@ -985,6 +985,189 @@ def table_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def file_skip_index(
+    spark: SparkSession, vt: VersionedTable, cols: list[str]
+) -> DataFrame:
+    """MULTI-COLUMN min/max file-skipping index for one committed
+    snapshot, as a CATALOG artifact (sources/index_catalog.py): one
+    parquet-footer pass over the live files records per-file [lo, hi]
+    for EVERY requested column — the queryable twin of Iceberg's
+    per-manifest column bounds, which the single ``stats_col`` the
+    commit protocol tracks natively cannot cover (a second predicate
+    column would otherwise always scan). Keyed on the committed
+    version (``versioned_fingerprint``), so any new commit invalidates
+    and ``staleness`` reports commits-behind; the build is bounded
+    driver-side metadata work (footers only, no data pages), exactly
+    the cost class of the protocol's own stats collection.
+
+    Relation shape: (file, <col>__lo, <col>__hi ...) — wide, one row
+    per live file; a column with incomplete row-group stats records
+    NULL bounds and is never skipped (conservative, like the
+    protocol's stats-less files)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_wordcounter_spark.sources import index_catalog as ic
+
+    snap = vt.snapshot()
+    version = snap["version"]
+    fp = ic.versioned_fingerprint(version)
+    params = {"cols": ",".join(sorted(cols))}
+    data = ic.lookup("fskip", vt.path, params, fp)
+    if data is None:
+        schema = snap.get("schema")
+        phys = (
+            {c["name"]: c["phys"] for c in schema["cols"]} if schema else {}
+        )
+        bounds: dict[str, list] = {c: [] for c in cols}
+        files = sorted(snap["files"])
+        for rel in files:
+            md = pq.ParquetFile(os.path.join(vt.path, rel)).metadata
+            names = md.schema.names
+            for c in cols:
+                p = phys.get(c, c)
+                lo = hi = None
+                if p in names:
+                    idx = names.index(p)
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        if st is None or not st.has_min_max:
+                            lo = hi = None
+                            break
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+                bounds[c].append((lo, hi))
+        tbl_cols: dict = {"file": pa.array(files, type=pa.string())}
+        for c in cols:
+            los = [b[0] for b in bounds[c]]
+            his = [b[1] for b in bounds[c]]
+            if all(v is None for v in los):
+                tbl_cols[f"{c}__lo"] = pa.nulls(len(files), pa.float64())
+                tbl_cols[f"{c}__hi"] = pa.nulls(len(files), pa.float64())
+            else:
+                tbl_cols[f"{c}__lo"] = pa.array(los)
+                tbl_cols[f"{c}__hi"] = pa.array(his)
+        data = ic.allocate("fskip", vt.path, params)
+        pq.write_table(
+            pa.table(tbl_cols), os.path.join(data, "bounds.parquet")
+        )
+        ic.publish("fskip", vt.path, params, fp, data, build_version=version)
+    return spark.read.parquet(os.path.join(data, "bounds.parquet"))
+
+
+def read_skip_multi(
+    spark: SparkSession, vt: VersionedTable, filters: dict
+) -> DataFrame:
+    """Read one snapshot scanning ONLY the files admitted by the
+    multi-column skip index: a file survives when its [lo, hi]
+    intersects the filter range on EVERY filtered column (NULL bounds
+    never skip), then the exact row predicate applies — so the result
+    always equals ``read().filter(...)`` (oracle-pinned). Candidate
+    selection is driver-side set arithmetic over the KB-scale index
+    relation; at 100 TB the skipped files are never listed, opened, or
+    scheduled, and predicates on N columns intersect their admissions
+    instead of falling back to a scan after the first."""
+    idx = file_skip_index(spark, vt, sorted(filters)).collect()
+    snap = vt.snapshot()
+    admitted = []
+    for r in idx:
+        ok = True
+        for c, (lo, hi) in filters.items():
+            flo, fhi = r[f"{c}__lo"], r[f"{c}__hi"]
+            if flo is None or fhi is None:
+                continue  # incomplete stats: never skip
+            if fhi < lo or flo > hi:
+                ok = False
+                break
+        if ok:
+            admitted.append(r["file"])
+    pred = None
+    for c, (lo, hi) in filters.items():
+        term = F.col(c).between(F.lit(lo), F.lit(hi))
+        pred = term if pred is None else pred & term
+    if not admitted:
+        return vt.read(spark, snap["version"]).filter(F.lit(False))
+    return vt._scan(spark, snap, files=admitted).filter(pred)
+
+
+_FSKIP_PATHS: dict[tuple[str, str], str] = {}
+_FSKIP_PRICE_SPLIT = 150_000.0  # price boundary between the two commits
+
+
+def _fskip_orders(spark: SparkSession, sf_dir: str) -> VersionedTable:
+    """An 8-file, two-commit orders table where BOTH columns cluster:
+    each commit holds one price band (≤/> the split), range-clustered
+    into 4 o_orderkey files — so every file carries a tight [lo, hi]
+    on both o_orderkey AND o_totalprice, the layout a two-dimensional
+    skip probe actually exercises (versioned_orders' post-merge
+    snapshot consolidates to one file — nothing to skip)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _FSKIP_PATHS.get(key)
+    if path is not None and len(VersionedTable(path).versions()) < 2:
+        path = None
+    if path is None:
+        path = os.path.join(scratch_dir("versioned_"), "orders_fskip")
+        vt = VersionedTable(path)
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        p = F.col("o_totalprice")
+        vt.create(
+            o.filter(p <= _FSKIP_PRICE_SPLIT).repartitionByRange(
+                4, "o_orderkey"
+            )
+        )
+        vt.append(
+            o.filter(p > _FSKIP_PRICE_SPLIT).repartitionByRange(
+                4, "o_orderkey"
+            )
+        )
+        _FSKIP_PATHS[key] = path
+    return VersionedTable(path)
+
+
+@query(
+    "table_multicol_skip_probe",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders
+    WHERE o_orderkey BETWEEN 2000 AND 9000
+      AND o_totalprice BETWEEN 1000 AND 150000
+    """,
+)
+def table_multicol_skip_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping on TWO predicate columns at once through the
+    at-rest multi-column index: the commit protocol's native stats
+    track one column (table_pruned_range's path), so a conjunctive
+    predicate that also bounds a second column would scan every file
+    the first admits; the fskip index intersects per-file admissions
+    across both columns before Spark lists a file. On the price-banded
+    key-clustered fixture, the key range admits ~half the files and
+    the price band then halves THOSE — multiplicative skipping. The
+    result equals the full-scan filter (the oracle proves it); the
+    file-count reduction and version-staleness contract are pinned in
+    tests/test_at_rest.py.
+
+    Scale: index build is one footer pass per commit (the ingest-time
+    cost every table format already pays); the probe is driver-side
+    interval arithmetic over KB metadata + a scan of the surviving
+    files only."""
+    vt = _fskip_orders(spark, sf_dir)
+    out = read_skip_multi(
+        spark,
+        vt,
+        {
+            "o_orderkey": (2000, 9000),
+            "o_totalprice": (1000.0, _FSKIP_PRICE_SPLIT),
+        },
+    )
+    return out.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        dsum(F.col("o_totalprice"), "sum_price"),
+    )
+
+
 _CM_VT_PATHS: dict[tuple[str, str], str] = {}
 
 

@@ -1438,8 +1438,14 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: both sides are top-k relations (|queries|·k rows); the
     intersection join and the scalars are trivial next to the index
-    probe itself."""
-    brute = knn_brute_cosine(spark, sf_dir).select("query_id", "vec_id")
+    probe itself. The brute side is served AT REST since r11 (the
+    lsh_recall_vs_exact posture, VERDICT r10 #6): the quadratic
+    baseline is built once per embeddings fingerprint in the catalog
+    (_brute_topk_at_rest) and every recall eval after that reads the
+    |queries|·k-row artifact — the oracle still replays the brute
+    construction from scratch, keeping the at-rest content
+    differentially verified."""
+    brute = _brute_topk_at_rest(spark, sf_dir).select("query_id", "vec_id")
     ivf = ann_ivf_topk(spark, sf_dir).select("query_id", "vec_id")
     hits = brute.join(ivf, ["query_id", "vec_id"]).agg(
         F.count("*").alias("n_hits")
@@ -1460,6 +1466,35 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["ann_ivf_recall"] = ORACLE["ann_ivf_recall"].format(
     b=ORACLE["knn_brute_cosine"], i=ORACLE["ann_ivf_topk"]
 )
+
+
+def _brute_topk_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn_brute_cosine's exact top-k relation as a CATALOG artifact
+    (sources/index_catalog.py): the declared-quadratic exactness
+    baseline is an OFFLINE build paid once per embeddings fingerprint;
+    recall evals (ann_ivf_recall, ann_rebuild_decision) reprice
+    against the at-rest |queries|·k-row relation instead of re-running
+    the brute scan per eval. The serving baseline query
+    knn_brute_cosine itself stays live — it IS the from-scratch
+    construction the oracle and this artifact are verified against.
+    params pins TOP_K; the query-set recipe is a code constant, so a
+    recipe change must bump the params key."""
+    import os as _os
+
+    from mapreduce_wordcounter_spark.sources import index_catalog as ic
+
+    def build(data: str) -> None:
+        knn_brute_cosine(spark, sf_dir).write.parquet(data + "/topk")
+
+    rel = ic.table_index(
+        spark,
+        "brute_topk",
+        [_os.path.join(sf_dir, "embeddings.parquet")],
+        {"k": str(TOP_K)},
+        build,
+        ["topk"],
+    )
+    return rel["topk"]
 
 
 # ---------------------------------------------------------------------------

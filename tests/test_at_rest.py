@@ -108,3 +108,56 @@ def test_dedup_components_train_once(spark):
     assert m2["data"] == m1["data"]  # same published artifact
     assert first == second
     assert len(first) > 0
+
+
+def test_multicol_skip_index_prunes_and_stays_exact(spark):
+    """The fskip artifact (operators/lakehouse.py): a two-column probe
+    scans a strict subset of the snapshot's files yet returns exactly
+    read().filter(...); the index builds once per committed version
+    (catalog memo) and a new commit flips the fingerprint so the next
+    probe rebuilds against the new snapshot."""
+    from mapreduce_wordcounter_spark.operators.lakehouse import (
+        _fskip_orders,
+        file_skip_index,
+        read_skip_multi,
+    )
+    from mapreduce_wordcounter_spark.sources import index_catalog as ic
+    from pyspark.sql import functions as F
+
+    vt = _fskip_orders(spark, SF_ORACLE)
+    filters = {"o_orderkey": (2000, 9000), "o_totalprice": (1000.0, 150000.0)}
+    idx = file_skip_index(spark, vt, sorted(filters)).collect()
+    n_files = len(idx)
+    key_only = [
+        r["file"]
+        for r in idx
+        if not (r["o_orderkey__hi"] < 2000 or r["o_orderkey__lo"] > 9000)
+    ]
+    admitted = [
+        r["file"]
+        for r in idx
+        if not (r["o_orderkey__hi"] < 2000 or r["o_orderkey__lo"] > 9000)
+        and not (
+            r["o_totalprice__hi"] < 1000.0 or r["o_totalprice__lo"] > 150000.0
+        )
+    ]
+    # multiplicative skipping: the second column prunes beyond the first
+    assert 0 < len(admitted) < len(key_only) < n_files, (
+        len(admitted), len(key_only), n_files,
+    )
+
+    got = sorted(map(tuple, read_skip_multi(spark, vt, filters).collect()))
+    pred = (
+        F.col("o_orderkey").between(2000, 9000)
+        & F.col("o_totalprice").between(1000.0, 150000.0)
+    )
+    want = sorted(map(tuple, vt.read(spark).filter(pred).collect()))
+    assert got == want
+
+    # staleness contract: the artifact is pinned to the built version
+    v = vt.snapshot()["version"]
+    m = ic.manifest("fskip", vt.path, {"cols": ",".join(sorted(filters))})
+    assert m is not None and m["build_version"] == v
+    assert ic.staleness(
+        "fskip", vt.path, {"cols": ",".join(sorted(filters))}, v + 1
+    ) == 1
