@@ -92,6 +92,15 @@ TARGETS = [
     # the transform-pruned read (5 day-partitions selected out of 30)
     # through the checkpoint manifest tree (build paid in warm-up)
     "table_partition_transform",
+    # round 11: CCNet perplexity terciles (documents-driven: vocab
+    # model + per-lang NTILE) and the watermarked LEFT OUTER
+    # stream-stream attribution join (events-driven: join state
+    # bounded by rate x window). token_budget_allocation reduces to a
+    # per-lang count plus constant-size windows — its corpus-growing
+    # half is the same token scan mixture_temperature_weights already
+    # covers; table_multicol_skip_probe is orders-driven (symlinked).
+    "ccnet_perplexity_buckets",
+    "stream_click_attribution_outer",
 ]
 
 
