@@ -223,6 +223,7 @@ HEADLINE = [
     "token_budget_allocation",
     "stream_click_attribution_outer",
     "table_multicol_skip_probe",
+    "ann_ivf_sq8_topk",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries

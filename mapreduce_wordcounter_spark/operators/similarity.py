@@ -668,6 +668,206 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- IVF-SQ8: scalar-quantized candidate scoring --------------------------
+#
+# FAISS's IVFScalarQuantizer posture: candidates are routed through the
+# SAME trained coarse quantizer as ann_ivf_topk, but scored against
+# int8 codes (embedding_quantize_int8's per-vector symmetric recipe) —
+# 4× smaller candidate vectors resident in the scoring join, and the
+# dot products are pure int64 arithmetic (127² × 64 dims ≪ 2^53), so
+# the approximate cosine is EXACT cross-engine double math, not a
+# float-sum determinism compromise. Per-vector scales cancel in the
+# cosine, so no dequantization happens anywhere in the scoring path. A
+# short exact-float re-rank (3×TOP_K candidates) recovers brute
+# ordering at the top.
+
+_SQ_SHORTLIST = 3 * TOP_K
+
+_SPARK_IDOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as bigint) * cast(y as bigint)),"
+    " 0L, (acc, x) -> acc + x)"
+)
+_DUCK_IDOT = (
+    "list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, len({a})),"
+    " i -> {a}[i]::BIGINT * {b}[i]::BIGINT)), (acc, x) -> acc + x)"
+)
+
+_SPARK_Q8 = (
+    "CASE WHEN array_max(transform(embedding, x -> abs(cast(x as double)))) = 0D"
+    " THEN transform(embedding, x -> 0L)"
+    " ELSE transform(embedding, x -> CAST(FLOOR(cast(x as double)"
+    "   / (array_max(transform(embedding, y -> abs(cast(y as double)))) / 127.0D)"
+    "   + 0.5D) AS BIGINT)) END"
+)
+_DUCK_Q8 = (
+    "CASE WHEN list_max(list_transform(embedding, x -> abs(x::DOUBLE))) = 0"
+    " THEN list_transform(embedding, x -> 0::BIGINT)"
+    " ELSE list_transform(embedding, x -> CAST(FLOOR(x::DOUBLE"
+    "   / (list_max(list_transform(embedding, y -> abs(y::DOUBLE))) / 127.0)"
+    "   + 0.5) AS BIGINT)) END"
+)
+
+
+def _sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, q8 int64-code array, n2 = Σq²) — embedding_quantize_
+    int8's recipe kept in array form for the scoring join (internal
+    relation, never served; the driver-facing twin serves the string
+    shape)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q8 = F.expr(_SPARK_Q8)
+    return emb.select("vec_id", q8.alias("q8")).select(
+        "vec_id",
+        "q8",
+        F.expr(_SPARK_IDOT.format(a="q8", b="q8")).alias("n2"),
+    )
+
+
+@query(
+    "ann_ivf_sq8_topk",
+    oracle=f"""
+    WITH {_duck_kmeans_ctes()},
+    qd AS (
+        SELECT x.vec_id AS query_id, c.cell,
+               CAST(SUM((x.xm * c.cnt - c.sm) * (x.xm * c.cnt - c.sm)) AS BIGINT) AS num,
+               MAX(c.cnt) AS cnt
+        FROM xm x JOIN c{_IVF_ITERS} c ON x.pos = c.pos
+        WHERE x.vec_id < {N_QUERIES}
+        GROUP BY 1, 2),
+    probe AS (
+        SELECT query_id, cell FROM (
+            SELECT query_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY CAST(num AS DOUBLE) / (cnt * cnt), cell) AS rn
+            FROM qd) t
+        WHERE rn <= {N_PROBE}),
+    cn AS (
+        SELECT vec_id, q8, {_DUCK_IDOT.format(a='q8', b='q8')} AS n2
+        FROM (SELECT vec_id, {_DUCK_Q8} AS q8 FROM embeddings) c0),
+    s8 AS (
+        SELECT q.query_id, c.vec_id,
+               CAST({_DUCK_IDOT.format(a='q.q8', b='c.q8')} AS DOUBLE)
+               / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE)))
+                   AS sq8_cos
+        FROM (SELECT vec_id AS query_id, q8, n2 FROM cn
+              WHERE vec_id < {N_QUERIES}) q
+        JOIN probe ON probe.query_id = q.query_id
+        JOIN af m ON m.cell = probe.cell
+        JOIN cn c ON c.vec_id = m.vec_id AND c.vec_id <> q.query_id),
+    short AS (
+        SELECT query_id, vec_id, sq8_cos FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY sq8_cos DESC, vec_id) AS rn
+            FROM s8) t
+        WHERE rn <= {_SQ_SHORTLIST}),
+    rer AS (
+        SELECT s.query_id, s.vec_id, ROUND(s.sq8_cos, 6) AS sq8_cos,
+               ROUND({_DUCK_DOT.format(a='qe.embedding', b='e.embedding')}
+                     / ({_DUCK_NORM.format(v='qe.embedding')}
+                        * {_DUCK_NORM.format(v='e.embedding')}), 6) AS cosine
+        FROM short s
+        JOIN embeddings qe ON qe.vec_id = s.query_id
+        JOIN embeddings e ON e.vec_id = s.vec_id)
+    SELECT query_id, vec_id, sq8_cos, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS rn
+        FROM rer) t
+    WHERE rn <= {TOP_K}
+    """,
+)
+def ann_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 ANN (FAISS IVFScalarQuantizer): route queries through
+    the trained coarse quantizer (ann_ivf_topk's probe), score the
+    probed cells' members against INT8 CODES — per-vector symmetric
+    scales cancel in the cosine, and the int64 code dot products make
+    the approximate score bit-exact cross-engine, unlike any float-sum
+    ordering — then re-rank a 3×TOP_K shortlist with exact float
+    cosine. The middle rung of the compression ladder the module now
+    serves end-to-end: brute float (exactness oracle) → SQ8 (4×
+    smaller, integer SIMD dots) → PQ/ADC (16×, table lookups).
+
+    Scale: candidates ∝ probed-cell membership as in ann_ivf_topk, but
+    the scoring join moves 4× fewer candidate bytes and the exact-
+    float work is capped at shortlist size per query; codes are a
+    per-row projection (no shuffle) computed alongside the scan."""
+    cells, members = _ivf_index(spark, sf_dir)
+    diff = F.col("xm") * F.col("cnt") - F.col("sm")
+    qd = (
+        _spark_xm_queries(spark, sf_dir)
+        .join(F.broadcast(cells), "pos")
+        .groupBy(F.col("vec_id").alias("query_id"), "cell")
+        .agg(F.sum(diff * diff).alias("num"), F.max("cnt").alias("cnt"))
+    )
+    wprobe = W.partitionBy("query_id").orderBy(
+        (F.col("num").cast("double") / (F.col("cnt") * F.col("cnt"))).asc(),
+        F.asc("cell"),
+    )
+    probe = (
+        qd.withColumn("rn", F.row_number().over(wprobe))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", F.col("cell").alias("probe_cell"))
+    )
+    codes = _sq8_codes(spark, sf_dir)
+    qc = codes.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q8").alias("qa"),
+        F.col("n2").alias("n2a"),
+    )
+    s8 = (
+        qc.join(probe, "query_id")
+        .join(members.alias("m"), F.col("probe_cell") == F.col("m.cell"))
+        .join(codes.alias("c"), F.col("c.vec_id") == F.col("m.vec_id"))
+        .filter(F.col("c.vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("c.vec_id").alias("vec_id"),
+            (
+                F.expr(_SPARK_IDOT.format(a="qa", b="c.q8")).cast("double")
+                / (
+                    F.sqrt(F.col("n2a").cast("double"))
+                    * F.sqrt(F.col("c.n2").cast("double"))
+                )
+            ).alias("sq8_cos"),
+        )
+    )
+    wshort = W.partitionBy("query_id").orderBy(
+        F.desc("sq8_cos"), F.asc("vec_id")
+    )
+    short = (
+        s8.withColumn("rn", F.row_number().over(wshort))
+        .filter(F.col("rn") <= _SQ_SHORTLIST)
+        .select("query_id", F.col("vec_id").alias("cand_id"), "sq8_cos")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qe = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    rer = (
+        short.join(qe, "query_id")
+        .join(emb.alias("e"), F.col("e.vec_id") == F.col("cand_id"))
+        .select(
+            "query_id",
+            F.col("cand_id").alias("vec_id"),
+            F.round("sq8_cos", 6).alias("sq8_cos"),
+            F.round(
+                F.expr(_SPARK_DOT.format(a="qv", b="e.embedding"))
+                / (
+                    F.expr(f"sqrt({_SPARK_DOT.format(a='qv', b='qv')})")
+                    * F.expr(
+                        f"sqrt({_SPARK_DOT.format(a='e.embedding', b='e.embedding')})"
+                    )
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        rer.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", "sq8_cos", "cosine")
+    )
+
+
 # Random-hyperplane LSH with integer-derived planes: plane(j, i) =
 # ((1103515245 * (j * 64 + i) + 12345) % 2001) - 1000 — an explicit LCG,
 # pure integer arithmetic, identical in any engine.

@@ -530,3 +530,18 @@ def test_pca_explained_variance_invariants(spark):
         assert r["cumulative_ratio"] == cum / t
     assert rows[0]["cumulative_ratio"] < rows[1]["cumulative_ratio"] < rows[2]["cumulative_ratio"]
     assert rows[2]["cumulative_ratio"] < 1.0
+
+
+def test_ivf_sq8_tracks_ivf_on_clustered_data(spark, clustered_sf):
+    """IVF-SQ8 routes through the SAME probe as ann_ivf_topk, so on
+    cluster-aligned data its exact-re-ranked top-10 must match the
+    float path's recall: int8 quantization of unit-scale vectors
+    perturbs cosines by ~1/127 — far below the inter-cluster margin —
+    and the 3x shortlist absorbs any within-cluster reordering."""
+    ivf = _QUERIES["ann_ivf_topk"](spark, clustered_sf).toPandas()
+    sq8 = _QUERIES["ann_ivf_sq8_topk"](spark, clustered_sf).toPandas()
+    assert _recall(ivf, sq8) >= 0.9, _recall(ivf, sq8)
+    # the exact re-rank serves true cosines: where both paths agree on
+    # a (query, vec) pair, the cosine is identical
+    m = ivf.merge(sq8, on=["query_id", "vec_id"], suffixes=("_f", "_q"))
+    assert (m["cosine_f"] == m["cosine_q"]).all()
