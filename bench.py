@@ -224,6 +224,7 @@ HEADLINE = [
     "stream_click_attribution_outer",
     "table_multicol_skip_probe",
     "ann_ivf_sq8_topk",
+    "table_optimize_zorder",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries

@@ -1168,6 +1168,70 @@ def table_multicol_skip_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZO_PATHS: dict[tuple[str, str], str] = {}
+
+
+def _zorder_events(spark: SparkSession, sf_dir: str) -> VersionedTable:
+    """A versioned events projection rewritten by OPTIMIZE ZORDER
+    BY (user_id, day): v0 is 8 arbitrary ingest files (hash order —
+    every file's bounds cover ~the full range on both dimensions),
+    v1 the Morton-clustered rewrite. Built once per (session, sf)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _ZO_PATHS.get(key)
+    if path is not None and len(VersionedTable(path).versions()) < 2:
+        path = None
+    if path is None:
+        path = os.path.join(scratch_dir("versioned_"), "events_zorder")
+        vt = VersionedTable(path)
+        e = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            F.dayofmonth("ts").cast("long").alias("d"),
+            "value",
+        )
+        vt.create(e.repartition(8, "event_id"))  # ingest order: no layout
+        vt.optimize(spark, ["user_id", "d"], n_files=8, zorder=True)
+        _ZO_PATHS[key] = path
+    return VersionedTable(path)
+
+
+@query(
+    "table_optimize_zorder",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    WHERE user_id BETWEEN 10 AND 40
+      AND date_part('day', ts) BETWEEN 5 AND 12
+    """,
+)
+def table_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER end to end: the versioned events table is
+    rewritten along the Morton curve of (user_id, day-of-month), so
+    every data file carries a TIGHT [lo, hi] on both dimensions — then
+    a two-sided range probe is served through the multi-column skip
+    index (read_skip_multi), which intersects per-file admissions on
+    both columns before Spark lists a file. On the pre-optimize ingest
+    layout every file covers ~the full range of both columns and
+    nothing prunes; the Z layout makes BOTH predicates prune
+    (multiplicative skipping pinned in tests/test_at_rest.py, row
+    identity through the rewrite pinned in tests/test_versioned.py).
+    Result equals the full-scan filter (the oracle). The session pins
+    UTC, so dayofmonth here and date_part('day') in DuckDB agree.
+
+    Scale: the rewrite is once-per-corpus layout maintenance (the cost
+    OPTIMIZE always pays); the probe is driver-side interval
+    arithmetic over KB metadata + a scan of the few surviving files."""
+    vt = _zorder_events(spark, sf_dir)
+    out = read_skip_multi(
+        spark, vt, {"user_id": (10, 40), "d": (5, 12)}
+    )
+    return out.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        dsum(F.col("value"), "sum_value"),
+    )
+
+
 _CM_VT_PATHS: dict[tuple[str, str], str] = {}
 
 

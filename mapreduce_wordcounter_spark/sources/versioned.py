@@ -3281,11 +3281,44 @@ class VersionedTable:
 
     # -- compaction / re-clustering -------------------------------------
 
+    @staticmethod
+    def _zorder_col(df: DataFrame, cols: list[str]):
+        """Morton z-value Column over two int-castable columns, each
+        min-max normalized into a 16-bit budget before interleaving —
+        the same construction (and the same unrolled-literal-constants
+        performance reasoning) as operators/layout.py's _SPARK_Z;
+        duplicated here because sources/ must not import operators/.
+        The bounds aggregate is one 1-row driver scalar per OPTIMIZE —
+        rewrite-time metadata, not a serve-path collect."""
+        bits = 16
+        top = 2**bits - 1
+        b = (
+            df.agg(
+                F.min(F.col(cols[0]).cast("long")).alias("xlo"),
+                F.max(F.col(cols[0]).cast("long")).alias("xhi"),
+                F.min(F.col(cols[1]).cast("long")).alias("ylo"),
+                F.max(F.col(cols[1]).cast("long")).alias("yhi"),
+            ).collect()[0]
+        )
+        norm = (
+            "(((cast({v} as bigint)) - ({lo})) * {top})"
+            " div greatest(({hi}) - ({lo}), 1)"
+        )
+        xn = norm.format(v=cols[0], lo=b["xlo"], hi=b["xhi"], top=top)
+        yn = norm.format(v=cols[1], lo=b["ylo"], hi=b["yhi"], top=top)
+        z = " + ".join(
+            f"((({xn}) div {2**i}) % 2) * {2 ** (2 * i)}L"
+            f" + ((({yn}) div {2**i}) % 2) * {2 ** (2 * i + 1)}L"
+            for i in range(bits)
+        )
+        return F.expr(z)
+
     def optimize(
         self,
         spark: SparkSession,
         cluster_by: list[str],
         n_files: int = 4,
+        zorder: bool = False,
     ) -> int:
         """OPTIMIZE: rewrite the current snapshot as ``n_files``
         range-clustered data files (cluster on the MERGE key and every
@@ -3294,12 +3327,31 @@ class VersionedTable:
         layout: the committed rows are identical, the operation is a
         new snapshot ('optimize'), and every earlier snapshot still
         time-travels. Read-modify-write like merge, so a lost commit
-        race re-runs the rewrite against the winner."""
+        race re-runs the rewrite against the winner.
+
+        ``zorder=True`` (exactly two int-castable cluster columns):
+        OPTIMIZE ZORDER BY — rows are range-clustered along the Morton
+        curve of the two columns instead of lexicographically, so
+        EVERY file carries a tight [lo, hi] on BOTH dimensions and a
+        two-sided probe (native stats on one column, the fskip index
+        on the rest) prunes multiplicatively; a lexicographic layout
+        gives the second column full-range bounds in every file."""
+        if zorder and len(cluster_by) != 2:
+            raise ValueError("zorder clustering takes exactly two columns")
         for _ in range(8):
             snap = self.snapshot()
-            df = self.read(spark, snap["version"]).repartitionByRange(
-                n_files, *cluster_by
-            )
+            cur = self.read(spark, snap["version"])
+            if zorder:
+                df = (
+                    cur.withColumn(
+                        "__z", self._zorder_col(cur, cluster_by)
+                    )
+                    .repartitionByRange(n_files, "__z")
+                    .sortWithinPartitions("__z")
+                    .drop("__z")
+                )
+            else:
+                df = cur.repartitionByRange(n_files, *cluster_by)
             files = self._write_data_files(df, snap.get("schema"))
             try:
                 return self._commit_delta(

@@ -161,3 +161,40 @@ def test_multicol_skip_index_prunes_and_stays_exact(spark):
     assert ic.staleness(
         "fskip", vt.path, {"cols": ",".join(sorted(filters))}, v + 1
     ) == 1
+
+
+def test_zorder_optimize_makes_both_dims_prune(spark):
+    """OPTIMIZE ZORDER BY (user_id, d) + the fskip index: on the
+    Morton layout BOTH range predicates prune files (each alone admits
+    a strict subset) and their conjunction prunes multiplicatively; on
+    the pre-optimize ingest layout (v0, hash order) the same probe
+    admits every file. The rewrite is row-identical and v0 still
+    time-travels."""
+    from mapreduce_wordcounter_spark.operators.lakehouse import (
+        _zorder_events,
+        file_skip_index,
+    )
+    from mapreduce_wordcounter_spark.sources.versioned import VersionedTable
+
+    vt = _zorder_events(spark, SF_ORACLE)
+    idx = file_skip_index(spark, vt, ["d", "user_id"]).collect()
+    n = len(idx)
+
+    def admit(rows, col, lo, hi):
+        return [
+            r["file"]
+            for r in rows
+            if not (r[f"{col}__hi"] < lo or r[f"{col}__lo"] > hi)
+        ]
+
+    by_user = admit(idx, "user_id", 10, 40)
+    by_day = admit(idx, "d", 5, 12)
+    both = [f for f in by_user if f in by_day]
+    assert len(by_user) < n and len(by_day) < n, (len(by_user), len(by_day), n)
+    assert 0 < len(both) <= min(len(by_user), len(by_day))
+
+    # row identity through the rewrite; pre-optimize snapshot intact
+    v = vt.snapshot()["version"]
+    a = sorted(map(tuple, vt.read(spark, v - 1).collect()))
+    b = sorted(map(tuple, vt.read(spark, v).collect()))
+    assert a == b
