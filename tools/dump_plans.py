@@ -226,6 +226,13 @@ SHOWCASE = [
     "table_scd2_from_cdf",
     "table_symlink_manifest",
     "table_partition_range_probe",
+    # round 11: curation budget tier, two-column skipping, SQ8 ANN,
+    # OPTIMIZE ZORDER probe
+    "ccnet_perplexity_buckets",
+    "token_budget_allocation",
+    "table_multicol_skip_probe",
+    "ann_ivf_sq8_topk",
+    "table_optimize_zorder",
 ]
 
 # Belt-and-braces: a duplicated SHOWCASE entry (it has happened) would
