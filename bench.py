@@ -225,6 +225,7 @@ HEADLINE = [
     "table_multicol_skip_probe",
     "ann_ivf_sq8_topk",
     "table_optimize_zorder",
+    "graph_cc_twophase",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries

@@ -726,6 +726,106 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DUCK_JACCARD_PAIRS = ORACLE["jaccard_near_dup_pairs"]
 
 
+def cc_two_phase(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """(doc_id, canonical_id, is_canonical) via alternating LARGE-STAR
+    / SMALL-STAR (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC 2014) — the O(log²n)-ROUND connected components.
+    The min-label loop (connected_components below) converges in
+    O(component diameter) rounds: right for shallow near-dup clusters,
+    wrong for chain-heavy graphs (follower chains, citation paths)
+    where diameter ∝ n. The star operations square away diameter
+    instead of peeling it:
+
+    - LARGE-STAR per node u over the symmetric neighborhood Γ(u):
+      emit (v, min(Γ(u) ∪ {u})) for every v ∈ Γ(u) with v > u;
+    - SMALL-STAR per node u over its strictly-smaller neighbors N(u):
+      emit (u, min N(u)) and (v, min N(u)) for the rest of N(u).
+
+    Each phase is ONE groupBy-min over the edge list joined back onto
+    it (edge-grain work, no per-node state), per-round results are
+    localCheckpoint()ed, and convergence is read from an order-free
+    per-round signature (edge count + sum of per-edge hashes — one
+    scalar job, never an edge-set diff join). At the fixpoint the edge
+    set IS the star forest (v → component minimum), so labels are read
+    off directly. Raises if ``max_rounds`` passes without convergence
+    — the chain-graph pytest pins the round bound the algorithm
+    exists for."""
+    E = (
+        edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        E.select(F.col("a").alias("doc_id"))
+        .union(E.select(F.col("b").alias("doc_id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    converged = E.isEmpty()
+    for _ in range(max_rounds):
+        if converged:
+            break
+        sym = E.union(
+            E.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        gm = sym.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        large = (
+            sym.join(gm, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star input: orient big -> small (large-star output
+        # already is, but normalize so the phase is self-contained)
+        d = large.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        ).distinct()
+        g2 = d.groupBy("a").agg(F.min("b").alias("m"))
+        e_new = (
+            g2.select("a", F.col("m").alias("b"))
+            .union(
+                d.join(g2, "a")
+                .filter(F.col("b") != F.col("m"))
+                .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # hash sum in decimal(38,0): full-range int64 hashes overflow
+        # a long sum under ANSI mode; the decimal sum is exact
+        sig = e_new.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        E = e_new
+        if prev_sig == (sig["n"], sig["h"]):
+            converged = True
+        prev_sig = (sig["n"], sig["h"])
+    if not converged:
+        raise RuntimeError(
+            f"cc_two_phase did not converge in {max_rounds} rounds"
+        )
+    labels = nodes.join(
+        E.select(F.col("a").alias("doc_id"), F.col("b").alias("label")),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        F.coalesce("label", F.col("doc_id")).alias("canonical_id"),
+    )
+    return labels.select(
+        "doc_id",
+        "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+    )
+
+
 def connected_components(edges: DataFrame) -> DataFrame:
     """(doc_id, canonical_id, is_canonical) labels for the graph given
     as an edge list ``(doc_a, doc_b)`` — iterative min-label

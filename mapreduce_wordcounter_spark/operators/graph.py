@@ -395,6 +395,46 @@ def graph_user_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "graph_cc_twophase",
+    oracle=f"""
+    WITH RECURSIVE
+    adj AS ({_SQL_ADJ}),
+    sym AS (SELECT user_a AS a, user_b AS b FROM adj
+            UNION SELECT user_b, user_a FROM adj),
+    nodes AS (SELECT DISTINCT a FROM sym),
+    reach(src, dst) AS (
+        SELECT a, a FROM nodes
+        UNION
+        SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a)
+    SELECT src AS user_id, MIN(dst) AS component_id,
+           CAST(src = MIN(dst) AS BOOLEAN) AS is_canonical
+    FROM reach GROUP BY src
+    """,
+)
+def graph_cc_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    (dedup.cc_two_phase) — the SCALE TWIN of graph_user_components'
+    min-label loop over the same co-occurrence graph, with the same
+    fixpoint and the same oracle. The min-label loop pays one round
+    per hop of component diameter (right for shallow near-dup
+    clusters); the star algorithm converges in O(log² n) rounds
+    regardless of diameter — on a 10⁹-node chain-heavy graph that is
+    the difference between hundreds of shuffle rounds and ~a dozen.
+    The chain-graph pytest pins exactly that round bound; equality
+    with the min-label labeling is pinned alongside."""
+    from mapreduce_wordcounter_spark.operators.dedup import cc_two_phase
+
+    edges = graph_adjacent_users(spark, sf_dir).select(
+        F.col("user_a").alias("doc_a"), F.col("user_b").alias("doc_b")
+    )
+    return cc_two_phase(edges).select(
+        F.col("doc_id").alias("user_id"),
+        F.col("canonical_id").alias("component_id"),
+        "is_canonical",
+    )
+
+
 def _lpa_oracle(k: int) -> str:
     """Unrolled-K label-propagation oracle. Each round: every node
     adopts the label with the highest total incident edge weight among

@@ -268,3 +268,36 @@ def test_ccnet_buckets_are_per_lang_terciles(spark):
             if a["bucket"] < b["bucket"]:
                 assert a["mean_nll"] <= b["mean_nll"], lang
         assert all(r["keep"] == (r["bucket"] <= 2) for r in rs)
+
+
+def test_cc_twophase_equals_minlabel(spark):
+    """The star algorithm and the min-label loop reach the same
+    fixpoint on the real co-occurrence graph."""
+    a = sorted(
+        map(tuple, _QUERIES["graph_cc_twophase"](spark, SF_ORACLE).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            _QUERIES["graph_user_components"](spark, SF_ORACLE).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+
+
+def test_cc_twophase_chain_round_bound(spark):
+    """The reason the algorithm exists: a 200-node path has diameter
+    199 — the min-label loop would need ~199 rounds — but the star
+    alternation must label it in O(log² n): 12 rounds is generous for
+    n = 200 and fails loudly if the implementation degrades to
+    diameter-bounded propagation."""
+    from mapreduce_wordcounter_spark.operators.dedup import cc_two_phase
+    from pyspark.sql import functions as F
+
+    chain = spark.range(199).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    out = cc_two_phase(chain, max_rounds=12).collect()
+    assert len(out) == 200
+    assert all(r["canonical_id"] == 0 for r in out)
+    assert sum(1 for r in out if r["is_canonical"]) == 1
