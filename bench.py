@@ -226,6 +226,7 @@ HEADLINE = [
     "ann_ivf_sq8_topk",
     "table_optimize_zorder",
     "graph_cc_twophase",
+    "table_quarantine_audit",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries

@@ -1168,6 +1168,75 @@ def table_multicol_skip_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QR_PATHS: dict[tuple[str, str], str] = {}
+
+
+def _quarantine_orders(spark: SparkSession, sf_dir: str) -> VersionedTable:
+    """v0 empty create, v1 quarantine-mode expectation
+    (o_totalprice <= 400000), v2 append the full orders table — the
+    high-price tail (~20% of rows) is routed to the commit's
+    quarantine sidecar instead of the data files."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _QR_PATHS.get(key)
+    if path is not None and len(VersionedTable(path).versions()) < 3:
+        path = None
+    if path is None:
+        path = os.path.join(scratch_dir("versioned_"), "orders_quarantine")
+        vt = VersionedTable(path)
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        vt.create(o.limit(0))
+        vt.set_expectation(
+            spark, "price_cap", "o_totalprice <= 400000", mode="quarantine"
+        )
+        vt.append(o)
+        _QR_PATHS[key] = path
+    return VersionedTable(path)
+
+
+@query(
+    "table_quarantine_audit",
+    oracle=f"""
+    SELECT 'kept' AS status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders WHERE o_totalprice <= 400000
+    UNION ALL
+    SELECT 'quarantined', CAST(COUNT(*) AS BIGINT),
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders WHERE NOT (o_totalprice <= 400000)
+    """,
+)
+def table_quarantine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine-mode expectations (DLT's route-to-quarantine
+    pattern): rows violating the rule are EXCLUDED from the table's
+    data files like drop-mode but written to the commit's quarantine
+    sidecar for triage instead of silently discarded — the posture for
+    upstream corruption someone must inspect. This audit serves both
+    sides of the split: the table holds exactly the passing rows, the
+    quarantine feed (read_quarantine — manifest-walk resolution, like
+    history()) exactly the violators; the oracle replays the predicate
+    split on the raw table, so conservation (kept + quarantined ==
+    incoming) is hash-checked, not asserted.
+
+    Scale: the quarantine write reuses the batch's already-observed
+    violation counts to SKIP the extra job on clean batches; sidecar
+    bytes ∝ violations; vacuum retains sidecars exactly while their
+    capturing manifest survives (the cdc posture)."""
+    vt = _quarantine_orders(spark, sf_dir)
+    kept = vt.read(spark).agg(
+        F.lit("kept").alias("status"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        dsum(F.col("o_totalprice"), "sum_price"),
+    )
+    q = vt.read_quarantine(spark).agg(
+        F.lit("quarantined").alias("status"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        dsum(F.col("o_totalprice"), "sum_price"),
+    )
+    return kept.unionAll(q).select("status", "n_rows", "sum_price")
+
+
 _ZO_PATHS: dict[tuple[str, str], str] = {}
 
 

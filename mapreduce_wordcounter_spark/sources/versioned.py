@@ -164,6 +164,7 @@ class VersionedTable:
         # violation counts observed by the most recent data-file write,
         # staged for the manifest that commits those files
         self._pending_exp_metrics: dict | None = None
+        self._pending_quarantine: list | None = None
         # checkpoint-tree parts read by the most recent resolution —
         # protocol-test instrumentation only, never consulted by logic
         self._last_part_reads: list[str] | None = None
@@ -916,6 +917,11 @@ class VersionedTable:
             # the retried manifest without its violation counts and
             # silently undercount expectation audits (ADVICE r9).
             # Cleared only after _publish succeeds.
+        pending_q = getattr(self, "_pending_quarantine", None)
+        if pending_q:
+            # quarantine sidecar files captured during this commit's
+            # write — same race posture as the metrics above
+            exp_entry["quarantine"] = pending_q
         # deletion-vector state: removed data files shed their DVs
         # (replayed the same way in _resolve), a merge-on-read delete
         # attaches new DV files via dv_add, and rollback/clone set the
@@ -957,6 +963,8 @@ class VersionedTable:
             # the commit owns its metrics now; a later retry of a
             # DIFFERENT commit must not inherit them
             self._pending_exp_metrics = None
+        if pending_q:
+            self._pending_quarantine = None
         snap = {
             k: v
             for k, v in manifest.items()
@@ -1256,8 +1264,16 @@ class VersionedTable:
         manifest publishes, even in drop/warn mode — a trickle of bad
         rows is quality noise to drop or count, a flood is an upstream
         incident to stop. fail-mode's row-level abort stays the
-        default (max_frac None ⇒ any violation aborts)."""
-        if mode not in ("fail", "drop", "warn"):
+        default (max_frac None ⇒ any violation aborts).
+
+        ``mode="quarantine"`` (DLT's route-to-quarantine pattern):
+        violating rows are EXCLUDED from the data files like drop-mode
+        but WRITTEN to the commit's quarantine sidecar instead of
+        discarded — the posture for rows someone must triage (schema
+        drift, upstream corruption) rather than silently lose. Read
+        them back with :meth:`read_quarantine`; vacuum retains the
+        files of surviving commits like cdc sidecars."""
+        if mode not in ("fail", "drop", "warn", "quarantine"):
             raise ValueError(f"unknown expectation mode: {mode!r}")
         if name.startswith("__"):
             raise ValueError(f"expectation names may not start with __: {name!r}")
@@ -1333,12 +1349,13 @@ class VersionedTable:
         try:
             snap = self.snapshot()
         except FileNotFoundError:
-            return df, None, {}
+            return df, None, {}, None
         rules = snap.get("expectations") or {}
         if not rules:
-            return df, None, {}
+            return df, None, {}, None
         from pyspark.sql import Observation
 
+        incoming = df
         obs = Observation(f"expectations_{uuid.uuid4().hex}")
         df = df.observe(
             obs,
@@ -1355,11 +1372,20 @@ class VersionedTable:
             # alias — user rule names cannot start with "__")
             F.count(F.lit(1)).cast("long").alias("__exp_total__"),
         )
+        q_pred = None
         for name, r in sorted(rules.items()):
-            if r["mode"] == "drop":
+            if r["mode"] in ("drop", "quarantine"):
                 # keep iff TRUE: NULL-evaluating rows are dropped too
-                df = df.filter(F.coalesce(F.expr(r["expr"]), F.lit(False)))
-        return df, obs, rules
+                keep = F.coalesce(F.expr(r["expr"]), F.lit(False))
+                df = df.filter(keep)
+                if r["mode"] == "quarantine":
+                    viol = ~F.coalesce(F.expr(r["expr"]), F.lit(False))
+                    q_pred = viol if q_pred is None else (q_pred | viol)
+        # quarantined rows come from the ORIGINAL batch (a row caught
+        # by a quarantine rule is captured even when a drop rule would
+        # also have excluded it — triage sees the raw row)
+        quarantined = incoming.filter(q_pred) if q_pred is not None else None
+        return df, obs, rules, quarantined
 
     def _harvest_expectations(self, obs, rules) -> None:
         """After the write job: raise on fail-mode violations (the
@@ -1406,7 +1432,7 @@ class VersionedTable:
         enforced here — the chokepoint every data write passes through
         (ingest AND copy-on-write rewrites: a file rewritten under a
         newer rule must satisfy it, Delta's constraint contract)."""
-        df, obs, rules = self._apply_expectations(df)
+        df, obs, rules, quarantined = self._apply_expectations(df)
         df = self._to_physical(df, schema)
         sub = os.path.join("data", uuid.uuid4().hex)
         full = os.path.join(self.path, sub)
@@ -1437,6 +1463,7 @@ class VersionedTable:
                 *[_PART_PREFIX + f["name"] for f in fields]
             ).parquet(full)
             self._harvest_expectations(obs, rules)
+            self._write_quarantine(quarantined, rules)
             # partitionBy gives the SAME task's outputs in different
             # partition dirs the SAME basename (part-00000-<job-uuid>…)
             # — but the whole protocol (deletion-vector keys, rewrite
@@ -1457,11 +1484,71 @@ class VersionedTable:
             return sorted(out)
         df.write.mode("overwrite").parquet(full)
         self._harvest_expectations(obs, rules)
+        self._write_quarantine(quarantined, rules)
         return sorted(
             os.path.join(sub, f)
             for f in os.listdir(full)
             if f.endswith(".parquet")
         )
+
+    def _write_quarantine(self, quarantined, rules: dict) -> None:
+        """Write this commit's quarantine sidecar (rows caught by
+        quarantine-mode rules) and stage the file list for the
+        upcoming manifest. Runs AFTER _harvest_expectations — a
+        circuit-breaker abort writes nothing — and SKIPS the write job
+        entirely when the already-observed violation counts say no
+        quarantine rule fired (clean batches pay zero extra jobs).
+        Rows carry the logical column names in force at write time
+        (the sidecar is an ingest audit, not table state — it does not
+        follow later renames)."""
+        if quarantined is None:
+            return
+        metrics = getattr(self, "_pending_exp_metrics", None) or {}
+        fired = sum(
+            int((metrics.get(n) or {}).get("violations", 0))
+            for n, r in rules.items()
+            if r["mode"] == "quarantine"
+        )
+        if fired == 0:
+            return
+        sub = os.path.join("quarantine", uuid.uuid4().hex)
+        full = os.path.join(self.path, sub)
+        quarantined.write.mode("overwrite").parquet(full)
+        self._pending_quarantine = sorted(
+            os.path.join(sub, f)
+            for f in os.listdir(full)
+            if f.endswith(".parquet")
+        )
+
+    def read_quarantine(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame | None:
+        """All quarantined rows captured by commits ≤ ``version``
+        (default: latest), stamped with the capturing commit's version
+        — the triage feed for rows routed aside by quarantine-mode
+        expectations. Resolution walks the manifest JSONs (KB-scale
+        driver metadata, like history()); returns None when no commit
+        quarantined anything."""
+        vs = [v for v in self.versions() if version is None or v <= version]
+        parts: list[tuple[int, str]] = []
+        for v in vs:
+            m = self._load_manifest(v)
+            for rel in m.get("quarantine") or []:
+                parts.append((v, rel))
+        if not parts:
+            return None
+        dfs = []
+        for v, rel in parts:
+            p = rel if os.path.isabs(rel) else os.path.join(self.path, rel)
+            dfs.append(
+                spark.read.parquet(p).withColumn(
+                    "__q_version", F.lit(v).cast("int")
+                )
+            )
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
 
     def _write_cdc_files(self, df: DataFrame) -> list[str]:
         """Write a commit's CHANGE rows (the Delta Change-Data-Feed
@@ -1980,6 +2067,17 @@ class VersionedTable:
                 continue
         orphans += self._collect_orphans(
             keep_cdc, orphan_grace_sec, root="cdc"
+        )
+        # quarantine sidecars: same per-commit-metadata posture as cdc
+        # (kept while their capturing manifest survives; expired with it)
+        keep_q: set[str] = set()
+        for v in self.versions():
+            try:
+                keep_q.update(self._load_manifest(v).get("quarantine") or [])
+            except FileNotFoundError:
+                continue
+        orphans += self._collect_orphans(
+            keep_q, orphan_grace_sec, root="quarantine"
         )
         # deletion-vector sidecars: keep those any RETAINED snapshot's
         # DV state references (snapshot-resolved, like data files — a

@@ -2901,3 +2901,61 @@ def test_read_partitions_pruned_layered(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, expect.collect())
     )
+
+
+def test_quarantine_mode_routes_violators(spark, tmp_path):
+    """mode='quarantine': the data files hold exactly the passing rows
+    (like drop), the violators land in the commit's quarantine sidecar
+    stamped with the capturing version, conservation holds, metrics
+    record the rule as quarantine-mode, and a CLEAN append writes no
+    sidecar (the violation counts gate the extra job)."""
+    vt = VersionedTable(str(tmp_path / "qr"))
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    vt.create(df.limit(0))
+    vt.set_expectation(spark, "v_cap", "v < 90", mode="quarantine")
+    v2 = vt.append(df)
+    assert vt.read(spark).count() == 90
+    q = vt.read_quarantine(spark)
+    rows = q.collect()
+    assert sorted(r["k"] for r in rows) == list(range(90, 100))
+    assert all(r["__q_version"] == v2 for r in rows)
+    m = vt._load_manifest(v2)
+    assert m["quarantine"] and m["expectation_metrics"]["v_cap"] == {
+        "mode": "quarantine", "violations": 10,
+    }
+    # clean append: no sidecar written, no manifest key
+    v3 = vt.append(df.filter("v < 50"))
+    m3 = vt._load_manifest(v3)
+    assert "quarantine" not in m3
+    assert vt.read_quarantine(spark).count() == 10  # unchanged feed
+    # a row caught by quarantine is captured even when a drop rule
+    # would also exclude it (triage sees the raw row)
+    vt.set_expectation(spark, "k_even", "k % 2 = 0", mode="drop")
+    before = vt.read(spark).count()
+    vt.append(df.filter("k >= 88"))  # 88..99: quarantine 90+, drop odds
+    q2 = [r["k"] for r in vt.read_quarantine(spark).collect()]
+    assert set(q2) == set(range(90, 100))  # odd violators captured too
+    assert len(q2) == 20  # this append quarantined 90..99 again
+    # of 88..99 only 88 survives both gates (89 odd, 90+ quarantined)
+    assert vt.read(spark).count() == before + 1
+
+
+def test_quarantine_sidecars_follow_manifest_retention(spark, tmp_path):
+    """vacuum keeps quarantine files while their capturing manifest
+    survives and deletes them when it expires (the cdc posture)."""
+    vt = VersionedTable(str(tmp_path / "qv"))
+    df = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    vt.create(df.limit(0))
+    vt.set_expectation(spark, "cap", "k < 15", mode="quarantine")
+    vq = vt.append(df)               # quarantines 15..19
+    vt.append(df.filter("k < 5"))    # v3
+    vt.append(df.filter("k < 3"))    # v4
+    qfile = os.path.join(vt.path, vt._load_manifest(vq)["quarantine"][0])
+    assert os.path.exists(qfile)
+    vt.vacuum(retain_last=1, orphan_grace_sec=0.0, force_orphan_grace=True)
+    assert not os.path.exists(qfile)  # capturing manifest expired
+    assert vt.read_quarantine(spark) is None
