@@ -227,6 +227,7 @@ HEADLINE = [
     "table_optimize_zorder",
     "graph_cc_twophase",
     "table_quarantine_audit",
+    "mv_join_incremental",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries
