@@ -233,6 +233,9 @@ SHOWCASE = [
     "table_multicol_skip_probe",
     "ann_ivf_sq8_topk",
     "table_optimize_zorder",
+    "graph_cc_twophase",
+    "table_quarantine_audit",
+    "mv_join_incremental",
 ]
 
 # Belt-and-braces: a duplicated SHOWCASE entry (it has happened) would
