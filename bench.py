@@ -228,6 +228,7 @@ HEADLINE = [
     "graph_cc_twophase",
     "table_quarantine_audit",
     "mv_join_incremental",
+    "ev_bootstrap_ci_mean",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries

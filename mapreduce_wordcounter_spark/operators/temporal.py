@@ -1322,3 +1322,124 @@ def ev_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(share - F.col("benford_share")), 6).alias("abs_dev"),
         )
     )
+
+
+# -- distributed bootstrap ---------------------------------------------------
+
+_BOOT_R = 32  # bootstrap replicates
+# Poisson(1) inverse-CDF thresholds on a uniform draw in [0, 1e6):
+# cumulative probabilities x 1e6, capped at w = 5 (P(w > 5) < 0.06%).
+_BOOT_CDF = (367879, 735759, 919699, 981012, 996340)
+_SPARK_BOOT_U = (
+    "cast(conv(substring(md5(concat(cast(event_id as string), ':', "
+    "cast(r as string))), 1, 15), 16, 10) as bigint) % 1000000"
+)
+_DUCK_BOOT_U = (
+    "CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR) || ':' || "
+    "CAST(r AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000"
+)
+
+
+def _boot_w(u: str) -> str:
+    """Engine-shared CASE mapping a uniform micro-draw to a Poisson(1)
+    weight (same text compiles in Spark SQL and DuckDB)."""
+    branches = " ".join(
+        f"WHEN ({u}) < {t} THEN {w}" for w, t in enumerate(_BOOT_CDF)
+    )
+    return f"CASE {branches} ELSE 5 END"
+
+
+@query(
+    "ev_bootstrap_ci_mean",
+    oracle=f"""
+    WITH rep AS (
+        SELECT e.event_id,
+               CAST(FLOOR(e.value * 1000000.0 + 0.5) AS BIGINT) AS vm,
+               r
+        FROM events e CROSS JOIN (
+            SELECT unnest(generate_series(0, {_BOOT_R - 1})) AS r) rs),
+    w AS (SELECT r, vm, {_boot_w(_DUCK_BOOT_U)} AS w FROM rep),
+    means AS (
+        SELECT r,
+               ROUND(CAST(SUM(w * vm) AS DOUBLE) / SUM(w) / 1000000.0, 6)
+                   AS m
+        FROM w GROUP BY r HAVING SUM(w) > 0),
+    ranked AS (
+        SELECT m, ROW_NUMBER() OVER (ORDER BY m, r) AS rn,
+               COUNT(*) OVER () AS k
+        FROM means),
+    pt AS (
+        SELECT ROUND(CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+                          AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS mean
+        FROM events)
+    SELECT CAST(k AS BIGINT) AS n_replicates, pt.mean,
+           MIN(CASE WHEN rn = 2 THEN m END) AS ci_lo,
+           MIN(CASE WHEN rn = k - 1 THEN m END) AS ci_hi
+    FROM ranked CROSS JOIN pt
+    GROUP BY k, pt.mean
+    """,
+)
+def ev_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Poisson bootstrap for the mean event value: each of
+    {_BOOT_R} replicates reweights every row with an independent
+    Poisson(1) draw (the resampling scheme that needs NO global row
+    count or per-replicate shuffle — the standard bootstrap for
+    map-reduce settings, cf. the bag-of-little-bootstraps line), the
+    replicate means are ranked, and the interval is read from the 2nd
+    smallest / 2nd largest of the 32 (a ~93.75% CI by order
+    statistics; the convention is pinned, not hidden). DETERMINISTIC:
+    the Poisson draw is an inverse-CDF lookup on the portable md5 hash
+    of (event_id, replicate) — no RNG state, bit-identical on both
+    engines — and every mean is an exact-int64 ratio, so even the CI
+    bounds hash-match the oracle.
+
+    Scale: the replicate fan-out is a constant ×{_BOOT_R} map-side
+    explode (no join); one groupBy over (replicate) with map-side
+    combine; the order statistics run over a {_BOOT_R}-row relation
+    (bounded global window). At 100 TB this is the only way to put
+    error bars on a corpus statistic without 32 full passes."""
+    ensure_utc(spark)
+    e = load_table(spark, sf_dir, "events")
+    rep = e.select(
+        "event_id",
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("vm"),
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("r"),
+    ).withColumn("w", F.expr(_boot_w(_SPARK_BOOT_U)))
+    means = (
+        rep.groupBy("r")
+        .agg(F.sum(F.col("w") * F.col("vm")).alias("s"), F.sum("w").alias("n"))
+        .filter(F.col("n") > 0)
+        .select(
+            "r",
+            F.round(
+                F.col("s").cast("double") / F.col("n") / 1_000_000.0, 6
+            ).alias("m"),
+        )
+    )
+    ranked = means.select(
+        "m",
+        F.row_number().over(W.orderBy("m", "r")).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("k"),
+    )
+    pt = e.agg(
+        F.round(
+            F.sum(F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long"))
+            .cast("double")
+            / F.count("*")
+            / 1_000_000.0,
+            6,
+        ).alias("mean")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(pt))
+        .groupBy(F.col("k").cast("bigint").alias("n_replicates"), "mean")
+        .agg(
+            F.min(F.when(F.col("rn") == 2, F.col("m"))).alias("ci_lo"),
+            F.min(F.when(F.col("rn") == F.col("k") - 1, F.col("m"))).alias(
+                "ci_hi"
+            ),
+        )
+        .select("n_replicates", "mean", "ci_lo", "ci_hi")
+    )

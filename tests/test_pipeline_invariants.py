@@ -301,3 +301,16 @@ def test_cc_twophase_chain_round_bound(spark):
     assert len(out) == 200
     assert all(r["canonical_id"] == 0 for r in out)
     assert sum(1 for r in out if r["is_canonical"]) == 1
+
+
+def test_bootstrap_ci_brackets_the_mean(spark):
+    """The bootstrap interval must contain the point estimate, be
+    properly ordered, and come from the declared 32 replicates; the
+    interval is non-degenerate (resampling noise exists) yet within a
+    plausible band of the mean (sanity, not a coverage claim)."""
+    row = _QUERIES["ev_bootstrap_ci_mean"](spark, SF_ORACLE).collect()[0]
+    assert row["n_replicates"] == 32
+    assert row["ci_lo"] <= row["mean"] <= row["ci_hi"]
+    assert row["ci_lo"] < row["ci_hi"]
+    width = row["ci_hi"] - row["ci_lo"]
+    assert width < abs(row["mean"]) * 0.5 + 1.0

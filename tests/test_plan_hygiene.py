@@ -79,6 +79,7 @@ _ALLOWED_BOUNDED_BNLJ = {
     "zorder_probe",  # 1-row corpus-start-hour scalar onto the probe scan
     "ann_rp_topk",  # 16-row constant projection-dim table (the lsh-plane shape)
     "lsh_recall_vs_exact",  # 1-row exact-pair-count scalar onto the 1-row hits
+    "ev_bootstrap_ci_mean",  # 1-row point-estimate scalar onto the 32-row CI
 }
 
 # The deliberately-Python surface: the real UDTF twin of the native
@@ -102,6 +103,7 @@ _ALLOWED_BOUNDED_GLOBAL_WINDOW: set[str] = {
     "mixture_weights",  # lang x source slice grid (dozens of rows)
     "mixture_temperature_weights",  # same slice grid
     "token_budget_allocation",  # same <=|langs| slice grid (quota windows)
+    "ev_bootstrap_ci_mean",  # 32-row replicate-mean relation (rank + count)
     "source_lang_chisq",  # source x lang grid
     "orders_open_backlog",  # month-grain relation (~84 rows)
     "vocab_top1k",  # LIMIT-1000-capped relation feeds the id window
