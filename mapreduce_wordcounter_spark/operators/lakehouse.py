@@ -1109,7 +1109,10 @@ def table_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def file_skip_index(
-    spark: SparkSession, vt: VersionedTable, cols: list[str]
+    spark: SparkSession,
+    vt: VersionedTable,
+    cols: list[str],
+    snap: dict | None = None,
 ) -> DataFrame:
     """MULTI-COLUMN min/max file-skipping index for one committed
     snapshot, as a CATALOG artifact (sources/index_catalog.py): one
@@ -1132,7 +1135,8 @@ def file_skip_index(
 
     from mapreduce_wordcounter_spark.sources import index_catalog as ic
 
-    snap = vt.snapshot()
+    if snap is None:
+        snap = vt.snapshot()
     version = snap["version"]
     fp = ic.versioned_fingerprint(version)
     params = {"cols": ",".join(sorted(cols))}
@@ -1189,9 +1193,14 @@ def read_skip_multi(
     selection is driver-side set arithmetic over the KB-scale index
     relation; at 100 TB the skipped files are never listed, opened, or
     scheduled, and predicates on N columns intersect their admissions
-    instead of falling back to a scan after the first."""
-    idx = file_skip_index(spark, vt, sorted(filters)).collect()
+    instead of falling back to a scan after the first.
+
+    The snapshot is resolved ONCE and pinned through both the index
+    and the scan: resolving twice would race a concurrent commit —
+    admissions computed against version v, files scanned at v+1 —
+    and could scan files the newer snapshot dropped."""
     snap = vt.snapshot()
+    idx = file_skip_index(spark, vt, sorted(filters), snap=snap).collect()
     admitted = []
     for r in idx:
         ok = True

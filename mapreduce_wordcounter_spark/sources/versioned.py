@@ -3398,6 +3398,10 @@ class VersionedTable:
                 F.max(F.col(cols[1]).cast("long")).alias("yhi"),
             ).collect()[0]
         )
+        if b["xlo"] is None or b["ylo"] is None:
+            # empty snapshot (or an all-NULL cluster column): no rows
+            # to interleave — a constant key keeps the rewrite valid
+            return F.lit(0).cast("long")
         norm = (
             "(((cast({v} as bigint)) - ({lo})) * {top})"
             " div greatest(({hi}) - ({lo}), 1)"

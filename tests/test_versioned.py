@@ -2959,3 +2959,17 @@ def test_quarantine_sidecars_follow_manifest_retention(spark, tmp_path):
     vt.vacuum(retain_last=1, orphan_grace_sec=0.0, force_orphan_grace=True)
     assert not os.path.exists(qfile)  # capturing manifest expired
     assert vt.read_quarantine(spark) is None
+
+
+def test_optimize_zorder_on_empty_snapshot(spark, tmp_path):
+    """OPTIMIZE ZORDER on an empty table (or all-NULL cluster columns)
+    must not die computing bounds — the degenerate rewrite commits a
+    valid (empty) snapshot."""
+    vt = VersionedTable(str(tmp_path / "ze"))
+    df = spark.range(10).select(
+        F.col("id").alias("a"), (F.col("id") * 2).alias("b")
+    )
+    vt.create(df.limit(0))
+    v = vt.optimize(spark, ["a", "b"], n_files=2, zorder=True)
+    assert v == 1
+    assert vt.read(spark).count() == 0

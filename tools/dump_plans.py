@@ -236,6 +236,7 @@ SHOWCASE = [
     "graph_cc_twophase",
     "table_quarantine_audit",
     "mv_join_incremental",
+    "ev_bootstrap_ci_mean",
 ]
 
 # Belt-and-braces: a duplicated SHOWCASE entry (it has happened) would

@@ -101,6 +101,10 @@ TARGETS = [
     # covers; table_multicol_skip_probe is orders-driven (symlinked).
     "ccnet_perplexity_buckets",
     "stream_click_attribution_outer",
+    # round 11 (late): constant x32 map-side replicate fan-out over
+    # events — the exponent shows the explode+combine growing linearly
+    # with the corpus, nothing superlinear hiding in the rank stage
+    "ev_bootstrap_ci_mean",
 ]
 
 
