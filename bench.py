@@ -229,6 +229,7 @@ HEADLINE = [
     "table_quarantine_audit",
     "mv_join_incremental",
     "ev_bootstrap_ci_mean",
+    "table_partition_evolution",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries

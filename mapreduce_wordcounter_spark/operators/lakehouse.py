@@ -1300,6 +1300,74 @@ def table_multicol_skip_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PE_PATHS: dict[tuple[str, str], str] = {}
+
+
+def _partition_evolved_events(
+    spark: SparkSession, sf_dir: str
+) -> VersionedTable:
+    """PARTITION-SPEC EVOLUTION (Iceberg's days→hours migration): v0
+    commits the first half of events under days(ts) directories, v1
+    appends the second half under hours(ts) — two layouts live in one
+    table. Specs are caller-declared per writer (files carry their own
+    directory values, exactly Iceberg's spec-id-per-manifest posture
+    in miniature), so no rewrite happens at the switch."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _PE_PATHS.get(key)
+    if path is not None and len(VersionedTable(path).versions()) < 2:
+        path = None
+    if path is None:
+        path = os.path.join(scratch_dir("versioned_"), "events_specevo")
+        e = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "value"
+        )
+        VersionedTable(path, partition_by=["days(ts)"]).create(
+            e.filter("event_id % 2 = 0")
+        )
+        VersionedTable(path, partition_by=["hours(ts)"]).append(
+            e.filter("event_id % 2 = 1")
+        )
+        _PE_PATHS[key] = path
+    return VersionedTable(path, partition_by=["hours(ts)"])
+
+
+@query(
+    "table_partition_evolution",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-03 11:59:59'
+    """,
+)
+def table_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A raw-ts range read over a table whose partition spec EVOLVED
+    mid-lineage (days(ts) → hours(ts)): files written under the
+    current spec prune by hour directory, files from the old layout
+    lack the checked key and fall back to scanned-plus-row-filtered —
+    conservative, never wrong — so the result equals
+    read().filter(between) regardless of which spec wrote which file
+    (the oracle proves it; the per-layout pruning split is pinned in
+    tests/test_versioned.py). This is Iceberg's partition evolution
+    contract: changing the spec is a metadata decision, old data is
+    never rewritten, and queries stay exact through the transition.
+
+    Scale: at 100 TB the evolved (finer) layout serves new data with
+    tighter pruning immediately; the legacy tail keeps its old
+    directories until a routine OPTIMIZE rewrites it under the new
+    spec — no migration outage."""
+    import datetime as _dt
+
+    vt = _partition_evolved_events(spark, sf_dir)
+    lo = _dt.datetime(2024, 1, 3, 0, 0, 0)
+    hi = _dt.datetime(2024, 1, 3, 11, 59, 59)
+    return vt.read_partitions(spark, {"ts": ("range", lo, hi)}).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        dsum(F.col("value"), "sum_value"),
+    )
+
+
 _QR_PATHS: dict[tuple[str, str], str] = {}
 
 

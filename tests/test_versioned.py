@@ -2973,3 +2973,47 @@ def test_optimize_zorder_on_empty_snapshot(spark, tmp_path):
     v = vt.optimize(spark, ["a", "b"], n_files=2, zorder=True)
     assert v == 1
     assert vt.read(spark).count() == 0
+
+
+def test_partition_spec_evolution_split_and_exactness(spark, tmp_path):
+    """days(ts) → hours(ts) evolution: a raw-ts range classifies the
+    NEW layout's files by hour directory (matched/unmatched) while the
+    OLD layout's files (no hour key) land in `unknown` and are scanned
+    + row-filtered — the read equals read().filter(between) exactly,
+    and the new layout genuinely prunes (some hour dirs excluded)."""
+    import datetime as _dt
+
+    path = str(tmp_path / "pe")
+    df = spark.range(96).select(
+        F.col("id").alias("k"),
+        F.expr(
+            "timestamp'2024-03-01 00:00:00' + "
+            "make_interval(0, 0, 0, 0, cast(id as int), 0, 0)"
+        ).alias("ts"),
+    )
+    VersionedTable(path, partition_by=["days(ts)"]).create(
+        df.filter("k % 2 = 0")
+    )
+    vt = VersionedTable(path, partition_by=["hours(ts)"])
+    vt.append(df.filter("k % 2 = 1"))
+    lo, hi = _dt.datetime(2024, 3, 2, 0, 0), _dt.datetime(2024, 3, 2, 11, 0)
+    snap = vt.snapshot()
+    matched, unmatched, unknown = vt._split_by_partition(
+        snap, {"ts": ("range", lo, hi)}
+    )
+    assert unknown and all("_p__ts_day=" in f for f in unknown)
+    assert matched and all("_p__ts_hour=" in f for f in matched)
+    assert unmatched  # hour dirs outside the range really pruned
+    got = sorted(
+        map(
+            tuple,
+            vt.read_partitions(spark, {"ts": ("range", lo, hi)}).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            df.filter(F.col("ts").between(F.lit(lo), F.lit(hi))).collect(),
+        )
+    )
+    assert got == want

@@ -237,6 +237,7 @@ SHOWCASE = [
     "table_quarantine_audit",
     "mv_join_incremental",
     "ev_bootstrap_ci_mean",
+    "table_partition_evolution",
 ]
 
 # Belt-and-braces: a duplicated SHOWCASE entry (it has happened) would
