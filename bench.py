@@ -230,6 +230,7 @@ HEADLINE = [
     "mv_join_incremental",
     "ev_bootstrap_ci_mean",
     "table_partition_evolution",
+    "join_size_by_key_product",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries

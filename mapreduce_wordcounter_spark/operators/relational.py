@@ -2222,6 +2222,60 @@ def skew_top_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_size_by_key_product",
+    oracle="""
+    WITH a AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS n
+               FROM orders GROUP BY 1),
+    b AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS n
+          FROM lineitem GROUP BY 1),
+    prod AS (SELECT a.k, a.n * b.n AS rows_out FROM a JOIN b USING (k))
+    SELECT CAST(SUM(rows_out) AS BIGINT) AS join_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(rows_out) AS BIGINT) AS max_key_rows,
+           ROUND(CAST(MAX(rows_out) AS DOUBLE) / SUM(rows_out), 6)
+               AS max_key_share
+    FROM prod
+    """,
+)
+def join_size_by_key_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT pre-join cardinality: |A ⋈ B| on a key equals
+    Σ_k cnt_A(k)·cnt_B(k) — computed from two per-key count aggregates
+    and a count-grain join, WITHOUT materializing a single joined row.
+    This is the sizing primitive behind every shuffle-strategy
+    decision this repo documents (SCALE.md §2): join_rows tells you
+    the output scale, max_key_share whether ONE key dominates (salt or
+    rely on AQE skew-split), n_keys the exchange's key cardinality —
+    all for the cost of two map-combined aggregates. skew_top_keys
+    diagnoses one relation; this prices the JOIN.
+
+    Scale: the count relations are |distinct keys| rows (≪ the
+    tables); the estimator join shuffles counts, not rows — at 100 TB
+    the difference between asking "how big will this be" and finding
+    out."""
+    a = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderkey").alias("k"))
+        .agg(F.count("*").cast("bigint").alias("na"))
+    )
+    b = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count("*").cast("bigint").alias("nb"))
+    )
+    prod = a.join(b, "k").select(
+        "k", (F.col("na") * F.col("nb")).alias("rows_out")
+    )
+    return prod.agg(
+        F.sum("rows_out").cast("bigint").alias("join_rows"),
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.max("rows_out").cast("bigint").alias("max_key_rows"),
+        F.round(
+            F.max("rows_out").cast("double") / F.sum("rows_out"), 6
+        ).alias("max_key_share"),
+    )
+
+
 def _write_colocated_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Write orders and customer as custkey-bucketed scratch tables
     (same bucket count) — the at-rest layout that lets their join run

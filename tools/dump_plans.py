@@ -238,6 +238,7 @@ SHOWCASE = [
     "mv_join_incremental",
     "ev_bootstrap_ci_mean",
     "table_partition_evolution",
+    "join_size_by_key_product",
 ]
 
 # Belt-and-braces: a duplicated SHOWCASE entry (it has happened) would
