@@ -224,19 +224,49 @@ def wc_rdd_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(counts, schema="word string, cnt long")
 
 
+@query(
+    "wc_vocab_approx",
+    oracle=f"""
+    SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS vocab_exact,
+           TRUE AS approx_within_5pct
+    FROM ({_ORACLE_TOKENS}) t
+    WHERE word <> ''
+    """,
+)
 def wc_vocab_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate vocabulary (HyperLogLog++) — the 100 TB-scale form of
-    wc_vocab. Not oracle-checked (estimator differs per engine); pytest
-    asserts relative error vs the exact count instead."""
-    return tokens(spark, sf_dir).agg(
-        F.approx_count_distinct("word", 0.01).alias("vocab_size_approx")
+    """Approximate vocabulary (HyperLogLog++) — the 100 TB-scale form
+    of wc_vocab — under a SEMI-ORACLE (VERDICT r11 #6): the estimate
+    itself is engine-specific (never hash-comparable), so the query
+    emits the exact distinct count (hash-checked against DuckDB's) and
+    the estimator's statistical contract AS A BOOLEAN — relative error
+    within 5% (= 5σ of the configured rsd=0.01). A drifting estimator
+    flips the boolean and fails the external hash, not just the local
+    pytest (tests/test_estimators.py keeps the raw-value bound)."""
+    return (
+        tokens(spark, sf_dir)
+        .agg(
+            F.countDistinct("word").alias("vocab_exact"),
+            F.approx_count_distinct("word", 0.01).alias("est"),
+        )
+        .select(
+            F.col("vocab_exact").cast("bigint").alias("vocab_exact"),
+            (
+                F.abs(F.col("est") - F.col("vocab_exact"))
+                <= 0.05 * F.col("vocab_exact")
+            ).alias("approx_within_5pct"),
+        )
     )
 
 
-# Registered rows-only: no SQL oracle for an engine-specific estimator.
-query("wc_vocab_approx")(wc_vocab_approx)
-
-
+@query(
+    "wc_vocab_hll_merge",
+    oracle=f"""
+    SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS vocab_exact,
+           TRUE AS hll_within_3pct
+    FROM ({_ORACLE_TOKENS}) t
+    WHERE word <> ''
+    """,
+)
 def wc_vocab_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch vocabulary: one Datasketches HLL sketch per
     source partition-key, unioned into the corpus estimate.
@@ -245,21 +275,27 @@ def wc_vocab_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     the PER-SOURCE sketches are themselves storable (binary column →
     parquet), so tomorrow's corpus can merge yesterday's sketches
     instead of rescanning yesterday's tokens — incremental cardinality
-    at petabyte scale. Not oracle-checked (estimator is
-    engine-specific); pytest bounds the relative error vs the exact
-    vocabulary and pins merge-consistency against the single-pass
+    at petabyte scale. Semi-oracled (VERDICT r11 #6): the exact
+    vocabulary is hash-checked and the lgK=14 union estimate's 3%
+    contract (~0.8% rse, 4σ headroom) rides as a boolean; pytest keeps
+    the raw error bound plus merge-consistency vs the single-pass
     sketch."""
-    per_source = (
-        tokens(spark, sf_dir)
-        .groupBy("source")
-        .agg(F.hll_sketch_agg("word", F.lit(14)).alias("sketch"))
+    t = tokens(spark, sf_dir)
+    per_source = t.groupBy("source").agg(
+        F.hll_sketch_agg("word", F.lit(14)).alias("sketch")
     )
-    return per_source.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("vocab_size_hll")
+    est = per_source.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est")
     )
-
-
-query("wc_vocab_hll_merge")(wc_vocab_hll_merge)
+    exact = t.agg(F.countDistinct("word").cast("bigint").alias("vocab_exact"))
+    # 1-row × 1-row join: bounded BNLJ, declared in test_plan_hygiene
+    return exact.crossJoin(est).select(
+        "vocab_exact",
+        (
+            F.abs(F.col("est") - F.col("vocab_exact"))
+            <= 0.03 * F.col("vocab_exact")
+        ).alias("hll_within_3pct"),
+    )
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -370,19 +406,38 @@ def wc_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "theta_vocab_ops",
+    oracle=f"""
+    WITH w AS (
+        SELECT word,
+               MAX(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS in_en,
+               MAX(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS in_zh
+        FROM ({_ORACLE_TOKENS}) t
+        WHERE word <> '' AND lang IN ('en', 'zh')
+        GROUP BY word)
+    SELECT CAST(SUM(in_en) AS BIGINT) AS exact_en,
+           CAST(SUM(in_zh) AS BIGINT) AS exact_zh,
+           CAST(COUNT(*) AS BIGINT) AS exact_union,
+           CAST(SUM(in_en * in_zh) AS BIGINT) AS exact_intersection,
+           CAST(SUM(in_en * (1 - in_zh)) AS BIGINT) AS exact_en_minus_zh,
+           TRUE AS ok_union, TRUE AS ok_intersection, TRUE AS ok_en,
+           TRUE AS ok_zh, TRUE AS ok_en_minus_zh
+    FROM w
+    """,
+)
 def theta_vocab_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-sketch set algebra over per-language vocabularies: the
     mergeable way to answer "how many distinct words do en and zh
     share / not share" WITHOUT re-scanning either corpus — per-slice
     sketches are built once (map-side, fixed KB of state) and
-    union/intersect/difference in constant time. Sketch estimates are
-    engine-specific randomized summaries, so no SQL oracle: the
-    estimator suite bounds each estimate against the exact distinct
-    counts."""
-    t = tokens(spark, sf_dir)
-    sk = t.filter(F.col("lang").isin("en", "zh")).groupBy("lang").agg(
-        F.theta_sketch_agg("word").alias("sk")
-    )
+    union/intersect/difference in constant time. Semi-oracled (VERDICT
+    r11 #6): the exact distinct counts (one word-grain membership agg,
+    hash-checked against DuckDB) ride with one boolean per estimate —
+    each theta estimate within max(1, 5%) of its exact count (k=4096
+    default → ~1.6% rse). A drifting sketch fails the external hash."""
+    t = tokens(spark, sf_dir).filter(F.col("lang").isin("en", "zh"))
+    sk = t.groupBy("lang").agg(F.theta_sketch_agg("word").alias("sk"))
     # Pivot the two per-lang sketches into ONE row via conditional
     # first() aggregates — no 1-row cross join needed — then do all
     # the set algebra in a single projection.
@@ -393,8 +448,7 @@ def theta_vocab_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sk_en"),
         F.first(F.when(F.col("lang") == "zh", F.col("sk")), ignorenulls=True)
         .alias("sk_zh"),
-    )
-    return one.select(
+    ).select(
         F.theta_sketch_estimate("sk_union").alias("est_union"),
         F.theta_sketch_estimate("sk_inter").alias("est_intersection"),
         F.theta_sketch_estimate("sk_en").alias("est_en"),
@@ -403,33 +457,86 @@ def theta_vocab_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.theta_difference(F.col("sk_en"), F.col("sk_zh"))
         ).alias("est_en_minus_zh"),
     )
+    # exact references: one membership-flag agg at word grain
+    w = t.groupBy("word").agg(
+        F.max((F.col("lang") == "en").cast("int")).alias("in_en"),
+        F.max((F.col("lang") == "zh").cast("int")).alias("in_zh"),
+    )
+    exact = w.agg(
+        F.sum("in_en").cast("bigint").alias("exact_en"),
+        F.sum("in_zh").cast("bigint").alias("exact_zh"),
+        F.count("*").cast("bigint").alias("exact_union"),
+        F.sum(F.col("in_en") * F.col("in_zh")).cast("bigint").alias(
+            "exact_intersection"
+        ),
+        F.sum(F.col("in_en") * (1 - F.col("in_zh"))).cast("bigint").alias(
+            "exact_en_minus_zh"
+        ),
+    )
+
+    def ok(est_col: str, exact_col: str) -> object:
+        return (
+            F.abs(F.col(est_col) - F.col(exact_col))
+            <= F.greatest(F.lit(1.0), 0.05 * F.col(exact_col))
+        )
+
+    # 1-row × 1-row join: bounded BNLJ, declared in test_plan_hygiene
+    return exact.crossJoin(one).select(
+        "exact_en", "exact_zh", "exact_union", "exact_intersection",
+        "exact_en_minus_zh",
+        ok("est_union", "exact_union").alias("ok_union"),
+        ok("est_intersection", "exact_intersection").alias("ok_intersection"),
+        ok("est_en", "exact_en").alias("ok_en"),
+        ok("est_zh", "exact_zh").alias("ok_zh"),
+        ok("est_en_minus_zh", "exact_en_minus_zh").alias("ok_en_minus_zh"),
+    )
 
 
-query("theta_vocab_ops")(theta_vocab_ops)
-
-
+@query(
+    "value_quantiles_kll",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
+    FROM events
+    """,
+)
 def value_quantiles_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KLL quantile sketch over events.value, built as per-event-type
     partial sketches MERGED into one — the mergeable/streaming path to
     quantiles (percentile_approx re-aggregates raw values; KLL
     partials are fixed-size and add, so per-day/per-source sketches
-    roll up for free). Randomized summary → no SQL oracle; the
-    estimator suite bounds each estimate's rank error against exact
-    percentiles."""
+    roll up for free). Semi-oracled (VERDICT r11 #6): the sketch's n
+    is hash-checked against COUNT(*) and each quantile estimate's RANK
+    contract rides as a boolean — the estimated value must sit between
+    the exact interpolated percentiles at p±0.03 (default k=200 →
+    ~1.65% normalized rank error at 99% confidence; 0.03 is the
+    driver-gate headroom, pytest keeps the tighter 0.02 bracket)."""
     e = load_table(spark, sf_dir, "events")
     partials = e.groupBy("event_type").agg(
         F.kll_sketch_agg_double("value").alias("sk")
     )
     merged = partials.agg(F.kll_merge_agg_double("sk").alias("msk"))
-    return merged.select(
+    ests = merged.select(
         F.kll_sketch_get_quantile_double(F.col("msk"), F.lit(0.5)).alias("p50"),
         F.kll_sketch_get_quantile_double(F.col("msk"), F.lit(0.9)).alias("p90"),
         F.kll_sketch_get_quantile_double(F.col("msk"), F.lit(0.99)).alias("p99"),
         F.kll_sketch_get_n_double(F.col("msk")).alias("n"),
     )
-
-
-query("value_quantiles_kll")(value_quantiles_kll)
+    brackets = e.agg(
+        F.expr("percentile(value, 0.47)").alias("lo50"),
+        F.expr("percentile(value, 0.53)").alias("hi50"),
+        F.expr("percentile(value, 0.87)").alias("lo90"),
+        F.expr("percentile(value, 0.93)").alias("hi90"),
+        F.expr("percentile(value, 0.96)").alias("lo99"),
+        F.expr("percentile(value, 1.0)").alias("hi99"),
+    )
+    # 1-row × 1-row join: bounded BNLJ, declared in test_plan_hygiene
+    return ests.crossJoin(brackets).select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("p50").between(F.col("lo50"), F.col("hi50")).alias("ok_p50"),
+        F.col("p90").between(F.col("lo90"), F.col("hi90")).alias("ok_p90"),
+        F.col("p99").between(F.col("lo99"), F.col("hi99")).alias("ok_p99"),
+    )
 
 
 @query(

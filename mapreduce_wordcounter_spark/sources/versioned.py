@@ -311,6 +311,7 @@ class VersionedTable:
             "rows": dict(base.get("rows") or {}),
             "schema": base.get("schema"),
             "expectations": base.get("expectations"),
+            "partition_spec": base.get("partition_spec"),
             "dv": {b: list(l) for b, l in (base.get("dv") or {}).items()},
         }
         meta = base if not chain else None
@@ -337,6 +338,7 @@ class VersionedTable:
             out["operation"] = meta.get("operation")
         out["schema"] = state["schema"]
         out["expectations"] = state["expectations"]
+        out["partition_spec"] = state["partition_spec"]
         out["dv"] = state["dv"]
         return out
 
@@ -351,6 +353,8 @@ class VersionedTable:
             state["schema"] = delta["schema"]
         if "expectations" in delta:
             state["expectations"] = delta["expectations"]
+        if "partition_spec" in delta:
+            state["partition_spec"] = delta["partition_spec"]
         removed = set(delta.get("remove") or [])
         if "dv_state" in delta:
             state["dv"] = {
@@ -433,6 +437,7 @@ class VersionedTable:
             "rows": rows,
             "schema": root.get("schema"),
             "expectations": root.get("expectations"),
+            "partition_spec": root.get("partition_spec"),
             "dv": {b: list(l) for b, l in (root.get("dv") or {}).items()},
         }
         for delta in reversed(chain):
@@ -463,6 +468,7 @@ class VersionedTable:
                 "rows": state["rows"],
                 "schema": state["schema"],
                 "expectations": state["expectations"],
+                "partition_spec": state["partition_spec"],
                 "dv": state["dv"],
                 "partial": True,
             }
@@ -922,6 +928,18 @@ class VersionedTable:
             # quarantine sidecar files captured during this commit's
             # write — same race posture as the metrics above
             exp_entry["quarantine"] = pending_q
+        # declared partition spec rides every commit a partitioned
+        # writer publishes (inherit-through-chain like the column
+        # mapping): makes spec EVOLUTION auditable from metadata and
+        # lets writes reject the one evolution the hive layout cannot
+        # disambiguate — an in-place bucket/truncate ARG change
+        # (_guard_spec_arg_evolution). Time-transform evolution needs
+        # no spec id: the directory suffix itself names the transform.
+        ps_entry = (
+            {"partition_spec": list(self.partition_by)}
+            if self.partition_by
+            else {}
+        )
         # deletion-vector state: removed data files shed their DVs
         # (replayed the same way in _resolve), a merge-on-read delete
         # attaches new DV files via dv_add, and rollback/clone set the
@@ -955,6 +973,7 @@ class VersionedTable:
             "rows": rows_entry,
             **schema_entry,
             **exp_entry,
+            **ps_entry,
             **dv_entry,
             **extra,
         }
@@ -1830,6 +1849,45 @@ class VersionedTable:
             **(extra_meta or {}),
         )
 
+    def _guard_spec_arg_evolution(self, parent: dict | None) -> None:
+        """Reject the one partition-spec evolution the hive layout
+        cannot express: an in-place bucket/truncate ARG change. The
+        directory column name encodes the transform (``k_bucket``,
+        ``s_trunc``) but not its arg, so files written under
+        bucket(8, k) and bucket(16, k) would share a directory column
+        while meaning different things — reads would prune by the
+        wrong modulus and silently drop live rows. Time-transform
+        evolution (days→hours) is allowed and handled exactly: the
+        suffix disambiguates and reads project filters against each
+        file's own spec (_check_groups). Iceberg solves arg changes
+        with per-manifest spec ids + fresh field names; here the spec
+        recorded in the parent manifest makes the conflict detectable
+        and the write fails loudly — rewrite into a NEW table (or
+        optimize under the new spec) instead."""
+        if not self.partition_by or not self._partition_specs or parent is None:
+            return
+        old = parent.get("partition_spec")
+        if not old or list(old) == list(self.partition_by):
+            return
+        olds = {
+            (f["transform"], f["src"]): f["arg"]
+            for f in self._parse_partition_specs(list(old))
+        }
+        for f in self._partition_specs:
+            key = (f["transform"], f["src"])
+            if (
+                f["transform"] in ("bucket", "truncate")
+                and key in olds
+                and olds[key] != f["arg"]
+            ):
+                raise ValueError(
+                    f"in-place {f['transform']} arg evolution on "
+                    f"{f['src']!r} ({olds[key]} -> {f['arg']}) at "
+                    f"{self.path}: the hive directory name cannot "
+                    "disambiguate args, so pruning would lie; rewrite "
+                    "under the new spec instead"
+                )
+
     def append(self, df: DataFrame) -> int:
         """Blind append: data files are written once; the manifest
         attempt re-reads the CURRENT parent on every retry, so a
@@ -1843,6 +1901,7 @@ class VersionedTable:
         the staged physical names, so that race fails rather than
         committing a fork (Delta's metadata-conflict rule)."""
         cur0 = self.snapshot()
+        self._guard_spec_arg_evolution(cur0)
         schema = self._schema_for_write(cur0, df)
         files = self._write_data_files(df, schema)
         while True:
@@ -2425,21 +2484,60 @@ class VersionedTable:
             return F.substring(col, 1, fld["arg"])
         return (col - F.pmod(col, F.lit(fld["arg"]))).cast("bigint")
 
-    def _partition_checks(self, meta: dict | None, filters: dict) -> dict:
-        """Filters over RAW source columns translated to admissibility
-        checks over hive directory values:
-        {dir col name -> set of admissible strings | ("range", lo, hi)}.
-        A raw scalar/list maps each value through the field's
-        transform; ``("range", lo, hi)`` (time transforms only — their
-        ISO rendering makes lexical order correct) admits the rendered
-        interval. Filter keys that aren't partition sources check the
-        key as an identity directory column (pre-transform tables)."""
+    def _render_check(self, fld: dict, vv):
+        """One filter value rendered into the admissibility check its
+        hive directory values satisfy under ``fld``'s transform: a set
+        of admissible strings, or ``("range", lo, hi)`` (time
+        transforms only — their ISO rendering makes lexical order
+        correct)."""
+        if isinstance(vv, tuple) and len(vv) == 3 and vv[0] == "range":
+            if fld["transform"] not in self._TIME_TRANSFORMS:
+                raise ValueError(
+                    "range partition filters require a time "
+                    f"transform; {fld['src']!r} is {fld['transform']!r}"
+                )
+            return (
+                "range",
+                self._transform_value(fld, vv[1]),
+                self._transform_value(fld, vv[2]),
+            )
+        vals = vv if isinstance(vv, (list, tuple, set)) else [vv]
+        return {self._transform_value(fld, v) for v in vals}
+
+    _TIME_SUFFIX = {
+        "days": "_day", "hours": "_hour",
+        "months": "_month", "years": "_year",
+    }
+
+    def _check_groups(
+        self, meta: dict | None, filters: dict
+    ) -> dict[str, list[tuple[str, object, dict]]]:
+        """Filters over RAW source columns translated to PER-FILE-SPEC
+        admissibility checks: {filter key -> candidate list of
+        (dir col name, check, field)}, the CURRENT spec's rendering
+        first, then the same filter projected through every OTHER time
+        transform the table may historically have used on that source
+        column (partition-spec evolution, Iceberg's
+        project-against-each-file's-own-spec contract: a legacy
+        days(ts) file under an evolved hours(ts) spec still prunes by
+        its own ``_day`` directory — the path suffix names the
+        transform that wrote it, so each file is matched under ITS
+        spec, VERDICT r11 #2). Time projection is sound because every
+        time transform is a monotone truncation of the same instant:
+        ``render(lo) <= dir <= render(hi)`` is exactly "this directory
+        may hold a row in [lo, hi]" at that directory's granularity,
+        and a scalar admits exactly its own rendered period. Bucket /
+        truncate specs are NOT projected across arg changes (the dir
+        name doesn't encode the arg — evolving bucket(8)→bucket(16)
+        in place is rejected at write time instead, see append()).
+        Filter keys that aren't partition sources check the key as an
+        identity directory column (pre-transform tables)."""
         fields = {
             f["src"]: f for f in self._partition_fields(
                 (meta or {}).get("schema")
             )
         }
-        checks: dict = {}
+        groups: dict[str, list[tuple[str, object, dict]]] = {}
         for k, vv in filters.items():
             fld = fields.get(k)
             if fld is None:
@@ -2453,29 +2551,30 @@ class VersionedTable:
                     "transform": "identity", "src": k, "arg": None,
                     "phys": m.get(k, k), "name": m.get(k, k),
                 }
-            if (
-                isinstance(vv, tuple)
-                and len(vv) == 3
-                and vv[0] == "range"
-            ):
-                if fld["transform"] not in self._TIME_TRANSFORMS:
-                    raise ValueError(
-                        "range partition filters require a time "
-                        f"transform; {fld['src']!r} is {fld['transform']!r}"
+            cands = [(fld["name"], self._render_check(fld, vv), fld)]
+            if fld["transform"] in self._TIME_TRANSFORMS:
+                for t, sfx in self._TIME_SUFFIX.items():
+                    if t == fld["transform"]:
+                        continue
+                    alt = {
+                        "transform": t, "src": k, "arg": None,
+                        "phys": fld["phys"], "name": fld["phys"] + sfx,
+                    }
+                    cands.append(
+                        (alt["name"], self._render_check(alt, vv), alt)
                     )
-                checks[fld["name"]] = (
-                    "range",
-                    self._transform_value(fld, vv[1]),
-                    self._transform_value(fld, vv[2]),
-                )
-            else:
-                vals = (
-                    vv if isinstance(vv, (list, tuple, set)) else [vv]
-                )
-                checks[fld["name"]] = {
-                    self._transform_value(fld, v) for v in vals
-                }
-        return checks
+            groups[k] = cands
+        return groups
+
+    @classmethod
+    def _resolve_candidate(
+        cls, cands: list[tuple[str, object, dict]], pv: dict[str, str]
+    ) -> tuple[str, object, dict] | None:
+        """The first candidate whose directory column the file's path
+        actually carries — i.e. the check rendered under THIS file's
+        own partition spec — or None for a file that predates
+        partitioning on the filter column."""
+        return next(((n, sp, f) for n, sp, f in cands if n in pv), None)
 
     @staticmethod
     def _check_match(spec, value: str) -> bool:
@@ -2575,15 +2674,22 @@ class VersionedTable:
 
         Files that fail any term are rewritten with their row-exact
         survivors (read_partitions row-refilters after the same coarse
-        match, so READS were always exact — only delete needed this)."""
-        fields = {
-            fl["src"]: fl
-            for fl in self._partition_fields(snap.get("schema"))
-        }
+        match, so READS were always exact — only delete needed this).
+
+        Spec evolution: each term's proof runs under the FILE's own
+        transform (_check_groups / _resolve_candidate) — a legacy
+        days(ts) file under an evolved hours(ts) spec proves coverage
+        at DAY granularity (its directory is the day), so a
+        day-aligned retention range still drops it metadata-only while
+        an hour-aligned range correctly rewrites it."""
+        groups = self._check_groups(snap, filters)
         pv = self._partition_values(f)
         for k, vv in filters.items():
-            fld = fields.get(k)
-            if fld is None or fld["transform"] == "identity":
+            hit = self._resolve_candidate(groups[k], pv)
+            if hit is None:
+                return False  # no directory for this key: not provable
+            name, _spec, fld = hit
+            if fld["transform"] == "identity":
                 continue  # directory value == raw value: term exact
             is_range = (
                 isinstance(vv, tuple) and len(vv) == 3 and vv[0] == "range"
@@ -2591,7 +2697,7 @@ class VersionedTable:
             if is_range:
                 lo_r = self._transform_value(fld, vv[1])
                 hi_r = self._transform_value(fld, vv[2])
-                p = pv[fld["name"]]
+                p = pv[name]
                 lo_ok = lo_r < p or (
                     lo_r == p and self._at_period_start(fld, vv[1])
                 )
@@ -2608,16 +2714,21 @@ class VersionedTable:
         return True
 
     @classmethod
-    def _part_matches(cls, checks: dict, summary: dict) -> bool:
+    def _part_matches(cls, groups: dict, summary: dict) -> bool:
         """May a checkpoint-tree part contain files matching the
-        partition checks? A part whose partition tuple lacks a checked
-        key stays a candidate (it groups pre-partitioning files, which
-        can hold anything) — conservative, never a false negative."""
+        partition check groups? Each filter key is resolved against
+        the part's OWN directory columns (current spec first, then the
+        time-transform alternates — so legacy-layout parts prune at
+        the root too); a part whose partition tuple carries no
+        candidate key stays a candidate (it groups pre-partitioning
+        files, which can hold anything) — conservative, never a false
+        negative."""
         pv = summary.get("partition") or {}
-        return all(
-            k not in pv or cls._check_match(spec, pv[k])
-            for k, spec in checks.items()
-        )
+        for cands in groups.values():
+            hit = cls._resolve_candidate(cands, pv)
+            if hit is not None and not cls._check_match(hit[1], pv[hit[0]]):
+                return False
+        return True
 
     def _split_by_partition(
         self, snap: dict, filters: dict
@@ -2625,22 +2736,34 @@ class VersionedTable:
         """Classify one snapshot's files against ``filters`` over the
         RAW partition-source columns (scalar, list, or
         ``("range", lo, hi)`` for time transforms), entirely from path
-        metadata: (matched, unmatched, unknown) where ``unknown``
-        files predate partitioning on some filter column and may
-        contain anything. Raw values map through each field's
-        transform to the hive string form the layout itself encodes."""
-        checks = self._partition_checks(snap, filters)
+        metadata: (matched, unmatched, unknown). Every filter key is
+        checked under the FILE's own partition spec (_check_groups):
+        a legacy days(ts) file under an evolved hours(ts) table prunes
+        by its own day directory — matched/unmatched, not unknown.
+        ``unknown`` files carry NO directory column for some filter
+        key (they predate partitioning on it) and may contain
+        anything; a file whose resolvable keys include one FAILING
+        check is ``unmatched`` even if another key is unresolved —
+        zero of its rows can satisfy the conjunction."""
+        groups = self._check_groups(snap, filters)
         matched, unmatched, unknown = [], [], []
         for f in snap["files"]:
             pv = self._partition_values(f)
-            if not all(k in pv for k in checks):
-                unknown.append(f)
-            elif all(
-                self._check_match(spec, pv[k]) for k, spec in checks.items()
-            ):
-                matched.append(f)
-            else:
+            failed = False
+            unresolved = False
+            for cands in groups.values():
+                hit = self._resolve_candidate(cands, pv)
+                if hit is None:
+                    unresolved = True
+                elif not self._check_match(hit[1], pv[hit[0]]):
+                    failed = True
+                    break
+            if failed:
                 unmatched.append(f)
+            elif unresolved:
+                unknown.append(f)
+            else:
+                matched.append(f)
         return matched, unmatched, unknown
 
     def read_partitions(
@@ -2671,7 +2794,7 @@ class VersionedTable:
         snap = self._resolve_selected(
             version,
             lambda meta, s: self._part_matches(
-                self._partition_checks(meta, filters), s
+                self._check_groups(meta, filters), s
             ),
         )
         if snap is None:
@@ -2707,7 +2830,7 @@ class VersionedTable:
         admit; neither pruning layer costs the other anything."""
         def _keep(meta, s):
             if not self._part_matches(
-                self._partition_checks(meta, filters), s
+                self._check_groups(meta, filters), s
             ):
                 return False
             if not s.get("stats_complete"):
@@ -2752,6 +2875,7 @@ class VersionedTable:
                 f"overwrite_partitions requires partition_by at {self.path}"
             )
         cur0 = self.snapshot()
+        self._guard_spec_arg_evolution(cur0)
         schema = self._schema_for_write(cur0, df)
         files = self._write_data_files(df, schema)
         pcols_set = {f["name"] for f in self._partition_fields(schema)}
@@ -2785,6 +2909,49 @@ class VersionedTable:
                 )
             except VersionConflictError:
                 continue
+
+    def rewrite_spec(self, spark: SparkSession) -> int:
+        """OPTIMIZE targeted at partition-spec EVOLUTION (Iceberg's
+        ``rewrite_data_files`` pointed at old spec-ids): rewrite ONLY
+        the files whose directory layout differs from the CURRENT
+        declared spec into the current layout — current-spec files are
+        retained by reference, zero bytes touched — so the cost is
+        ∝ the legacy tail, and afterwards every file prunes at the
+        current granularity. Until this runs, reads are already exact
+        AND legacy-pruned at the old granularity (per-file-spec
+        projection, _check_groups); this just retires the coarser
+        directories whenever convenient. A no-op commit is skipped
+        (returns the current version) when no legacy file exists.
+        Read-modify-write: retries wholesale on a lost commit race."""
+        if not self.partition_by:
+            raise ValueError(
+                f"rewrite_spec requires partition_by at {self.path}"
+            )
+        for _ in range(8):
+            snap = self.snapshot()
+            want = {
+                f["name"]
+                for f in self._partition_fields(snap.get("schema"))
+            }
+            current, legacy = [], []
+            for f in snap["files"]:
+                pv = self._partition_values(f)
+                (current if set(pv) == want else legacy).append(f)
+            if not legacy:
+                return snap["version"]
+            rows = self._scan(spark, snap, files=legacy)
+            files = self._write_data_files(rows, snap.get("schema"))
+            try:
+                return self._commit_delta(
+                    "rewrite_spec", snap, current + files,
+                    self._merged_stats(snap, current, files),
+                    self._merged_blooms(snap, current, files),
+                )
+            except VersionConflictError:
+                continue
+        raise VersionConflictError(
+            f"rewrite_spec lost the commit race 8 times at {self.path}"
+        )
 
     def delete_partitions(self, spark: SparkSession, filters: dict) -> int:
         """DROP PARTITION: delete every row whose partition values

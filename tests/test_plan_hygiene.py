@@ -80,6 +80,12 @@ _ALLOWED_BOUNDED_BNLJ = {
     "ann_rp_topk",  # 16-row constant projection-dim table (the lsh-plane shape)
     "lsh_recall_vs_exact",  # 1-row exact-pair-count scalar onto the 1-row hits
     "ev_bootstrap_ci_mean",  # 1-row point-estimate scalar onto the 32-row CI
+    # semi-oracled sketch tier (VERDICT r11 #6): each joins 1-row exact
+    # references onto 1-row estimates to serve the bound booleans
+    "wc_vocab_hll_merge",  # 1-row exact-vocab scalar x 1-row HLL estimate
+    "theta_vocab_ops",  # 1-row exact set-op counts x 1-row theta estimates
+    "value_quantiles_kll",  # 1-row exact brackets x 1-row KLL quantiles
+    "sample_bernoulli",  # 1-row total x two 1-row sample checksums
 }
 
 # The deliberately-Python surface: the real UDTF twin of the native

@@ -24,63 +24,65 @@ def test_driver_window_all_oracle_backed() -> None:
 
 def test_driver_window_covers_every_family() -> None:
     window = set(DRIVER_WINDOW)
-    # Flagship + one representative per operator family. (r11 rotation,
-    # VERDICT r10 #4: 36/50 window entries had never been
-    # driver-sampled; this set pins the r11 composition — every family
-    # keeps at least one hard-checked representative, the round's
-    # reshaped array-output queries are both in (embedding_quantize_int8
-    # must re-prove green under its same name; doc_token_ids rotates in
-    # to prove its latent failure fixed), and the partition-coarse
-    # delete fix is exercised end-to-end.)
+    # Flagship + one representative per operator family. (r12 rotation,
+    # VERDICT r11 #1: 37/50 window entries had never been
+    # driver-sampled; this set pins the r12 composition — every family
+    # keeps at least one hard-checked representative, the entire
+    # round-11 feature tier and the training tier rotate in, and two
+    # newly semi-oracled sketch queries prove the boolean-contract
+    # mechanism under the external hash, VERDICT r11 #6.)
     must_have = {
         # flagship word count
         "wc_counts",
         # custom function surface
         "udtf_tokenize_counts",
-        # text analysis
+        # text analysis + curation pipeline headline
         "text_stats",
+        "pipeline_curate",
         # temporal as-of + streaming batch-equivalence
         "join_asof_last_purchase",
         "ev_tumbling_hourly",
-        # similarity / ANN — incl. r10's one red row, reshaped
+        # similarity / ANN
         "knn_brute_cosine",
-        "embedding_quantize_int8",
-        # dedup (exact + size-adaptive + winnowing)
+        "ann_ivf_sq8_topk",
+        # dedup
         "dedup_exact",
-        "jaccard_prefix_join",
-        "dedup_substring_spans",
         # multimodal
         "mm_meta",
-        # relational / TPC-H breadth + SQL API surfaces
+        # relational / TPC-H breadth + SQL API surface
         "q1_pricing_summary",
-        "q2_min_cost_supplier",
-        "q8_market_share",
+        "q14_promo_revenue",
+        "q19_discounted_revenue",
         "sql_api_q",
-        "sql_pipe_q",
-        # join semantics + window functions
-        "join_bucketed_colocated",
+        # window functions + layout
         "window_qualify_pareto",
-        # layout
         "zorder3_layout",
-        "epoch_shuffle_assignments",
         # graph
-        "graph_common_neighbors",
-        "graph_degree_assortativity",
-        # oracle-backed estimators
-        "agg_percentile_exact",
-        "agg_corr_covar",
-        # tokenizer bridge — the other reshaped array query
-        "doc_token_ids",
-        # lakehouse (MERGE rep + r10 metadata tier + delete fix proof)
+        "graph_cc_twophase",
+        # r11 feature tier: LLM-curation estimators + lakehouse + joins
+        "ev_bootstrap_ci_mean",
+        "ccnet_perplexity_buckets",
+        "token_budget_allocation",
+        "mv_join_incremental",
+        "table_optimize_zorder",
+        "table_multicol_skip_probe",
+        "table_quarantine_audit",
+        "table_partition_evolution",
+        "join_size_by_key_product",
+        # trained-classifier tier
+        "quality_lr_predict",
+        "quality_lr_auc",
+        "quality_lr_holdout_auc",
+        "model_registry_lineage",
+        # newly semi-oracled sketches (driver-hashable booleans)
+        "theta_vocab_ops",
+        "value_quantiles_kll",
+        # lakehouse (MERGE rep + core travel/bloom)
         "merge_full_matrix_versioned",
-        "table_history",
-        "table_partitions_metadata",
-        "table_partition_range_probe",
-        "table_symlink_manifest",
-        "table_partition_delete_versioned",
+        "table_time_travel",
+        "table_bloom_point_lookup",
         # streaming
-        "stream_incremental_dedup",
-        "stream_foreach_batch_upsert",
+        "stream_click_attribution_outer",
     }
     assert must_have <= window
 

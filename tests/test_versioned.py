@@ -2976,11 +2976,14 @@ def test_optimize_zorder_on_empty_snapshot(spark, tmp_path):
 
 
 def test_partition_spec_evolution_split_and_exactness(spark, tmp_path):
-    """days(ts) → hours(ts) evolution: a raw-ts range classifies the
-    NEW layout's files by hour directory (matched/unmatched) while the
-    OLD layout's files (no hour key) land in `unknown` and are scanned
-    + row-filtered — the read equals read().filter(between) exactly,
-    and the new layout genuinely prunes (some hour dirs excluded)."""
+    """days(ts) → hours(ts) evolution with PER-FILE-SPEC predicate
+    projection (Iceberg's project-against-each-file's-own-spec,
+    VERDICT r11 #2): a raw-ts range classifies the NEW layout's files
+    by hour directory AND the OLD layout's files by their own day
+    directory — matched/unmatched on BOTH layouts, nothing lands in
+    `unknown`, so the legacy tail is pruned by day instead of
+    full-scanned on every range read. The read still equals
+    read().filter(between) exactly."""
     import datetime as _dt
 
     path = str(tmp_path / "pe")
@@ -3001,9 +3004,18 @@ def test_partition_spec_evolution_split_and_exactness(spark, tmp_path):
     matched, unmatched, unknown = vt._split_by_partition(
         snap, {"ts": ("range", lo, hi)}
     )
-    assert unknown and all("_p__ts_day=" in f for f in unknown)
-    assert matched and all("_p__ts_hour=" in f for f in matched)
-    assert unmatched  # hour dirs outside the range really pruned
+    assert not unknown  # every file resolves under its OWN spec
+    # new layout: matched hour dirs are exactly the range's hours
+    m_hours = [f for f in matched if "_p__ts_hour=" in f]
+    assert m_hours and all(
+        "2024-03-02-0" in f or "2024-03-02-1" in f for f in m_hours
+    )
+    # legacy layout: only the 03-02 day directory survives; the other
+    # three days are pruned as unmatched — the fix's whole point
+    m_days = [f for f in matched if "_p__ts_day=" in f]
+    assert m_days and all("_p__ts_day=2024-03-02" in f for f in m_days)
+    assert any("_p__ts_day=2024-03-01" in f for f in unmatched)
+    assert any("_p__ts_hour=2024-03-01" in f for f in unmatched)
     got = sorted(
         map(
             tuple,
@@ -3017,3 +3029,166 @@ def test_partition_spec_evolution_split_and_exactness(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_partition_spec_evolution_delete_and_time_travel(spark, tmp_path):
+    """Retention delete across a spec boundary: a DAY-aligned range
+    drops legacy days(ts) files metadata-only (their own directory
+    proves full coverage at day granularity) AND the evolved hours(ts)
+    files of those days (hour dirs are interior to a day-aligned
+    range) — zero bytes rewritten — while rows outside survive and
+    time travel still serves the pre-delete snapshot."""
+    import datetime as _dt
+
+    path = str(tmp_path / "ped")
+    df = spark.range(96).select(
+        F.col("id").alias("k"),
+        F.expr(
+            "timestamp'2024-03-01 00:00:00' + "
+            "make_interval(0, 0, 0, 0, cast(id as int), 0, 0)"
+        ).alias("ts"),
+    )
+    VersionedTable(path, partition_by=["days(ts)"]).create(
+        df.filter("k % 2 = 0")
+    )
+    vt = VersionedTable(path, partition_by=["hours(ts)"])
+    vt.append(df.filter("k % 2 = 1"))
+    pre = vt.snapshot()["version"]
+    n_files_pre = len(vt.snapshot()["files"])
+    lo = _dt.datetime(2024, 3, 2, 0, 0, 0)
+    hi = _dt.datetime(2024, 3, 3, 23, 59, 59, 999999)
+    vt.delete_partitions(spark, {"ts": ("range", lo, hi)})
+    snap = vt.snapshot()
+    # metadata-only: every surviving file is an ORIGINAL file (no
+    # rewrite happened), and both layouts' in-range dirs are gone
+    assert all(
+        "_p__ts_day=" in f or "_p__ts_hour=" in f for f in snap["files"]
+    )
+    assert len(snap["files"]) < n_files_pre
+    assert not any("_p__ts_day=2024-03-02" in f for f in snap["files"])
+    assert not any("_p__ts_day=2024-03-03" in f for f in snap["files"])
+    assert not any("_p__ts_hour=2024-03-02" in f for f in snap["files"])
+    got = sorted(r[0] for r in vt.read(spark).select("k").collect())
+    want = sorted(
+        r[0]
+        for r in df.filter(~F.col("ts").between(F.lit(lo), F.lit(hi)))
+        .select("k")
+        .collect()
+    )
+    assert got == want
+    assert vt.read(spark, pre).count() == 96  # time travel intact
+
+
+def test_at_period_start_edge_cases():
+    """r11 self-audit: pin _at_period_start's boundary rendering — the
+    predicate that lets a range bound landing ON a directory still
+    prove metadata-only coverage from below. Datetime and string forms
+    must agree; anything unparseable or timezone-suffixed must return
+    False (conservative: costs a rewrite, never a wrong drop). All
+    rendering is in the session's pinned UTC — the transform never
+    sees a DST wall-clock, so 'period start' is well-defined."""
+    import datetime as _dt
+
+    f = VersionedTable._at_period_start
+
+    def fld(t):
+        return {"transform": t, "src": "ts", "arg": None}
+
+    # datetime forms, every transform
+    assert f(fld("days"), _dt.datetime(2024, 3, 1, 0, 0, 0))
+    assert not f(fld("days"), _dt.datetime(2024, 3, 1, 0, 0, 1))
+    assert f(fld("hours"), _dt.datetime(2024, 3, 1, 7, 0, 0))
+    assert not f(fld("hours"), _dt.datetime(2024, 3, 1, 7, 30))
+    assert f(fld("months"), _dt.datetime(2024, 3, 1))
+    assert not f(fld("months"), _dt.datetime(2024, 3, 2))
+    assert f(fld("years"), _dt.datetime(2024, 1, 1))
+    assert not f(fld("years"), _dt.datetime(2024, 2, 1))
+    # string forms: T separator, all-zero fractional part, date-only
+    # prefix literals zero-fill
+    assert f(fld("days"), "2024-03-01 00:00:00")
+    assert f(fld("days"), "2024-03-01T00:00:00")
+    assert f(fld("days"), "2024-03-01 00:00:00.000")
+    assert f(fld("days"), "2024-03-01")
+    assert not f(fld("days"), "2024-03-01 00:00:00.500")
+    assert not f(fld("days"), "2024-03-01 12:00:00")
+    assert f(fld("months"), "2024-03")
+    assert f(fld("years"), "2024")
+    # timezone-suffixed / unparseable: conservative False
+    assert not f(fld("days"), "2024-03-01 00:00:00+02:00")
+    assert not f(fld("days"), "not a timestamp")
+    # non-time transforms never prove period starts
+    assert not f({"transform": "bucket", "src": "k", "arg": 8}, 0)
+    assert not f({"transform": "identity", "src": "k", "arg": None}, 0)
+
+
+def test_rewrite_spec_migrates_only_legacy_files(spark, tmp_path):
+    """rewrite_spec (round 12): after days→hours evolution, the
+    targeted OPTIMIZE rewrites ONLY the legacy day-layout files into
+    hour directories — every current-spec file is retained BY
+    REFERENCE (appears in neither add nor remove), rows are identical
+    before/after, a later range read prunes everything at hour
+    granularity (no day dirs left), time travel serves the old layout,
+    and a second rewrite_spec is a commitless no-op."""
+    import datetime as _dt
+
+    path = str(tmp_path / "rw")
+    df = spark.range(96).select(
+        F.col("id").alias("k"),
+        F.expr(
+            "timestamp'2024-03-01 00:00:00' + "
+            "make_interval(0, 0, 0, 0, cast(id as int), 0, 0)"
+        ).alias("ts"),
+    )
+    VersionedTable(path, partition_by=["days(ts)"]).create(
+        df.filter("k % 2 = 0")
+    )
+    vt = VersionedTable(path, partition_by=["hours(ts)"])
+    vt.append(df.filter("k % 2 = 1"))
+    pre = vt.snapshot()
+    hour_files = {f for f in pre["files"] if "_p__ts_hour=" in f}
+    day_files = {f for f in pre["files"] if "_p__ts_day=" in f}
+    assert hour_files and day_files
+    v = vt.rewrite_spec(spark)
+    m = vt._load_manifest(v)
+    assert m["operation"] == "rewrite_spec"
+    assert set(m["remove"]) == day_files  # exactly the legacy tail
+    assert not (set(m["add"]) | set(m["remove"])) & hour_files
+    snap = vt.snapshot()
+    assert all("_p__ts_hour=" in f for f in snap["files"])
+    assert sorted(map(tuple, vt.read(spark).collect())) == sorted(
+        map(tuple, df.collect())
+    )
+    # post-rewrite: a range read prunes at hour granularity everywhere
+    lo, hi = _dt.datetime(2024, 3, 2, 0, 0), _dt.datetime(2024, 3, 2, 11, 0)
+    matched, unmatched, unknown = vt._split_by_partition(
+        snap, {"ts": ("range", lo, hi)}
+    )
+    assert not unknown
+    assert matched and all("_p__ts_hour=2024-03-02-0" in f
+                           or "_p__ts_hour=2024-03-02-1" in f
+                           for f in matched)
+    assert vt.read(spark, pre["version"]).count() == 96  # time travel
+    assert vt.rewrite_spec(spark) == v  # idempotent no-op
+
+
+def test_bucket_arg_evolution_rejected(spark, tmp_path):
+    """In-place bucket(8)→bucket(16) arg evolution is REJECTED at
+    write time: the hive directory name (`k_bucket`) cannot encode the
+    arg, so old and new files would share a directory column under
+    different moduli and pruning would silently drop live rows. The
+    recorded parent partition_spec makes the conflict detectable."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "bae")
+    df = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    VersionedTable(path, partition_by=["bucket(8, k)"]).create(df)
+    vt16 = VersionedTable(path, partition_by=["bucket(16, k)"])
+    with _pytest.raises(ValueError, match="arg evolution"):
+        vt16.append(df)
+    # same arg re-declared: fine; time-transform change: also fine
+    VersionedTable(path, partition_by=["bucket(8, k)"]).append(df.limit(1))
+    assert VersionedTable(path).snapshot()["partition_spec"] == [
+        "bucket(8, k)"
+    ]

