@@ -231,6 +231,10 @@ HEADLINE = [
     "ev_bootstrap_ci_mean",
     "table_partition_evolution",
     "join_size_by_key_product",
+    # round 12: the same range read after rewrite_spec retires the
+    # legacy layout (build paid in warm-up; timed pass is the
+    # hour-granular pruned read)
+    "table_spec_rewrite_legacy",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries

@@ -1375,6 +1375,30 @@ def table_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SR_PATHS: dict[tuple[str, str], str] = {}
 
 
+def _spec_rewrite_events(spark: SparkSession, sf_dir: str) -> VersionedTable:
+    """v0 creates half of events under days(ts), v1 appends the other
+    half under hours(ts) (spec evolution), v2 is rewrite_spec — the
+    targeted OPTIMIZE that migrates ONLY the legacy day-layout files
+    into hour directories. Built once per (session, sf)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _SR_PATHS.get(key)
+    if path is not None and len(VersionedTable(path).versions()) < 3:
+        path = None
+    if path is None:
+        path = os.path.join(scratch_dir("versioned_"), "events_specrw")
+        e = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "value"
+        )
+        VersionedTable(path, partition_by=["days(ts)"]).create(
+            e.filter("event_id % 2 = 0")
+        )
+        vt = VersionedTable(path, partition_by=["hours(ts)"])
+        vt.append(e.filter("event_id % 2 = 1"))
+        vt.rewrite_spec(spark)
+        _SR_PATHS[key] = path
+    return VersionedTable(path, partition_by=["hours(ts)"])
+
+
 @query(
     "table_spec_rewrite_legacy",
     oracle=f"""
@@ -1404,28 +1428,59 @@ def table_spec_rewrite_legacy(spark: SparkSession, sf_dir: str) -> DataFrame:
     travel to the pre-rewrite snapshot still serves the old layout."""
     import datetime as _dt
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    path = _SR_PATHS.get(key)
-    if path is not None and len(VersionedTable(path).versions()) < 3:
-        path = None
-    if path is None:
-        path = os.path.join(scratch_dir("versioned_"), "events_specrw")
-        e = load_table(spark, sf_dir, "events").select(
-            "event_id", "ts", "value"
-        )
-        VersionedTable(path, partition_by=["days(ts)"]).create(
-            e.filter("event_id % 2 = 0")
-        )
-        vt = VersionedTable(path, partition_by=["hours(ts)"])
-        vt.append(e.filter("event_id % 2 = 1"))
-        vt.rewrite_spec(spark)
-        _SR_PATHS[key] = path
-    vt = VersionedTable(path, partition_by=["hours(ts)"])
+    vt = _spec_rewrite_events(spark, sf_dir)
     lo = _dt.datetime(2024, 1, 3, 0, 0, 0)
     hi = _dt.datetime(2024, 1, 3, 11, 59, 59)
     return vt.read_partitions(spark, {"ts": ("range", lo, hi)}).agg(
         F.count("*").cast("bigint").alias("n_rows"),
         dsum(F.col("value"), "sum_value"),
+    )
+
+
+@query(
+    "table_spec_lineage",
+    oracle="""
+    SELECT CAST(0 AS INT) AS version, 'create' AS operation,
+           'days(ts)' AS partition_spec,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT 1, 'append', 'hours(ts)', CAST(COUNT(*) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 2, 'rewrite_spec', 'hours(ts)', CAST(COUNT(*) AS BIGINT)
+    FROM events
+    """,
+)
+def table_spec_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg's spec-history surface (``.metadata_log`` /
+    ``partition-specs``) as a queryable relation: per retained
+    version, the operation, the PARTITION SPEC in force (recorded in
+    every partitioned commit's manifest since round 12,
+    inherit-through-chain like the column mapping — the metadata that
+    makes spec evolution auditable and lets writes reject in-place
+    bucket/truncate arg changes), and the metadata-only row count.
+    The oracle replays each version's expected spec and cardinality,
+    so the driver hash pins that the recorded lineage tells the truth:
+    days(ts) at create, hours(ts) from the evolution commit onward,
+    row counts conserved through the rewrite.
+
+    Scale: the whole answer is KB-scale manifest metadata — no data
+    file is read; the spec entry is O(|spec|) per commit."""
+    vt = _spec_rewrite_events(spark, sf_dir)
+    counts = {h["version"]: h["n_rows"] for h in vt.history()}
+    rows = []
+    for v in vt.versions():
+        snap = vt.snapshot(v)
+        spec = snap.get("partition_spec") or []
+        rows.append(
+            (v, snap.get("operation"), ", ".join(spec), counts.get(v))
+        )
+    assert all(r[3] is not None for r in rows)  # metadata must answer
+    return spark.createDataFrame(
+        rows,
+        "version int, operation string, partition_spec string, "
+        "n_rows bigint",
     )
 
 

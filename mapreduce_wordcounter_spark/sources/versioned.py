@@ -2894,9 +2894,11 @@ class VersionedTable:
                 pv = self._partition_values(f)
                 if not pcols_set <= set(pv):
                     raise ValueError(
-                        f"file {f!r} predates partitioning: its rows "
-                        "cannot be attributed to a partition from "
-                        "metadata; compact (optimize) first"
+                        f"file {f!r} predates partitioning or carries "
+                        "an older partition spec: its rows cannot be "
+                        "attributed to a current-spec partition from "
+                        "metadata; run rewrite_spec (spec evolution) "
+                        "or compact (optimize) first"
                     )
                 if tuple(sorted(pv.items())) not in touched:
                     retained.append(f)

@@ -3121,6 +3121,56 @@ def test_at_period_start_edge_cases():
     assert not f({"transform": "identity", "src": "k", "arg": None}, 0)
 
 
+def test_spec_evolution_prunes_at_checkpoint_root(spark, tmp_path):
+    """r12 self-audit: the per-file-spec check groups drive
+    checkpoint-ROOT part pruning too — under days→hours evolution with
+    a tree checkpoint in force, a partial resolve for one day's range
+    must drop BOTH out-of-range hour parts (current spec) and
+    out-of-range day parts (legacy spec) before any part file is read,
+    and the pruned read still equals read().filter(between)."""
+    import datetime as _dt
+
+    path = str(tmp_path / "per")
+    df = spark.range(96).select(
+        F.col("id").alias("k"),
+        F.expr(
+            "timestamp'2024-03-01 00:00:00' + "
+            "make_interval(0, 0, 0, 0, cast(id as int), 0, 0)"
+        ).alias("ts"),
+    )
+    VersionedTable(
+        path, partition_by=["days(ts)"], checkpoint_interval=1
+    ).create(df.filter("k % 2 = 0"))
+    vt = VersionedTable(
+        path, partition_by=["hours(ts)"], checkpoint_interval=1
+    )
+    vt.append(df.filter("k % 2 = 1"))
+    assert os.path.exists(vt._checkpoint_path(vt.snapshot()["version"]))
+    lo, hi = _dt.datetime(2024, 3, 2, 0, 0), _dt.datetime(2024, 3, 2, 11, 0)
+    filters = {"ts": ("range", lo, hi)}
+    part = vt._resolve_selected(
+        None, lambda meta, s: vt._part_matches(
+            vt._check_groups(meta, filters), s
+        )
+    )
+    assert part is not None and part.get("partial")
+    full = vt.snapshot()
+    assert len(part["files"]) < len(full["files"])
+    # both layouts' out-of-range directories were dropped at the root
+    assert not any("_p__ts_day=2024-03-01" in f for f in part["files"])
+    assert not any("_p__ts_hour=2024-03-03" in f for f in part["files"])
+    # and the in-range legacy day part survived (its files are needed)
+    assert any("_p__ts_day=2024-03-02" in f for f in part["files"])
+    got = sorted(map(tuple, vt.read_partitions(spark, filters).collect()))
+    want = sorted(
+        map(
+            tuple,
+            df.filter(F.col("ts").between(F.lit(lo), F.lit(hi))).collect(),
+        )
+    )
+    assert got == want
+
+
 def test_rewrite_spec_migrates_only_legacy_files(spark, tmp_path):
     """rewrite_spec (round 12): after days→hours evolution, the
     targeted OPTIMIZE rewrites ONLY the legacy day-layout files into

@@ -239,6 +239,14 @@ SHOWCASE = [
     "ev_bootstrap_ci_mean",
     "table_partition_evolution",
     "join_size_by_key_product",
+    # round 12: the post-rewrite hour-granular pruned read, the spec
+    # lineage metadata surface, and the outer attribution join (its
+    # drain runs inside the query; the recorded plan is the drained
+    # batch result — the NOTE below carries its fixed-vs-data split,
+    # VERDICT r11 #4)
+    "table_spec_rewrite_legacy",
+    "table_spec_lineage",
+    "stream_click_attribution_outer",
 ]
 
 # Belt-and-braces: a duplicated SHOWCASE entry (it has happened) would
