@@ -233,8 +233,11 @@ HEADLINE = [
     "join_size_by_key_product",
     # round 12: the same range read after rewrite_spec retires the
     # legacy layout (build paid in warm-up; timed pass is the
-    # hour-granular pruned read)
+    # hour-granular pruned read), the spec-lineage metadata surface,
+    # and the three-state write-audit-publish read
     "table_spec_rewrite_legacy",
+    "table_spec_lineage",
+    "table_wap_publish",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries

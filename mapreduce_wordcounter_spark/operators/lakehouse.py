@@ -1484,6 +1484,83 @@ def table_spec_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WAP_PATHS: dict[tuple[str, str], str] = {}
+
+
+def _wap_orders(spark: SparkSession, sf_dir: str) -> VersionedTable:
+    """Write-audit-publish lineage: v0 creates orders % 3 = 0 (main),
+    v1 stages the % 3 = 1 rows on branch 'audit' (invisible to main —
+    pinned in tests/test_versioned.py), then fast_forward publishes
+    the audited branch as the new main head. A 'prepublish' tag pins
+    v0 for reproducibility."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _WAP_PATHS.get(key)
+    if path is not None and len(VersionedTable(path).versions()) < 2:
+        path = None
+    if path is None:
+        path = os.path.join(scratch_dir("versioned_"), "orders_wap")
+        vt = VersionedTable(path)
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        vt.create(o.filter("o_orderkey % 3 = 0"))
+        vt.create_tag("prepublish")
+        vt.append(o.filter("o_orderkey % 3 = 1"), branch="audit")
+        vt.fast_forward("audit")
+        _WAP_PATHS[key] = path
+    return VersionedTable(path)
+
+
+@query(
+    "table_wap_publish",
+    oracle=f"""
+    SELECT 'prepublish_tag' AS state, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 'audit_branch', CAST(COUNT(*) AS BIGINT),
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    UNION ALL
+    SELECT 'main_published', CAST(COUNT(*) AS BIGINT),
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    """,
+)
+def table_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH (Iceberg refs / branch commits, round 12):
+    a staged commit occupies a version slot and moves only its branch
+    ref — main reads, DESCRIBE HISTORY and timestamp travel never see
+    it (pinned in tests/test_versioned.py) — until fast_forward
+    publishes the audited snapshot atomically (one ref rename). This
+    query serves all three observable states: the immutable
+    'prepublish' TAG (the pre-stage main), the 'audit' BRANCH (the
+    staged state the audit step validates), and published main —
+    each hash-checked against the oracle's replay from raw orders,
+    so branch isolation and the publish flip are driver-verified data,
+    not just local assertions.
+
+    Scale: a ref is one KB JSON pointer — staging a 100 TB batch for
+    audit costs exactly its data files plus one manifest; publish and
+    rollback are pointer moves, and an abandoned branch's files are
+    vacuum's orphan-scan business, never a rewrite."""
+    vt = _wap_orders(spark, sf_dir)
+
+    def agg(df: DataFrame, state: str) -> DataFrame:
+        return df.agg(
+            F.lit(state).alias("state"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            dsum(F.col("o_totalprice"), "sum_price"),
+        )
+
+    return (
+        agg(vt.read_ref(spark, "prepublish"), "prepublish_tag")
+        .unionAll(agg(vt.read_ref(spark, "audit"), "audit_branch"))
+        .unionAll(agg(vt.read(spark), "main_published"))
+        .select("state", "n_rows", "sum_price")
+    )
+
+
 _QR_PATHS: dict[tuple[str, str], str] = {}
 
 

@@ -65,10 +65,12 @@ DRIVER_WINDOW: list[str] = [
     # named (12 queries), then the untouched training tier (7), the
     # remaining TPC-H breadth (8), two of the newly SEMI-ORACLED
     # sketch queries (VERDICT r11 #6 — their statistical contracts now
-    # ride as driver-hashable booleans), and lakehouse/temporal/
-    # function breadth incl. pipeline_curate (a bench headline that
-    # had never been externally hashed). The whole window passed a
-    # full driver-style sweep at sf0.01 this round before landing.
+    # ride as driver-hashable booleans), lakehouse/temporal breadth
+    # incl. pipeline_curate (a bench headline that had never been
+    # externally hashed), and this round's own feature tier
+    # (per-file-spec pruning, spec lineage, write-audit-publish). The
+    # whole window passed a full driver-style sweep at sf0.01 this
+    # round before landing.
     #
     # -- audited family representatives (sampled green r1-r11) --
     "wc_counts",                  # flagship word count (main.go parity)
@@ -117,16 +119,19 @@ DRIVER_WINDOW: list[str] = [
     # -- never-sampled: newly semi-oracled sketches (r12, #6) --
     "theta_vocab_ops",
     "value_quantiles_kll",
-    # -- never-sampled: lakehouse core + curation + temporal +
-    #    function breadth --
+    # -- never-sampled: lakehouse core + curation + temporal --
     "table_time_travel",
     "table_bloom_point_lookup",
     "pipeline_curate",
     "ev_session_stats",
     "ev_anomaly_mad",
-    "math_functions",
-    "json_extract",
-    "array_functions",
+    # -- never-sampled: the round-12 feature tier (per-file-spec
+    #    pruning + targeted rewrite, spec lineage metadata,
+    #    write-audit-publish refs) — new features prove themselves
+    #    under the external hash in their own round --
+    "table_spec_rewrite_legacy",
+    "table_spec_lineage",
+    "table_wap_publish",
 ]
 
 

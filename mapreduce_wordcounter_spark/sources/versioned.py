@@ -208,9 +208,70 @@ class VersionedTable:
                 out.append(int(f[1:-5]))
         return sorted(out)
 
-    def latest_version(self) -> int | None:
+    def _latest_any(self) -> int | None:
+        """Greatest allocated version NUMBER across every lineage —
+        the version-slot allocator's view (commits on any branch take
+        the next global slot so O_EXCL publish still detects races).
+        Readers want :meth:`latest_version` (the MAIN head) instead."""
         vs = self.versions()
         return vs[-1] if vs else None
+
+    # -- refs: branches + tags (Iceberg refs / WAP) -----------------------
+
+    def _refs_dir(self) -> str:
+        return os.path.join(self.snap_dir, "refs")
+
+    def _ref_path(self, name: str) -> str:
+        if not name or "/" in name or name.startswith("."):
+            raise ValueError(f"invalid ref name: {name!r}")
+        return os.path.join(self._refs_dir(), f"{name}.json")
+
+    def _read_ref(self, name: str) -> dict | None:
+        try:
+            with open(self._ref_path(name)) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return None
+
+    def _write_ref(self, name: str, type_: str, version: int) -> None:
+        """Publish a ref pointer (tmp+rename: atomic visibility,
+        last-writer-wins — refs are movable POINTERS; the manifests
+        they name keep the O_EXCL exclusive-create commit discipline).
+        The main ref never moves backward: version slots are allocated
+        monotonically, so a smaller incoming version is a stale racer
+        whose successor already advanced the pointer."""
+        cur = self._read_ref(name)
+        if cur is not None and name == "main" and cur["version"] >= version:
+            return
+        os.makedirs(self._refs_dir(), exist_ok=True)
+        final = self._ref_path(name)
+        tmp = final + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"name": name, "type": type_, "version": version}, fh)
+        os.replace(tmp, final)
+
+    def latest_version(self) -> int | None:
+        """The MAIN head: the version an unqualified read serves.
+        With a ``main`` ref (written from the first fast_forward on,
+        then maintained by every main commit) it IS the ref; without
+        one it is the greatest version not marked as a branch commit —
+        staged (write-audit-publish) commits occupy version slots but
+        stay invisible to main until fast_forward publishes them."""
+        vs = self.versions()
+        if not vs:
+            return None
+        if not os.path.isdir(self._refs_dir()):
+            return vs[-1]  # fast path: no refs ever -> no staged commits
+        ref = self._read_ref("main")
+        if ref is not None:
+            return ref["version"]
+        for v in reversed(vs):
+            try:
+                if "branch" not in self._load_manifest(v):
+                    return v
+            except FileNotFoundError:
+                continue  # raced by vacuum
+        return None
 
     def _load_manifest(self, version: int) -> dict:
         with open(self._manifest_path(version)) as fh:
@@ -860,6 +921,7 @@ class VersionedTable:
         expectations=_INHERIT,
         dv_add: dict | None = None,
         dv_state=_INHERIT,
+        branch: str | None = None,
         **extra,
     ) -> int:
         """Publish one commit as a DELTA manifest: only the files
@@ -874,7 +936,35 @@ class VersionedTable:
         the full (column-count-sized, so still churn-class) mapping —
         resolution then never has to walk past its own commit to learn
         the column mapping in force at that version."""
-        version = 0 if parent is None else parent["version"] + 1
+        # Version-slot allocation (refs/WAP, round 12): lineage is the
+        # parent POINTER; the number is an exclusive-create slot. The
+        # conflict detector is UNCHANGED from the pre-refs design — a
+        # concurrent SAME-LINEAGE winner occupies parent+1 and the
+        # O_EXCL publish collides, raising VersionConflictError for the
+        # caller's retry loop. The only slots a MAIN commit may skip
+        # past are STAGED BRANCH manifests (they never change main
+        # state, so the stale-parent hazard doesn't exist); a
+        # main-occupied slot must still collide, never be skipped, or
+        # optimistic concurrency would silently lose the loser's view
+        # of the race. A branch commit allocates past the global max —
+        # same-branch racers compute the same slot and still collide,
+        # while other-lineage commits in between are not conflicts.
+        if parent is None:
+            version = 0
+        elif branch:
+            la = self._latest_any()
+            version = max(
+                parent["version"] + 1, 0 if la is None else la + 1
+            )
+        else:
+            version = parent["version"] + 1
+            while os.path.exists(self._manifest_path(version)):
+                try:
+                    if "branch" not in self._load_manifest(version):
+                        break  # genuine main conflict: collide below
+                except FileNotFoundError:
+                    break  # racing vacuum: let publish decide
+                version += 1  # staged slot: main state unchanged
         files = sorted(files)  # canonical order: resolve-vs-cache identical
         prev = set(parent["files"]) if parent else set()
         now = set(files)
@@ -975,9 +1065,17 @@ class VersionedTable:
             **exp_entry,
             **ps_entry,
             **dv_entry,
+            **({"branch": branch} if branch else {}),
             **extra,
         }
         self._publish(manifest, version)
+        if branch:
+            # the branch ref tracks its head; main stays untouched
+            self._write_ref(branch, "branch", version)
+        elif self._read_ref("main") is not None:
+            # once a main ref exists (first fast_forward), every main
+            # commit maintains it — see latest_version()
+            self._write_ref("main", "branch", version)
         if pending:
             # the commit owns its metrics now; a later retry of a
             # DIFFERENT commit must not inherit them
@@ -1672,9 +1770,11 @@ class VersionedTable:
         n_removed, n_rows) where n_rows is the metadata-only row count
         of that snapshot (None where unrecorded). Bounded driver-side
         metadata: one manifest read per retained version (plus the
-        count_rows resolution, checkpoint-accelerated)."""
+        count_rows resolution, checkpoint-accelerated). Walks the MAIN
+        lineage (parent pointers from the main head): staged branch
+        commits appear only once fast_forward publishes them."""
         out = []
-        for v in reversed(self.versions()):
+        for v in self._main_lineage():
             m = self._load_manifest(v)
             out.append(
                 {
@@ -1888,7 +1988,7 @@ class VersionedTable:
                     "under the new spec instead"
                 )
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, branch: str | None = None) -> int:
         """Blind append: data files are written once; the manifest
         attempt re-reads the CURRENT parent on every retry, so a
         concurrent winner's files are retained, never overwritten (the
@@ -1899,13 +1999,20 @@ class VersionedTable:
         physical names (new columns get fresh mapping entries —
         additive evolution); a CONCURRENT schema change invalidates
         the staged physical names, so that race fails rather than
-        committing a fork (Delta's metadata-conflict rule)."""
-        cur0 = self.snapshot()
+        committing a fork (Delta's metadata-conflict rule).
+
+        ``branch`` stages the commit on a named branch instead of main
+        (Iceberg refs / Spark's write-audit-publish): the commit
+        parents at the branch head (or current main for a new branch),
+        occupies a version slot, moves only the branch ref — main
+        reads never see it until :meth:`fast_forward` publishes the
+        audited branch. Stacked staged commits chain on the branch."""
+        cur0 = self.snapshot(self._branch_base(branch))
         self._guard_spec_arg_evolution(cur0)
         schema = self._schema_for_write(cur0, df)
         files = self._write_data_files(df, schema)
         while True:
-            cur = self.snapshot()
+            cur = self.snapshot(self._branch_base(branch))
             if cur.get("schema") != cur0.get("schema"):
                 raise VersionConflictError(
                     f"concurrent schema change during append at {self.path}"
@@ -1916,18 +2023,116 @@ class VersionedTable:
                     self._merged_stats(cur, cur["files"], files),
                     self._merged_blooms(cur, cur["files"], files),
                     schema=schema if schema is not None else _INHERIT,
+                    branch=branch,
                 )
             except VersionConflictError:
                 continue
+
+    # -- refs API: tags, branches, write-audit-publish --------------------
+
+    def _branch_base(self, branch: str | None) -> int | None:
+        """The version a commit on ``branch`` parents at: the branch
+        head when the ref exists, else the current main head (a new
+        branch forks from main). None (= main head) for main commits."""
+        if branch is None:
+            return None
+        ref = self._read_ref(branch)
+        if ref is not None:
+            if ref.get("type") != "branch":
+                raise ValueError(f"ref {branch!r} is a tag, not a branch")
+            return ref["version"]
+        return None
+
+    def ref_version(self, name: str) -> int:
+        """Resolve a ref (tag or branch) to its pinned version."""
+        ref = self._read_ref(name)
+        if ref is None:
+            raise FileNotFoundError(f"no ref {name!r} at {self.path}")
+        return ref["version"]
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """An IMMUTABLE named pointer (Iceberg tag): pins a snapshot
+        for reproducibility ('the corpus we trained run X on') without
+        copying anything. Re-creating an existing tag at the same
+        version is a no-op; at a different version it raises."""
+        v = self.latest_version() if version is None else version
+        if v is None or not os.path.exists(self._manifest_path(v)):
+            raise FileNotFoundError(f"no version {version} at {self.path}")
+        cur = self._read_ref(name)
+        if cur is not None:
+            if cur.get("type") == "tag" and cur["version"] == v:
+                return v
+            raise ValueError(
+                f"ref {name!r} already exists at {self.path} "
+                f"(type={cur.get('type')}, version={cur['version']})"
+            )
+        self._write_ref(name, "tag", v)
+        return v
+
+    def fast_forward(self, branch: str) -> int:
+        """PUBLISH a staged branch (the WAP publish step): move main
+        to the branch head. Requires the current main head to be an
+        ANCESTOR of the branch head (walk the parent pointers) — a
+        diverged main raises instead of silently dropping commits;
+        rebase by re-staging onto a fresh branch. Readers flip to the
+        audited snapshot atomically (one ref rename); time travel to
+        every pre-publish main version is untouched."""
+        target = self.ref_version(branch)
+        ref = self._read_ref(branch)
+        if ref.get("type") != "branch":
+            raise ValueError(f"ref {branch!r} is a tag, not a branch")
+        head = self.latest_version()
+        if head is not None:
+            v = target
+            while v is not None and v != head:
+                if v < head:
+                    v = None
+                    break
+                v = self._load_manifest(v).get("parent")
+            if v is None:
+                raise VersionConflictError(
+                    f"main (v{head}) is not an ancestor of branch "
+                    f"{branch!r} (v{target}) at {self.path}: main moved "
+                    "since the branch forked; re-stage onto a fresh "
+                    "branch"
+                )
+        self._write_ref("main", "branch", target)
+        return target
+
+    def read_ref(self, spark: SparkSession, name: str) -> DataFrame:
+        """Read the snapshot a ref (tag or branch) pins — Iceberg's
+        ``VERSION AS OF 'ref'``. Branch reads serve the STAGED state
+        (the audit step of write-audit-publish); tag reads serve the
+        pinned historical snapshot."""
+        return self.read(spark, self.ref_version(name))
+
+    def _main_lineage(self) -> list[int]:
+        """Main-head-to-root version walk over parent pointers,
+        truncated at the vacuum horizon (an expired parent manifest
+        ends the walk) — the versions DESCRIBE HISTORY and timestamp
+        travel may serve. Staged branch commits never appear unless a
+        fast_forward published them into this chain."""
+        out: list[int] = []
+        v = self.latest_version()
+        while v is not None:
+            try:
+                m = self._load_manifest(v)
+            except FileNotFoundError:
+                break  # expired (vacuumed): history contracts here
+            out.append(v)
+            v = m.get("parent")
+        return out
 
     def version_at(self, ts: float) -> int:
         """AS OF TIMESTAMP: the latest version committed at or before
         the (epoch-seconds) instant — Delta/Iceberg's timestamp travel,
         resolved from per-manifest commit times (KB metadata; manifest
         mtime serves for pre-timestamp legacy manifests). Raises if
-        the table did not exist yet at ``ts``."""
+        the table did not exist yet at ``ts``. Resolves over the MAIN
+        lineage only: a staged branch commit is not observable state
+        at any instant until fast_forward publishes it."""
         best = None
-        for v in self.versions():
+        for v in self._main_lineage():
             try:
                 m = self._load_manifest(v)
             except FileNotFoundError:
@@ -2080,6 +2285,30 @@ class VersionedTable:
             )
         expired = versions[:-retain_last]
         retained = versions[-retain_last:]
+        # Refs PIN their versions (Iceberg expire_snapshots' default):
+        # a tag's snapshot must stay readable for as long as the tag
+        # exists, a staged branch head must survive until published or
+        # the ref is deleted, and the MAIN head must never expire just
+        # because staged branch slots above it pushed it out of the
+        # newest-N window. Ancestors a pinned version resolves through
+        # stay safe regardless: the floor checkpoint below materializes
+        # every retained version's state before any manifest is
+        # removed, and pinned versions are added to `retained` here so
+        # their own chains get the same treatment.
+        if os.path.isdir(self._refs_dir()):
+            pinned = set()
+            for rf in os.listdir(self._refs_dir()):
+                if rf.endswith(".json"):
+                    ref = self._read_ref(rf[:-5])
+                    if ref is not None:
+                        pinned.add(ref["version"])
+            head = self.latest_version()
+            if head is not None:
+                pinned.add(head)
+            moved = [v for v in expired if v in pinned]
+            if moved:
+                expired = [v for v in expired if v not in pinned]
+                retained = sorted(set(retained) | set(moved))
         keep: set[str] = set()
         retained_snaps = [self.snapshot(v) for v in retained]
         for snap in retained_snaps:
@@ -2088,9 +2317,16 @@ class VersionedTable:
         for v in expired:
             drop.update(f for f in self.snapshot(v)["files"] if f not in keep)
         if expired and retained_snaps:
-            # floor checkpoint BEFORE expiry: resolution of retained
-            # versions must never walk into the expired range
-            self._write_checkpoint(retained_snaps[0])
+            # floor checkpoint(s) BEFORE expiry: resolution of retained
+            # versions must never walk into the expired range. With
+            # ref-pinned versions the retained set can be
+            # NON-CONTIGUOUS, so every retained version whose parent
+            # is about to expire gets its own materialized state, not
+            # just the oldest one.
+            exp_set = set(expired)
+            for i, snap in enumerate(retained_snaps):
+                if i == 0 or snap.get("parent") in exp_set:
+                    self._write_checkpoint(snap)
         for v in expired:  # manifests first (see docstring)
             os.unlink(self._manifest_path(v))
             ck = self._checkpoint_path(v)
@@ -3369,13 +3605,15 @@ class VersionedTable:
             )
             .withColumn("_v", F.lit(v_from))
         )
-        for v in range(v_from + 1, v_to + 1):
+        prev = v_from
+        for v in self._chain_between(v_from, v_to):
             feed = (
-                self.read_changes_log(spark, key, v - 1, v)
+                self.read_changes_log(spark, key, prev, v)
                 .select(key, "change_type", f"new_{value_col}")
                 .withColumn("_v", F.lit(v))
             )
             events = events.unionByName(feed)
+            prev = v
         w = Window.partitionBy(key).orderBy("_v")
         return (
             events.withColumn("valid_to", F.lead("_v").over(w))
@@ -3408,6 +3646,30 @@ class VersionedTable:
             for n in drop_rules
         )
 
+    def _chain_between(self, v_from: int, v_to: int) -> list[int]:
+        """The versions on ``v_to``'s PARENT chain strictly after
+        ``v_from``, oldest-first. With refs in play, version numbers
+        can have gaps in a lineage (staged branch commits occupy
+        slots), so CDC composition walks pointers, never a numeric
+        range. Raises ValueError when ``v_from`` is not an ancestor of
+        ``v_to`` (the range spans a branch fork); FileNotFoundError
+        when an expired manifest interrupts the walk."""
+        chain: list[int] = []
+        v: int | None = v_to
+        while v is not None and v != v_from:
+            if v < v_from:
+                raise ValueError(
+                    f"v{v_from} is not an ancestor of v{v_to} at "
+                    f"{self.path}"
+                )
+            chain.append(v)
+            v = self._load_manifest(v).get("parent")
+        if v != v_from:
+            raise ValueError(
+                f"v{v_from} is not an ancestor of v{v_to} at {self.path}"
+            )
+        return list(reversed(chain))
+
     def read_changes_log(
         self, spark: SparkSession, key: str, v_from: int, v_to: int
     ) -> DataFrame:
@@ -3438,7 +3700,13 @@ class VersionedTable:
         feed_schema_cols: list[str] = []
         feed_cols_seen: set[str] = set()
         parts: list[DataFrame] = []
-        for v in range(v_from + 1, v_to + 1):
+        try:
+            chain = self._chain_between(v_from, v_to)
+        except (FileNotFoundError, ValueError):
+            # expired manifests in range, or v_from not an ancestor of
+            # v_to (the range spans a branch fork): snapshot diff
+            return self.read_changes(spark, key, v_from, v_to)
+        for v in chain:
             try:
                 m = self._load_manifest(v)
             except FileNotFoundError:

@@ -83,6 +83,10 @@ def test_driver_window_covers_every_family() -> None:
         "table_bloom_point_lookup",
         # streaming
         "stream_click_attribution_outer",
+        # round-12 feature tier
+        "table_spec_rewrite_legacy",
+        "table_spec_lineage",
+        "table_wap_publish",
     }
     assert must_have <= window
 

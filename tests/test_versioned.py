@@ -3242,3 +3242,164 @@ def test_bucket_arg_evolution_rejected(spark, tmp_path):
     assert VersionedTable(path).snapshot()["partition_spec"] == [
         "bucket(8, k)"
     ]
+
+
+# -- refs: tags, branches, write-audit-publish (round 12) ---------------
+
+
+def _wap_df(spark, n=40):
+    return spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 10.0).alias("v")
+    )
+
+
+def test_wap_stage_audit_publish(spark, tmp_path):
+    """Write-audit-publish: a branch append occupies a version slot
+    but main reads/history/timestamp-travel never see it; the branch
+    ref serves the staged state for auditing; fast_forward flips main
+    to the audited snapshot atomically and history then includes the
+    published commit."""
+    vt = VersionedTable(str(tmp_path / "wap"))
+    df = _wap_df(spark)
+    vt.create(df.filter("k % 2 = 0"))
+    v_staged = vt.append(df.filter("k % 2 = 1"), branch="audit")
+    assert v_staged == 1
+    # main is untouched: head, read, history
+    assert vt.latest_version() == 0
+    assert vt.read(spark).count() == 20
+    assert [h["version"] for h in vt.history()] == [0]
+    # the staged state is readable through the ref (the audit step)
+    assert vt.read_ref(spark, "audit").count() == 40
+    assert vt.ref_version("audit") == 1
+    # timestamp travel resolves main lineage only
+    import time as _time
+    assert vt.version_at(_time.time()) == 0
+    # publish
+    assert vt.fast_forward("audit") == 1
+    assert vt.latest_version() == 1
+    assert vt.read(spark).count() == 40
+    assert [h["version"] for h in vt.history()] == [1, 0]
+    assert vt.version_at(_time.time()) == 1
+    # time travel to the pre-publish main still serves the old state
+    assert vt.read(spark, 0).count() == 20
+
+
+def test_branch_stacking_and_version_slot_gaps(spark, tmp_path):
+    """Stacked staged commits chain on the branch; a main commit made
+    while a branch is staged takes the NEXT GLOBAL slot (no collision)
+    and parents at the main head, leaving a numeric gap in the main
+    chain — reads, history, and the chain-walking CDC composition all
+    stay correct across the gap."""
+    vt = VersionedTable(str(tmp_path / "gap"), stats_col="k")
+    df = _wap_df(spark)
+    vt.create(df.filter("k < 10"))                      # v0 (main)
+    vt.append(df.filter("k >= 30"), branch="exp")       # v1 (staged)
+    vt.append(df.filter("k >= 30"), branch="exp")       # v2 (staged, stacked)
+    assert vt.ref_version("exp") == 2
+    v_main = vt.append(df.filter("k >= 10 and k < 20"))  # main: slot 3
+    assert v_main == 3
+    assert vt.latest_version() == 3
+    m = vt._load_manifest(3)
+    assert m["parent"] == 0  # parents at the MAIN head, not the branch
+    assert vt.read(spark).count() == 20  # staged rows invisible
+    assert [h["version"] for h in vt.history()] == [3, 0]
+    # branch lineage: v2 parents at v1, v1 at v0
+    assert vt._load_manifest(2)["parent"] == 1
+    assert vt._load_manifest(1)["parent"] == 0
+    # CDC across the numeric gap (0 -> 3, chain skips slots 1-2):
+    feed = vt.read_changes_log(spark, "k", 0, 3)
+    assert feed.count() == 10  # exactly the main append's inserts
+    assert set(
+        r["change_type"] for r in feed.select("change_type").collect()
+    ) == {"insert"}
+
+
+def test_fast_forward_divergence_rejected(spark, tmp_path):
+    """fast_forward refuses to drop main commits: once main moved past
+    the branch fork point, publishing the branch would lose the main
+    commit — the caller must re-stage onto a fresh branch instead."""
+    import pytest as _pytest
+
+    vt = VersionedTable(str(tmp_path / "div"))
+    df = _wap_df(spark)
+    vt.create(df.filter("k < 10"))
+    vt.append(df.filter("k >= 30"), branch="stale")
+    vt.append(df.filter("k >= 10 and k < 20"))  # main moves on
+    with _pytest.raises(VersionConflictError, match="not an ancestor"):
+        vt.fast_forward("stale")
+    # main unaffected by the failed publish
+    assert vt.read(spark).count() == 20
+
+
+def test_tag_pins_snapshot_and_is_immutable(spark, tmp_path):
+    """Tags are immutable named pointers: a tag taken before a delete
+    keeps serving the pre-delete snapshot; re-creating it at the same
+    version is a no-op, at a different version it raises; a tag cannot
+    be appended to or fast-forwarded as a branch."""
+    import pytest as _pytest
+
+    vt = VersionedTable(str(tmp_path / "tag"))
+    df = _wap_df(spark)
+    vt.create(df)
+    assert vt.create_tag("baseline") == 0
+    vt.delete_where(spark, F.col("k") < 20)
+    assert vt.read(spark).count() == 20
+    assert vt.read_ref(spark, "baseline").count() == 40  # pinned
+    assert vt.create_tag("baseline", 0) == 0  # idempotent no-op
+    with _pytest.raises(ValueError, match="already exists"):
+        vt.create_tag("baseline", 1)
+    with _pytest.raises(ValueError, match="tag, not a branch"):
+        vt.fast_forward("baseline")
+    with _pytest.raises(ValueError, match="tag, not a branch"):
+        vt.append(df.limit(1), branch="baseline")
+
+
+def test_main_ref_maintained_after_publish(spark, tmp_path):
+    """Once a fast_forward writes the main ref, subsequent ordinary
+    main commits keep it current — the head never regresses to the
+    'greatest unmarked version' heuristic."""
+    vt = VersionedTable(str(tmp_path / "mref"))
+    df = _wap_df(spark)
+    vt.create(df.filter("k < 10"))
+    vt.append(df.filter("k >= 10 and k < 20"), branch="audit")
+    vt.fast_forward("audit")
+    assert vt._read_ref("main")["version"] == 1
+    v = vt.append(df.filter("k >= 20 and k < 30"))
+    assert vt._read_ref("main")["version"] == v
+    assert vt.latest_version() == v
+    assert vt.read(spark).count() == 30
+
+
+def test_vacuum_retains_ref_pinned_versions(spark, tmp_path):
+    """Vacuum must never expire a version a ref pins (Iceberg
+    expire_snapshots' ref rule): a TAGGED old snapshot survives
+    retention and stays bit-readable (its own floor checkpoint is
+    materialized even though the retained set is now non-contiguous),
+    and a staged-branch slot above main can't push the MAIN head out
+    of the newest-N window."""
+    vt = VersionedTable(str(tmp_path / "vref"), checkpoint_interval=100)
+    df = _wap_df(spark)
+    vt.create(df.filter("k < 8"))                      # v0
+    vt.append(df.filter("k >= 8 and k < 16"))          # v1 (tagged)
+    vt.create_tag("baseline", 1)
+    vt.append(df.filter("k >= 16 and k < 24"))         # v2
+    vt.append(df.filter("k >= 24 and k < 32"))         # v3
+    vt.append(df.filter("k >= 32"))                    # v4
+    vt.vacuum(retain_last=2, orphan_grace_sec=0, force_orphan_grace=True)
+    assert set(vt.versions()) == {1, 3, 4}  # tag pinned v1
+    assert vt.read_ref(spark, "baseline").count() == 16
+    assert vt.read(spark, 3).count() == 32  # non-contiguous floor ok
+    assert vt.read(spark).count() == 40
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        vt.read(spark, 2)
+
+    # staged branch above main: retention keyed on raw version numbers
+    # would expire the main head — the ref pin must prevent it
+    vt2 = VersionedTable(str(tmp_path / "vref2"), checkpoint_interval=100)
+    vt2.create(df.filter("k < 10"))                    # v0 (main head)
+    vt2.append(df.filter("k >= 30"), branch="staged")  # v1 (branch)
+    vt2.vacuum(retain_last=1, orphan_grace_sec=0, force_orphan_grace=True)
+    assert set(vt2.versions()) == {0, 1}
+    assert vt2.read(spark).count() == 10               # main intact
+    assert vt2.read_ref(spark, "staged").count() == 20
