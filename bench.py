@@ -238,6 +238,14 @@ HEADLINE = [
     "table_spec_rewrite_legacy",
     "table_spec_lineage",
     "table_wap_publish",
+    # round 12 wave 3: refs metadata + RESTORE audit (the refs
+    # surface's read paths), the matryoshka truncated-dim ANN (exact-
+    # oracled scale path), and the positional-index phrase probe
+    # (posting build paid in warm-up)
+    "table_refs_metadata",
+    "table_restore_audit",
+    "ann_matryoshka_topk",
+    "search_phrase_positional",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries

@@ -1561,6 +1561,113 @@ def table_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "table_refs_metadata",
+    oracle="""
+    SELECT 'audit' AS ref_name, 'branch' AS ref_type,
+           CAST(1 AS BIGINT) AS version,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderkey % 3 IN (0, 1)) AS n_rows
+    UNION ALL
+    SELECT 'main', 'branch', CAST(1 AS BIGINT),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderkey % 3 IN (0, 1))
+    UNION ALL
+    SELECT 'prepublish', 'tag', CAST(0 AS BIGINT),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderkey % 3 = 0)
+    """,
+)
+def table_refs_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg's ``.refs`` METADATA TABLE over the WAP lineage: one
+    row per named ref — (ref_name, ref_type, version, n_rows), with
+    n_rows resolved metadata-only (per-file footer counts from the
+    manifest, :meth:`VersionedTable.count_rows` — no data scan). The
+    oracle replays each pinned snapshot's row count from raw orders,
+    so the pointers' TARGETS are verified data, not just the pointer
+    files themselves. Scale: driver-side KB metadata at any table
+    size — |refs| JSON reads + |refs| manifest resolutions."""
+    vt = _wap_orders(spark, sf_dir)
+    rows = [
+        (r["name"], r["type"], r["version"], vt.count_rows(r["version"]))
+        for r in vt.list_refs()
+    ]
+    return spark.createDataFrame(
+        rows, "ref_name string, ref_type string, version long, n_rows long"
+    )
+
+
+_RESTORE_PATHS: dict[tuple[str, str], str] = {}
+
+
+def _restore_orders(spark: SparkSession, sf_dir: str) -> VersionedTable:
+    """RESTORE lineage: v0 creates orders % 3 = 0, v1 appends the
+    'bad batch' (% 3 = 2), v2 = rollback(0) — a NEW commit whose file
+    set is exactly v0's, leaving v1 inspectable in history."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _RESTORE_PATHS.get(key)
+    if path is not None and len(VersionedTable(path).versions()) < 3:
+        path = None
+    if path is None:
+        path = os.path.join(scratch_dir("versioned_"), "orders_restore")
+        vt = VersionedTable(path)
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        vt.create(o.filter("o_orderkey % 3 = 0"))
+        vt.append(o.filter("o_orderkey % 3 = 2"))
+        vt.rollback(0)
+        _RESTORE_PATHS[key] = path
+    return VersionedTable(path)
+
+
+@query(
+    "table_restore_audit",
+    oracle=f"""
+    SELECT 'v0_create' AS state, 'create' AS operation,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 'v1_bad_append', 'append', CAST(COUNT(*) AS BIGINT),
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders WHERE o_orderkey % 3 IN (0, 2)
+    UNION ALL
+    SELECT 'v2_restored', 'rollback', CAST(COUNT(*) AS BIGINT),
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders WHERE o_orderkey % 3 = 0
+    """,
+)
+def table_restore_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE as an auditable commit (Delta RESTORE / Iceberg
+    rollback): v2 re-references exactly v0's files under operation
+    'rollback', so the bad append stays in history (time travel to v1
+    still serves it) while the live table reads as if it never
+    happened. Each state row carries the manifest's recorded
+    operation label plus data aggregates, all replayed by the oracle
+    from raw orders — proving the restore is METADATA-ONLY yet
+    byte-exact: no files were rewritten, the v0 content simply became
+    the head again.
+
+    Scale: restore of a 100 TB table costs one churn-sized delta
+    manifest (resurrected + dropped file names) — no data movement;
+    this is why snapshot-versioned tables make bad-batch recovery an
+    O(metadata) operation instead of a restore-from-backup."""
+    vt = _restore_orders(spark, sf_dir)
+    states = [(0, "v0_create"), (1, "v1_bad_append"), (2, "v2_restored")]
+    ops = {h["version"]: h["operation"] for h in vt.history()}
+    out = None
+    for v, state in states:
+        part = vt.read(spark, v).agg(
+            F.lit(state).alias("state"),
+            F.lit(ops[v]).alias("operation"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            dsum(F.col("o_totalprice"), "sum_price"),
+        )
+        out = part if out is None else out.unionAll(part)
+    return out.select("state", "operation", "n_rows", "sum_price")
+
+
 _QR_PATHS: dict[tuple[str, str], str] = {}
 
 

@@ -2571,3 +2571,109 @@ def embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
             wcoord("v3", roots[2], "wc3"),
         )
     )
+
+
+# -- matryoshka (truncated-dimension) ANN ------------------------------------
+
+PREFIX_D = 16  # matryoshka prefix: first 16 of the 64 dims
+MRL_CAND = 50  # candidates surviving the truncated-dim prefilter
+
+
+@query(
+    "ann_matryoshka_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    pre AS (
+        SELECT q.query_id, e.vec_id, q.qv, e.embedding,
+               ROUND({_DUCK_DOT.format(a='list_slice(q.qv, 1, 16)',
+                                       b='list_slice(e.embedding, 1, 16)')}
+                     / ({_DUCK_NORM.format(v='list_slice(q.qv, 1, 16)')}
+                        * {_DUCK_NORM.format(v='list_slice(e.embedding, 1, 16)')}),
+                     6) AS pcos
+        FROM q CROSS JOIN embeddings e
+        WHERE e.vec_id <> q.query_id),
+    cand AS (
+        SELECT query_id, vec_id, qv, embedding FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY pcos DESC, vec_id) AS rn
+            FROM pre) t
+        WHERE rn <= {MRL_CAND}),
+    rr AS (
+        SELECT query_id, vec_id,
+               ROUND({_DUCK_DOT.format(a='qv', b='embedding')}
+                     / ({_DUCK_NORM.format(v='qv')}
+                        * {_DUCK_NORM.format(v='embedding')}),
+                     6) AS cosine
+        FROM cand)
+    SELECT query_id, vec_id, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS rn
+        FROM rr) t
+    WHERE rn <= {TOP_K}
+    """,
+)
+def ann_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation ANN (Kusupati et al. 2022, public):
+    MRL-trained embeddings rank usefully under PREFIX truncation, so
+    stage 1 scores cosine over only the first PREFIX_D dims —
+    PREFIX_D/dim of the arithmetic and, in a production layout where
+    the prefix is stored as its own narrow column, PREFIX_D/dim of
+    the bytes scanned (parquet cannot prune inside an array value, so
+    at 100 TB the prefix column is materialized at ingest — same
+    at-rest posture as the IVF codebook). Stage 2 re-ranks only the
+    MRL_CAND survivors per query with full-dimension exact cosine.
+
+    Unlike IVF/LSH the prefilter is a deterministic total ranking —
+    no trained structure, no bucketing randomness — so the whole
+    two-stage plan is DuckDB-replayable and hash-checked (the one
+    ANN variant where the SCALE path itself has an exact oracle);
+    both stages break cosine ties at 6 decimals by vec_id. Recall is
+    the usual honest trade: high when the embedding was actually
+    MRL-trained (prefix preserves ranking; clustered-data pytest
+    requires ~1.0), data-dependent on structureless corpora (~0.48
+    at sf0.01 — the prefix is then just a lossy projection, same
+    regime-dependence as IVF's probe recall).
+
+    Plan: stage 1 is the same broadcast-queries corpus scan as
+    knn_brute_cosine but over 4x fewer multiply-adds; the candidate
+    set (N_QUERIES x MRL_CAND rows) re-joins the corpus by vec_id for
+    full vectors — a broadcast semi-join fetch, no corpus shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+
+    def cos(a: str, b: str) -> F.Column:
+        return F.round(
+            F.expr(_SPARK_DOT.format(a=a, b=b))
+            / (
+                F.expr(f"sqrt({_SPARK_DOT.format(a=a, b=a)})")
+                * F.expr(f"sqrt({_SPARK_DOT.format(a=b, b=b)})")
+            ),
+            6,
+        )
+
+    pre = (
+        emb.withColumn("etrunc", F.expr(f"slice(embedding, 1, {PREFIX_D})"))
+        .crossJoin(F.broadcast(q.withColumn(
+            "qtrunc", F.expr(f"slice(qv, 1, {PREFIX_D})"))))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id", "qv", "embedding",
+            cos("qtrunc", "etrunc").alias("pcos"),
+        )
+    )
+    wp = W.partitionBy("query_id").orderBy(F.desc("pcos"), F.asc("vec_id"))
+    cand = (
+        pre.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= MRL_CAND)
+        .select("query_id", "vec_id", "qv", "embedding")
+    )
+    wr = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.select("query_id", "vec_id", cos("qv", "embedding").alias("cosine"))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", "cosine")
+    )

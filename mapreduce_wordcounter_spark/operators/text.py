@@ -4267,3 +4267,98 @@ def epoch_shuffle_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
             W.partitionBy("epoch", shard).orderBy("k", "doc_id")
         ).cast("bigint").alias("pos"),
     )
+
+
+# -- positional inverted index: phrase search --------------------------------
+
+_PHRASE = ("hash", "join")  # the served 2-word phrase query
+
+
+def _phrase_posting_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-rest POSITIONAL posting index (doc_id, pos, word): the
+    structure behind phrase/proximity search in every production
+    full-text engine (Lucene positional postings, pg tsvector with
+    positions). Built once per corpus through the index catalog
+    (fingerprint-keyed, cross-session reuse), laid out partitioned by
+    the word's first char (bounded partition count, partition-pruned
+    probes) and sorted by word within partitions (row-group pruning
+    via the pushed word filter). Positions are 1-based token ordinals
+    under the shared tokenizer."""
+    import os as _os
+
+    from mapreduce_wordcounter_spark.sources import index_catalog as ic
+
+    def build(data: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        posting = docs.select(
+            "doc_id", F.posexplode(_toks_col()).alias("pos0", "word")
+        ).select(
+            "doc_id",
+            (F.col("pos0") + 1).cast("long").alias("pos"),
+            "word",
+            F.substring("word", 1, 1).alias("w0"),
+        )
+        (
+            posting.repartition("w0")
+            .sortWithinPartitions("word", "doc_id", "pos")
+            .write.partitionBy("w0")
+            .parquet(data + "/posting")
+        )
+
+    rel = ic.table_index(
+        spark,
+        "phrasepos",
+        [_os.path.join(sf_dir, "documents.parquet")],
+        None,
+        build,
+        ["posting"],
+    )
+    return rel["posting"]
+
+
+@query(
+    "search_phrase_positional",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    m AS (SELECT doc_id,
+                 list_filter(generate_series(1, greatest(len(toks) - 1, 0)),
+                             i -> toks[i] = '{_PHRASE[0]}'
+                                  AND toks[i + 1] = '{_PHRASE[1]}') AS hits
+          FROM t)
+    SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
+           CAST(hits[1] AS BIGINT) AS first_pos
+    FROM m WHERE len(hits) > 0
+    """,
+)
+def search_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHRASE SEARCH over the at-rest positional posting index:
+    'hash join' matches where the words occupy ADJACENT token
+    positions — which substring/bag-of-words search cannot express.
+    The probe reads only the two words' postings (partition pruning
+    on first char + pushed word filter), then intersects them with
+    one equi-join on (doc_id, adjacency key): p1 joins at pos+1 =
+    p2.pos, so a phrase of length L costs L-1 hash joins over
+    posting-list-sized inputs — never a corpus scan. Per-doc result:
+    occurrence count and first match position, replayed exactly by
+    the oracle's token-array scan over raw documents (construction
+    differentially verified, trigram-index posture).
+
+    Scale: posting lists shuffle on (doc_id, key) — at 100 TB the
+    probe cost tracks the PHRASE WORDS' document frequency, not
+    corpus size; the linear token-explode is paid once at ingest."""
+    idx = _phrase_posting_index(spark, sf_dir)
+    w1, w2 = _PHRASE
+    p1 = idx.filter(
+        (F.col("w0") == w1[0]) & (F.col("word") == w1)
+    ).select("doc_id", F.col("pos").alias("pos1"), (F.col("pos") + 1).alias("jk"))
+    p2 = idx.filter(
+        (F.col("w0") == w2[0]) & (F.col("word") == w2)
+    ).select("doc_id", F.col("pos").alias("jk"))
+    return (
+        p1.join(p2, ["doc_id", "jk"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_matches"),
+            F.min("pos1").cast("bigint").alias("first_pos"),
+        )
+    )

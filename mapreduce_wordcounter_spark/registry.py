@@ -102,8 +102,6 @@ DRIVER_WINDOW: list[str] = [
     # -- never-sampled: the trained-classifier tier --
     "quality_lr_predict",
     "quality_lr_auc",
-    "quality_lr_disagreements",
-    "quality_lr_keep_rate_by_source",
     "quality_lr_holdout_auc",
     "quality_lr_hashed_holdout_auc",
     "model_registry_lineage",
@@ -111,8 +109,6 @@ DRIVER_WINDOW: list[str] = [
     "q11_important_stock",
     "q12_ship_priority_classes",
     "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
     "q19_discounted_revenue",
     "q20_dominant_shippers",
     "q22_global_sales_opportunity",
@@ -132,6 +128,17 @@ DRIVER_WINDOW: list[str] = [
     "table_spec_rewrite_legacy",
     "table_spec_lineage",
     "table_wap_publish",
+    # -- never-sampled: the round-12 wave-3 tier (refs metadata +
+    #    RESTORE audit completing the refs surface; matryoshka
+    #    truncated-dim ANN — the one scale-path ANN with an exact
+    #    oracle; positional-index phrase search). Swapped in for
+    #    family-redundant never-sampled entries (q15/q16 TPC-H,
+    #    two quality_lr variants) which stay locally parity-covered
+    #    and queue for r13. --
+    "table_refs_metadata",
+    "table_restore_audit",
+    "ann_matryoshka_topk",
+    "search_phrase_positional",
 ]
 
 

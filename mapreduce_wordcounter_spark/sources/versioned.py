@@ -2106,6 +2106,32 @@ class VersionedTable:
         pinned historical snapshot."""
         return self.read(spark, self.ref_version(name))
 
+    def list_refs(self) -> list[dict]:
+        """Iceberg's ``.refs`` metadata table: every named ref as
+        (name, type, version), name-sorted. Pure driver-side metadata
+        — one KB JSON read per ref, no Spark job, any table size."""
+        if not os.path.isdir(self._refs_dir()):
+            return []
+        out = []
+        for rf in sorted(os.listdir(self._refs_dir())):
+            if rf.endswith(".json"):
+                ref = self._read_ref(rf[:-5])
+                if ref is not None:
+                    out.append(ref)
+        return out
+
+    def delete_ref(self, name: str) -> None:
+        """Drop a tag or abandon a staged branch: remove the pointer.
+        The versions it pinned stay readable by number until vacuum
+        expires them (they lose their retention pin with the ref —
+        Iceberg's remove-ref semantics). ``main`` is not deletable."""
+        if name == "main":
+            raise ValueError("the main ref cannot be deleted")
+        try:
+            os.unlink(self._ref_path(name))
+        except FileNotFoundError:
+            raise FileNotFoundError(f"no ref {name!r} at {self.path}")
+
     def _main_lineage(self) -> list[int]:
         """Main-head-to-root version walk over parent pointers,
         truncated at the vacuum horizon (an expired parent manifest

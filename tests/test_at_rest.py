@@ -198,3 +198,32 @@ def test_zorder_optimize_makes_both_dims_prune(spark):
     a = sorted(map(tuple, vt.read(spark, v - 1).collect()))
     b = sorted(map(tuple, vt.read(spark, v).collect()))
     assert a == b
+
+
+def test_phrase_positional_adjacency_semantics(spark, tmp_path):
+    """Phrase matching is POSITIONAL adjacency, not co-occurrence: a
+    crafted corpus pins overlap handling ('hash join hash join' = 2
+    matches), non-adjacent co-occurrence (0 matches — a bag-of-words
+    index would wrongly hit), reversed order (0), and 1-based
+    first_pos across tokenizer punctuation."""
+    import pyspark.sql.functions as F
+
+    from mapreduce_wordcounter_spark.operators import text
+
+    rows = [
+        (1, "hash join hash join hash"),        # overlapping: 2 at pos 1, 3
+        (2, "hash table then a join later"),    # co-occur, not adjacent
+        (3, "join hash"),                       # reversed order
+        (4, "The HASH, join! works"),           # case+punct: pos 2
+        (5, "nothing here"),
+    ]
+    d = tmp_path / "sfphrase"
+    d.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+    got = {
+        (r.doc_id, r.n_matches, r.first_pos)
+        for r in text.search_phrase_positional(spark, str(d)).collect()
+    }
+    assert got == {(1, 2, 1), (4, 1, 2)}

@@ -32,6 +32,10 @@ _ALLOWED_QUADRATIC = {
     "dedup_components_canonical",  # reuses the jaccard exact baseline as edge input
     "dedup_cluster_sizes",  # histogram over the same CC labeling
     "knn_brute_cosine",  # broadcast-queries x corpus scan: the exactness oracle
+    "ann_matryoshka_topk",  # same broadcast-queries scan shape, but over the
+    # 16/64-dim PREFIX (4x fewer multiply-adds; a narrow prefix column at
+    # rest) — O(corpus x query-batch) like every flat-scan ANN prefilter,
+    # with the full-dim work confined to MRL_CAND candidates per query
     "ann_ivf_recall",  # contains the brute baseline by definition (recall eval)
     "ann_rebuild_decision",  # composes ann_ivf_recall (same brute baseline)
     "lsh_verified_pairs",  # verification reuses the jaccard-pair shape on candidates

@@ -87,6 +87,11 @@ def test_driver_window_covers_every_family() -> None:
         "table_spec_rewrite_legacy",
         "table_spec_lineage",
         "table_wap_publish",
+        # round-12 wave 3
+        "table_refs_metadata",
+        "table_restore_audit",
+        "ann_matryoshka_topk",
+        "search_phrase_positional",
     }
     assert must_have <= window
 

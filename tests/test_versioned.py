@@ -3403,3 +3403,79 @@ def test_vacuum_retains_ref_pinned_versions(spark, tmp_path):
     assert set(vt2.versions()) == {0, 1}
     assert vt2.read(spark).count() == 10               # main intact
     assert vt2.read_ref(spark, "staged").count() == 20
+
+
+def test_list_refs_and_delete_ref(spark, tmp_path):
+    """list_refs is the .refs metadata table (name-sorted pointers);
+    delete_ref abandons a staged branch or drops a tag — the pinned
+    versions stay readable by NUMBER afterward, they only lose their
+    retention pin; main is not deletable; deleting a missing ref
+    raises."""
+    import pytest as _pytest
+
+    vt = VersionedTable(str(tmp_path / "refs"))
+    df = _wap_df(spark)
+    vt.create(df.filter("k < 10"))
+    vt.create_tag("v0-tag")
+    vt.append(df.filter("k >= 30"), branch="exp")
+    vt.fast_forward("exp")  # writes the main ref
+    assert [(r["name"], r["type"], r["version"]) for r in vt.list_refs()] == [
+        ("exp", "branch", 1),
+        ("main", "branch", 1),
+        ("v0-tag", "tag", 0),
+    ]
+    vt.delete_ref("exp")
+    assert [r["name"] for r in vt.list_refs()] == ["main", "v0-tag"]
+    # the version the deleted ref pinned is still readable by number
+    assert vt.read(spark, 1).count() == 20
+    with _pytest.raises(ValueError, match="main"):
+        vt.delete_ref("main")
+    with _pytest.raises(FileNotFoundError):
+        vt.delete_ref("nope")
+
+
+def test_vacuum_keeps_tag_pinned_version(spark, tmp_path):
+    """A tag outside the newest-N retention window survives vacuum
+    (Iceberg expire_snapshots' ref-pinning default): the tagged
+    snapshot stays byte-readable while unpinned versions between it
+    and the window expire; after delete_ref the next vacuum may
+    expire it."""
+    vt = VersionedTable(str(tmp_path / "pin"))
+    df = _wap_df(spark)
+    vt.create(df.filter("k < 10"))          # v0
+    vt.create_tag("keep", 0)
+    vt.append(df.filter("k >= 10 and k < 20"))  # v1 (unpinned)
+    vt.append(df.filter("k >= 20 and k < 30"))  # v2
+    vt.append(df.filter("k >= 30"))             # v3
+    vt.vacuum(retain_last=2)
+    # v0 pinned by the tag; v1 expired; v2, v3 retained
+    assert vt.read_ref(spark, "keep").count() == 10
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        vt.snapshot(1)
+    assert vt.read(spark, 2).count() == 30
+    assert vt.read(spark).count() == 40
+    vt.delete_ref("keep")
+    vt.vacuum(retain_last=2)
+    with _pytest.raises(FileNotFoundError):
+        vt.snapshot(0)
+    assert vt.read(spark).count() == 40
+
+
+def test_restore_lineage_and_history_ops(spark, tmp_path):
+    """RESTORE (rollback) after a bad append: the restore commit
+    re-references exactly v0's files metadata-only, history keeps all
+    three operations inspectable, and time travel to the bad version
+    still serves it."""
+    vt = VersionedTable(str(tmp_path / "restore"))
+    df = _wap_df(spark)
+    vt.create(df.filter("k < 10"))
+    vt.append(df.filter("k >= 30"))
+    v2 = vt.rollback(0)
+    assert v2 == 2
+    assert vt.read(spark).count() == 10
+    assert vt.read(spark, 1).count() == 20  # bad batch inspectable
+    hist = {h["version"]: h["operation"] for h in vt.history()}
+    assert hist == {0: "create", 1: "append", 2: "rollback"}
+    # metadata-only: restored head's files are exactly v0's
+    assert sorted(vt.snapshot(2)["files"]) == sorted(vt.snapshot(0)["files"])

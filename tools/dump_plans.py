@@ -248,6 +248,11 @@ SHOWCASE = [
     "table_spec_lineage",
     "table_wap_publish",
     "stream_click_attribution_outer",
+    # round 12 wave 3: the truncated-dim prefilter + exact re-rank,
+    # and the positional posting probe (index read, never a scan)
+    "ann_matryoshka_topk",
+    "search_phrase_positional",
+    "table_restore_audit",
 ]
 
 # Belt-and-braces: a duplicated SHOWCASE entry (it has happened) would

@@ -105,6 +105,15 @@ TARGETS = [
     # events — the exponent shows the explode+combine growing linearly
     # with the corpus, nothing superlinear hiding in the rank stage
     "ev_bootstrap_ci_mean",
+    # round 12 (wave 3): positional phrase probe — documents-driven;
+    # the at-rest posting build is paid in warm-up, the timed passes
+    # measure the two posting-list scans + (doc_id, adjacency-key)
+    # equi-join, whose input tracks the phrase words' document
+    # frequency (linear for a fixed common word, but 2/|vocab| of the
+    # token stream — never a corpus scan). ann_matryoshka_topk /
+    # table_restore_audit / table_refs_metadata are embeddings/orders-
+    # driven (symlinked unchanged → vacuous here).
+    "search_phrase_positional",
 ]
 
 
