@@ -2965,13 +2965,18 @@ class VersionedTable:
                 )
                 if lo_ok and hi_r > p:
                     continue  # partition interior to the raw range
-                if fld["phys"] == self.stats_col and f in stats:
-                    s_lo, s_hi = stats[f]
-                    try:
-                        if vv[1] <= s_lo and s_hi <= vv[2]:
-                            continue  # file-stats full containment
-                    except TypeError:
-                        pass  # incomparable types: not provable
+                b_lo, b_hi = vv[1], vv[2]
+            else:
+                # scalar through a non-identity transform: only the
+                # file's stats can prove every row equals the value
+                b_lo = b_hi = vv
+            if fld["phys"] == self.stats_col and f in stats:
+                s_lo, s_hi = stats[f]
+                try:
+                    if b_lo <= s_lo and s_hi <= b_hi:
+                        continue  # file-stats full containment
+                except TypeError:
+                    pass  # incomparable types: not provable
             return False
         return True
 
