@@ -244,6 +244,7 @@ HEADLINE = [
     # (posting build paid in warm-up)
     "table_refs_metadata",
     "table_restore_audit",
+    "table_wap_merge_publish",
     "ann_matryoshka_topk",
     "search_phrase_positional",
 ]

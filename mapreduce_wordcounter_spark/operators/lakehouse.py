@@ -1597,6 +1597,109 @@ def table_refs_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WAPM_PATHS: dict[tuple[str, str], str] = {}
+
+_SQL_WAPM_MERGED = """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 30 = 0 THEN o_totalprice * 1.2
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey + 200000000, 55.0 FROM orders
+    WHERE o_orderkey % 60 = 0
+"""
+
+
+def _wap_merge_orders(spark: SparkSession, sf_dir: str) -> VersionedTable:
+    """MERGE-on-branch WAP lineage: v0 creates orders % 3 = 0 (main);
+    a MERGE staged on branch 'audit' updates price*1.2 for keys
+    % 30 = 0 and inserts (+200M, 55.0) rows for keys % 60 = 0; then
+    fast_forward publishes the audited merge."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _WAPM_PATHS.get(key)
+    if path is not None and len(VersionedTable(path).versions()) < 2:
+        path = None
+    if path is None:
+        path = os.path.join(scratch_dir("versioned_"), "orders_wap_merge")
+        vt = VersionedTable(path)
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        vt.create(o.filter("o_orderkey % 3 = 0"))
+        src = (
+            o.filter("o_orderkey % 30 = 0")
+            .select(
+                F.col("o_orderkey").alias("sk"),
+                (F.col("o_totalprice") * 1.2).alias("sv"),
+            )
+            .unionAll(
+                o.filter("o_orderkey % 60 = 0").select(
+                    (F.col("o_orderkey") + 200000000).alias("sk"),
+                    F.lit(55.0).alias("sv"),
+                )
+            )
+        )
+        vt.merge_into(
+            spark, src, "o_orderkey", "sk",
+            update_set={"o_totalprice": F.col("sv")},
+            insert_exprs={
+                "o_orderkey": F.col("sk"), "o_totalprice": F.col("sv")
+            },
+            branch="audit",
+        )
+        vt.fast_forward("audit")
+        _WAPM_PATHS[key] = path
+    return VersionedTable(path)
+
+
+@query(
+    "table_wap_merge_publish",
+    oracle=f"""
+    SELECT 'main_premerge' AS state, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 'audit_branch', CAST(COUNT(*) AS BIGINT),
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM ({_SQL_WAPM_MERGED}) m
+    UNION ALL
+    SELECT 'main_published', CAST(COUNT(*) AS BIGINT),
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM ({_SQL_WAPM_MERGED}) m
+    """,
+)
+def table_wap_merge_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAP for READ-MODIFY-WRITE commits (round 12): a MERGE staged
+    on a branch performs its full copy-on-write rewrite — file-pruned
+    semi-join, update + insert clauses — yet main readers see nothing
+    until fast_forward publishes the audited result with one ref
+    rename. The three observable states (pre-merge main via time
+    travel to v0, the staged branch, published main) are each
+    hash-checked against the oracle's replay of the merge relation
+    from raw orders. Complements table_wap_publish (append-WAP):
+    together they cover both commit classes a staging pipeline ships.
+
+    Scale: staging the merge costs exactly its rewritten files (the
+    touched fraction at 100 TB) plus one manifest; publish is a
+    pointer move; a failed audit abandons the branch and the rewrite
+    becomes vacuum-collectable orphans — main never saw it."""
+    vt = _wap_merge_orders(spark, sf_dir)
+
+    def agg(df: DataFrame, state: str) -> DataFrame:
+        return df.agg(
+            F.lit(state).alias("state"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            dsum(F.col("o_totalprice"), "sum_price"),
+        )
+
+    return (
+        agg(vt.read(spark, 0), "main_premerge")
+        .unionAll(agg(vt.read_ref(spark, "audit"), "audit_branch"))
+        .unionAll(agg(vt.read(spark), "main_published"))
+        .select("state", "n_rows", "sum_price")
+    )
+
+
 _RESTORE_PATHS: dict[tuple[str, str], str] = {}
 
 

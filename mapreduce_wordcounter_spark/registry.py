@@ -111,7 +111,6 @@ DRIVER_WINDOW: list[str] = [
     "q14_promo_revenue",
     "q19_discounted_revenue",
     "q20_dominant_shippers",
-    "q22_global_sales_opportunity",
     # -- never-sampled: newly semi-oracled sketches (r12, #6) --
     "theta_vocab_ops",
     "value_quantiles_kll",
@@ -131,12 +130,13 @@ DRIVER_WINDOW: list[str] = [
     # -- never-sampled: the round-12 wave-3 tier (refs metadata +
     #    RESTORE audit completing the refs surface; matryoshka
     #    truncated-dim ANN — the one scale-path ANN with an exact
-    #    oracle; positional-index phrase search). Swapped in for
-    #    family-redundant never-sampled entries (q15/q16 TPC-H,
-    #    two quality_lr variants) which stay locally parity-covered
-    #    and queue for r13. --
+    #    oracle; positional-index phrase search; MERGE-on-branch WAP
+    #    publish). Swapped in for family-redundant never-sampled
+    #    entries (q15/q16/q22 TPC-H, two quality_lr variants) which
+    #    stay locally parity-covered and queue for r13. --
     "table_refs_metadata",
     "table_restore_audit",
+    "table_wap_merge_publish",
     "ann_matryoshka_topk",
     "search_phrase_positional",
 ]

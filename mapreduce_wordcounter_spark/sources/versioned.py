@@ -4243,6 +4243,7 @@ class VersionedTable:
         cdc: bool = False,
         delete_when=None,
         extra_meta: dict | None = None,
+        branch: str | None = None,
     ) -> int:
         """``MERGE INTO target USING source ON target.key = source.
         source_key WHEN MATCHED THEN UPDATE SET col = update_set[col]
@@ -4318,6 +4319,7 @@ class VersionedTable:
             not_matched=[{"insert": dict(insert_exprs)}],
             cdc=cdc,
             extra_meta=extra_meta,
+            branch=branch,
         )
 
     # -- MERGE: full clause matrix ---------------------------------------
@@ -4378,6 +4380,7 @@ class VersionedTable:
         cdc: bool = False,
         evolve: bool = False,
         extra_meta: dict | None = None,
+        branch: str | None = None,
     ) -> int:
         """MERGE with the FULL Delta/Iceberg clause matrix — multiple
         ordered conditional branches per row category, one transactional
@@ -4452,7 +4455,7 @@ class VersionedTable:
             try:
                 return self._merge_full_attempt(
                     spark, source, key, source_key, matched, not_matched,
-                    not_matched_by_source, cdc, evolve, extra_meta,
+                    not_matched_by_source, cdc, evolve, extra_meta, branch,
                 )
             except VersionConflictError:
                 continue
@@ -4472,8 +4475,13 @@ class VersionedTable:
         cdc: bool,
         evolve: bool,
         extra_meta: dict | None = None,
+        branch: str | None = None,
     ) -> int:
-        snap = self.snapshot()
+        # ``branch`` stages the MERGE on a named branch (the WAP write
+        # step for read-modify-write commits): parent at the branch
+        # head (or main for a new branch), publish moves only the
+        # branch ref. Same copy-on-write rewrite either way.
+        snap = self.snapshot(self._branch_base(branch))
         target = self.read(spark, snap["version"])
         target_cols = target.columns
         # -- schema evolution: new logical columns referenced by any
@@ -4664,10 +4672,15 @@ class VersionedTable:
                 "merge", snap, retained + files,
                 self._merged_stats(snap, retained, files),
                 self._merged_blooms(snap, retained, files),
+                branch=branch,
                 **schema_kw,
                 **extra,
             )
         except VersionConflictError:
+            if branch:
+                raise  # rebase admission is main-lineage logic: a
+                # staged merge that raced a same-branch writer simply
+                # re-runs against the fresh branch head
             if not_matched_by_source:
                 raise  # rebase admission unsound past ANY winner
             v = self._rebase_after_conflict(

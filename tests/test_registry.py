@@ -90,6 +90,7 @@ def test_driver_window_covers_every_family() -> None:
         # round-12 wave 3
         "table_refs_metadata",
         "table_restore_audit",
+        "table_wap_merge_publish",
         "ann_matryoshka_topk",
         "search_phrase_positional",
     }

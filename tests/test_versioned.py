@@ -3519,3 +3519,49 @@ def test_delete_partitions_scalar_stats_containment(spark, tmp_path):
     assert removed == before  # both old files leave the manifest
     assert len(added) == 1  # ...but only the mixed one was rewritten
     assert after == (before - removed) | added
+
+
+def test_wap_merge_on_branch(spark, tmp_path):
+    """WAP for read-modify-write: a MERGE staged on a branch rewrites
+    files and commits, but main reads stay pre-merge until
+    fast_forward; the branch read serves the merged state for audit;
+    a stacked branch merge parents at the branch head (compounding),
+    and publish flips main to the final audited snapshot."""
+    vt = VersionedTable(str(tmp_path / "wapm"))
+    df = _wap_df(spark)  # k 0..39, v = k*10
+    vt.create(df)
+    src1 = spark.createDataFrame(
+        [(0, 1.0), (100, 2.0)], "sk long, sv double"
+    )
+    vt.merge_into(
+        spark, src1, "k", "sk",
+        update_set={"v": F.col("sv")},
+        insert_exprs={"k": F.col("sk"), "v": F.col("sv")},
+        branch="audit",
+    )
+    # main untouched
+    assert vt.latest_version() == 0
+    assert vt.read(spark).filter("k = 0").collect()[0]["v"] == 0.0
+    assert vt.read(spark).count() == 40
+    # branch shows the staged merge
+    b = vt.read_ref(spark, "audit")
+    assert b.count() == 41
+    assert b.filter("k = 0").collect()[0]["v"] == 1.0
+    # stacked merge on the same branch compounds
+    src2 = spark.createDataFrame([(100, 3.0)], "sk long, sv double")
+    vt.merge_into(
+        spark, src2, "k", "sk",
+        update_set={"v": F.col("sv")},
+        insert_exprs={"k": F.col("sk"), "v": F.col("sv")},
+        branch="audit",
+    )
+    b2 = vt.read_ref(spark, "audit")
+    assert b2.filter("k = 100").collect()[0]["v"] == 3.0
+    assert b2.filter("k = 0").collect()[0]["v"] == 1.0
+    # publish
+    vt.fast_forward("audit")
+    m = vt.read(spark)
+    assert m.count() == 41
+    assert m.filter("k = 100").collect()[0]["v"] == 3.0
+    # pre-publish main still readable
+    assert vt.read(spark, 0).count() == 40

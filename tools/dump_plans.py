@@ -253,6 +253,7 @@ SHOWCASE = [
     "ann_matryoshka_topk",
     "search_phrase_positional",
     "table_restore_audit",
+    "table_wap_merge_publish",
 ]
 
 # Belt-and-braces: a duplicated SHOWCASE entry (it has happened) would
