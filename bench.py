@@ -245,6 +245,7 @@ HEADLINE = [
     "table_refs_metadata",
     "table_restore_audit",
     "table_wap_merge_publish",
+    "stream_wap_merge_versioned",
     "ann_matryoshka_topk",
     "search_phrase_positional",
 ]

@@ -630,6 +630,153 @@ def _stream_versioned_orders(spark: SparkSession, sf_dir: str) -> VersionedTable
     return VersionedTable(path, stats_col="o_orderkey")
 
 
+_STREAM_WAP_PATHS: dict[tuple[str, str], str] = {}
+
+_SQL_SWAP_MERGED = """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 0.8
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey + 300000000, 60.0 FROM orders
+    WHERE o_orderkey % 110 = 0
+"""
+
+
+def _stream_wap_orders(spark: SparkSession, sf_dir: str) -> VersionedTable:
+    """Streaming WAP lineage: v0 = full orders projection (main); a
+    4-chunk bounded change stream (price*0.8 for %11=0 keys, inserts
+    +300M for %110=0) flows through foreachBatch, every micro-batch
+    committing ONE MERGE on branch 'staging'; the audit invariant
+    (main untouched through the whole drain) is hard-asserted before
+    fast_forward publishes the staged chain."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _STREAM_WAP_PATHS.get(key)
+    if path is not None and not VersionedTable(path).versions():
+        path = None
+    if path is None:
+        base_dir = scratch_dir("versioned_swap_")
+        path = os.path.join(base_dir, "orders_v")
+        vt = VersionedTable(path, stats_col="o_orderkey")
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        k = F.col("o_orderkey")
+        vt.create(o.repartitionByRange(4, "o_orderkey"))
+        changes = (
+            o.filter(k % 11 == 0)
+            .select(
+                k.alias("s_key"),
+                (F.col("o_totalprice") * 0.8).alias("new_price"),
+            )
+            .unionAll(
+                o.filter(k % 110 == 0).select(
+                    (k + 300_000_000).alias("s_key"),
+                    F.lit(60.0).alias("new_price"),
+                )
+            )
+        )
+        src_dir = os.path.join(base_dir, "cdc")
+        (
+            changes.withColumn("chunk", F.pmod(F.col("s_key"), F.lit(4)))
+            .repartition(4, "chunk")
+            .drop("chunk")
+            .write.mode("overwrite")
+            .parquet(src_dir)
+        )
+        stream = (
+            spark.readStream.schema("s_key bigint, new_price double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+        def apply_batch(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            vt.merge_into(
+                spark,
+                batch_df,
+                key="o_orderkey",
+                source_key="s_key",
+                update_set={"o_totalprice": F.col("new_price")},
+                insert_exprs={
+                    "o_orderkey": F.col("s_key"),
+                    "o_totalprice": F.col("new_price"),
+                },
+                branch="staging",
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(base_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        # the WAP audit invariant, hard-asserted before publish: the
+        # entire streamed ingestion left main byte-identical
+        if vt.latest_version() != 0:
+            raise RuntimeError(
+                "staged streaming merges leaked into main "
+                f"(head v{vt.latest_version()})"
+            )
+        vt.fast_forward("staging")
+        _STREAM_WAP_PATHS[key] = path
+    return VersionedTable(path, stats_col="o_orderkey")
+
+
+@query(
+    "stream_wap_merge_versioned",
+    oracle=f"""
+    SELECT 'main_prestream' AS state, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders
+    UNION ALL
+    SELECT 'staging_final', CAST(COUNT(*) AS BIGINT),
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM ({_SQL_SWAP_MERGED}) m
+    UNION ALL
+    SELECT 'main_published', CAST(COUNT(*) AS BIGINT),
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM ({_SQL_SWAP_MERGED}) m
+    """,
+)
+def stream_wap_merge_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING write-audit-publish: continuous CDC ingestion whose
+    every micro-batch MERGE commits to a STAGED BRANCH — the pattern
+    for 'ingest all day, audit once, publish atomically'. Main stays
+    byte-identical through the whole drain (hard-asserted in the
+    fixture before publish — a leak raises instead of serving), the
+    staged chain stacks one branch commit per micro-batch, and one
+    fast_forward flips readers to the audited end state. End state is
+    batching-invariant (each key in exactly one chunk), so the oracle
+    replays it from raw orders; all three observable states are
+    hash-checked.
+
+    Scale: identical to stream_merge_versioned per batch (file-pruned
+    copy-on-write MERGE, KB manifest per commit) plus the WAP
+    guarantees: a mid-day bad batch never reached a reader, and
+    abandoning the day's branch is a ref delete, not a restore."""
+    vt = _stream_wap_orders(spark, sf_dir)
+
+    def agg(df: DataFrame, state: str) -> DataFrame:
+        return df.agg(
+            F.lit(state).alias("state"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            dsum(F.col("o_totalprice"), "sum_price"),
+        )
+
+    return (
+        agg(vt.read(spark, 0), "main_prestream")
+        .unionAll(agg(vt.read_ref(spark, "staging"), "staging_final"))
+        .unionAll(agg(vt.read(spark), "main_published"))
+        .select("state", "n_rows", "sum_price")
+    )
+
+
 _CURATE_VT_PATHS: dict[tuple[str, str], str] = {}
 
 

@@ -119,7 +119,6 @@ DRIVER_WINDOW: list[str] = [
     "table_bloom_point_lookup",
     "pipeline_curate",
     "ev_session_stats",
-    "ev_anomaly_mad",
     # -- never-sampled: the round-12 feature tier (per-file-spec
     #    pruning + targeted rewrite, spec lineage metadata,
     #    write-audit-publish refs) — new features prove themselves
@@ -137,6 +136,7 @@ DRIVER_WINDOW: list[str] = [
     "table_refs_metadata",
     "table_restore_audit",
     "table_wap_merge_publish",
+    "stream_wap_merge_versioned",
     "ann_matryoshka_topk",
     "search_phrase_positional",
 ]

@@ -91,6 +91,7 @@ def test_driver_window_covers_every_family() -> None:
         "table_refs_metadata",
         "table_restore_audit",
         "table_wap_merge_publish",
+        "stream_wap_merge_versioned",
         "ann_matryoshka_topk",
         "search_phrase_positional",
     }

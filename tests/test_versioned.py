@@ -3565,3 +3565,22 @@ def test_wap_merge_on_branch(spark, tmp_path):
     assert m.filter("k = 100").collect()[0]["v"] == 3.0
     # pre-publish main still readable
     assert vt.read(spark, 0).count() == 40
+
+
+def test_stream_wap_fixture_history_shape(spark):
+    """The streaming-WAP lineage: after publish, main history is the
+    staged merge chain over the create; every staged commit carries
+    the branch marker; the branch ref survives pointing at the
+    published head (it may be deleted, main is independent of it)."""
+    from mapreduce_wordcounter_spark.operators.lakehouse import (
+        _stream_wap_orders,
+    )
+
+    vt = _stream_wap_orders(spark, "/root/testdata/sf0.001")
+    hist = vt.history()
+    assert hist[-1]["operation"] == "create"
+    assert all(h["operation"] == "merge" for h in hist[:-1])
+    assert len(hist) >= 2  # at least one non-empty micro-batch
+    for h in hist[:-1]:
+        assert vt._load_manifest(h["version"]).get("branch") == "staging"
+    assert vt.ref_version("staging") == vt.latest_version()

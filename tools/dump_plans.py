@@ -254,6 +254,7 @@ SHOWCASE = [
     "search_phrase_positional",
     "table_restore_audit",
     "table_wap_merge_publish",
+    "stream_wap_merge_versioned",
 ]
 
 # Belt-and-braces: a duplicated SHOWCASE entry (it has happened) would
