@@ -4003,7 +4003,9 @@ class VersionedTable:
 
     # -- DELETE (copy-on-write, file-pruned) ----------------------------
 
-    def delete_where(self, spark: SparkSession, predicate) -> int:
+    def delete_where(
+        self, spark: SparkSession, predicate, branch: str | None = None
+    ) -> int:
         """Row-level DELETE as a transactional copy-on-write commit:
         only data files that contain at least one matching row are
         rewritten (without the matching rows); every other file
@@ -4012,9 +4014,11 @@ class VersionedTable:
         the clustering (partition dates, key ranges), the rewrite
         fraction is the touched fraction — and a predicate matching
         nothing commits a pure metadata snapshot. Read-modify-write:
-        re-runs wholesale on a lost commit race."""
+        re-runs wholesale on a lost commit race. ``branch`` stages the
+        delete on a named branch (WAP — same contract as append/
+        merge_full): main readers see nothing until fast_forward."""
         for _ in range(8):
-            snap = self.snapshot()
+            snap = self.snapshot(self._branch_base(branch))
             target = self.read(spark, snap["version"])
             # __dv_file is already the file BASENAME (and, unlike
             # input_file_name(), _metadata binds to its own scan even
@@ -4049,6 +4053,7 @@ class VersionedTable:
                     "delete", snap, retained + files,
                     self._merged_stats(snap, retained, files),
                     self._merged_blooms(snap, retained, files),
+                    branch=branch,
                 )
             except VersionConflictError:
                 continue

@@ -3584,3 +3584,21 @@ def test_stream_wap_fixture_history_shape(spark):
     for h in hist[:-1]:
         assert vt._load_manifest(h["version"]).get("branch") == "staging"
     assert vt.ref_version("staging") == vt.latest_version()
+
+
+def test_wap_delete_on_branch(spark, tmp_path):
+    """DELETE staged on a branch: the copy-on-write rewrite commits to
+    the branch ref only — main serves every row until fast_forward
+    publishes the audited retention pass; a GDPR-style staged purge
+    can thus be audited (row counts, affected partitions) before any
+    reader sees it."""
+    vt = VersionedTable(str(tmp_path / "wapd"))
+    df = _wap_df(spark)
+    vt.create(df)
+    vt.delete_where(spark, F.col("k") % 4 == 0, branch="purge")
+    assert vt.latest_version() == 0
+    assert vt.read(spark).count() == 40
+    assert vt.read_ref(spark, "purge").count() == 30
+    vt.fast_forward("purge")
+    assert vt.read(spark).count() == 30
+    assert vt.read(spark, 0).count() == 40
