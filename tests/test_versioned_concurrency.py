@@ -363,3 +363,129 @@ def test_delete_partitions_racing_append(spark, tmp_path):
     assert got.filter("p = 'a'").count() == 0
     assert got.filter("k >= 100").count() == 3
     assert got.count() == 10 + 3
+
+
+def test_branch_and_main_writers_race(spark, tmp_path):
+    """Refs under REAL concurrency (round 12): one writer appends to
+    main while another stacks appends on branch 'stage'. Invariants:
+    every commit of both writers lands (no lost updates on either
+    lineage), version slots are globally unique, the main lineage
+    contains exactly the main rows (staged rows never leak), and the
+    branch chain contains main's fork-point rows plus every staged
+    row committed before its fork — here the branch forks from
+    whatever main head its first commit observed, so the branch total
+    is its own 4 commits plus that observed prefix."""
+    vt = VersionedTable(str(tmp_path / "br"))
+    vt.create(
+        spark.createDataFrame([("main", -1)], "lane string, seq bigint")
+    )
+    errors: list[Exception] = []
+
+    def main_writer() -> None:
+        try:
+            for seq in range(4):
+                vt.append(
+                    spark.createDataFrame(
+                        [("main", seq)], "lane string, seq bigint"
+                    )
+                )
+        except Exception as e:
+            errors.append(e)
+
+    def branch_writer() -> None:
+        try:
+            for seq in range(4):
+                vt.append(
+                    spark.createDataFrame(
+                        [("stage", seq)], "lane string, seq bigint"
+                    ),
+                    branch="stage",
+                )
+        except Exception as e:
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=main_writer),
+        threading.Thread(target=branch_writer),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    # 9 commits total (create + 4 + 4), all slots unique and present
+    assert len(vt.versions()) == 9
+    assert len(set(vt.versions())) == 9
+    # main lineage serves exactly the 5 main rows — staged rows never leak
+    main_rows = sorted(
+        (r["lane"], r["seq"]) for r in vt.read(spark).collect()
+    )
+    assert main_rows == [("main", s) for s in range(-1, 4)]
+    assert vt.latest_version() == max(
+        v for v in vt.versions()
+        if "branch" not in vt._load_manifest(v)
+    )
+    # branch chain: all 4 staged rows, plus the main prefix its fork
+    # point had seen; stacked staged commits chain through parents
+    b_rows = [
+        (r["lane"], r["seq"])
+        for r in vt.read_ref(spark, "stage").collect()
+    ]
+    stage_rows = sorted(x for x in b_rows if x[0] == "stage")
+    assert stage_rows == [("stage", s) for s in range(4)]
+    main_prefix = sorted(x[1] for x in b_rows if x[0] == "main")
+    assert main_prefix == list(range(-1, len(main_prefix) - 1))
+    # publishing after main moved past the fork must refuse, never
+    # silently drop main commits
+    head = vt.latest_version()
+    fork_walk = vt.ref_version("stage")
+    seen = set()
+    v = fork_walk
+    while v is not None:
+        seen.add(v)
+        v = vt._load_manifest(v).get("parent")
+    if head in seen:
+        assert vt.fast_forward("stage") == fork_walk
+    else:
+        with pytest.raises(Exception, match="not an ancestor"):
+            vt.fast_forward("stage")
+
+
+def test_same_branch_writers_race(spark, tmp_path):
+    """Two writers stacking on the SAME branch: same-lineage racers
+    compute the same slot and collide on O_EXCL publish — after both
+    drain, the branch chain holds all eight staged rows exactly once
+    and main never moved."""
+    vt = VersionedTable(str(tmp_path / "sb"))
+    vt.create(spark.createDataFrame([(0, -1)], "writer bigint, seq bigint"))
+    errors: list[Exception] = []
+
+    def writer(wid: int) -> None:
+        try:
+            for seq in range(4):
+                vt.append(
+                    spark.createDataFrame(
+                        [(wid, seq)], "writer bigint, seq bigint"
+                    ),
+                    branch="stage",
+                )
+        except Exception as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in (1, 2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert vt.latest_version() == 0  # main untouched
+    rows = sorted(
+        (r["writer"], r["seq"])
+        for r in vt.read_ref(spark, "stage").collect()
+    )
+    assert rows == sorted(
+        [(0, -1)] + [(w, s) for w in (1, 2) for s in range(4)]
+    )
+    # after publish, main serves the full staged chain
+    vt.fast_forward("stage")
+    assert vt.read(spark).count() == 9
