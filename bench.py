@@ -248,6 +248,10 @@ HEADLINE = [
     "stream_wap_merge_versioned",
     "ann_matryoshka_topk",
     "search_phrase_positional",
+    # round 12 wave 4: Hilbert layout (build-tier like the other
+    # layout constructions) and its head-to-head vs Z-order
+    "hilbert_layout",
+    "hilbert_vs_zorder_spans",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries
@@ -265,6 +269,8 @@ HEADLINE = [
 BUILD_TIER = {
     # index/layout/training constructions
     "trigram_match_scan",
+    "hilbert_layout",
+    "hilbert_vs_zorder_spans",
     "zorder_layout",
     "zorder3_layout",
     "layout_span_compare",

@@ -110,7 +110,6 @@ DRIVER_WINDOW: list[str] = [
     "q12_ship_priority_classes",
     "q14_promo_revenue",
     "q19_discounted_revenue",
-    "q20_dominant_shippers",
     # -- never-sampled: newly semi-oracled sketches (r12, #6) --
     "theta_vocab_ops",
     "value_quantiles_kll",
@@ -139,6 +138,7 @@ DRIVER_WINDOW: list[str] = [
     "stream_wap_merge_versioned",
     "ann_matryoshka_topk",
     "search_phrase_positional",
+    "hilbert_vs_zorder_spans",
 ]
 
 

@@ -134,3 +134,50 @@ def test_dpp_prunes_fact_partitions(spark):
     assert fact_scans and all(
         "ReadSchema: struct<event_type:string>" in ln for ln in fact_scans
     ), fact_scans
+
+
+def test_hilbert_d_matches_reference_recurrence(spark):
+    """The chained-CASE Hilbert projection must equal the classic
+    xy2d loop bit-for-bit on a deterministic grid sample — the
+    engine-side twin of the DuckDB-fragment check, proving both
+    dialects implement the same curve."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_wordcounter_spark.operators.layout import (
+        _HN,
+        _hilbert_spark,
+    )
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    pts = [(x, y) for x in range(0, _HN, 19) for y in range(0, _HN, 23)]
+    df = spark.createDataFrame(pts, "gx int, gy int")
+    got = {
+        (r["gx"], r["gy"]): r["hd"]
+        for r in _hilbert_spark(df, "gx", "gy", "hd").collect()
+    }
+    assert got == {(x, y): xy2d(_HN, x, y) for x, y in pts}
+
+
+def test_hilbert_beats_zorder_on_total_span(spark):
+    """The reason the Hilbert layout exists: for the same points and
+    file count, its summed per-file span across both clustered
+    dimensions must not exceed Z-order's (unit-step adjacency vs
+    quadrant seams). Pinned on the real testdata."""
+    rows = {
+        r["layout"]: (r["sum_u_span"], r["sum_h_span"])
+        for r in _QUERIES["hilbert_vs_zorder_spans"](spark, SF).collect()
+    }
+    h, z = rows["hilbert"], rows["zorder"]
+    assert h[0] + h[1] <= z[0] + z[1], rows

@@ -80,6 +80,8 @@ _ALLOWED_BOUNDED_BNLJ = {
     "zorder_layout",  # 1-row min/max bounds scalar (bit-budget normalization)
     "zorder3_layout",  # same 1-row bounds scalar, 3-dim interleave
     "layout_span_compare",  # same 1-row bounds scalar, both layouts
+    "hilbert_layout",  # same 1-row bounds scalar, Hilbert grid normalization
+    "hilbert_vs_zorder_spans",  # same scalar, both curves
     "zorder_probe",  # 1-row corpus-start-hour scalar onto the probe scan
     "ann_rp_topk",  # 16-row constant projection-dim table (the lsh-plane shape)
     "lsh_recall_vs_exact",  # 1-row exact-pair-count scalar onto the 1-row hits
@@ -110,6 +112,8 @@ _ALLOWED_BOUNDED_GLOBAL_WINDOW: set[str] = {
     "zorder_layout",  # <=64-row coarse-z bucket-offset table
     "zorder3_layout",  # same, 3-dim interleave
     "layout_span_compare",  # same bucket offsets, both layouts
+    "hilbert_layout",  # <=64-row coarse-d bucket-offset table
+    "hilbert_vs_zorder_spans",  # same bucket offsets, both curves
     "mixture_weights",  # lang x source slice grid (dozens of rows)
     "mixture_temperature_weights",  # same slice grid
     "token_budget_allocation",  # same <=|langs| slice grid (quota windows)

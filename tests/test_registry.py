@@ -94,6 +94,7 @@ def test_driver_window_covers_every_family() -> None:
         "stream_wap_merge_versioned",
         "ann_matryoshka_topk",
         "search_phrase_positional",
+        "hilbert_vs_zorder_spans",
     }
     assert must_have <= window
 

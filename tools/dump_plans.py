@@ -255,6 +255,8 @@ SHOWCASE = [
     "table_restore_audit",
     "table_wap_merge_publish",
     "stream_wap_merge_versioned",
+    "hilbert_layout",
+    "hilbert_vs_zorder_spans",
 ]
 
 # Belt-and-braces: a duplicated SHOWCASE entry (it has happened) would

@@ -114,6 +114,9 @@ TARGETS = [
     # table_restore_audit / table_refs_metadata are embeddings/orders-
     # driven (symlinked unchanged → vacuous here).
     "search_phrase_positional",
+    # round 12 (wave 4): Hilbert layout construction — events-driven,
+    # same distributed-NTILE profile as zorder_layout (expect ~0.3)
+    "hilbert_layout",
 ]
 
 
