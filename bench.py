@@ -252,6 +252,7 @@ HEADLINE = [
     # layout constructions) and its head-to-head vs Z-order
     "hilbert_layout",
     "hilbert_vs_zorder_spans",
+    "hilbert_probe",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries

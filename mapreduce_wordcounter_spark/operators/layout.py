@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from mapreduce_wordcounter_spark.registry import query
+from mapreduce_wordcounter_spark.registry import ORACLE, query
 from mapreduce_wordcounter_spark.tables import load_table
 
 N_FILES = 32  # target file count for the layout plan
@@ -907,3 +907,63 @@ def hilbert_vs_zorder_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ztiles = _distributed_ntile(zed, "zbucket", ["z", "event_id"], N_FILES)
     htiles = _distributed_ntile(hil, "hbucket", ["hd", "event_id"], N_FILES)
     return spans(ztiles, "zorder").unionAll(spans(htiles, "hilbert"))
+
+
+# Hilbert at rest: materialized d-sorted table + the same slice probe
+_HILBERT_PATHS: dict[tuple[str, str], str] = {}
+
+
+def _hilbert_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hilbert-sorted events copy at rest (the OPTIMIZE write for
+    the Hilbert clustering — _zorder_table's posture with the curve
+    swapped): range-partition on hd, sort within, so every file holds
+    one contiguous d-range and, because consecutive d is
+    grid-adjacent, a connected (user, hour) blob — narrow parquet
+    min/max on BOTH dimensions."""
+    from mapreduce_wordcounter_spark.session import scratch_dir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    base = _HILBERT_PATHS.get(key)
+    if base is None:
+        base = scratch_dir("hilbert_events_")
+        _HILBERT_PATHS[key] = base
+        e = load_table(spark, sf_dir, "events")
+        hil = _hilbed(spark, sf_dir).select("event_id", "hd")
+        (
+            e.join(hil, "event_id")
+            .repartitionByRange(N_FILES, "hd", "event_id")
+            .sortWithinPartitions("hd", "event_id")
+            .write.parquet(base + "/events_h")
+        )
+    return spark.read.parquet(base + "/events_h")
+
+
+@query("hilbert_probe", oracle=ORACLE["zorder_probe"])
+def hilbert_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME two-dimensional slice as zorder_probe against the
+    AT-REST hilbert-sorted table — byte-identical results (layouts
+    are lossless; the shared oracle reads the raw table), tighter
+    pruning: hilbert_vs_zorder_spans measures the per-file span win
+    that makes this scan skip at least as many files. Same serve
+    profile: scan -> pushed filters -> map-combined groupBy."""
+    eh = _hilbert_table(spark, sf_dir)
+    h = "(unix_timestamp(ts) div 3600)"
+    bounds = eh.agg(F.expr(f"min({h})").alias("h0"))
+    return (
+        eh.crossJoin(F.broadcast(bounds))
+        .filter(
+            F.col("user_id").between(_PROBE_U_LO, _PROBE_U_HI)
+            & F.expr(
+                f"{h} BETWEEN h0 + {_PROBE_H_LO} AND h0 + {_PROBE_H_HI}"
+            )
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 1000000.0 + F.lit(0.5)).cast("long")
+            )
+            .cast("bigint")
+            .alias("sum_value_micro"),
+        )
+    )

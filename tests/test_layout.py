@@ -181,3 +181,42 @@ def test_hilbert_beats_zorder_on_total_span(spark):
     }
     h, z = rows["hilbert"], rows["zorder"]
     assert h[0] + h[1] <= z[0] + z[1], rows
+
+
+def test_hilbert_at_rest_files_carry_narrow_stats(spark):
+    """The hilbert-sorted copy's parquet footers must carry the same
+    prunable promise as the z-table: per-file user_id spans well
+    under the full range — the metadata hilbert_probe's pushed
+    filters skip on."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_wordcounter_spark.operators.layout import _hilbert_table
+
+    eh = _hilbert_table(spark, SF)
+    path = eh.inputFiles()[0].replace("file://", "")
+    base = path.rsplit("/", 1)[0]
+    files = [f for f in _glob.glob(base + "/*.parquet")]
+    assert len(files) >= 8
+    full_lo, full_hi, spans = None, None, []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        cols = {
+            md.row_group(0).column(i).path_in_schema: i
+            for i in range(md.row_group(0).num_columns)
+        }
+        ci = cols["user_id"]
+        lo = min(
+            md.row_group(g).column(ci).statistics.min
+            for g in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(g).column(ci).statistics.max
+            for g in range(md.num_row_groups)
+        )
+        spans.append(hi - lo)
+        full_lo = lo if full_lo is None else min(full_lo, lo)
+        full_hi = hi if full_hi is None else max(full_hi, hi)
+    full = full_hi - full_lo
+    assert sum(spans) / len(spans) < full * 0.75, (spans, full)

@@ -83,6 +83,7 @@ _ALLOWED_BOUNDED_BNLJ = {
     "hilbert_layout",  # same 1-row bounds scalar, Hilbert grid normalization
     "hilbert_vs_zorder_spans",  # same scalar, both curves
     "zorder_probe",  # 1-row corpus-start-hour scalar onto the probe scan
+    "hilbert_probe",  # same 1-row start-hour scalar, hilbert-sorted copy
     "ann_rp_topk",  # 16-row constant projection-dim table (the lsh-plane shape)
     "lsh_recall_vs_exact",  # 1-row exact-pair-count scalar onto the 1-row hits
     "ev_bootstrap_ci_mean",  # 1-row point-estimate scalar onto the 32-row CI

@@ -257,6 +257,7 @@ SHOWCASE = [
     "stream_wap_merge_versioned",
     "hilbert_layout",
     "hilbert_vs_zorder_spans",
+    "hilbert_probe",
 ]
 
 # Belt-and-braces: a duplicated SHOWCASE entry (it has happened) would

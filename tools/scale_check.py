@@ -117,6 +117,7 @@ TARGETS = [
     # round 12 (wave 4): Hilbert layout construction — events-driven,
     # same distributed-NTILE profile as zorder_layout (expect ~0.3)
     "hilbert_layout",
+    "hilbert_probe",
 ]
 
 
