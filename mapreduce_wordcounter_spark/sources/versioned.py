@@ -3124,7 +3124,9 @@ class VersionedTable:
             return self.read(spark, snap["version"]).filter(F.lit(False))
         return self._scan(spark, snap, files=files).filter(pred)
 
-    def overwrite_partitions(self, spark: SparkSession, df: DataFrame) -> int:
+    def overwrite_partitions(
+        self, spark: SparkSession, df: DataFrame, branch: str | None = None
+    ) -> int:
         """DYNAMIC PARTITION OVERWRITE (Spark's
         ``partitionOverwriteMode=dynamic``, on the versioned
         protocol): atomically replace exactly the partitions present
@@ -3141,7 +3143,7 @@ class VersionedTable:
             raise ValueError(
                 f"overwrite_partitions requires partition_by at {self.path}"
             )
-        cur0 = self.snapshot()
+        cur0 = self.snapshot(self._branch_base(branch))
         self._guard_spec_arg_evolution(cur0)
         schema = self._schema_for_write(cur0, df)
         files = self._write_data_files(df, schema)
@@ -3151,7 +3153,7 @@ class VersionedTable:
             for f in files
         }
         while True:
-            cur = self.snapshot()
+            cur = self.snapshot(self._branch_base(branch))
             if cur.get("schema") != cur0.get("schema"):
                 raise VersionConflictError(
                     f"concurrent schema change during overwrite at {self.path}"
@@ -3175,6 +3177,7 @@ class VersionedTable:
                     self._merged_stats(cur, retained, files),
                     self._merged_blooms(cur, retained, files),
                     schema=schema if schema is not None else _INHERIT,
+                    branch=branch,
                 )
             except VersionConflictError:
                 continue
@@ -3345,6 +3348,7 @@ class VersionedTable:
         key: str,
         source_key: str,
         cdc: bool = False,
+        branch: str | None = None,
     ) -> int:
         """Merge-on-read form of :meth:`delete_keys` — GDPR
         erase-these-ids at DV cost: the doomed positions come from a
@@ -3357,7 +3361,7 @@ class VersionedTable:
 
         kdf = keys.select(F.col(source_key).alias("__dk")).distinct()
         for _ in range(8):
-            snap = self.snapshot()
+            snap = self.snapshot(self._branch_base(branch))
             probe_rel = self._candidate_files(spark, kdf, "__dk", snap)
             dv_add = None
             extra: dict = {}
@@ -3414,6 +3418,7 @@ class VersionedTable:
                     "delete_keys_mor", snap, snap["files"],
                     snap.get("stats") or {}, snap.get("blooms") or {},
                     dv_add=dv_add,
+                    branch=branch,
                     **extra,
                 )
             except VersionConflictError:
@@ -4068,6 +4073,7 @@ class VersionedTable:
         key: str,
         source_key: str,
         cdc: bool = False,
+        branch: str | None = None,
     ) -> int:
         """DELETE every target row whose ``key`` appears in ``keys``
         (the join-driven form of DELETE — GDPR erase-these-ids, dedup
@@ -4081,7 +4087,7 @@ class VersionedTable:
         'delete' change events under ``cdc/`` (see merge_into)."""
         kdf = keys.select(F.col(source_key).alias("__dk")).distinct()
         for _ in range(8):
-            snap = self.snapshot()
+            snap = self.snapshot(self._branch_base(branch))
             probe_rel = self._candidate_files(spark, kdf, "__dk", snap)
             matched_files: list[str] = []
             if probe_rel:
@@ -4135,9 +4141,12 @@ class VersionedTable:
                     "delete", snap, retained + files,
                     self._merged_stats(snap, retained, files),
                     self._merged_blooms(snap, retained, files),
+                    branch=branch,
                     **extra,
                 )
             except VersionConflictError:
+                if branch:
+                    continue  # branch racer: re-run on the fresh head
                 # disjoint-commit admission before re-planning
                 v = self._rebase_after_conflict(
                     spark, "delete", snap, rewritten, files, kdf, key,

@@ -3602,3 +3602,71 @@ def test_wap_delete_on_branch(spark, tmp_path):
     vt.fast_forward("purge")
     assert vt.read(spark).count() == 30
     assert vt.read(spark, 0).count() == 40
+
+
+def test_wap_delete_keys_and_overwrite_on_branch(spark, tmp_path):
+    """The remaining commit classes under WAP: a GDPR-style key purge
+    (delete_keys) and an idempotent backfill (overwrite_partitions)
+    both stage on branches — main byte-identical until each publish;
+    the key purge's staged state audits as exactly the non-purged
+    rows, the backfill swap replaces only its touched partition."""
+    vt = VersionedTable(
+        str(tmp_path / "wapk"), partition_by=["bucket(2, k)"]
+    )
+    df = _wap_df(spark)  # k 0..39
+    vt.create(df)
+    # staged key purge
+    doomed = spark.createDataFrame([(3,), (7,), (11,)], "dk long")
+    vt.delete_keys(spark, doomed, key="k", source_key="dk", branch="gdpr")
+    assert vt.latest_version() == 0
+    assert vt.read(spark).count() == 40
+    staged = {r["k"] for r in vt.read_ref(spark, "gdpr").collect()}
+    assert staged == set(range(40)) - {3, 7, 11}
+    vt.fast_forward("gdpr")
+    assert vt.read(spark).count() == 37
+    # staged dynamic-partition backfill on top of the published state
+    fld = vt._partition_fields(vt.snapshot().get("schema"))[0]
+    bucket0 = {k for k in range(40) if vt._transform_value(fld, k) == "0"}
+    refill = spark.createDataFrame(
+        [(k, k * 100.0) for k in sorted(bucket0 - {3, 7, 11})][:5],
+        "k long, v double",
+    )
+    vt.overwrite_partitions(spark, refill, branch="backfill")
+    assert vt.read(spark).count() == 37  # main untouched
+    got = vt.read_ref(spark, "backfill")
+    refill_rows = {(r["k"], r["v"]) for r in refill.collect()}
+    assert {
+        (r["k"], r["v"])
+        for r in got.collect()
+        if vt._transform_value(fld, r["k"]) == "0"
+    } == refill_rows  # the staged swap replaced bucket 0 wholesale
+    vt.fast_forward("backfill")
+    survivors = {r["k"] for r in vt.read(spark).collect()}
+    # the overwritten bucket holds exactly the refill keys; the other
+    # bucket is untouched
+    other = set(range(40)) - bucket0 - {3, 7, 11}
+    assert survivors == other | {
+        r["k"] for r in refill.collect()
+    }
+
+
+def test_wap_delete_keys_mor_on_branch(spark, tmp_path):
+    """MoR key purge staged on a branch: the DV sidecar commit moves
+    only the branch ref (main serves every row), the staged read
+    applies the tombstones, publish flips main — the cheapest staged
+    GDPR path (no data file rewritten at any point)."""
+    vt = VersionedTable(str(tmp_path / "wapm2"), stats_col="k")
+    df = _wap_df(spark)
+    vt.create(df)
+    doomed = spark.createDataFrame([(5,), (25,)], "dk long")
+    vt.delete_keys_mor(spark, doomed, key="k", source_key="dk", branch="gdpr")
+    assert vt.latest_version() == 0
+    assert vt.read(spark).count() == 40
+    assert vt.read_ref(spark, "gdpr").count() == 38
+    # metadata-only: the staged commit reuses v0's data files verbatim
+    assert sorted(vt.snapshot(vt.ref_version("gdpr"))["files"]) == sorted(
+        vt.snapshot(0)["files"]
+    )
+    vt.fast_forward("gdpr")
+    got = {r["k"] for r in vt.read(spark).collect()}
+    assert got == set(range(40)) - {5, 25}
