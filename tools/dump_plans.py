@@ -271,6 +271,22 @@ SHOWCASE = list(dict.fromkeys(SHOWCASE))
 # down here so a 2x-at-bigger-sf audit reads the split instead of
 # extrapolating the total.
 NOTES: dict[str, str] = {
+    "hilbert_layout": (
+        "build tier: the d-value is 8 chained integer CASE steps "
+        "unrolled at plan time (per-row, codegen'd, no UDF) feeding "
+        "the distributed exact-NTILE — measured exponent 0.20 at the "
+        "x10 corpus vs zorder_layout's 0.33 (SCALE_CHECK r12); this "
+        "is the nightly re-cluster job, amortized over every "
+        "hilbert_probe slice after it (probe exponent 0.17)."
+    ),
+    "stream_wap_merge_versioned": (
+        "fixed-vs-data: the staged micro-batch MERGE chain + publish "
+        "runs once per (session, sf) in the fixture (the at-rest "
+        "posture); the timed serve pass reads three snapshot states "
+        "(~0.26 s at sf0.1). At scale the per-batch cost is "
+        "stream_merge_versioned's file-pruned CoW rewrite; WAP adds "
+        "one KB ref write per batch and one pointer move at publish."
+    ),
     "stream_click_attribution_outer": (
         "fixed-vs-data: ~2.9 s wall at sf0.1 is dominated by streaming "
         "drain setup (two availableNow sources, checkpoint init, "
