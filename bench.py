@@ -253,6 +253,7 @@ HEADLINE = [
     "hilbert_layout",
     "hilbert_vs_zorder_spans",
     "hilbert_probe",
+    "ann_matryoshka_recall",
 ]
 
 # Build-vs-serve tiers (VERDICT r5 #6): a handful of headline entries
@@ -286,6 +287,7 @@ BUILD_TIER = {
     "lsh_recall_vs_exact",
     "ann_ivf_recall",
     "ann_rebuild_decision",
+    "ann_matryoshka_recall",
 }
 
 

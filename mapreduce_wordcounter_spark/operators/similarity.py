@@ -2677,3 +2677,52 @@ def ann_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "vec_id", "cosine")
     )
+
+
+@query(
+    "ann_matryoshka_recall",
+    oracle=f"""
+    WITH brute AS ({ORACLE["knn_brute_cosine"]}),
+    mrl AS ({ORACLE["ann_matryoshka_topk"]})
+    SELECT b.query_id,
+           CAST(COUNT(m.vec_id) AS BIGINT) AS n_hits,
+           COUNT(m.vec_id) / {TOP_K}.0 AS recall
+    FROM brute b LEFT JOIN mrl m
+      ON b.query_id = m.query_id AND b.vec_id = m.vec_id
+    GROUP BY b.query_id
+    """,
+)
+def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall of the matryoshka path against the exact
+    top-k — the one ANN recall metric that is itself HASH-CHECKED:
+    both pipelines are deterministic (no trained codebook, no
+    bucketing randomness), so the driver verifies the recall NUMBERS,
+    not just their plumbing (ann_ivf_recall's eval is rows-only-
+    reproducible by contrast: its index is trained). This is the
+    rebuild-decision input for the truncated-prefix serving tier —
+    recall degrading under corpus drift is the signal to widen
+    MRL_CAND or fall back to full-dim scan.
+
+    Scale: composes the two at-scale plans plus one candidates-sized
+    (N_QUERIES x TOP_K) join — eval cost is the baseline's cost, the
+    usual price of measuring recall against exactness."""
+    brute = knn_brute_cosine(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("b_vec")
+    )
+    mrl = ann_matryoshka_topk(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("m_vec")
+    )
+    return (
+        brute.join(
+            mrl,
+            (brute["query_id"] == mrl["query_id"])
+            & (F.col("b_vec") == F.col("m_vec")),
+            "left",
+        )
+        .drop(mrl["query_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count("m_vec").cast("bigint").alias("n_hits"),
+            (F.count("m_vec") / F.lit(float(TOP_K))).alias("recall"),
+        )
+    )

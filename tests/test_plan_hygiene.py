@@ -38,6 +38,8 @@ _ALLOWED_QUADRATIC = {
     # with the full-dim work confined to MRL_CAND candidates per query
     "ann_ivf_recall",  # contains the brute baseline by definition (recall eval)
     "ann_rebuild_decision",  # composes ann_ivf_recall (same brute baseline)
+    "ann_matryoshka_recall",  # composes the brute baseline + the MRL prefilter
+    # scan — the only ANN recall eval whose NUMBERS are hash-checked
     "lsh_verified_pairs",  # verification reuses the jaccard-pair shape on candidates
 }
 
