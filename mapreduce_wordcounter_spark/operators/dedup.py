@@ -671,8 +671,16 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates pay the bit_count(xor) verify. Candidate volume is
     bounded by bucket collisions (32k distinct values per block), not
     |docs|²; on a real corpus hot buckets are exact-dup clusters whose
-    pair listing is the requested output anyway."""
-    sig = _simhash60(spark, sf_dir)
+    pair listing is the requested output anyway.
+
+    The signature relation is PINNED: it feeds both sides of the
+    block-bucket self-join, and unpinned each side replays the full
+    tokenize + 60-bit vote aggregate over the corpus (two text scans —
+    the one genuinely expensive pass here; the signatures themselves
+    are doc-grain, 16 bytes/row)."""
+    from mapreduce_wordcounter_spark.session import pin
+
+    sig = pin(_simhash60(spark, sf_dir))
     blocks = sig.select(
         "doc_id",
         "simhash",

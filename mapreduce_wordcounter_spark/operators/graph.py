@@ -177,13 +177,31 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _bipartite_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.sum("w").alias("wsum"))
     e0 = edges.join(deg, "src")  # src, dst, w, wsum — read K times
-    row = e0.agg(
-        F.count("*").alias("m"), F.countDistinct("src").alias("n")
-    ).first()
-    m, n = row["m"], row["n"]
+    # Graph-size scalars (m, n) read from the PINNED (user, type, count)
+    # aggregate, not from an agg over the edges⋈deg join: the bipartite
+    # construction makes them derivable — m = 2·|ev| (each aggregate row
+    # is one edge per direction) and n = |users| + |types| (namespaced
+    # ids never collide) — so the probe is one small-relation aggregate
+    # instead of materializing the join a second time just to count it.
+    ev_row = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("w"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.countDistinct("user_id").alias("du"),
+            F.countDistinct("event_type").alias("dt"),
+        )
+        .first()
+    )
+    m = 2 * ev_row["cnt"]
+    n = ev_row["du"] + ev_row["dt"]
     npart = max(4, m // 500_000 + 1)
     e = pin(e0.repartition(npart, "src"))
-    nodes = e.select(F.col("src").alias("node")).distinct()
+    # Node set pinned: it feeds the LEFT side of every iteration's
+    # rank update — unpinned, each of the K+1 consumers replays the
+    # distinct (one shuffle) over the cached edge relation.
+    nodes = pin(e.select(F.col("src").alias("node")).distinct())
     init = _ONE // n
     base = (init * 15) // 100
     ranks = nodes.select("node", F.lit(init).alias("rank"))

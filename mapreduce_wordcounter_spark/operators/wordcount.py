@@ -371,8 +371,15 @@ def wc_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch audit for the exact top-{_CMS_TOPK} words:
     exact count, sketch estimate (min over the {_CMS_D} hash rows of
     the bucket sums), and the overcount the bucket collisions added.
-    Deterministic md5 hash rows make the sketch itself engine-exact."""
-    wc = (
+    Deterministic md5 hash rows make the sketch itself engine-exact.
+
+    The vocabulary-count relation is PINNED: the sketch build and the
+    exact top-k are two consumers, and unpinned each replays the full
+    tokenize pass over the corpus (the relation itself is vocab-sized
+    (string, int64) — the cheap kind of cache)."""
+    from mapreduce_wordcounter_spark.session import pin
+
+    wc = pin(
         tokens(spark, sf_dir).groupBy("word").agg(F.count("*").alias("n"))
     )
     js = F.array([F.lit(j) for j in range(_CMS_D)])
@@ -380,19 +387,30 @@ def wc_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_SPARK_MD5H.format(s="concat(cast(j as string), ':', word)"))
         % _CMS_W
     )
-    wj = wc.select(
-        "word", "n", F.explode(js).alias("j")
-    ).withColumn("bucket", bucket)
-    sk = wj.groupBy("j", "bucket").agg(F.sum("n").alias("bucket_count"))
+    sk = (
+        wc.select("word", "n", F.explode(js).alias("j"))
+        .withColumn("bucket", bucket)
+        .groupBy("j", "bucket")
+        .agg(F.sum("n").alias("bucket_count"))
+    )
     # Total order (n desc, word) + limit: TakeOrderedAndProject, the
-    # distributed top-k — no single-partition global window.
+    # distributed top-k — no single-partition global window. Probe-side
+    # bucket hashes are computed AFTER the top-k cut: the former shared
+    # wj relation fed both the sketch AND the join probe, so the _CMS_D
+    # md5 fan-out ran over the whole vocabulary twice (Catalyst does
+    # not dedupe the subtree) and the probe rows were immediately cut
+    # to _CMS_TOPK by the join — guide §1.2: don't compute what you
+    # throw away.
     top = (
         wc.orderBy(F.desc("n"), F.asc("word"))
         .limit(_CMS_TOPK)
         .select("word", F.col("n").alias("n_exact"))
     )
+    wj = top.select(
+        "word", "n_exact", F.explode(js).alias("j")
+    ).withColumn("bucket", bucket)
     return (
-        top.join(wj, "word")
+        wj
         .join(F.broadcast(sk), ["j", "bucket"])
         .groupBy("word", "n_exact")
         .agg(

@@ -52,13 +52,41 @@ STREAM_STATE_PARTITIONS = 8
 def stream_shuffle_partitions(spark: SparkSession, n: int = STREAM_STATE_PARTITIONS):
     """Scope spark.sql.shuffle.partitions to a streaming drain; each
     drain starts a fresh query + checkpoint, so the partition count is
-    free to differ from the batch default and is restored after."""
+    free to differ from the batch default and is restored after.
+
+    Also scopes the DEFAULT checkpoint base to RAM-backed scratch
+    (guide §6 I/O): these drains are batch-equivalence computations
+    whose checkpoint (offset WAL + state store files) is throwaway by
+    construction — it exists only for the duration of one availableNow
+    drain and is never resumed — yet Spark's implicit temp checkpoint
+    lands on local DISK and pays an fsync per offset/commit write plus
+    per-batch state-file I/O on the serve path. /dev/shm bounds that
+    at memory speed; atexit cleanup via scratch_dir. A PRODUCTION
+    stream (resumable, durable) must keep its checkpoint on durable
+    storage — the explicit-checkpoint operators (foreachBatch upserts,
+    versioned-table sinks) model that posture and are untouched here;
+    only the unset-checkpoint drains inherit this base."""
+    from mapreduce_wordcounter_spark.session import scratch_dir
+
     prior = spark.conf.get("spark.sql.shuffle.partitions")
+    prior_ckpt = spark.conf.get(
+        "spark.sql.streaming.checkpointLocation", None
+    )
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    spark.conf.set(
+        "spark.sql.streaming.checkpointLocation",
+        scratch_dir("drain_ck_", base="/dev/shm"),
+    )
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
+        if prior_ckpt is None:
+            spark.conf.unset("spark.sql.streaming.checkpointLocation")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.checkpointLocation", prior_ckpt
+            )
 
 
 @query(
@@ -888,17 +916,21 @@ def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
     sk = spark.table(name)
     # Batch audit side (exact top-k words + their sketch buckets).
+    # Probe-side bucket hashes are computed AFTER the top-k cut: the
+    # former order fanned out + md5-hashed the WHOLE vocabulary and
+    # let the join immediately drop all but _CMS_TOPK winners — guide
+    # §1.2: don't compute what you throw away.
     wc = tokens(spark, sf_dir).groupBy("word").agg(F.count("*").alias("n"))
-    wj = wc.select("word", "n", F.explode(js).alias("j")).withColumn(
-        "bucket", bucket
-    )
     top = (
         wc.orderBy(F.desc("n"), F.asc("word"))
         .limit(_CMS_TOPK)
         .select("word", F.col("n").alias("n_exact"))
     )
+    wj = top.select(
+        "word", "n_exact", F.explode(js).alias("j")
+    ).withColumn("bucket", bucket)
     return (
-        top.join(wj, "word")
+        wj
         .join(F.broadcast(sk), ["j", "bucket"])
         .groupBy("word", "n_exact")
         .agg(
