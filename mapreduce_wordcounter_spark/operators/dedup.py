@@ -75,8 +75,22 @@ def _spark_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Observed: 12 parquet scans → 2 in lsh_verified_pairs without it.)
     Cached through session.pin so the dedup pass's cache is released by
     session.release_pinned after the query (bench does; the driver's
-    one-query sessions don't need to)."""
-    docs = load_table(spark, sf_dir, "documents")
+    one-query sessions don't need to).
+
+    The scan is SPREAD before the shingle work: the 3-gram transform +
+    portable hash run map-side, and a cached relation freezes its
+    partition layout — built off a single-split scan, the pin (and
+    every consumer reading it) would be single-threaded
+    (tables.spread_narrow_scan; no-op once the table has >= cores
+    splits)."""
+    from mapreduce_wordcounter_spark.tables import spread_narrow_scan
+
+    docs = spread_narrow_scan(
+        spark,
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        sf_dir,
+        "documents",
+    )
     toks = docs.select(
         "doc_id",
         F.filter(
@@ -560,8 +574,19 @@ def simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates of ±1 over the same rows, so the whole signature is a
     single map-side-combined shuffle of 32 longs per doc. (A crossJoin
     against a 32-row bit table + groupBy(doc_id, b) computes the same
-    thing but expands the token stream 32× before the combine.)"""
-    docs = load_table(spark, sf_dir, "documents")
+    thing but expands the token stream 32× before the combine.)
+
+    The scan is spread first: the per-token md5 + 32 vote aggregates
+    are map-side work bounded by the file's split count otherwise
+    (tables.spread_narrow_scan; no-op at scale)."""
+    from mapreduce_wordcounter_spark.tables import spread_narrow_scan
+
+    docs = spread_narrow_scan(
+        spark,
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        sf_dir,
+        "documents",
+    )
     tok = docs.select(
         "doc_id",
         F.explode(
@@ -623,8 +648,17 @@ _DUCK_SIMHASH60 = f"""
 
 def _simhash60(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash) with the 60-bit signature (see simhash32 for
-    the one-shuffle vote construction; this just widens 32 → 60)."""
-    docs = load_table(spark, sf_dir, "documents")
+    the one-shuffle vote construction; this just widens 32 → 60).
+    Scan spread before the map-side md5 + 60 vote aggregates
+    (tables.spread_narrow_scan; no-op at scale)."""
+    from mapreduce_wordcounter_spark.tables import spread_narrow_scan
+
+    docs = spread_narrow_scan(
+        spark,
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        sf_dir,
+        "documents",
+    )
     tok = docs.select(
         "doc_id",
         F.explode(

@@ -2979,8 +2979,22 @@ def supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the fact⋈fact join on orderkey (co-partitionable via
     bucketing, join_bucketed_colocated's layout), then one
     supplier-keyed exact-percentile aggregate; swap for
-    percentile_approx beyond memory (agg_p90_approx posture)."""
-    li = _t(spark, sf_dir, "lineitem")
+    percentile_approx beyond memory (agg_p90_approx posture).
+
+    The fact scan is spread first: the percentile PARTIALS (per-group
+    value buffers, ObjectHashAggregate — no codegen) do the heavy
+    lifting map-side and are otherwise bounded by the file's split
+    count (tables.spread_narrow_scan; no-op at scale)."""
+    from mapreduce_wordcounter_spark.tables import spread_narrow_scan
+
+    li = spread_narrow_scan(
+        spark,
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey", "l_shipdate"
+        ),
+        sf_dir,
+        "lineitem",
+    )
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
     days = F.datediff("l_shipdate", "o_orderdate")

@@ -1991,7 +1991,17 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors contribute nothing; null/NaN elements drop from sums but
     keep their row in n) are replayed per length-group, pinned by
     tests/test_similarity_quality.py::test_covariance_arrow_semantics."""
-    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+    from mapreduce_wordcounter_spark.tables import spread_narrow_scan
+
+    # Spread before the Arrow stage: the NumPy partial-sum work is
+    # scan-stage CPU and otherwise runs on the file's split count
+    # (single task locally; no-op at scale).
+    e = spread_narrow_scan(
+        spark,
+        load_table(spark, sf_dir, "embeddings").select("embedding"),
+        sf_dir,
+        "embeddings",
+    )
 
     def cov_partials(batches):
         import numpy as np

@@ -1400,7 +1400,16 @@ def ev_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     error bars on a corpus statistic without 32 full passes."""
     ensure_utc(spark)
     e = load_table(spark, sf_dir, "events")
-    rep = e.select(
+    # The x32 replicate fan-out evaluates one md5 micro-draw per
+    # (event, replicate) INSIDE the scan stage — spread the scan so
+    # the hash work uses the whole cluster, not the file's split
+    # count (3.6 s -> 0.85 s at sf0.1; no-op at scale, see
+    # tables.spread_narrow_scan).
+    from mapreduce_wordcounter_spark.tables import spread_narrow_scan
+
+    rep = spread_narrow_scan(
+        spark, e.select("event_id", "value"), sf_dir, "events"
+    ).select(
         "event_id",
         F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
         .cast("long")

