@@ -45,6 +45,20 @@ from mapreduce_wordcounter_spark.operators.dedup import _DUCK_MD5H, _SPARK_MD5H
 from mapreduce_wordcounter_spark.registry import ORACLE, query
 from mapreduce_wordcounter_spark.tables import load_table
 
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings scan, SPREAD to cluster width when the file plans
+    fewer splits than cores (tables.spread_narrow_scan; no-op at the
+    100 TB design point): every consumer in this module runs per-vector
+    math (fold dot products, codebook distances, quantization) map-side
+    in the scan stage, and the higher-order-function expressions are
+    CodegenFallback — interpreted, so scan-stage CPU is the family's
+    dominant cost and split-bounded parallelism its ceiling."""
+    from mapreduce_wordcounter_spark.tables import spread_narrow_scan
+
+    return spread_narrow_scan(
+        spark, load_table(spark, sf_dir, "embeddings"), sf_dir, "embeddings"
+    )
+
 N_QUERIES = 5  # vec_id < 5 are the benchmark query vectors
 TOP_K = 10
 N_PROBE = 3  # IVF cells probed per query (of the 10 label cells)
@@ -92,7 +106,7 @@ def knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: broadcast the query batch against the full
     corpus scan. The correctness baseline every ANN variant is measured
     against."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     q = (
         emb.filter(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
@@ -138,7 +152,7 @@ def embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     All-pairs is O(n²) — correct at oracle scale; the LSH/IVF queries
     below are the scale path (this corpus plants no >0.9 pairs, so a
     threshold query would be vacuously empty)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
@@ -210,7 +224,7 @@ def _tp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             buckets[:, t] = signs[:, t * n_bits : (t + 1) * n_bits] @ weights
         return pd.Series(list(buckets))
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return (
         emb.select("vec_id", F.posexplode(buckets_udf("embedding")).alias("t", "bucket"))
     )
@@ -266,7 +280,7 @@ def _tp_scored_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b")
         .distinct()
     )
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"), "embedding", "nrm")
+    emb = _with_norm(_emb(spark, sf_dir), "embedding", "nrm")
     ea = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
         F.col("nrm").alias("na"),
@@ -332,7 +346,7 @@ _DUCK_LONG = """
 
 
 def _spark_long(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos", "xf")
     ).select("vec_id", "label", "pos", F.col("xf").cast("double").alias("x"))
@@ -469,7 +483,7 @@ def _spark_kmeans(
             F.floor(F.col("x") * 1000.0 + F.lit(0.5)).cast("long").alias("xm"),
         )
     )
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     init_hash = _SPARK_MD5H.format(s="cast(vec_id as string)")
     in_sample = F.expr(f"({init_hash}) % {_IVF_TRAIN_MOD} = 0")
     xt = xm.filter(in_sample)
@@ -635,7 +649,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= N_PROBE)
         .select("query_id", F.col("cell").alias("probe_cell"))
     )
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -713,7 +727,7 @@ def _sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     int8's recipe kept in array form for the scoring join (internal
     relation, never served; the driver-facing twin serves the string
     shape)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     q8 = F.expr(_SPARK_Q8)
     return emb.select("vec_id", q8.alias("q8")).select(
         "vec_id",
@@ -837,7 +851,7 @@ def ann_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _SQ_SHORTLIST)
         .select("query_id", F.col("vec_id").alias("cand_id"), "sq8_cos")
     )
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     qe = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -1016,7 +1030,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
         .distinct()
     )
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"), "embedding", "nrm")
+    emb = _with_norm(_emb(spark, sf_dir), "embedding", "nrm")
     # Query-subset filter BEFORE the broadcast: qe is N_QUERIES rows, not
     # the corpus — broadcasting corpus-sized embeddings OOMs the driver
     # at scale (the candidate join key is query_id, so the filter loses
@@ -1151,7 +1165,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Spark array_join ↔ DuckDB array_to_string, integer formatting
     identical); downstream consumers wanting the array do
     ``split(qvec, ',')::int`` for free."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     scale = F.expr(
         "array_max(transform(embedding, x -> abs(cast(x as double)))) / 127.0D"
     )
@@ -1280,7 +1294,7 @@ def _spark_xn(
 ) -> DataFrame:
     """The NORMALIZED milli-quantized long form (vec_id, pos, m, xm) —
     PQ's input relation (unit sphere: L2 monotone in cosine)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     if queries_only:
         emb = emb.filter(F.col("vec_id") < N_QUERIES)
     norm = f"sqrt({_SPARK_DOT.format(a='embedding', b='embedding')})"
@@ -1310,7 +1324,7 @@ def _spark_pq_build(
     M-independent)."""
     from mapreduce_wordcounter_spark.session import pin
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     xn = pin(_spark_xn(spark, sf_dir))
     sample_hash = _SPARK_MD5H.format(s="cast(vec_id as string)")
     in_sample = F.expr(f"({sample_hash}) % {_IVF_TRAIN_MOD} = 0")
@@ -1512,7 +1526,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _PQ_SHORTLIST)
         .select("query_id", "vec_id")
     )
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     # Query subset only — broadcasting the unfiltered corpus-sized
     # relation is the scale bug the round-3 advice caught in
     # ann_lsh_topk.
@@ -1859,7 +1873,7 @@ def ann_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _JL_CAND)
         .select("query_id", "vec_id")
     )
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"), "embedding", "nrm")
+    emb = _with_norm(_emb(spark, sf_dir), "embedding", "nrm")
     qe = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
@@ -1998,7 +2012,7 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (single task locally; no-op at scale).
     e = spread_narrow_scan(
         spark,
-        load_table(spark, sf_dir, "embeddings").select("embedding"),
+        _emb(spark, sf_dir).select("embedding"),
         sf_dir,
         "embeddings",
     )
@@ -2537,7 +2551,7 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "vi long, v1 double, v2 double, v3 double",
     )
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     px = e.select(
         "vec_id", F.posexplode("embedding").alias("d", "xf")
     ).select("vec_id", "d", F.col("xf").cast("double").alias("x"))
@@ -2615,7 +2629,7 @@ def embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vi long, v1 double, v2 double, v3 double",
     )
     roots = [math.sqrt(lam) for _, lam in comps]
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     px = e.select(
         "vec_id", F.posexplode("embedding").alias("d", "xf")
     ).select("vec_id", "d", F.col("xf").cast("double").alias("x"))
@@ -2709,7 +2723,7 @@ def ann_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     knn_brute_cosine but over 4x fewer multiply-adds; the candidate
     set (N_QUERIES x MRL_CAND rows) re-joins the corpus by vec_id for
     full vectors — a broadcast semi-join fetch, no corpus shuffle."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
