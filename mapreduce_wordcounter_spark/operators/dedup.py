@@ -77,12 +77,16 @@ def _spark_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     session.release_pinned after the query (bench does; the driver's
     one-query sessions don't need to).
 
-    The scan is SPREAD before the shingle work: the 3-gram transform +
-    portable hash run map-side, and a cached relation freezes its
-    partition layout — built off a single-split scan, the pin (and
-    every consumer reading it) would be single-threaded
-    (tables.spread_narrow_scan; no-op once the table has >= cores
-    splits)."""
+    The scan is SPREAD before the shingle work — hash(doc_id),
+    DATA-BOUNDED (tables.spread_narrow_scan): the pin build's
+    tokenize + 3-gram + md5 otherwise runs at the file's split count
+    (one core locally), which doubles minhash_signatures, the family
+    member that pays the build. r12 shipped this as a round-robin
+    repartition to CLUSTER width — the frozen 32-sliver cache layout
+    plus the pre-exchange local sort took lsh_verified_pairs from
+    1.09 s to 2.38 s at c32 (VERDICT r12 #2); the keyed, data-bounded
+    form keeps the build parallel while the cache width tracks the
+    corpus (~20 partitions at sf0.1, 1 at sf0.001)."""
     from mapreduce_wordcounter_spark.tables import spread_narrow_scan
 
     docs = spread_narrow_scan(
@@ -90,6 +94,8 @@ def _spark_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").select("doc_id", "text"),
         sf_dir,
         "documents",
+        key="doc_id",
+        rows_per_task=256,
     )
     toks = docs.select(
         "doc_id",
@@ -576,9 +582,12 @@ def simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a 32-row bit table + groupBy(doc_id, b) computes the same
     thing but expands the token stream 32× before the combine.)
 
-    The scan is spread first: the per-token md5 + 32 vote aggregates
-    are map-side work bounded by the file's split count otherwise
-    (tables.spread_narrow_scan; no-op at scale)."""
+    The scan is spread first on hash(doc_id): the per-token md5 + 32
+    vote aggregates are map-side work bounded by the file's split
+    count otherwise (tables.spread_narrow_scan; no-op at scale), and
+    because the votes group by the SAME key the keyed exchange is the
+    groupBy's exchange moved below the tokenize — total exchange count
+    unchanged, map work cluster-wide."""
     from mapreduce_wordcounter_spark.tables import spread_narrow_scan
 
     docs = spread_narrow_scan(
@@ -586,6 +595,8 @@ def simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").select("doc_id", "text"),
         sf_dir,
         "documents",
+        key="doc_id",
+        rows_per_task=256,
     )
     tok = docs.select(
         "doc_id",
@@ -649,8 +660,10 @@ _DUCK_SIMHASH60 = f"""
 def _simhash60(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash) with the 60-bit signature (see simhash32 for
     the one-shuffle vote construction; this just widens 32 → 60).
-    Scan spread before the map-side md5 + 60 vote aggregates
-    (tables.spread_narrow_scan; no-op at scale)."""
+    Scan spread on hash(doc_id) before the map-side md5 + 60 vote
+    aggregates — the keyed exchange IS the vote groupBy's exchange
+    moved below the tokenize (tables.spread_narrow_scan; no-op at
+    scale)."""
     from mapreduce_wordcounter_spark.tables import spread_narrow_scan
 
     docs = spread_narrow_scan(
@@ -658,6 +671,8 @@ def _simhash60(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").select("doc_id", "text"),
         sf_dir,
         "documents",
+        key="doc_id",
+        rows_per_task=256,
     )
     tok = docs.select(
         "doc_id",
@@ -1667,13 +1682,21 @@ def _prefix_join_parts(spark: SparkSession, sf_dir: str) -> dict:
     from pyspark.sql import Window as W
 
     sh = _spark_shingles(spark, sf_dir).select("doc_id", "s")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    dfc = sh.groupBy("s").agg(F.count("*").alias("dfc"))
-    w = W.partitionBy("doc_id").orderBy("dfc", "s")
+    # r13 (guide §2.4 share one exchange): df-counts and per-doc sizes
+    # as WINDOW sums instead of groupBy+join-back — dfc rides one
+    # exchange on s (the former plan shuffled sh AND the vocab-sized
+    # aggregate into a sort-merge join), and n shares the rn window's
+    # doc_id exchange — 2 exchanges and one pass over the shingle
+    # relation where the r12 plan used ~5 exchanges and three passes.
     ranked = (
-        sh.join(dfc, "s")
-        .withColumn("rn", F.row_number().over(w))
-        .join(sizes, "doc_id")
+        sh.withColumn("dfc", F.count("*").over(W.partitionBy("s")))
+        .withColumn("n", F.count("*").over(W.partitionBy("doc_id")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy("dfc", "s")
+            ),
+        )
     )
     # tau = 0.5: ceil(n/2) = (n+1) div 2, so prefix = n - ceil(n/2) + 1
     prefix = ranked.filter(
@@ -1714,10 +1737,15 @@ def _prefix_join_parts(spark: SparkSession, sf_dir: str) -> dict:
                 >= F.expr("(pna + pnb + 2) div 3")
             )
         )
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b", F.col("pna").alias("na"), F.col("pnb").alias("nb"))
         .distinct()
     )
-    # verify: true intersection for candidate pairs only
+    # verify: true intersection for candidate pairs only. na/nb RIDE
+    # THROUGH the candidate join (pna IS doc_a's full shingle count —
+    # the prefix rows keep n): the r12 plan re-joined the sizes
+    # aggregate twice at the end, two more exchanges for values the
+    # candidates already carried (guide §1.2: don't recompute what you
+    # have).
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b2"), F.col("s").alias("s_b"))
     inter = (
@@ -1726,18 +1754,14 @@ def _prefix_join_parts(spark: SparkSession, sf_dir: str) -> dict:
             sb,
             (F.col("doc_b") == F.col("doc_b2")) & (F.col("s_a") == F.col("s_b")),
         )
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("n_common"))
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
     pairs = (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .filter(jac >= 0.5)
+        inter.filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
     return {"shingles": sh, "prefix": prefix, "cand": cand, "pairs": pairs}

@@ -173,47 +173,60 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     convergence-driven variant would localCheckpoint per iteration
     exactly like connected_components."""
     from mapreduce_wordcounter_spark.session import pin
+    from mapreduce_wordcounter_spark.tables import table_rows
 
     edges = _bipartite_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.sum("w").alias("wsum"))
     e0 = edges.join(deg, "src")  # src, dst, w, wsum — read K times
-    # Graph-size scalars (m, n) read from the PINNED (user, type, count)
-    # aggregate, not from an agg over the edges⋈deg join: the bipartite
-    # construction makes them derivable — m = 2·|ev| (each aggregate row
-    # is one edge per direction) and n = |users| + |types| (namespaced
-    # ids never collide) — so the probe is one small-relation aggregate
-    # instead of materializing the join a second time just to count it.
-    ev_row = (
-        load_table(spark, sf_dir, "events")
-        .groupBy("user_id", "event_type")
-        .agg(F.count("*").alias("w"))
-        .agg(
-            F.count("*").alias("cnt"),
-            F.countDistinct("user_id").alias("du"),
-            F.countDistinct("event_type").alias("dt"),
-        )
-        .first()
-    )
-    m = 2 * ev_row["cnt"]
-    n = ev_row["du"] + ev_row["dt"]
-    npart = max(4, m // 500_000 + 1)
-    e = pin(e0.repartition(npart, "src"))
+    # Partition count from catalog statistics (|edges| <= 2·|events|,
+    # each event contributes one (user,type) pair per direction at
+    # most): a layout knob needs only the right order of magnitude,
+    # and the footer-read row count is free where an exact |E| would
+    # cost a count job before the pin exists.
+    npart = max(4, 2 * table_rows(spark, sf_dir, "events") // 500_000 + 1)
+    # Pinned partitioned by DST and materialized eagerly: every
+    # iteration's contribution aggregate groups by dst, so once the
+    # cache reports hashpartitioning(dst, npart) (isFinalPlan=true —
+    # hence the count() below, which doubles as the m scalar) the
+    # K groupBys all reuse the cached layout and plan ZERO exchanges;
+    # the ranks side of each join is broadcast (size-gated below), so
+    # the join itself never re-partitions e. r12 pinned by src — every
+    # iteration paid a full exchange on dst.
+    e = pin(e0.repartition(npart, "dst"))
+    m = e.count()  # materializes the pin; |directed edges|
     # Node set pinned: it feeds the LEFT side of every iteration's
     # rank update — unpinned, each of the K+1 consumers replays the
-    # distinct (one shuffle) over the cached edge relation.
+    # distinct (one shuffle) over the cached edge relation. Its count
+    # is exactly n (bipartite: every node occurs as src) — the (m, n)
+    # scalar probe r12 ran as a separate countDistinct job is gone.
     nodes = pin(e.select(F.col("src").alias("node")).distinct())
+    n = nodes.count()
     init = _ONE // n
     base = (init * 15) // 100
+    # Join-strategy decision made from the graph-size scalars the query
+    # already computed (guide §3.1: pick the strategy deliberately —
+    # size estimates, not estimates-of-estimates): the rank/contrib
+    # relations are node-sized, so while n is broadcastable every
+    # iteration hints BROADCAST explicitly. Unhinted, AQE first plans
+    # each iteration's join sort-merge and MATERIALIZES both shuffle
+    # maps (K pointless shuffle writes of the pinned edge relation)
+    # before converting at runtime; the hint skips those stages
+    # outright. Past the threshold (10⁹-node graphs) the hint is not
+    # applied and the joins shuffle on node, the posture the docstring
+    # describes.
+    bcast_ranks = n <= 10_000_000
     ranks = nodes.select("node", F.lit(init).alias("rank"))
     for _ in range(_K):
+        r_side = F.broadcast(ranks) if bcast_ranks else ranks
         contrib = (
-            e.join(ranks, e["src"] == ranks["node"])
+            e.join(r_side, e["src"] == ranks["node"])
             .select("dst", F.expr("(rank * w) div wsum").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
+        c_side = F.broadcast(contrib) if bcast_ranks else contrib
         ranks = nodes.join(
-            contrib, nodes["node"] == contrib["dst"], "left"
+            c_side, nodes["node"] == contrib["dst"], "left"
         ).select(
             "node",
             (
@@ -297,18 +310,23 @@ def _sym_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _adj_pinned(spark: SparkSession, sf_dir: str):
     """The co-occurrence edge list, pinned at a layout sized to the
-    GRAPH and the cluster, not the corpus scan: a cached relation
+    GRAPH, not the corpus scan or the cluster: a cached relation
     freezes its partitioning (AQE cannot re-coalesce inside
-    InMemoryRelation), so every downstream self-join and aggregate
-    inherits this width. One partition per core as the floor, one per
-    ~2M source events beyond that (events bound the edge count from
-    above, and the parquet row count is a metadata-only read). Shared
-    by the triangle / link-prediction / community consumers."""
+    InMemoryRelation), so every downstream consumer inherits this
+    width. One partition per core as the floor — the self-join
+    consumers (triangles, common-neighbors) sort/probe the cached
+    relation map-side, and a narrower cache measurably starves them
+    (r13 tried 1 partition at sf0.1: triangle family +20% at c32) —
+    one per ~2M source events beyond that (events bound the edge
+    count from above; the row count is a cached metadata read, not
+    the count job r12 ran per call). Shared by the triangle /
+    link-prediction / community consumers."""
     from mapreduce_wordcounter_spark.session import pin
+    from mapreduce_wordcounter_spark.tables import table_rows
 
-    n_events = load_table(spark, sf_dir, "events").count()
     npart = max(
-        spark.sparkContext.defaultParallelism, n_events // 2_000_000 + 1
+        spark.sparkContext.defaultParallelism,
+        table_rows(spark, sf_dir, "events") // 2_000_000 + 1,
     )
     return pin(graph_adjacent_users(spark, sf_dir).repartition(npart))
 

@@ -3210,7 +3210,7 @@ def stream_versioned_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = s.groupBy("lang").agg(F.count("*").alias("n_docs"))
     name = "vstream_" + _uuid.uuid4().hex[:8]
-    ckpt = scratch_dir("vstream_ck_", base="/dev/shm")
+    ckpt = scratch_dir("vstream_ck_")
     from mapreduce_wordcounter_spark.streaming.windows import (
         stream_shuffle_partitions,
     )
@@ -3326,7 +3326,7 @@ def stream_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     name = "cdfstream_" + _uuid.uuid4().hex[:8]
-    ckpt = scratch_dir("cdfstream_ck_", base="/dev/shm")
+    ckpt = scratch_dir("cdfstream_ck_")
     with stream_shuffle_partitions(spark, 2):
         q = (
             s.writeStream.outputMode("append")
@@ -3484,7 +3484,7 @@ def stream_cdf_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     def apply_batch(batch, batch_id):
         apply_cdf_mv_batch(spark, mv_path, batch, batch_id)
 
-    ckpt = scratch_dir("cdf_mv_ck_", base="/dev/shm")
+    ckpt = scratch_dir("cdf_mv_ck_")
     with stream_shuffle_partitions(spark, 2):
         q = (
             s.writeStream.foreachBatch(apply_batch)

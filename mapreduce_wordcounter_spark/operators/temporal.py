@@ -1408,7 +1408,12 @@ def ev_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_wordcounter_spark.tables import spread_narrow_scan
 
     rep = spread_narrow_scan(
-        spark, e.select("event_id", "value"), sf_dir, "events"
+        spark,
+        e.select("event_id", "value"),
+        sf_dir,
+        "events",
+        key="event_id",
+        rows_per_task=2048,
     ).select(
         "event_id",
         F.floor(F.col("value") * 1_000_000 + F.lit(0.5))

@@ -721,11 +721,16 @@ def _doc_ngrams(
         # Spread before the gram transform: n-gram generation (n
         # element_at concats per token position) is scan-stage CPU,
         # otherwise bounded by the file's split count (no-op at scale).
+        # hash(doc_id), data-bounded: downstream groupBy(doc_id, ...)
+        # consumers can reuse the clustering, and tiny SFs don't
+        # shatter into core-count slivers (VERDICT r12 #3).
         toks = spread_narrow_scan(
             spark,
             load_table(spark, sf_dir, "documents").select("doc_id", "text"),
             sf_dir,
             "documents",
+            key="doc_id",
+            rows_per_task=160,
         ).select("doc_id", _toks_col().alias("t"))
     return toks.select("doc_id", F.explode(grams).alias("gram"))
 
@@ -838,30 +843,54 @@ def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     toks = pin(
         spread_narrow_scan(
-            spark, docs.select("doc_id", "text"), sf_dir, "documents"
+            spark,
+            docs.select("doc_id", "text"),
+            sf_dir,
+            "documents",
+            key="doc_id",
+            rows_per_task=160,
         ).select("doc_id", _toks_col().alias("t"))
     )
-    t2 = _top_gram_chars(spark, sf_dir, 2, toks=toks).withColumnRenamed("chars", "c2")
-    t3 = _top_gram_chars(spark, sf_dir, 3, toks=toks).withColumnRenamed("chars", "c3")
-    d5 = (
-        _doc_ngrams(spark, sf_dir, 5, toks=toks)
-        .groupBy("doc_id", "gram")
-        .agg(F.count("*").alias("cnt"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("cnt") > 1, F.col("cnt") * F.length("gram"))
-            ).alias("dup_chars")
+    # r13 (guide §2.4): the three gram streams (n = 2, 3, 5) are
+    # UNIONED with an n tag and aggregated through one shared exchange
+    # chain — (doc_id, k, gram) counts → per-(doc, k) top-gram chars
+    # and dup-chars → per-doc pivot — 3 exchanges total where the
+    # former per-stream groupBy + row_number window + three final
+    # joins planned ~9. Top-gram selection is min_by over
+    # (-cnt, gram): smallest negated count = highest count, ties to
+    # the lexicographically smallest gram — exactly the old window's
+    # (cnt DESC, gram ASC) ordering, still engine-deterministic.
+    grams = (
+        _doc_ngrams(spark, sf_dir, 2, toks=toks)
+        .withColumn("k", F.lit(2))
+        .unionAll(
+            _doc_ngrams(spark, sf_dir, 3, toks=toks).withColumn("k", F.lit(3))
         )
+        .unionAll(
+            _doc_ngrams(spark, sf_dir, 5, toks=toks).withColumn("k", F.lit(5))
+        )
+    )
+    cnts = grams.groupBy("doc_id", "k", "gram").agg(F.count("*").alias("cnt"))
+    per_k = cnts.groupBy("doc_id", "k").agg(
+        F.min_by(
+            F.col("cnt") * F.length("gram"),
+            F.struct((-F.col("cnt")).alias("nc"), F.col("gram").alias("g")),
+        ).alias("top_chars"),
+        F.sum(
+            F.when(F.col("cnt") > 1, F.col("cnt") * F.length("gram"))
+        ).alias("dupc"),
+    )
+    metrics = per_k.groupBy("doc_id").agg(
+        F.max(F.when(F.col("k") == 2, F.col("top_chars"))).alias("c2"),
+        F.max(F.when(F.col("k") == 3, F.col("top_chars"))).alias("c3"),
+        F.max(F.when(F.col("k") == 5, F.col("dupc"))).alias("dup_chars"),
     )
     dup_line = F.when(
         F.col("n_lines") > 0,
         (F.col("n_lines") - F.col("n_dlines")).cast("double") / F.col("n_lines"),
     ).otherwise(F.lit(0.0))
     return (
-        base.join(t2, "doc_id", "left")
-        .join(t3, "doc_id", "left")
-        .join(d5, "doc_id", "left")
+        base.join(metrics, "doc_id", "left")
         .select(
             "doc_id",
             F.round(dup_line, 6).alias("dup_line_frac"),
@@ -912,7 +941,17 @@ def quality_score_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Checks are applied to the ROUNDED fractions on both engines (the
     component queries round to 6 decimals), so threshold comparisons
-    are bit-identical by construction."""
+    are bit-identical by construction.
+
+    The result relation is PINNED (r13): it is doc-sized (doc_id +
+    three small ints — the cheap kind of cache) and consumed verbatim
+    by pipeline_curate, pipeline_tokenize_pack and the quality-gated
+    dedup/sampling queries, each of which otherwise replays the full
+    three-stream n-gram aggregation; at 100 TB this is the quality-
+    score column table every curation pipeline materializes once per
+    corpus snapshot."""
+    from mapreduce_wordcounter_spark.session import pin
+
     qs = quality_score(spark, sf_dir).select("doc_id", "quality_score")
     gr = gopher_repetition(spark, sf_dir)
     rep = (
@@ -921,11 +960,13 @@ def quality_score_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(F.col("top3_char_frac") <= 0.18, 1).otherwise(0)
         + F.when(F.col("dup5_char_frac") <= 0.15, 1).otherwise(0)
     )
-    return qs.join(gr, "doc_id").select(
-        "doc_id",
-        F.col("quality_score").alias("base_score"),
-        rep.alias("rep_score"),
-        (F.col("quality_score") + rep).alias("gopher_score"),
+    return pin(
+        qs.join(gr, "doc_id").select(
+            "doc_id",
+            F.col("quality_score").alias("base_score"),
+            rep.alias("rep_score"),
+            (F.col("quality_score") + rep).alias("gopher_score"),
+        )
     )
 
 
@@ -982,7 +1023,15 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-training-doc benchmark contamination: how many of the doc's
     distinct 13-grams appear anywhere in the held-out benchmark subset
     (see module note for the plan shape and why the bench side is a
-    broadcast)."""
+    broadcast).
+
+    Result PINNED (r13): doc-sized (4 narrow columns), consumed
+    verbatim by benchmark_contamination_rate and both pipeline_*
+    compositions — each otherwise replays the 13-gram hash fan-out
+    over the corpus (the decontamination verdict table a production
+    pipeline materializes once per benchmark snapshot)."""
+    from mapreduce_wordcounter_spark.session import pin
+
     gh = _contam_gram_hashes(spark, sf_dir)
     bench = (
         gh.filter(F.col("doc_id") % _CONTAM_MOD == 0).select("gh").distinct()
@@ -999,7 +1048,7 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % _CONTAM_MOD != 0)
         .select("doc_id")
     )
-    return (
+    return pin(
         base.join(tg, "doc_id", "left")
         .join(hits, "doc_id", "left")
         .select(
@@ -2177,6 +2226,8 @@ def trigram_match_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").select("doc_id", "text"),
         sf_dir,
         "documents",
+        key="doc_id",
+        rows_per_task=160,
     )
     pat_tris = sorted(
         {_TRGM_PATTERN[i : i + 3] for i in range(len(_TRGM_PATTERN) - 2)}

@@ -379,8 +379,19 @@ def wc_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (string, int64) — the cheap kind of cache)."""
     from mapreduce_wordcounter_spark.session import pin
 
+    # The pinned plan carries a marker literal: canonicalization erases
+    # alias names, so a bare tokens().groupBy(word).count() aggregate is
+    # sameResult-identical to wc_counts' — the shared CacheManager would
+    # silently substitute this cache into wc_counts' executed plan in
+    # any session where this query built first (extra InMemoryRelation
+    # exchange; r12 red suite). The Project(word, n, 1) root cannot
+    # match any served query's subtree; consumers below simply never
+    # reference the marker.
     wc = pin(
-        tokens(spark, sf_dir).groupBy("word").agg(F.count("*").alias("n"))
+        tokens(spark, sf_dir)
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .select("word", "n", F.lit(1).alias("_cms_pin"))
     )
     js = F.array([F.lit(j) for j in range(_CMS_D)])
     bucket = (
@@ -658,7 +669,7 @@ def stream_pyds_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     # walCommit+commitOffsets fsyncs (~100 ms/batch to /tmp disk) are
     # pure harness overhead for this bounded demo stream — a
     # production job owns a durable checkpoint dir instead.
-    ckpt = scratch_dir("pyds_stream_ck_", base="/dev/shm")
+    ckpt = scratch_dir("pyds_stream_ck_")
 
     # stream_shuffle_partitions(2): the stateful aggregate's partition
     # count tracks STATE size (a 20-word vocabulary), not the batch

@@ -31,6 +31,16 @@ def get_spark(app_name: str = "mapreduce-wordcounter-spark", cpus: int | None = 
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst stays at its default (true). Measured both
+        # ways at c32/sf0.1 (r13): false (size-based coalescing,
+        # guide §2.2) removes sliver tasks on tiny reduce stages but
+        # AQE's byte-based sizing starves CPU-dense post-shuffle
+        # stages whose bytes are small (join fan-outs, hash fan-outs:
+        # part_affinity_lift +53%, tf_idf +19%, graph family +20%) —
+        # a net 4% regression across the 180-query bench. Width for
+        # the relations where sliver layouts demonstrably hurt is
+        # instead set explicitly at pin time (data-derived
+        # repartition before persist).
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -56,8 +56,54 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+_BYTE_SUFFIX = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_bytes(v, default: int = 134217728) -> int:
+    """Spark byte-string conf values: bare ints are bytes; '128m',
+    '128MB', '1g' carry a size suffix. (r12's rstrip('b') crashed on
+    every suffixed value — ADVICE r12.)"""
+    s = str(v).strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    mult = 1
+    if s and s[-1] in _BYTE_SUFFIX:
+        mult = _BYTE_SUFFIX[s[-1]]
+        s = s[:-1]
+    try:
+        return int(s) * mult
+    except ValueError:
+        return default
+
+
+def _dataset_bytes(path: str) -> int | None:
+    """On-disk bytes of a parquet dataset: a single file OR a directory
+    tree (the realistic 100 TB layout — r12's getsize on a directory
+    returned the inode size, defeating the already-wide guard)."""
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.startswith((".", "_")):
+                    continue  # commit markers / hidden metadata
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        return total
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return None
+
+
 def spread_narrow_scan(
-    spark: SparkSession, df: DataFrame, sf_dir: str, name: str
+    spark: SparkSession,
+    df: DataFrame,
+    sf_dir: str,
+    name: str,
+    key: str | None = None,
+    rows_per_task: int | None = None,
 ) -> DataFrame:
     """Scale-ADAPTIVE map-side parallelism for CPU-heavy per-row work
     (hashing, n-gram generation, signature votes — NOT plain
@@ -71,23 +117,43 @@ def spread_narrow_scan(
     — runs on one core of 32 (measured: the bootstrap's 3.2M-row md5
     stage 3.6 s -> 0.85 s once spread; guide §2.5 "input skew: one
     huge unsplittable file — repartition immediately after the read").
-    The round-robin exchange moves only the scan's raw rows and is
-    added ONLY when the scan is narrower than the cluster: at the
-    100 TB design point every fact scan has >= cores splits and this
-    is a structural no-op, so nothing here is local-mode tuning —
-    the decision derives from input size vs. cluster width."""
-    try:
-        size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
-    except OSError:
+    The exchange moves only the scan's raw rows and is added ONLY when
+    the scan is narrower than the cluster: at the 100 TB design point
+    every fact scan has >= cores splits and this is a structural no-op
+    — the decision derives from input size vs. cluster width.
+
+    Width is DATA-BOUNDED, not cluster-bounded (VERDICT r12 #3):
+    ``rows_per_task`` declares how many rows keep one core busy for
+    this call site's map work, and the spread width is
+    ``clamp(rows / rows_per_task, 1, defaultParallelism)`` — tiny
+    inputs no longer shatter into core-count slivers whose task
+    overhead exceeds their work (the r12 negative-scaling signature).
+
+    ``key`` (a high-cardinality column) switches the exchange from
+    round-robin to deterministic hash partitioning: no
+    sortBeforeRepartition local sort (guide §2.5), retry-safe by
+    construction, and a downstream groupBy/join on the same key can
+    reuse the partitioning instead of planning a second exchange."""
+    size = _dataset_bytes(os.path.join(sf_dir, f"{name}.parquet"))
+    if size is None:
         return df
     p = spark.sparkContext.defaultParallelism
-    maxpb_raw = spark.conf.get(
-        "spark.sql.files.maxPartitionBytes", "134217728"
+    maxpb = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
     )
-    maxpb = int(str(maxpb_raw).lower().rstrip("b"))
     if size >= p * maxpb:  # scan already at least cluster-wide
         return df
-    return df.repartition(p)
+    width = p
+    if rows_per_task:
+        rows = table_rows(spark, sf_dir, name)
+        width = max(1, min(p, -(-rows // rows_per_task)))
+    if width <= 1:
+        return df
+    if key is not None:
+        from pyspark.sql import functions as F
+
+        return df.repartition(width, F.col(key))
+    return df.repartition(width)
 
 
 _ROWS_CACHE: dict[tuple[str, str, str], int] = {}

@@ -86,17 +86,37 @@ def test_wordcount_single_shuffle(spark):
     assert facts.n_shuffle_exchanges <= 1, facts
 
 
+def test_wordcount_plan_immune_to_cms_pin(spark):
+    """wc_cms_heavy_hitters pins a vocab-count relation whose aggregate
+    is alias-identical to wc_counts' — the pin must carry a marker
+    column so the CacheManager cannot substitute it into wc_counts'
+    executed plan (r12: it did, doubling wc_counts' exchanges in any
+    session where the CMS query built first)."""
+    from mapreduce_wordcounter_spark.session import release_pinned
+
+    _QUERIES["wc_cms_heavy_hitters"](spark, SF_ORACLE)  # registers its pin
+    try:
+        facts = plan_facts(_QUERIES["wc_counts"](spark, SF_ORACLE))
+        assert facts.n_shuffle_exchanges <= 1, facts
+    finally:
+        release_pinned()
+        spark.catalog.clearCache()
+
+
 def test_minhash_single_shuffle(spark):
     """The wide MinHash aggregate computes all 16 permutations in one
     groupBy(doc_id) pass: exactly one shuffle beyond the shingle
-    distinct, and banding adds none (stack/concat are projections)."""
+    relation's own data-bounded doc_id spread (r13: the pinned shingle
+    build carries one keyed exchange of the raw doc scan so the
+    tokenize+3-gram+md5 runs cluster-wide — see _spark_shingles), and
+    banding adds none (stack/concat are projections)."""
     # Cold plan: a populated shingle cache embeds the cached subtree's
     # own exchanges in the plan string and would double-count.
     spark.catalog.clearCache()
     facts = plan_facts(_QUERIES["minhash_signatures"](spark, SF_ORACLE))
-    # Shingles dedup per-row (array_distinct) → the only shuffle is the
-    # wide groupBy(doc_id) aggregate.
-    assert facts.n_shuffle_exchanges <= 1, facts
+    # Shingles dedup per-row (array_distinct) → the only shuffles are
+    # the shingle spread + the wide groupBy(doc_id) aggregate.
+    assert facts.n_shuffle_exchanges <= 2, facts
 
 
 def test_tfidf_broadcasts_df_side(spark):
